@@ -1,0 +1,336 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.operators.ops.{R2, R4}
+
+/** Relational / batch-ETL core (SURVEY §2.A).
+  *
+  * Re-expresses the reference's batch flow (S3 → Spark → warehouse
+  * marts; see /root/reference/README.md "Batch Flow" and
+  * data_ingestion/loaders/data_loader.py:64-133 for the quality gate
+  * and purchase categorization) as declarative Spark plans on the
+  * TPC-H-ish star schema.
+  *
+  * Scale notes (100 TB): dims (region/nation/part/supplier) are
+  * explicitly broadcast; fact-fact joins shuffle on their keys and
+  * are AQE-skew-tolerant; every aggregate is a partial-agg groupBy;
+  * all filters/projections sit directly on the parquet scan so
+  * Catalyst pushes them down. No query collects to the driver;
+  * top-k goes through TakeOrderedAndProject (orderBy+limit).
+  */
+object Relational {
+
+  private def ts(s: String): Column = lit(s).cast("timestamp")
+  private def disc(c1: Column, c2: Column): Column = c1 * (lit(1.0) - c2)
+
+  /** TPC-H Q1-style pricing summary: scan-heavy multi-aggregate. */
+  def q01(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "lineitem")
+      .filter(col("l_shipdate") <= ts("2000-01-01"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        ops.r2(sum("l_quantity")).as("sum_qty"),
+        ops.r2(sum("l_extendedprice")).as("sum_base_price"),
+        ops.r2(sum(disc(col("l_extendedprice"), col("l_discount")))).as("sum_disc_price"),
+        ops.r2(sum(disc(col("l_extendedprice"), col("l_discount")) * (lit(1.0) + col("l_tax")))).as("sum_charge"),
+        ops.r4(avg("l_quantity")).as("avg_qty"),
+        ops.r4(avg("l_extendedprice")).as("avg_price"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  private val q01Sql =
+    """SELECT l_returnflag, l_linestatus,
+       floor((sum(l_quantity))*100.0 + 0.5)/100.0 AS sum_qty,
+       floor((sum(l_extendedprice))*100.0 + 0.5)/100.0 AS sum_base_price,
+       floor((sum(l_extendedprice*(1.0-l_discount)))*100.0 + 0.5)/100.0 AS sum_disc_price,
+       floor((sum(l_extendedprice*(1.0-l_discount)*(1.0+l_tax)))*100.0 + 0.5)/100.0 AS sum_charge,
+       floor((avg(l_quantity))*10000.0 + 0.5)/10000.0 AS avg_qty,
+       floor((avg(l_extendedprice))*10000.0 + 0.5)/10000.0 AS avg_price,
+       count(*) AS count_order
+       FROM lineitem WHERE l_shipdate <= TIMESTAMP '2000-01-01'
+       GROUP BY l_returnflag, l_linestatus ORDER BY 1, 2"""
+
+  /** Q5-style star join: revenue per nation for one region/date range.
+    * nation+region broadcast; customer/orders/lineitem shuffle on keys.
+    */
+  def q02(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "lineitem")
+      .join(Tables(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
+      .filter(col("r_name") === "ASIA" &&
+        col("o_orderdate") >= ts("1996-01-01") && col("o_orderdate") < ts("1999-01-01"))
+      .groupBy("n_name")
+      .agg(
+        ops.r2(sum(disc(col("l_extendedprice"), col("l_discount")))).as("revenue"),
+        count(lit(1)).as("n_lines"))
+      .orderBy("n_name")
+
+  private val q02Sql =
+    """SELECT n_name, floor((sum(l_extendedprice*(1.0-l_discount)))*100.0 + 0.5)/100.0 AS revenue, count(*) AS n_lines
+       FROM lineitem JOIN orders ON l_orderkey=o_orderkey
+       JOIN customer ON o_custkey=c_custkey
+       JOIN nation ON c_nationkey=n_nationkey
+       JOIN region ON n_regionkey=r_regionkey
+       WHERE r_name='ASIA' AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1999-01-01'
+       GROUP BY n_name ORDER BY n_name"""
+
+  /** Q3-style top-k: unshipped-revenue style ranking with rounded
+    * ranking key + unique tiebreaker for oracle-stable ordering. */
+  def q03(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "lineitem")
+      .filter(col("l_shipdate") > ts("1999-01-01"))
+      .join(Tables(s, dir, "orders").filter(col("o_orderdate") < ts("1999-01-01")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(Tables(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING"),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+      .agg(ops.r2(sum(disc(col("l_extendedprice"), col("l_discount")))).as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+
+  private val q03Sql =
+    """SELECT l_orderkey, o_orderdate, o_orderpriority,
+       floor((sum(l_extendedprice*(1.0-l_discount)))*100.0 + 0.5)/100.0 AS revenue
+       FROM lineitem JOIN orders ON l_orderkey=o_orderkey
+       JOIN customer ON o_custkey=c_custkey
+       WHERE l_shipdate > TIMESTAMP '1999-01-01' AND o_orderdate < TIMESTAMP '1999-01-01'
+         AND c_mktsegment='BUILDING'
+       GROUP BY 1,2,3 ORDER BY revenue DESC, l_orderkey LIMIT 10"""
+
+  /** Q4-style EXISTS: orders with >=1 returned line, per priority.
+    * left_semi join = no row multiplication, no distinct needed. */
+  def q04(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "orders")
+      .filter(col("o_orderdate") >= ts("1997-01-01") && col("o_orderdate") < ts("1998-01-01"))
+      .join(Tables(s, dir, "lineitem").filter(col("l_returnflag") === "R"),
+        col("o_orderkey") === col("l_orderkey"), "left_semi")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy("o_orderpriority")
+
+  private val q04Sql =
+    """SELECT o_orderpriority, count(*) AS order_count
+       FROM orders
+       WHERE o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+         AND EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey=o_orderkey AND l_returnflag='R')
+       GROUP BY o_orderpriority ORDER BY o_orderpriority"""
+
+  /** Revenue per market segment (customer ⋈ orders, agg). */
+  def q05(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "orders")
+      .join(Tables(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .groupBy("c_mktsegment")
+      .agg(
+        ops.r2(sum("o_totalprice")).as("revenue"),
+        count(lit(1)).as("n_orders"),
+        countDistinct(col("c_custkey")).as("n_customers"))
+      .orderBy("c_mktsegment")
+
+  private val q05Sql =
+    """SELECT c_mktsegment, floor((sum(o_totalprice))*100.0 + 0.5)/100.0 AS revenue, count(*) AS n_orders,
+       count(DISTINCT c_custkey) AS n_customers
+       FROM orders JOIN customer ON o_custkey=c_custkey
+       GROUP BY c_mktsegment ORDER BY c_mktsegment"""
+
+  /** Q6-style pushdown probe: tight filter + single global agg.
+    * The whole WHERE clause must reach the parquet scan. */
+  def q06(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "lineitem")
+      .filter(col("l_shipdate") >= ts("1997-01-01") && col("l_shipdate") < ts("1998-01-01") &&
+        col("l_discount") >= 0.03 && col("l_discount") <= 0.07 && col("l_quantity") < 25)
+      .agg(ops.r2(sum(col("l_extendedprice") * col("l_discount"))).as("revenue"),
+        count(lit(1)).as("n_lines"))
+
+  private val q06Sql =
+    """SELECT floor((sum(l_extendedprice*l_discount))*100.0 + 0.5)/100.0 AS revenue, count(*) AS n_lines
+       FROM lineitem
+       WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+         AND l_discount >= 0.03 AND l_discount <= 0.07 AND l_quantity < 25"""
+
+  /** Q10-style: top returned-revenue customers with nation. */
+  def q07(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "lineitem").filter(col("l_returnflag") === "R")
+      .join(Tables(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+      .groupBy("c_custkey", "c_name", "n_name")
+      .agg(ops.r2(sum(disc(col("l_extendedprice"), col("l_discount")))).as("revenue"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(20)
+
+  private val q07Sql =
+    """SELECT c_custkey, c_name, n_name, floor((sum(l_extendedprice*(1.0-l_discount)))*100.0 + 0.5)/100.0 AS revenue
+       FROM lineitem JOIN orders ON l_orderkey=o_orderkey
+       JOIN customer ON o_custkey=c_custkey JOIN nation ON c_nationkey=n_nationkey
+       WHERE l_returnflag='R'
+       GROUP BY 1,2,3 ORDER BY revenue DESC, c_custkey LIMIT 20"""
+
+  /** popular_products (mongodb init-db.js:67-92): total quantity +
+    * revenue per product, top-k. Part dim broadcast. */
+  def q08(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "lineitem")
+      .join(broadcast(Tables(s, dir, "part")), col("l_partkey") === col("p_partkey"))
+      .groupBy("p_partkey", "p_name", "p_brand")
+      .agg(
+        ops.r2(sum("l_quantity")).as("total_quantity"),
+        ops.r2(sum(disc(col("l_extendedprice"), col("l_discount")))).as("total_revenue"),
+        countDistinct(col("l_orderkey")).as("n_orders"))
+      .orderBy(col("total_quantity").desc, col("p_partkey"))
+      .limit(15)
+
+  private val q08Sql =
+    """SELECT p_partkey, p_name, p_brand, floor((sum(l_quantity))*100.0 + 0.5)/100.0 AS total_quantity,
+       floor((sum(l_extendedprice*(1.0-l_discount)))*100.0 + 0.5)/100.0 AS total_revenue,
+       count(DISTINCT l_orderkey) AS n_orders
+       FROM lineitem JOIN part ON l_partkey=p_partkey
+       GROUP BY 1,2,3 ORDER BY total_quantity DESC, p_partkey LIMIT 15"""
+
+  /** Per-supplier daily revenue + running cumulative (window).
+    * Pre-aggregate to (supplier, day) BEFORE the window so the
+    * window input is small; window partitions by supplier key. */
+  def q09(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables(s, dir, "lineitem")
+      .groupBy(col("l_suppkey"), to_date(col("l_shipdate")).as("day"))
+      .agg(sum(disc(col("l_extendedprice"), col("l_discount"))).as("rev_raw"))
+    val w = Window.partitionBy("l_suppkey").orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // Accumulate exact integer cents: a double running sum diverges
+    // from the oracle by accumulated ulps over long windows.
+    daily.withColumn("cents", floor(col("rev_raw") * 100.0 + 0.5).cast("long"))
+      .select(
+        col("l_suppkey"), col("day"),
+        (col("cents") / 100.0).as("daily_revenue"),
+        (sum("cents").over(w) / 100.0).as("cum_revenue"))
+      .orderBy("l_suppkey", "day")
+  }
+
+  private val q09Sql =
+    """SELECT l_suppkey, day, cents/100.0 AS daily_revenue,
+       (sum(cents) OVER (PARTITION BY l_suppkey ORDER BY day
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))/100.0 AS cum_revenue
+       FROM (SELECT l_suppkey, CAST(l_shipdate AS DATE) AS day,
+             CAST(floor(sum(l_extendedprice*(1.0-l_discount))*100.0 + 0.5) AS BIGINT) AS cents
+             FROM lineitem GROUP BY 1,2)
+       ORDER BY l_suppkey, day"""
+
+  /** Top-3 parts per brand by revenue (rank window over pre-agg).
+    * Ranking key is the ROUNDED revenue with partkey tiebreak so the
+    * ordering is FP-stable across engines. */
+  def q10(s: SparkSession, dir: String): DataFrame = {
+    val rev = Tables(s, dir, "lineitem")
+      .join(broadcast(Tables(s, dir, "part")), col("l_partkey") === col("p_partkey"))
+      .groupBy("p_brand", "p_partkey", "p_name")
+      .agg(ops.r2(sum(disc(col("l_extendedprice"), col("l_discount")))).as("revenue"))
+    val w = Window.partitionBy("p_brand").orderBy(col("revenue").desc, col("p_partkey"))
+    rev.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .orderBy("p_brand", "rank")
+  }
+
+  private val q10Sql =
+    """SELECT * FROM (
+         SELECT p_brand, p_partkey, p_name, revenue,
+                row_number() OVER (PARTITION BY p_brand ORDER BY revenue DESC, p_partkey) AS rank
+         FROM (SELECT p_brand, p_partkey, p_name,
+               floor((sum(l_extendedprice*(1.0-l_discount)))*100.0 + 0.5)/100.0 AS revenue
+               FROM lineitem JOIN part ON l_partkey=p_partkey GROUP BY 1,2,3))
+       WHERE rank <= 3 ORDER BY p_brand, rank"""
+
+  /** Exact distinct-user counts per event type (two-phase exact
+    * distinct; at 100 TB swap to approx_count_distinct when ±2% ok). */
+  def q11(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "events")
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        ops.r2(sum("value")).as("total_value"))
+      .orderBy("event_type")
+
+  private val q11Sql =
+    """SELECT event_type, count(*) AS n_events, count(DISTINCT user_id) AS n_users,
+       floor((sum(value))*100.0 + 0.5)/100.0 AS total_value
+       FROM events GROUP BY event_type ORDER BY event_type"""
+
+  /** data_loader.py:64-89 quality gate re-expressed: bounds filters,
+    * derived total_amount / is_return, seasonal tagging — per-row,
+    * fully codegen'd, filter pushed to scan. */
+  def q12(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "lineitem")
+      .filter(col("l_quantity") > 0 && col("l_quantity") < 100000 && col("l_extendedprice") > 0)
+      .select(
+        col("l_orderkey"), col("l_linenumber"),
+        ops.r2(disc(col("l_extendedprice"), col("l_discount"))).as("total_amount"),
+        (col("l_returnflag") === "R").as("is_return"),
+        when(month(col("l_shipdate")).isin(11, 12), "holiday")
+          .when(month(col("l_shipdate")).isin(3, 4, 5), "spring")
+          .when(month(col("l_shipdate")).isin(6, 7, 8), "summer")
+          .otherwise("fall").as("season"))
+      .orderBy("l_orderkey", "l_linenumber")
+
+  private val q12Sql =
+    """SELECT l_orderkey, l_linenumber,
+       floor((l_extendedprice*(1.0-l_discount))*100.0 + 0.5)/100.0 AS total_amount,
+       l_returnflag='R' AS is_return,
+       CASE WHEN month(l_shipdate) IN (11,12) THEN 'holiday'
+            WHEN month(l_shipdate) IN (3,4,5) THEN 'spring'
+            WHEN month(l_shipdate) IN (6,7,8) THEN 'summer'
+            ELSE 'fall' END AS season
+       FROM lineitem
+       WHERE l_quantity > 0 AND l_quantity < 100000 AND l_extendedprice > 0
+       ORDER BY l_orderkey, l_linenumber"""
+
+  /** data_loader.py:108-141 purchase categorization: first vs repeat
+    * vs high-value order per customer (history via window, not a
+    * driver-side dict like the reference). */
+  def q13(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    Tables(s, dir, "orders")
+      .withColumn("rn", row_number().over(w))
+      .select(
+        col("o_orderkey"), col("o_custkey"),
+        when(col("rn") === 1, "first_purchase")
+          .when(col("o_totalprice") > 400000, "high_value_purchase")
+          .when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), "priority_purchase")
+          .otherwise("repeat_purchase").as("order_category"),
+        when(month(col("o_orderdate")).isin(11, 12), "holiday")
+          .when(month(col("o_orderdate")).isin(3, 4, 5), "spring")
+          .when(month(col("o_orderdate")).isin(6, 7, 8), "summer")
+          .otherwise("fall").as("season"))
+      .orderBy("o_orderkey")
+  }
+
+  private val q13Sql =
+    """SELECT o_orderkey, o_custkey,
+       CASE WHEN rn = 1 THEN 'first_purchase'
+            WHEN o_totalprice > 400000 THEN 'high_value_purchase'
+            WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 'priority_purchase'
+            ELSE 'repeat_purchase' END AS order_category,
+       CASE WHEN month(o_orderdate) IN (11,12) THEN 'holiday'
+            WHEN month(o_orderdate) IN (3,4,5) THEN 'spring'
+            WHEN month(o_orderdate) IN (6,7,8) THEN 'summer'
+            ELSE 'fall' END AS season
+       FROM (SELECT *, row_number() OVER (PARTITION BY o_custkey
+             ORDER BY o_orderdate, o_orderkey) AS rn FROM orders)
+       ORDER BY o_orderkey"""
+
+  val qs: Seq[Q] = Seq(
+    Q("q01_pricing_summary", q01, Some(q01Sql)),
+    Q("q02_revenue_by_nation", q02, Some(q02Sql)),
+    Q("q03_top_orders", q03, Some(q03Sql)),
+    Q("q04_order_priority", q04, Some(q04Sql)),
+    Q("q05_segment_revenue", q05, Some(q05Sql)),
+    Q("q06_forecast_revenue", q06, Some(q06Sql)),
+    Q("q07_returned_by_customer", q07, Some(q07Sql)),
+    Q("q08_popular_products", q08, Some(q08Sql)),
+    Q("q09_running_revenue", q09, Some(q09Sql)),
+    Q("q10_top_parts_per_brand", q10, Some(q10Sql)),
+    Q("q11_distinct_users", q11, Some(q11Sql)),
+    Q("q12_quality_filter", q12, Some(q12Sql)),
+    Q("q13_order_categorize", q13, Some(q13Sql)))
+}
