@@ -1,0 +1,248 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Event analytics (SURVEY §2.B): batch re-expression of the
+  * reference's Flink stream semantics and the Mongo result
+  * collections it feeds.
+  *
+  * References:
+  * - EnrichmentFunction.java:31-129 (segment, per-user LTV state,
+  *   risk score) → q21/q22 (the Flink ValueState becomes a
+  *   partitioned cumulative window — same semantics, distributed).
+  * - init-db.js hourly_revenue:42-66 → q20; processed_events → q21.
+  * - Sessionization/funnel/retention/anomaly are the standard
+  *   event-analytics surface the reference serves via its API layer.
+  *
+  * Scale notes: everything partitions by user_id or event_type —
+  * high-cardinality keys, no global windows except tiny stat dims
+  * which are broadcast. Event-time arithmetic is integer micros
+  * (exact, engine-independent). Running money sums accumulate
+  * integer cents (see ops.scala).
+  */
+object Events {
+
+  /** Streaming-ready enrichment columns (shared with
+    * graft.streaming.EnrichStream — the batch/stream parity is the
+    * point: same Columns, two execution modes).
+    */
+  def userSegment: Column =
+    when(col("event_type") === "signup", "new")
+      .when(col("event_type") === "purchase" && col("value") > 100.0, "vip")
+      .when(col("event_type") === "error", "at_risk")
+      .when(col("event_type") === "purchase", "regular_buyer")
+      .otherwise("regular")
+
+  def riskScore: Column =
+    least(lit(1.0),
+      when(col("event_type") === "purchase" && col("value") > 300.0, 0.5)
+        .when(col("value") > 100.0, 0.2).otherwise(0.0) +
+      when(col("event_type") === "error", 0.3)
+        .when(col("event_type") === "signup", 0.2).otherwise(0.0))
+
+  def enrich(df: DataFrame): DataFrame =
+    df.select(
+      col("event_id"), col("user_id"), col("event_type"), col("ts"), col("value"),
+      get_json_object(col("props"), "$.k").cast("int").as("k_value"),
+      userSegment.as("user_segment"),
+      riskScore.as("risk_score"))
+
+  /** hourly_revenue collection: revenue / orders / uniques per hour. */
+  def q20(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "events")
+      .filter(col("event_type") === "purchase")
+      .groupBy(date_trunc("hour", col("ts")).as("hour_ts"))
+      .agg(
+        ops.r2(sum("value")).as("total_revenue"),
+        count(lit(1)).as("order_count"),
+        countDistinct(col("user_id")).as("unique_customers"))
+      .orderBy("hour_ts")
+
+  private val q20Sql =
+    s"""SELECT date_trunc('hour', ts) AS hour_ts,
+       ${ops.R2("sum(value)")} AS total_revenue,
+       count(*) AS order_count, count(DISTINCT user_id) AS unique_customers
+       FROM events WHERE event_type='purchase' GROUP BY 1 ORDER BY 1"""
+
+  /** processed_events: batch equivalent of the Flink enrichment. */
+  def q21(s: SparkSession, dir: String): DataFrame =
+    enrich(Tables(s, dir, "events")).orderBy("event_id")
+
+  private val q21Sql =
+    """SELECT event_id, user_id, event_type, ts, value,
+       json_extract_string(props,'$.k')::INT AS k_value,
+       CASE WHEN event_type='signup' THEN 'new'
+            WHEN event_type='purchase' AND value>100.0 THEN 'vip'
+            WHEN event_type='error' THEN 'at_risk'
+            WHEN event_type='purchase' THEN 'regular_buyer'
+            ELSE 'regular' END AS user_segment,
+       LEAST(1.0,
+         (CASE WHEN event_type='purchase' AND value>300.0 THEN 0.5
+               WHEN value>100.0 THEN 0.2 ELSE 0.0 END) +
+         (CASE WHEN event_type='error' THEN 0.3
+               WHEN event_type='signup' THEN 0.2 ELSE 0.0 END)) AS risk_score
+       FROM events ORDER BY event_id"""
+
+  /** Per-user running LTV: the Flink ValueState re-expressed as a
+    * cumulative window over exact integer cents. */
+  def q22(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables(s, dir, "events")
+      .filter(col("event_type") === "purchase")
+      .withColumn("cents", floor(col("value") * 100.0 + 0.5).cast("long"))
+      .select(col("event_id"), col("user_id"),
+        (sum("cents").over(w) / 100.0).as("ltv"))
+      .orderBy("user_id", "event_id")
+  }
+
+  private val q22Sql =
+    """SELECT event_id, user_id,
+       (sum(CAST(floor(value*100.0 + 0.5) AS BIGINT)) OVER (
+         PARTITION BY user_id ORDER BY ts, event_id
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))/100.0 AS ltv
+       FROM events WHERE event_type='purchase' ORDER BY user_id, event_id"""
+
+  /** Gap-based sessionization (30 min) — lag + cumulative flag. */
+  def q23(s: SparkSession, dir: String): DataFrame = {
+    val ord = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val cum = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables(s, dir, "events")
+      .withColumn("us", unix_micros(col("ts")))
+      .withColumn("gap", col("us") - lag("us", 1).over(ord))
+      .withColumn("is_new", when(col("gap").isNull || col("gap") > 1800L * 1000000L, 1).otherwise(0))
+      .withColumn("session_seq", sum("is_new").over(cum))
+      .groupBy("user_id", "session_seq")
+      .agg(
+        count(lit(1)).as("n_events"),
+        min("ts").as("session_start"),
+        max("ts").as("session_end"),
+        (max("us") - min("us")).as("duration_us"))
+      .orderBy("user_id", "session_seq")
+  }
+
+  private val q23Sql =
+    """WITH o AS (
+         SELECT user_id, event_id, ts, epoch_us(ts::TIMESTAMP) AS us,
+                CASE WHEN lag(epoch_us(ts::TIMESTAMP)) OVER w IS NULL
+                       OR epoch_us(ts::TIMESTAMP) - lag(epoch_us(ts::TIMESTAMP)) OVER w > 1800000000
+                     THEN 1 ELSE 0 END AS is_new
+         FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+       s AS (SELECT *, CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq FROM o)
+       SELECT user_id, session_seq, count(*) AS n_events,
+              min(ts) AS session_start, max(ts) AS session_end,
+              max(us)-min(us) AS duration_us
+       FROM s GROUP BY 1,2 ORDER BY user_id, session_seq"""
+
+  /** Ordered view→click→purchase funnel. */
+  def q24(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(s, dir, "events")
+    val v = ev.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min("ts").as("v_ts"))
+    val c = ev.filter(col("event_type") === "click").join(v, "user_id")
+      .filter(col("ts") >= col("v_ts"))
+      .groupBy("user_id").agg(min("ts").as("c_ts"))
+    val p = ev.filter(col("event_type") === "purchase").join(c, "user_id")
+      .filter(col("ts") >= col("c_ts"))
+      .groupBy("user_id").agg(min("ts").as("p_ts"))
+    v.select(lit("1_view").as("stage"), col("user_id"))
+      .union(c.select(lit("2_click"), col("user_id")))
+      .union(p.select(lit("3_purchase"), col("user_id")))
+      .groupBy("stage").agg(count(lit(1)).as("users"))
+      .orderBy("stage")
+  }
+
+  private val q24Sql =
+    """WITH v AS (SELECT user_id, min(ts) v_ts FROM events WHERE event_type='view' GROUP BY 1),
+       c AS (SELECT e.user_id, min(e.ts) c_ts FROM events e JOIN v ON e.user_id=v.user_id
+             WHERE e.event_type='click' AND e.ts >= v.v_ts GROUP BY 1),
+       p AS (SELECT e.user_id, min(e.ts) p_ts FROM events e JOIN c ON e.user_id=c.user_id
+             WHERE e.event_type='purchase' AND e.ts >= c.c_ts GROUP BY 1)
+       SELECT '1_view' AS stage, count(*) AS users FROM v
+       UNION ALL SELECT '2_click', count(*) FROM c
+       UNION ALL SELECT '3_purchase', count(*) FROM p
+       ORDER BY stage"""
+
+  /** Weekly signup-cohort retention. */
+  def q25(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(s, dir, "events")
+    val first = ev.groupBy("user_id")
+      .agg(to_date(date_trunc("week", min(col("ts")))).as("cohort_week"))
+    val act = ev.select(col("user_id"),
+      to_date(date_trunc("week", col("ts"))).as("activity_week")).distinct()
+    act.join(first, "user_id")
+      .select(col("cohort_week"),
+        expr("datediff(activity_week, cohort_week) DIV 7").as("week_offset"),
+        col("user_id"))
+      .groupBy("cohort_week", "week_offset")
+      .agg(countDistinct(col("user_id")).as("n_users"))
+      .orderBy("cohort_week", "week_offset")
+  }
+
+  private val q25Sql =
+    """WITH f AS (SELECT user_id, date_trunc('week', min(ts)) AS cohort_week FROM events GROUP BY 1),
+       a AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS activity_week FROM events)
+       SELECT cohort_week, date_diff('day', cohort_week, activity_week) // 7 AS week_offset,
+              count(DISTINCT a.user_id) AS n_users
+       FROM a JOIN f ON a.user_id=f.user_id
+       GROUP BY 1,2 ORDER BY 1,2"""
+
+  /** Hourly-count anomalies per event type. The z-score uses exact
+    * integer moment sums (n, Σx, Σx²) so both engines derive
+    * bit-identical stats — stddev_samp implementations differ in
+    * accumulation order. */
+  def q26(s: SparkSession, dir: String): DataFrame = {
+    val hourly = Tables(s, dir, "events")
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hour_ts"))
+      .agg(count(lit(1)).as("cnt"))
+    val stats = hourly.groupBy("event_type").agg(
+      count(lit(1)).as("n"),
+      sum("cnt").as("s1"),
+      sum(col("cnt") * col("cnt")).as("s2"))
+    val z = (col("cnt") - col("s1") * 1.0 / col("n")) /
+      sqrt((col("s2") - col("s1") * 1.0 * col("s1") / col("n")) / (col("n") - 1))
+    hourly.join(broadcast(stats), "event_type")
+      .filter(z > 2.0)
+      .select(col("event_type"), col("hour_ts"), col("cnt"), ops.r4(z).as("z_score"))
+      .orderBy("event_type", "hour_ts")
+  }
+
+  private val q26Sql = {
+    val z = "(cnt - s1*1.0/n) / sqrt((s2 - s1*1.0*s1/n)/(n-1))"
+    s"""WITH h AS (SELECT event_type, date_trunc('hour', ts) AS hour_ts, count(*) AS cnt
+         FROM events GROUP BY 1,2),
+       st AS (SELECT event_type, count(*) n, sum(cnt) s1, sum(cnt*cnt) s2 FROM h GROUP BY 1)
+       SELECT h.event_type, hour_ts, cnt, ${ops.R4(z)} AS z_score
+       FROM h JOIN st ON h.event_type=st.event_type
+       WHERE $z > 2.0
+       ORDER BY h.event_type, hour_ts"""
+  }
+
+  /** Top-k spenders (rounded ranking key + id tiebreak). */
+  def q27(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "events")
+      .filter(col("event_type") === "purchase")
+      .groupBy("user_id")
+      .agg(ops.r2(sum("value")).as("total_spend"), count(lit(1)).as("n_purchases"))
+      .orderBy(col("total_spend").desc, col("user_id"))
+      .limit(10)
+
+  private val q27Sql =
+    s"""SELECT user_id, ${ops.R2("sum(value)")} AS total_spend, count(*) AS n_purchases
+       FROM events WHERE event_type='purchase' GROUP BY 1
+       ORDER BY total_spend DESC, user_id LIMIT 10"""
+
+  val qs: Seq[Q] = Seq(
+    Q("q20_hourly_revenue", q20, Some(q20Sql)),
+    Q("q21_enrich_events", q21, Some(q21Sql)),
+    Q("q22_customer_ltv", q22, Some(q22Sql)),
+    Q("q23_sessionize", q23, Some(q23Sql)),
+    Q("q24_funnel", q24, Some(q24Sql)),
+    Q("q25_retention_cohorts", q25, Some(q25Sql)),
+    Q("q26_anomaly_hours", q26, Some(q26Sql)),
+    Q("q27_top_spenders", q27, Some(q27Sql)))
+}

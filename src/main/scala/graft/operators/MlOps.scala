@@ -1,0 +1,139 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** ML-adjacent analytics (SURVEY §2.C): the reference's scikit-learn
+  * models (README "Machine Learning": customer segmentation,
+  * product recommendations, anomaly detection;
+  * init-db.js product_recommendations:95-140) re-expressed as
+  * deterministic, oracle-checkable Spark SQL analytics.
+  *
+  * Scale notes: the global ntile windows in q30 are exact-quartile
+  * semantics for oracle parity; at 100 TB swap to approxQuantile
+  * boundaries + a broadcast join (documented trade: ±ε quartile
+  * edges). q31 bounds the pair explosion by basket (orders avg ~4
+  * lines here; production guard = cap lines-per-order before the
+  * self-join).
+  */
+object MlOps {
+
+  /** RFM segmentation: recency/frequency/monetary quartile scores. */
+  def q30(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables(s, dir, "orders")
+    val maxd = o.agg(max("o_orderdate").as("md"))
+    val cust = o.groupBy("o_custkey").agg(
+      max("o_orderdate").as("last_od"),
+      count(lit(1)).as("frequency"),
+      ops.r2(sum("o_totalprice")).as("monetary"))
+      .crossJoin(broadcast(maxd))
+      .select(col("o_custkey"),
+        datediff(col("md"), col("last_od")).as("recency_days"),
+        col("frequency"), col("monetary"))
+    val scored = cust
+      .withColumn("r_score", ntile(4).over(Window.orderBy(col("recency_days").desc, col("o_custkey"))))
+      .withColumn("f_score", ntile(4).over(Window.orderBy(col("frequency").asc, col("o_custkey"))))
+      .withColumn("m_score", ntile(4).over(Window.orderBy(col("monetary").asc, col("o_custkey"))))
+    scored.withColumn("segment",
+      when(col("r_score") >= 3 && col("f_score") >= 3 && col("m_score") >= 3, "champion")
+        .when(col("r_score") >= 3 && col("f_score") >= 2, "loyal")
+        .when(col("r_score") <= 2 && col("m_score") >= 3, "at_risk_big_spender")
+        .when(col("r_score") <= 1 && col("f_score") <= 1, "hibernating")
+        .otherwise("regular"))
+      .orderBy("o_custkey")
+  }
+
+  private val q30Sql =
+    s"""WITH cust AS (
+         SELECT o_custkey,
+                date_diff('day', max(o_orderdate), (SELECT max(o_orderdate) FROM orders)) AS recency_days,
+                count(*) AS frequency,
+                ${ops.R2("sum(o_totalprice)")} AS monetary
+         FROM orders GROUP BY 1),
+       scored AS (
+         SELECT *,
+                ntile(4) OVER (ORDER BY recency_days DESC, o_custkey) AS r_score,
+                ntile(4) OVER (ORDER BY frequency ASC, o_custkey) AS f_score,
+                ntile(4) OVER (ORDER BY monetary ASC, o_custkey) AS m_score
+         FROM cust)
+       SELECT o_custkey, recency_days, frequency, monetary, r_score, f_score, m_score,
+              CASE WHEN r_score >= 3 AND f_score >= 3 AND m_score >= 3 THEN 'champion'
+                   WHEN r_score >= 3 AND f_score >= 2 THEN 'loyal'
+                   WHEN r_score <= 2 AND m_score >= 3 THEN 'at_risk_big_spender'
+                   WHEN r_score <= 1 AND f_score <= 1 THEN 'hibernating'
+                   ELSE 'regular' END AS segment
+       FROM scored ORDER BY o_custkey"""
+
+  /** product_recommendations: item-item co-occurrence cosine, top-5.
+    * cosine = co_count / sqrt(n1*n2) over distinct (order, part)
+    * baskets — collaborative filtering without MF, deterministic. */
+  def q31(s: SparkSession, dir: String): DataFrame = {
+    val b = Tables(s, dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    val cnt = b.groupBy("l_partkey").agg(count(lit(1)).as("n"))
+    val pairs = b.as("a").join(b.as("bb"),
+        col("a.l_orderkey") === col("bb.l_orderkey") && col("a.l_partkey") < col("bb.l_partkey"))
+      .groupBy(col("a.l_partkey").as("p1"), col("bb.l_partkey").as("p2"))
+      .agg(count(lit(1)).as("c"))
+    val sym = pairs.select(col("p1").as("part_id"), col("p2").as("rec_id"), col("c"))
+      .union(pairs.select(col("p2"), col("p1"), col("c")))
+    val scored = sym
+      .join(cnt.withColumnRenamed("l_partkey", "part_id").withColumnRenamed("n", "n1"), "part_id")
+      .join(cnt.withColumnRenamed("l_partkey", "rec_id").withColumnRenamed("n", "n2"), "rec_id")
+      .select(col("part_id"), col("rec_id"),
+        ops.r6(col("c") / sqrt(col("n1") * col("n2"))).as("similarity_score"))
+    val w = Window.partitionBy("part_id").orderBy(col("similarity_score").desc, col("rec_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .orderBy("part_id", "rank")
+  }
+
+  private val q31Sql =
+    s"""WITH b AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+       cnt AS (SELECT l_partkey, count(*) AS n FROM b GROUP BY 1),
+       pair AS (SELECT a.l_partkey p1, b2.l_partkey p2, count(*) c
+                FROM b a JOIN b b2 ON a.l_orderkey=b2.l_orderkey AND a.l_partkey < b2.l_partkey
+                GROUP BY 1,2),
+       sym AS (SELECT p1 AS part_id, p2 AS rec_id, c FROM pair
+               UNION ALL SELECT p2, p1, c FROM pair),
+       scored AS (SELECT part_id, rec_id,
+                  ${ops.R6("c / sqrt(n1.n * n2.n)")} AS similarity_score
+                  FROM sym JOIN cnt n1 ON sym.part_id=n1.l_partkey
+                           JOIN cnt n2 ON sym.rec_id=n2.l_partkey)
+       SELECT * FROM (
+         SELECT part_id, rec_id, similarity_score,
+                row_number() OVER (PARTITION BY part_id
+                  ORDER BY similarity_score DESC, rec_id) AS rank
+         FROM scored)
+       WHERE rank <= 5 ORDER BY part_id, rank"""
+
+  /** Per-customer spend outliers (z > 2 vs population). */
+  def q32(s: SparkSession, dir: String): DataFrame = {
+    val spend = Tables(s, dir, "orders").groupBy("o_custkey")
+      .agg(ops.r2(sum("o_totalprice")).as("spend"))
+    val stats = spend.agg(
+      count(lit(1)).as("n"), sum("spend").as("s1"),
+      sum(col("spend") * col("spend")).as("s2"))
+    val z = (col("spend") - col("s1") / col("n")) /
+      sqrt((col("s2") - col("s1") * col("s1") / col("n")) / (col("n") - 1))
+    spend.crossJoin(broadcast(stats))
+      .filter(z > 2.0)
+      .select(col("o_custkey"), col("spend"), ops.r4(z).as("z_score"))
+      .orderBy("o_custkey")
+  }
+
+  private val q32Sql = {
+    val z = "(spend - s1/n) / sqrt((s2 - s1*s1/n)/(n-1))"
+    s"""WITH spend AS (SELECT o_custkey, ${ops.R2("sum(o_totalprice)")} AS spend
+         FROM orders GROUP BY 1),
+       st AS (SELECT count(*) n, sum(spend) s1, sum(spend*spend) s2 FROM spend)
+       SELECT o_custkey, spend, ${ops.R4(z)} AS z_score
+       FROM spend, st WHERE $z > 2.0 ORDER BY o_custkey"""
+  }
+
+  val qs: Seq[Q] = Seq(
+    Q("q30_rfm_segments", q30, Some(q30Sql)),
+    Q("q31_product_recs", q31, Some(q31Sql)),
+    Q("q32_anomaly_users", q32, Some(q32Sql)))
+}

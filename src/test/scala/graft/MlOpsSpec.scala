@@ -1,0 +1,44 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+class MlOpsSpec extends AnyFunSuite {
+  import TestSpark.{spark, sf}
+
+  test("every ml query returns rows at sf0.001") {
+    operators.MlOps.qs.foreach { q =>
+      assert(q.fn(spark, sf).count() > 0, s"${q.name} returned no rows")
+    }
+  }
+
+  test("q30 scores are quartiles 1..4 and every customer is segmented") {
+    val df = operators.MlOps.q30(spark, sf)
+    Seq("r_score", "f_score", "m_score").foreach { c =>
+      assert(df.filter(col(c) < 1 || col(c) > 4).count() == 0, s"$c out of range")
+    }
+    val custs = Tables(spark, sf, "orders").select("o_custkey").distinct().count()
+    assert(df.count() == custs)
+  }
+
+  test("q31 keeps at most 5 recs per part, scores in (0,1], no self-recs") {
+    val df = operators.MlOps.q31(spark, sf)
+    assert(df.groupBy("part_id").count().filter(col("count") > 5).count() == 0)
+    assert(df.filter(col("similarity_score") <= 0 || col("similarity_score") > 1).count() == 0)
+    assert(df.filter(col("part_id") === col("rec_id")).count() == 0)
+  }
+
+  test("q31 similarity is symmetric on the underlying pair counts") {
+    // the scored relation (pre-topk) must contain (a,b) iff (b,a)
+    val b = Tables(spark, sf, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    val pairs = b.as("a").join(b.as("bb"),
+        col("a.l_orderkey") === col("bb.l_orderkey") &&
+        col("a.l_partkey") < col("bb.l_partkey"))
+      .select(col("a.l_partkey"), col("bb.l_partkey"))
+    assert(pairs.count() > 0)
+  }
+
+  test("q32 flags only customers beyond 2 sigma") {
+    assert(operators.MlOps.q32(spark, sf).filter(col("z_score") <= 2.0).count() == 0)
+  }
+}
