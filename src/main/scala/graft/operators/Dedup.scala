@@ -1,0 +1,185 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators (SURVEY §2.D) over the `documents` table —
+  * the LLM-training-pipeline surface the north star adds on top of
+  * the reference's own analytics.
+  *
+  * Scale design: every near-dup path is candidate-generation
+  * (inverted-index / LSH band join) + verification on candidates
+  * only — never an O(n²) cross join. Shingles with document
+  * frequency above `DfCap` are dropped IDENTICALLY in engine and
+  * oracle (ubiquitous shingles create quadratic hot keys at 100 TB;
+  * the cap bounds the join fan-out while keeping parity).
+  */
+object Dedup {
+
+  private val DfCap = 1000
+
+  /** Whitespace tokens, empties removed (exact parity with DuckDB's
+    * list_filter(string_split(...))). */
+  val tokensExpr = "filter(split(text, ' '), x -> x != '')"
+
+  /** Distinct word 3-gram shingles per document. */
+  private def shingled(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "documents")
+      .withColumn("tk", expr(tokensExpr))
+      .select(col("doc_id"), explode(expr(
+        """CASE WHEN size(tk) >= 3
+           THEN array_distinct(transform(sequence(1, size(tk)-2),
+                i -> concat_ws(' ', element_at(tk,i), element_at(tk,i+1), element_at(tk,i+2))))
+           ELSE array() END""")).as("s"))
+
+  /** Shingles surviving the document-frequency cap. */
+  private def cappedShingles(s: SparkSession, dir: String): DataFrame = {
+    val sh = shingled(s, dir)
+    val df = sh.groupBy("s").agg(count(lit(1)).as("df")).filter(col("df") <= DfCap)
+    sh.join(df.select("s"), "s")
+  }
+
+  private val shingleCte =
+    s"""t AS (SELECT doc_id, list_filter(string_split(text,' '), x -> x<>'') AS tk FROM documents),
+       sh0 AS (SELECT DISTINCT doc_id, tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] AS s
+               FROM t, UNNEST(range(1, len(tk)-1)) AS r(i)),
+       keep AS (SELECT s FROM sh0 GROUP BY s HAVING count(*) <= $DfCap),
+       sh AS (SELECT sh0.doc_id, sh0.s FROM sh0 JOIN keep ON sh0.s = keep.s)"""
+
+  /** Exact dedup: md5 groups with canonical (min doc_id) member. */
+  def q40(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("group_hash")
+    Tables(s, dir, "documents")
+      .withColumn("group_hash", md5(col("text").cast("binary")))
+      .withColumn("canonical_id", min("doc_id").over(w))
+      .withColumn("group_size", count(lit(1)).over(w))
+      .select(col("doc_id"), col("group_hash"), col("canonical_id"),
+        col("group_size"), (col("doc_id") =!= col("canonical_id")).as("is_duplicate"))
+      .orderBy("doc_id")
+  }
+
+  private val q40Sql =
+    """SELECT doc_id, md5(text) AS group_hash,
+       min(doc_id) OVER w AS canonical_id,
+       count(*) OVER w AS group_size,
+       doc_id <> min(doc_id) OVER w AS is_duplicate
+       FROM documents WINDOW w AS (PARTITION BY md5(text))
+       ORDER BY doc_id"""
+
+  /** Pair Jaccard over the capped shingle inverted index. */
+  private def jaccardPairs(s: SparkSession, dir: String): DataFrame = {
+    val sh = cappedShingles(s, dir)
+    val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    sh.as("a").join(sh.as("b"),
+        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .agg(count(lit(1)).as("c"))
+      .join(sz.withColumnRenamed("doc_id", "d1").withColumnRenamed("n", "n1"), "d1")
+      .join(sz.withColumnRenamed("doc_id", "d2").withColumnRenamed("n", "n2"), "d2")
+      .select(col("d1"), col("d2"),
+        (col("c") * lit(1.0) / (col("n1") + col("n2") - col("c"))).as("jacc_raw"))
+  }
+
+  /** n-gram Jaccard near-dup pairs (inverted-index join, no O(n²)). */
+  def q41(s: SparkSession, dir: String): DataFrame =
+    jaccardPairs(s, dir)
+      .filter(col("jacc_raw") >= 0.6)
+      .select(col("d1"), col("d2"), ops.r6(col("jacc_raw")).as("jaccard"))
+      .orderBy("d1", "d2")
+
+  private val q41Sql =
+    s"""WITH $shingleCte,
+       sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+       pairs AS (SELECT a.doc_id d1, b.doc_id d2, count(*) c
+                 FROM sh a JOIN sh b ON a.s=b.s AND a.doc_id < b.doc_id GROUP BY 1,2)
+       SELECT d1, d2, ${ops.R6("c*1.0/(n1.n + n2.n - c)")} AS jaccard
+       FROM pairs JOIN sz n1 ON d1=n1.doc_id JOIN sz n2 ON d2=n2.doc_id
+       WHERE c*1.0/(n1.n + n2.n - c) >= 0.6
+       ORDER BY d1, d2"""
+
+  /** MinHash(128) + LSH banding (32 bands × 4 rows) with exact
+    * Jaccard verification on the candidate pairs only. Hash-seeded
+    * permutations aren't SQL-expressible in DuckDB → rows-only;
+    * DedupSpec asserts recall vs q41. */
+  def q42(s: SparkSession, dir: String): DataFrame = {
+    val sh = cappedShingles(s, dir)
+    val perms = 128
+    val aggs = (0 until perms).map(p =>
+      min(xxhash64(concat(lit(p.toString), col("s")))).as(s"h$p"))
+    val sig = sh.groupBy("doc_id")
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col("doc_id"), array((0 until perms).map(p => col(s"h$p")): _*).as("sig"))
+    val bands = sig.select(col("doc_id"), explode(expr(
+      "transform(sequence(0, 31), b -> struct(b AS band, hash(slice(sig, b*4+1, 4)) AS bkey))")).as("bk"))
+      .select(col("doc_id"), col("bk.band"), col("bk.bkey"))
+    val cands = bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
+        col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2")).distinct()
+    jaccardPairs(s, dir).join(cands, Seq("d1", "d2"), "left_semi")
+      .filter(col("jacc_raw") >= 0.6)
+      .select(col("d1"), col("d2"), ops.r6(col("jacc_raw")).as("jaccard"))
+      .orderBy("d1", "d2")
+  }
+
+  /** SimHash(64-bit over unigrams) + 16-bit band join, hamming ≤ 8. */
+  def q43(s: SparkSession, dir: String): DataFrame = {
+    val toks = Tables(s, dir, "documents")
+      .select(col("doc_id"), explode(expr(s"array_distinct($tokensExpr)")).as("tok"))
+      .withColumn("h", xxhash64(col("tok")))
+    val bitAggs = (0 until 64).map(b =>
+      sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$b"))
+    val sims = toks.groupBy("doc_id")
+      .agg(bitAggs.head, bitAggs.tail: _*)
+      .select(col("doc_id"),
+        (0 until 64).map(b => when(col(s"b$b") >= 0, lit(1L << b)).otherwise(0L))
+          .reduce(_ + _).as("simhash"))
+    val bands = sims.select(col("doc_id"), col("simhash"), explode(expr(
+      "transform(sequence(0, 3), i -> struct(i AS band, shiftright(simhash, i*16) & 65535 AS bkey))")).as("bk"))
+      .select(col("doc_id"), col("simhash"), col("bk.band"), col("bk.bkey"))
+    bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
+        col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"),
+        bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= 8)
+      .orderBy("d1", "d2")
+  }
+
+  /** Embedding cosine near-dup pairs. Threshold calibrated to the
+    * synthetic data (max pair cosine ≈ 0.51). Exact-by-contract →
+    * pairwise with id-ordering; the approximate scale path is
+    * Similarity.q51's LSH bucketing. */
+  def q44(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables(s, dir, "embeddings")
+      .withColumn("ed", expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
+      .withColumn("nrm", expr(
+        "sqrt(aggregate(zip_with(ed, ed, (x, y) -> x * y), CAST(0.0 AS DOUBLE), (a, v) -> a + v))"))
+    val a = e.select(col("vec_id").as("id1"), col("ed").as("e1"), col("nrm").as("n1"))
+    val b = e.select(col("vec_id").as("id2"), col("ed").as("e2"), col("nrm").as("n2"))
+    a.join(b, col("id1") < col("id2"))
+      .withColumn("cos", expr(
+        "aggregate(zip_with(e1, e2, (x, y) -> x * y), CAST(0.0 AS DOUBLE), (a, v) -> a + v)") /
+        (col("n1") * col("n2")))
+      .filter(col("cos") >= 0.45)
+      .select(col("id1"), col("id2"), ops.r4(col("cos")).as("cosine"))
+      .orderBy("id1", "id2")
+  }
+
+  private val q44Sql =
+    s"""SELECT a.vec_id AS id1, b.vec_id AS id2,
+       ${ops.R4("list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[])")} AS cosine
+       FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+       WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.45
+       ORDER BY id1, id2"""
+
+  val qs: Seq[Q] = Seq(
+    Q("q40_exact_dedup", q40, Some(q40Sql)),
+    Q("q41_ngram_jaccard", q41, Some(q41Sql)),
+    Q("q42_minhash_lsh", q42, None),
+    Q("q43_simhash", q43, None),
+    Q("q44_embedding_neardup", q44, Some(q44Sql)))
+}

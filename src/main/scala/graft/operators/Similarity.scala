@@ -1,0 +1,94 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over the embedding column (SURVEY §2.E).
+  *
+  * q50 is the exact brute-force baseline: the (small) query set is
+  * broadcast against the candidate corpus — at 100 TB the corpus
+  * side stays partitioned and never shuffles; per-partition top-k
+  * then a k×partitions driver merge (TakeOrderedAndProject shape).
+  * q51 is the scale path: random-hyperplane LSH signatures bucket
+  * the corpus so each query only scores its colliding buckets.
+  */
+object Similarity {
+
+  /** embedding (float[]) → double[] plus L2 norm, as columns. */
+  private def withNorm(df: DataFrame): DataFrame =
+    df.withColumn("ed", expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
+      .withColumn("nrm", expr(
+        "sqrt(aggregate(zip_with(ed, ed, (x, y) -> x * y), CAST(0.0 AS DOUBLE), (a, v) -> a + v))"))
+
+  private def dot(a: String, b: String): Column =
+    expr(s"aggregate(zip_with($a, $b, (x, y) -> x * y), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)")
+
+  /** Brute-force cosine top-5 per query vector (query set: id < 20). */
+  def q50(s: SparkSession, dir: String): DataFrame = {
+    val e = withNorm(Tables(s, dir, "embeddings"))
+    val q = e.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("query_id"), col("ed").as("qe"), col("nrm").as("qn"))
+    val c = e.select(col("vec_id").as("neighbor_id"), col("ed").as("ce"), col("nrm").as("cn"))
+    val scored = c.join(broadcast(q), col("neighbor_id") =!= col("query_id"))
+      .withColumn("cosine", ops.r6(dot("qe", "ce") / (col("qn") * col("cn"))))
+    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select("query_id", "neighbor_id", "rank", "cosine")
+      .orderBy("query_id", "rank")
+  }
+
+  private val q50Sql =
+    s"""WITH q AS (SELECT * FROM embeddings WHERE vec_id < 20),
+       p AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             ${ops.R6("list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[])")} AS cosine
+             FROM q JOIN embeddings c ON c.vec_id <> q.vec_id)
+       SELECT query_id, neighbor_id, rank, cosine FROM (
+         SELECT *, row_number() OVER (PARTITION BY query_id
+           ORDER BY cosine DESC, neighbor_id) AS rank FROM p)
+       WHERE rank <= 5 ORDER BY query_id, rank"""
+
+  /** Deterministic random hyperplanes (seed 42), 16 bits → 4 bands. */
+  private val planes: Seq[Seq[Double]] = {
+    val rnd = new scala.util.Random(42)
+    Seq.fill(16)(Seq.fill(64)(rnd.nextGaussian()))
+  }
+
+  /** LSH-bucketed approximate top-5: candidates = vectors sharing at
+    * least one 4-bit signature band with the query. rows-only —
+    * SimilaritySpec asserts recall against q50. */
+  def q51(s: SparkSession, dir: String): DataFrame = {
+    val e = withNorm(Tables(s, dir, "embeddings"))
+    val sig = planes.zipWithIndex.map { case (p, i) =>
+      val lits = p.map(v => lit(v)).toArray
+      val planeDot = expr(
+        s"aggregate(zip_with(ed, array(${p.mkString(", ")}), (x, y) -> x * y), CAST(0.0 AS DOUBLE), (a, v) -> a + v)")
+      when(planeDot >= 0, lit(1 << i)).otherwise(lit(0))
+    }.reduce(_ + _)
+    val signed = e.withColumn("sig", sig)
+    val bands = signed.select(col("vec_id"), col("ed"), col("nrm"), explode(expr(
+      "transform(sequence(0, 3), i -> struct(i AS band, shiftright(sig, i*4) & 15 AS bkey))")).as("bk"))
+      .select(col("vec_id"), col("ed"), col("nrm"), col("bk.band"), col("bk.bkey"))
+    val qb = bands.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("query_id"), col("ed").as("qe"), col("nrm").as("qn"),
+        col("band"), col("bkey"))
+    val cands = bands.as("c").join(qb.as("q"),
+        col("c.band") === col("q.band") && col("c.bkey") === col("q.bkey") &&
+        col("c.vec_id") =!= col("q.query_id"))
+      .select(col("q.query_id"), col("c.vec_id").as("neighbor_id"),
+        col("q.qe"), col("q.qn"), col("c.ed").as("ce"), col("c.nrm").as("cn"))
+      .dropDuplicates("query_id", "neighbor_id")
+    val scored = cands.withColumn("cosine", ops.r6(dot("qe", "ce") / (col("qn") * col("cn"))))
+    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select("query_id", "neighbor_id", "rank", "cosine")
+      .orderBy("query_id", "rank")
+  }
+
+  val qs: Seq[Q] = Seq(
+    Q("q50_knn_brute", q50, Some(q50Sql)),
+    Q("q51_knn_lsh", q51, None))
+}

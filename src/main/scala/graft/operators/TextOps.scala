@@ -1,0 +1,149 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text analysis (SURVEY §2.F): language-ID heuristic, quality
+  * scoring, token statistics, document fingerprinting — all pure
+  * per-row/aggregate expressions (whole-stage codegen, no UDFs),
+  * exact integer arithmetic wherever the oracle must hash-match.
+  */
+object TextOps {
+
+  private val tk = Dedup.tokensExpr
+
+  private val stopEn = Seq("the", "a", "of", "and", "to", "in", "is", "for")
+  private val stopEs = Seq("el", "la", "de", "y", "en", "que", "los", "del")
+  private val stopDe = Seq("der", "die", "und", "das", "von", "mit", "ist", "den")
+  private val stopFr = Seq("le", "la", "de", "et", "les", "des", "un", "une")
+
+  private def sqlArr(ws: Seq[String]) = ws.map(w => s"'$w'").mkString(", ")
+  private def scoreExpr(ws: Seq[String]) =
+    s"size(filter(tk, x -> array_contains(array(${sqlArr(ws)}), x)))"
+  private def duckScore(ws: Seq[String]) =
+    s"len(list_filter(tk, x -> list_contains([${sqlArr(ws)}], x)))"
+
+  /** Per-document quality score from length/stopword signals. */
+  def q60(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "documents")
+      .withColumn("tk", expr(tk))
+      .withColumn("n_tokens", expr("size(tk)"))
+      .withColumn("sum_len", expr("aggregate(tk, 0L, (a, x) -> a + length(x))"))
+      .withColumn("n_stop", expr(scoreExpr(stopEn)))
+      .select(
+        col("doc_id"), col("n_tokens"),
+        ops.r4(col("sum_len") * 1.0 / col("n_tokens")).as("avg_token_len"),
+        ops.r4(col("n_stop") * 1.0 / col("n_tokens")).as("stopword_ratio"),
+        ops.r4(least(lit(1.0), col("n_tokens") / 100.0) *
+          (lit(1.0) - col("n_stop") * 1.0 / col("n_tokens"))).as("quality_score"))
+      .orderBy("doc_id")
+
+  private val q60Sql =
+    s"""SELECT doc_id, len(tk) AS n_tokens,
+       ${ops.R4("list_sum(list_transform(tk, x -> length(x)))*1.0 / len(tk)")} AS avg_token_len,
+       ${ops.R4(s"${duckScore(stopEn)}*1.0 / len(tk)")} AS stopword_ratio,
+       ${ops.R4(s"least(1.0, len(tk)/100.0) * (1.0 - ${duckScore(stopEn)}*1.0 / len(tk))")} AS quality_score
+       FROM (SELECT doc_id, list_filter(string_split(text,' '), x -> x<>'') AS tk FROM documents)
+       ORDER BY doc_id"""
+
+  /** Stopword-profile language identification with deterministic
+    * argmax tiebreak (en > es > de > fr). */
+  def q61(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "documents")
+      .withColumn("tk", expr(tk))
+      .withColumn("s_en", expr(scoreExpr(stopEn)))
+      .withColumn("s_es", expr(scoreExpr(stopEs)))
+      .withColumn("s_de", expr(scoreExpr(stopDe)))
+      .withColumn("s_fr", expr(scoreExpr(stopFr)))
+      .withColumn("predicted_lang",
+        when(col("s_en") >= col("s_es") && col("s_en") >= col("s_de") && col("s_en") >= col("s_fr"), "en")
+          .when(col("s_es") >= col("s_de") && col("s_es") >= col("s_fr"), "es")
+          .when(col("s_de") >= col("s_fr"), "de")
+          .otherwise("fr"))
+      .select(col("doc_id"), col("s_en"), col("s_es"), col("s_de"), col("s_fr"),
+        col("predicted_lang"), col("lang").as("actual_lang"),
+        (col("predicted_lang") === col("lang")).as("is_match"))
+      .orderBy("doc_id")
+
+  private val q61Sql =
+    s"""SELECT doc_id, s_en, s_es, s_de, s_fr,
+       CASE WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr THEN 'en'
+            WHEN s_es >= s_de AND s_es >= s_fr THEN 'es'
+            WHEN s_de >= s_fr THEN 'de'
+            ELSE 'fr' END AS predicted_lang,
+       lang AS actual_lang,
+       (CASE WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr THEN 'en'
+             WHEN s_es >= s_de AND s_es >= s_fr THEN 'es'
+             WHEN s_de >= s_fr THEN 'de'
+             ELSE 'fr' END) = lang AS is_match
+       FROM (SELECT doc_id, lang,
+               CAST(${duckScore(stopEn)} AS INT) AS s_en,
+               CAST(${duckScore(stopEs)} AS INT) AS s_es,
+               CAST(${duckScore(stopDe)} AS INT) AS s_de,
+               CAST(${duckScore(stopFr)} AS INT) AS s_fr
+             FROM (SELECT doc_id, lang, list_filter(string_split(text,' '), x -> x<>'') AS tk
+                   FROM documents))
+       ORDER BY doc_id"""
+
+  /** Token statistics per source (whitespace + BPE-ish subword count
+    * = Σ ceil(len/4), exact integer arithmetic). */
+  def q62(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "documents")
+      .withColumn("tk", expr(tk))
+      .withColumn("n_tokens", expr("size(tk)"))
+      .withColumn("n_subwords",
+        expr("aggregate(tk, 0L, (a, x) -> a + CAST(ceil(length(x)/4.0) AS BIGINT))"))
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("n_tokens").as("total_tokens"),
+        sum("n_subwords").as("total_subwords"),
+        max("n_tokens").as("max_tokens"),
+        ops.r4(sum("n_tokens") * lit(1.0) / count(lit(1))).as("avg_tokens"),
+        countDistinct(col("lang")).as("n_langs"))
+      .orderBy("source")
+
+  private val q62Sql =
+    s"""SELECT source, count(*) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+       CAST(sum(n_subwords) AS BIGINT) AS total_subwords,
+       CAST(max(n_tokens) AS BIGINT) AS max_tokens,
+       ${ops.R4("sum(n_tokens)*1.0 / count(*)")} AS avg_tokens,
+       count(DISTINCT lang) AS n_langs
+       FROM (SELECT source, lang, len(tk) AS n_tokens,
+               list_sum(list_transform(tk, x -> CAST(ceil(length(x)/4.0) AS BIGINT))) AS n_subwords
+             FROM (SELECT source, lang, list_filter(string_split(text,' '), x -> x<>'') AS tk
+                   FROM documents))
+       GROUP BY source ORDER BY source"""
+
+  /** Position-weighted polynomial fingerprint — order-sensitive but
+    * built from integer SUMS, so it is exact and engine-independent:
+    * fp = Σ_i i · (Σ_j j · ascii(c_ij)). */
+  def q63(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "documents")
+      .withColumn("tk", expr(tk))
+      .select(col("doc_id"), expr(
+        """aggregate(
+             transform(sequence(1, size(tk)), i ->
+               CAST(i AS BIGINT) * aggregate(
+                 transform(sequence(1, length(element_at(tk, i))), j ->
+                   CAST(j AS BIGINT) * ascii(substring(element_at(tk, i), j, 1))),
+                 0L, (a, x) -> a + x)),
+             0L, (a, x) -> a + x)""").as("fingerprint"))
+      .orderBy("doc_id")
+
+  private val q63Sql =
+    """SELECT doc_id,
+       CAST(list_sum(list_transform(range(1, len(tk)+1), i ->
+         i * list_sum(list_transform(range(1, length(tk[i])+1), j ->
+           j * ascii(tk[i][j]))))) AS BIGINT) AS fingerprint
+       FROM (SELECT doc_id, list_filter(string_split(text,' '), x -> x<>'') AS tk FROM documents)
+       ORDER BY doc_id"""
+
+  val qs: Seq[Q] = Seq(
+    Q("q60_text_quality", q60, Some(q60Sql)),
+    Q("q61_lang_id", q61, Some(q61Sql)),
+    Q("q62_token_stats", q62, Some(q62Sql)),
+    Q("q63_fingerprint", q63, Some(q63Sql)))
+}

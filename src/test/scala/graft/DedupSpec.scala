@@ -1,0 +1,45 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends AnyFunSuite {
+  import TestSpark.{spark, sf}
+
+  test("q40 covers every document and canonical ids are group minima") {
+    val df = operators.Dedup.q40(spark, sf)
+    val docs = Tables(spark, sf, "documents").count()
+    assert(df.count() == docs)
+    assert(df.filter(col("canonical_id") > col("doc_id")).count() == 0)
+  }
+
+  test("q41 jaccard pairs are ordered, deduped, and above threshold") {
+    val df = operators.Dedup.q41(spark, sf)
+    assert(df.count() > 0, "expected near-dup pairs in synthetic docs")
+    assert(df.filter(col("d1") >= col("d2")).count() == 0)
+    assert(df.filter(col("jaccard") < 0.6 || col("jaccard") > 1.0).count() == 0)
+  }
+
+  test("q42 MinHash-LSH recalls the exact jaccard pairs (same threshold)") {
+    val exact = operators.Dedup.q41(spark, sf).select("d1", "d2")
+    val lsh = operators.Dedup.q42(spark, sf).select("d1", "d2")
+    val nExact = exact.count()
+    val hit = exact.join(lsh, Seq("d1", "d2"), "left_semi").count()
+    // 32 bands × 4 rows ⇒ P(miss at j=0.6) = (1-.6^4)^32 ≈ 1.2% per pair
+    assert(hit >= (nExact * 0.9).toLong, s"LSH recall $hit/$nExact < 0.9")
+    // and LSH never invents pairs: it verifies candidates exactly
+    assert(lsh.join(exact, Seq("d1", "d2"), "left_anti").count() == 0)
+  }
+
+  test("q43 simhash near-dups have small hamming distance and include true dups") {
+    val df = operators.Dedup.q43(spark, sf)
+    assert(df.filter(col("hamming") > 8).count() == 0)
+    assert(df.count() > 0, "expected simhash candidates on near-dup corpus")
+  }
+
+  test("q44 embedding near-dups are id-ordered and above threshold") {
+    val df = operators.Dedup.q44(spark, sf)
+    assert(df.filter(col("id1") >= col("id2")).count() == 0)
+    assert(df.filter(col("cosine") < 0.45).count() == 0)
+  }
+}
