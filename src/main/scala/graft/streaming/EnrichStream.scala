@@ -1,0 +1,92 @@
+package graft.streaming
+
+import graft.operators.Events
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+/** Input event (ts in integer micros — see graft.Tables on why). */
+case class Ev(event_id: Long, user_id: Long, event_type: String, ts_us: Long, value: Double)
+case class LtvState(cents: Long)
+case class LtvOut(user_id: Long, event_id: Long, ltv: Double)
+
+/** Structured Streaming mirror of the reference's Flink pipeline
+  * (RealTimeAnalytics.java:63-104): source → keyed enrichment →
+  * sinks, plus windowed aggregates and explicit keyed state.
+  *
+  * - The Kafka source/sink of the reference is a deployment adapter;
+  *   here the stream is the parquet file source (same exactly-once
+  *   file-based semantics Spark gives Kafka). Swapping in
+  *   `format("kafka")` is a one-line change at the read/write sites.
+  * - EnrichmentFunction.java's per-key ValueState LTV becomes
+  *   `flatMapGroupsWithState` — Spark's keyed state store, which
+  *   scales state across executors and checkpoints it, instead of a
+  *   single-operator local state.
+  * - The enrichment Columns are SHARED with the batch operator
+  *   (Events.enrich): one definition, two execution modes.
+  */
+object EnrichStream {
+
+  /** Raw schema of events.parquet under nanosAsLong. */
+  val rawSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** File-source stream of events with micros timestamp rebuilt. */
+  def source(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // events.parquet is a single file; the file stream source wants a
+    // directory, so stream the table dir filtered to that file.
+    spark.readStream
+      .schema(rawSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+  }
+
+  /** Streaming enrichment — identical Columns to batch q21. */
+  def enriched(spark: SparkSession, dir: String): DataFrame =
+    Events.enrich(source(spark, dir))
+
+  /** Watermarked hourly revenue per event type (the streaming
+    * analog of q20 / the reference's real-time metrics topic). */
+  def hourlyMetrics(stream: DataFrame): DataFrame =
+    stream
+      .withWatermark("ts", "30 minutes")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum("value").as("total_value"))
+
+  /** Keyed running LTV via explicit state (Flink ValueState analog).
+    * Within each micro-batch, events are applied in event-time order;
+    * the running cents survive across batches in the state store. */
+  def ltvStateful(events: Dataset[Ev]): Dataset[LtvOut] = {
+    import events.sparkSession.implicits._
+    events
+      .filter(_.event_type == "purchase")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (uid: Long, evs: Iterator[Ev], state: GroupState[LtvState]) => {
+          var cents = state.getOption.map(_.cents).getOrElse(0L)
+          val out = evs.toSeq.sortBy(e => (e.ts_us, e.event_id)).map { e =>
+            cents += math.floor(e.value * 100.0 + 0.5).toLong
+            LtvOut(uid, e.event_id, cents / 100.0)
+          }
+          state.update(LtvState(cents))
+          out.iterator
+        })
+  }
+
+  /** Typed view of the stream for stateful operators. */
+  def typedSource(spark: SparkSession, dir: String): Dataset[Ev] = {
+    import spark.implicits._
+    source(spark, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("ts_us"), col("value"))
+      .as[Ev]
+  }
+}

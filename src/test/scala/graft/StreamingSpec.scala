@@ -1,0 +1,52 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+/** Batch/stream parity: the streaming pipeline must produce the same
+  * results as the batch operators it mirrors. */
+class StreamingSpec extends AnyFunSuite {
+  import TestSpark.{spark, sf}
+
+  test("streaming enrichment matches batch q21 exactly") {
+    val q = streaming.EnrichStream.enriched(spark, sf)
+      .writeStream.format("memory").queryName("enrich_out")
+      .outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("enrich_out")
+    val batch = operators.Events.q21(spark, sf)
+    assert(streamed.count() == batch.count())
+    // full-row equality both directions
+    assert(streamed.exceptAll(batch).count() == 0)
+    assert(batch.exceptAll(streamed).count() == 0)
+  }
+
+  test("watermarked hourly metrics match the batch aggregation") {
+    val q = streaming.EnrichStream.hourlyMetrics(
+        streaming.EnrichStream.source(spark, sf))
+      .writeStream.format("memory").queryName("hourly_out")
+      .outputMode("complete").start()
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("hourly_out")
+      .select(col("window.start").as("hour_ts"), col("event_type"), col("n_events"))
+    val batch = Tables(spark, sf, "events")
+      .groupBy(date_trunc("hour", col("ts")).as("hour_ts"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+    assert(streamed.exceptAll(batch).count() == 0)
+    assert(batch.exceptAll(streamed).count() == 0)
+  }
+
+  test("stateful LTV final value per user matches batch q22") {
+    val q = streaming.EnrichStream.ltvStateful(
+        streaming.EnrichStream.typedSource(spark, sf))
+      .writeStream.format("memory").queryName("ltv_out")
+      .outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    val streamedFinal = spark.table("ltv_out")
+      .groupBy("user_id").agg(max("ltv").as("final_ltv"))
+    val batchFinal = operators.Events.q22(spark, sf)
+      .groupBy("user_id").agg(max("ltv").as("final_ltv"))
+    assert(streamedFinal.exceptAll(batchFinal).count() == 0)
+    assert(batchFinal.exceptAll(streamedFinal).count() == 0)
+  }
+}
