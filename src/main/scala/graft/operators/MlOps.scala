@@ -11,12 +11,11 @@ import org.apache.spark.sql.functions._
   * init-db.js product_recommendations:95-140) re-expressed as
   * deterministic, oracle-checkable Spark SQL analytics.
   *
-  * Scale notes: the global ntile windows in q30 are exact-quartile
-  * semantics for oracle parity; at 100 TB swap to approxQuantile
-  * boundaries + a broadcast join (documented trade: ±ε quartile
-  * edges). q31 bounds the pair explosion by basket (orders avg ~4
-  * lines here; production guard = cap lines-per-order before the
-  * self-join).
+  * Scale notes: q30's quartiles use `ops.globalNtile` — exact ntile
+  * semantics with no single-partition window (range repartition +
+  * broadcast rank offsets), so the 100 TB plan stays parallel. q31
+  * bounds the pair explosion by basket (orders avg ~4 lines here;
+  * production guard = cap lines-per-order before the self-join).
   */
 object MlOps {
 
@@ -32,10 +31,9 @@ object MlOps {
       .select(col("o_custkey"),
         datediff(col("md"), col("last_od")).as("recency_days"),
         col("frequency"), col("monetary"))
-    val scored = cust
-      .withColumn("r_score", ntile(4).over(Window.orderBy(col("recency_days").desc, col("o_custkey"))))
-      .withColumn("f_score", ntile(4).over(Window.orderBy(col("frequency").asc, col("o_custkey"))))
-      .withColumn("m_score", ntile(4).over(Window.orderBy(col("monetary").asc, col("o_custkey"))))
+    val r = ops.globalNtile(cust, 4, "r_score", col("recency_days").desc, col("o_custkey"))
+    val f = ops.globalNtile(r, 4, "f_score", col("frequency").asc, col("o_custkey"))
+    val scored = ops.globalNtile(f, 4, "m_score", col("monetary").asc, col("o_custkey"))
     scored.withColumn("segment",
       when(col("r_score") >= 3 && col("f_score") >= 3 && col("m_score") >= 3, "champion")
         .when(col("r_score") >= 3 && col("f_score") >= 2, "loyal")

@@ -1,6 +1,7 @@
 package graft.operators
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Shared numeric helpers for oracle-parity.
@@ -21,4 +22,44 @@ object ops {
   def R2(e: String): String = s"floor(($e)*100.0 + 0.5)/100.0"
   def R4(e: String): String = s"floor(($e)*10000.0 + 0.5)/10000.0"
   def R6(e: String): String = s"floor(($e)*1000000.0 + 0.5)/1000000.0"
+
+  /** Exact distributed `ntile(k)` over a global ordering, without the
+    * single-partition window `ntile().over(Window.orderBy(...))`
+    * degenerates to. Plan shape:
+    *
+    *  1. `repartitionByRange` on the sort key — ranges are globally
+    *     ordered, so partition p holds ranks (offset_p, offset_p+cnt_p].
+    *  2. `row_number` within each range partition (parallel window
+    *     keyed by `spark_partition_id`).
+    *  3. A numShufflePartitions-row offset table (cumulative counts)
+    *     broadcast back, giving every row its exact global rank.
+    *  4. SQL-standard ntile arithmetic: first n%k buckets get
+    *     floor(n/k)+1 rows, the rest floor(n/k).
+    *
+    * Both data-sized shuffles are fully parallel; the only global sort
+    * is over the tiny offset table. `sort` must be a strict total
+    * order (include a unique tiebreaker) so ranks are well-defined
+    * independent of range boundaries.
+    */
+  def globalNtile(df: DataFrame, k: Int, out: String, sort: Column*): DataFrame = {
+    val nPart = df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    val ranged = df.repartitionByRange(nPart, sort: _*)
+      .withColumn("_pid", spark_partition_id())
+    val counts = ranged.groupBy("_pid").agg(count(lit(1)).as("_cnt"))
+    val offs = counts
+      .withColumn("_off", coalesce(sum("_cnt").over(
+        Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .crossJoin(counts.agg(sum("_cnt").as("_n")))
+      .select("_pid", "_off", "_n")
+    val local = ranged.withColumn("_lrn",
+      row_number().over(Window.partitionBy("_pid").orderBy(sort: _*)))
+    local.join(broadcast(offs), "_pid")
+      .withColumn("_rn", col("_lrn") + col("_off"))
+      .withColumn(out, expr(
+        s"""CASE WHEN _rn <= (_n % $k) * (_n div $k + 1)
+                 THEN CAST((_rn - 1) div (_n div $k + 1) + 1 AS INT)
+                 ELSE CAST((_n % $k) + (_rn - (_n % $k) * (_n div $k + 1) - 1) div (_n div $k) + 1 AS INT)
+            END"""))
+      .drop("_pid", "_lrn", "_off", "_n", "_rn")
+  }
 }
