@@ -152,18 +152,17 @@ object Dedup {
   /** Embedding cosine near-dup pairs. Threshold calibrated to the
     * synthetic data (max pair cosine ≈ 0.51). Exact-by-contract →
     * pairwise with id-ordering; the approximate scale path is
-    * Similarity.q51's LSH bucketing. */
+    * Similarity.q51's LSH bucketing. The per-pair dot product is the
+    * codegen'd [[graft.functions.VectorOps.dotp]] — the HOF form put
+    * two interpreted lambdas in the O(n²) hot loop. */
   def q44(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.VectorOps.{dotp, l2norm}
     val e = Tables(s, dir, "embeddings")
-      .withColumn("ed", expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
-      .withColumn("nrm", expr(
-        "sqrt(aggregate(zip_with(ed, ed, (x, y) -> x * y), CAST(0.0 AS DOUBLE), (a, v) -> a + v))"))
-    val a = e.select(col("vec_id").as("id1"), col("ed").as("e1"), col("nrm").as("n1"))
-    val b = e.select(col("vec_id").as("id2"), col("ed").as("e2"), col("nrm").as("n2"))
+      .withColumn("nrm", l2norm(col("embedding")))
+    val a = e.select(col("vec_id").as("id1"), col("embedding").as("e1"), col("nrm").as("n1"))
+    val b = e.select(col("vec_id").as("id2"), col("embedding").as("e2"), col("nrm").as("n2"))
     a.join(b, col("id1") < col("id2"))
-      .withColumn("cos", expr(
-        "aggregate(zip_with(e1, e2, (x, y) -> x * y), CAST(0.0 AS DOUBLE), (a, v) -> a + v)") /
-        (col("n1") * col("n2")))
+      .withColumn("cos", dotp(col("e1"), col("e2")) / (col("n1") * col("n2")))
       .filter(col("cos") >= 0.45)
       .select(col("id1"), col("id2"), ops.r4(col("cos")).as("cosine"))
       .orderBy("id1", "id2")

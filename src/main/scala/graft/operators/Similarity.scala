@@ -16,14 +16,16 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** embedding (float[]) → double[] plus L2 norm, as columns. */
-  private def withNorm(df: DataFrame): DataFrame =
-    df.withColumn("ed", expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
-      .withColumn("nrm", expr(
-        "sqrt(aggregate(zip_with(ed, ed, (x, y) -> x * y), CAST(0.0 AS DOUBLE), (a, v) -> a + v))"))
+  import graft.functions.VectorOps.{dotp, l2norm}
 
-  private def dot(a: String, b: String): Column =
-    expr(s"aggregate(zip_with($a, $b, (x, y) -> x * y), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)")
+  /** embedding (float[]) plus L2 norm; dot/norm via the codegen'd
+    * [[graft.functions.DotProduct]] (same IEEE result as the HOF
+    * form — float widened per element, sequential double sum). */
+  private def withNorm(df: DataFrame): DataFrame =
+    df.withColumn("ed", col("embedding"))
+      .withColumn("nrm", l2norm(col("embedding")))
+
+  private def dot(a: String, b: String): Column = dotp(col(a), col(b))
 
   /** Brute-force cosine top-5 per query vector (query set: id < 20). */
   def q50(s: SparkSession, dir: String): DataFrame = {
@@ -62,9 +64,7 @@ object Similarity {
   def q51(s: SparkSession, dir: String): DataFrame = {
     val e = withNorm(Tables(s, dir, "embeddings"))
     val sig = planes.zipWithIndex.map { case (p, i) =>
-      val lits = p.map(v => lit(v)).toArray
-      val planeDot = expr(
-        s"aggregate(zip_with(ed, array(${p.mkString(", ")}), (x, y) -> x * y), CAST(0.0 AS DOUBLE), (a, v) -> a + v)")
+      val planeDot = dotp(col("ed"), array(p.map(v => lit(v)): _*))
       when(planeDot >= 0, lit(1 << i)).otherwise(lit(0))
     }.reduce(_ + _)
     val signed = e.withColumn("sig", sig)
