@@ -24,6 +24,10 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Untimed warmup: session init, codegen compiler, shuffle paths —
+    // so the first timed query measures the query, not JVM startup.
+    spark.range(0, 1000000).selectExpr("id % 7 AS k", "id AS v")
+      .groupBy("k").sum("v").write.format("noop").mode("overwrite").save()
     val results = SparkEntry.all.map { q =>
       val t0 = System.nanoTime()
       try q.fn(spark, sfDir).write.format("noop").mode("overwrite").save()

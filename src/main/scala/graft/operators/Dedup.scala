@@ -102,13 +102,22 @@ object Dedup {
   /** MinHash(128) + LSH banding (32 bands × 4 rows) with exact
     * Jaccard verification on the candidate pairs only. Hash-seeded
     * permutations aren't SQL-expressible in DuckDB → rows-only;
-    * DedupSpec asserts recall vs q41. */
+    * DedupSpec asserts recall vs q41.
+    *
+    * Perf shape: each shingle is string-hashed ONCE; the 128
+    * permutation hashes re-hash that fixed-width long with the
+    * permutation index as seed (vs 128 string concat+hash per
+    * shingle), all inside one codegen'd 128-column min-agg; and
+    * verification intersects the shingle sets of CANDIDATE pairs
+    * only — never the full inverted-index self-join, which is the
+    * whole point of LSH at 100 TB. */
   def q42(s: SparkSession, dir: String): DataFrame = {
     val sh = cappedShingles(s, dir)
     val perms = 128
+    val hashed = sh.select(col("doc_id"), xxhash64(col("s")).as("h1"))
     val aggs = (0 until perms).map(p =>
-      min(xxhash64(concat(lit(p.toString), col("s")))).as(s"h$p"))
-    val sig = sh.groupBy("doc_id")
+      min(xxhash64(lit(p), col("h1"))).as(s"h$p"))
+    val sig = hashed.groupBy("doc_id")
       .agg(aggs.head, aggs.tail: _*)
       .select(col("doc_id"), array((0 until perms).map(p => col(s"h$p")): _*).as("sig"))
     val bands = sig.select(col("doc_id"), explode(expr(
@@ -118,7 +127,12 @@ object Dedup {
         col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
         col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2")).distinct()
-    jaccardPairs(s, dir).join(cands, Seq("d1", "d2"), "left_semi")
+    val sets = sh.groupBy("doc_id").agg(collect_set("s").as("ss"), count(lit(1)).as("n"))
+    cands
+      .join(sets.select(col("doc_id").as("d1"), col("ss").as("ss1"), col("n").as("n1")), "d1")
+      .join(sets.select(col("doc_id").as("d2"), col("ss").as("ss2"), col("n").as("n2")), "d2")
+      .withColumn("c", size(array_intersect(col("ss1"), col("ss2"))))
+      .withColumn("jacc_raw", col("c") * lit(1.0) / (col("n1") + col("n2") - col("c")))
       .filter(col("jacc_raw") >= 0.6)
       .select(col("d1"), col("d2"), ops.r6(col("jacc_raw")).as("jaccard"))
       .orderBy("d1", "d2")
