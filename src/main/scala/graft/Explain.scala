@@ -1,0 +1,34 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Plan audit: prints the formatted physical plan of every SparkEntry
+  * query (default sf0.001). Used to keep the plans honest — parquet
+  * pushdown reaching the scan (PushedFilters / pruned ReadSchema),
+  * small dims broadcast, wide WholeStageCodegen spans, no
+  * single-partition exchanges outside tiny stat dims.
+  *
+  *   sbt "runMain graft.Explain [sfDir] [queryName...]"
+  */
+object Explain {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val names = args.drop(1).toSet
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    SparkEntry.all
+      .filter(q => names.isEmpty || names(q.name))
+      .foreach { q =>
+        println(s"\n========== ${q.name} ==========")
+        try println(q.fn(spark, sfDir).queryExecution.explainString(
+          org.apache.spark.sql.execution.FormattedMode))
+        catch { case e: Throwable => println(s"EXPLAIN FAILED: ${e.getMessage}") }
+      }
+    spark.stop()
+  }
+}

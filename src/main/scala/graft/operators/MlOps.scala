@@ -31,9 +31,20 @@ object MlOps {
       .select(col("o_custkey"),
         datediff(col("md"), col("last_od")).as("recency_days"),
         col("frequency"), col("monetary"))
-    val r = ops.globalNtile(cust, 4, "r_score", col("recency_days").desc, col("o_custkey"))
-    val f = ops.globalNtile(r, 4, "f_score", col("frequency").asc, col("o_custkey"))
-    val scored = ops.globalNtile(f, 4, "m_score", col("monetary").asc, col("o_custkey"))
+    // Rank slim (key, metric) projections and join the scores back:
+    // nesting globalNtile calls would replicate the whole upstream
+    // subtree ~2x per level (40+ joins in the physical plan); this
+    // keeps each ranking tree shallow and lets AQE reuse the cust
+    // aggregation exchange across all three.
+    def score(metric: String, asc: Boolean, out: String): DataFrame = {
+      val m = if (asc) col(metric).asc else col(metric).desc
+      ops.globalNtile(cust.select(col("o_custkey"), col(metric)), 4, out, m, col("o_custkey"))
+        .select(col("o_custkey"), col(out))
+    }
+    val scored = cust
+      .join(score("recency_days", asc = false, "r_score"), "o_custkey")
+      .join(score("frequency", asc = true, "f_score"), "o_custkey")
+      .join(score("monetary", asc = true, "m_score"), "o_custkey")
     scored.withColumn("segment",
       when(col("r_score") >= 3 && col("f_score") >= 3 && col("m_score") >= 3, "champion")
         .when(col("r_score") >= 3 && col("f_score") >= 2, "loyal")
