@@ -1,0 +1,40 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/** Batch source/sink surface (SURVEY §2.H). The reference's
+  * ingestion loads retail CSV and emits JSON events
+  * (data_loader.py, event_simulator.py); Kafka/Mongo/Snowflake are
+  * deployment adapters out of scope in a zero-egress build. Here:
+  * schema-explicit CSV/JSON-lines readers (never infer on a 100 TB
+  * read — inference is a full extra pass), and partitioned parquet
+  * writes so downstream scans partition-prune.
+  */
+object Sources {
+
+  /** CSV with explicit schema + header. PERMISSIVE keeps bad rows
+    * null-padded rather than failing a 1000-executor job hours in;
+    * pair with a quality-gate filter (Relational.q12) downstream. */
+  def readCsv(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.schema(schema).option("header", "true").option("mode", "PERMISSIVE").csv(path)
+
+  def writeCsv(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).option("header", "true").csv(path)
+
+  /** JSON-lines with explicit schema (same no-inference rule). */
+  def readJsonLines(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.schema(schema).json(path)
+
+  def writeJsonLines(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).json(path)
+
+  def readParquet(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
+  /** Hive-style partitioned parquet: scans filtered on `parts`
+    * columns read only matching directories (partition pruning —
+    * visible as PartitionFilters in the scan node). */
+  def writePartitioned(df: DataFrame, path: String, parts: String*): Unit =
+    df.write.mode(SaveMode.Overwrite).partitionBy(parts: _*).parquet(path)
+}
