@@ -1,0 +1,32 @@
+package graft
+
+import graft.functions.DotProduct
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Sqrt}
+
+/** SparkSessionExtensions entry point: registers the engine's custom
+  * Catalyst expressions as SQL functions, so
+  * `spark.sql("SELECT dot_product(a, b)")` works anywhere the plugin
+  * is loaded:
+  *
+  *   spark.sql.extensions=graft.GraftExtensions
+  *
+  * (GraftSession sets this for its own sessions.)
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def info(name: String, usage: String) =
+    new ExpressionInfo(classOf[DotProduct].getName, null, name, usage, "")
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("dot_product"),
+      info("dot_product", "dot_product(a, b) - dot product of two float/double arrays"),
+      (args: Seq[Expression]) => DotProduct(args(0), args(1))))
+    ext.injectFunction((
+      FunctionIdentifier("l2_norm"),
+      info("l2_norm", "l2_norm(a) - Euclidean norm of a float/double array"),
+      (args: Seq[Expression]) => Sqrt(DotProduct(args(0), args(0)))))
+  }
+}

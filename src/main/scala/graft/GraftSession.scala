@@ -24,6 +24,11 @@ object GraftSession {
     .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
     // events.parquet carries TIMESTAMP(NANOS); see Tables.events.
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // custom SQL functions (dot_product, l2_norm). withExtensions
+    // (not just the static conf) so registration also works when a
+    // SparkContext already exists — static confs are ignored then.
+    .config("spark.sql.extensions", "graft.GraftExtensions")
+    .withExtensions(new GraftExtensions())
 
   def local(threads: Int, shufflePartitions: Int = 0): SparkSession = {
     val sp = if (shufflePartitions > 0) shufflePartitions else threads

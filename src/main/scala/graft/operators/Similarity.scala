@@ -88,7 +88,68 @@ object Similarity {
       .orderBy("query_id", "rank")
   }
 
+  /** IVF (inverted-file) ANN — the coarse-quantizer scale path:
+    * k-means cells over the corpus, queries probe only the `nprobe`
+    * nearest cells. At 100 TB the cell index is written bucketed by
+    * cell id so a probe reads only matching buckets; here the
+    * cell join is an ordinary shuffle join on cid.
+    *
+    * Lloyd iterations are DataFrame aggregations; only the k
+    * centroids (k × dim doubles) ever reach the driver — the
+    * MLlib KMeans pattern, bounded by k not data size. Centroids are
+    * rounded to 1e-9 after each iteration so FP accumulation order
+    * can't make runs diverge. Deterministic init: the k lowest
+    * vec_ids. rows-only; SimilaritySpec asserts recall vs q50. */
+  def q52(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val k = 16
+    val iters = 3
+    val nprobe = 4
+    val e = withNorm(Tables(s, dir, "embeddings")).select(col("vec_id"), col("ed"), col("nrm"))
+
+    def d2(vec: Column, cvec: Column): Column =
+      dotp(vec, vec) - lit(2.0) * dotp(vec, cvec) + dotp(cvec, cvec)
+
+    var cents: Seq[(Int, Seq[Double])] = e.filter(col("vec_id") < k)
+      .select(col("vec_id").cast("int"), col("ed")).as[(Int, Seq[Float])]
+      .collect().toSeq.map { case (i, v) => (i, v.map(_.toDouble)) }
+
+    for (_ <- 1 to iters) {
+      val centDf = broadcast(cents.toDF("cid", "cvec"))
+      cents = e.crossJoin(centDf)
+        .groupBy("vec_id")
+        .agg(min(struct(d2(col("ed"), col("cvec")).as("d2"), col("cid"), col("ed"))).as("m"))
+        .select(col("m.cid").as("cid"), posexplode(col("m.ed")))
+        .groupBy("cid", "pos").agg(avg(col("col").cast("double")).as("v"))
+        .groupBy("cid")
+        .agg(expr("transform(array_sort(collect_list(struct(pos, v))), x -> x.v)").as("cvec"))
+        .as[(Int, Seq[Double])].collect().toSeq
+        .map { case (c, v) => (c, v.map(x => math.rint(x * 1e9) / 1e9)) }
+    }
+
+    val centDf = broadcast(cents.toDF("cid", "cvec"))
+    val cells = e.crossJoin(centDf)
+      .groupBy("vec_id")
+      .agg(min(struct(d2(col("ed"), col("cvec")).as("d2"), col("cid"), col("ed"), col("nrm"))).as("m"))
+      .select(col("vec_id"), col("m.cid").as("cid"), col("m.ed").as("ed"), col("m.nrm").as("nrm"))
+    val probes = e.filter(col("vec_id") < 20).crossJoin(centDf)
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("vec_id").orderBy(d2(col("ed"), col("cvec")), col("cid"))))
+      .filter(col("rn") <= nprobe)
+      .select(col("vec_id").as("query_id"), col("ed").as("qe"), col("nrm").as("qn"), col("cid"))
+    val scored = probes.join(cells, "cid")
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cosine", ops.r6(dotp(col("qe"), col("ed")) / (col("qn") * col("nrm"))))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("cosine"))
+    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select("query_id", "neighbor_id", "rank", "cosine")
+      .orderBy("query_id", "rank")
+  }
+
   val qs: Seq[Q] = Seq(
     Q("q50_knn_brute", q50, Some(q50Sql)),
-    Q("q51_knn_lsh", q51, None))
+    Q("q51_knn_lsh", q51, None),
+    Q("q52_knn_ivf", q52, None))
 }

@@ -33,4 +33,16 @@ class SimilaritySpec extends AnyFunSuite {
     assert(hit * 1.0 / n >= 0.3, s"recall@5 = $hit/$n too low")
     assert(approx.groupBy("query_id").count().filter(col("count") > 5).count() == 0)
   }
+
+  test("q52 IVF ANN achieves measurable recall@5 against brute force") {
+    val exact = operators.Similarity.q50(spark, sf).select("query_id", "neighbor_id")
+    val approx = operators.Similarity.q52(spark, sf).select("query_id", "neighbor_id")
+    val n = exact.count()
+    val hit = exact.join(approx, Seq("query_id", "neighbor_id"), "left_semi").count()
+    info(s"IVF recall@5 = $hit/$n")
+    // nprobe=4 of k=16 cells scans ~25% of a weakly-clustered corpus
+    assert(hit * 1.0 / n >= 0.3, s"recall@5 = $hit/$n too low")
+    assert(approx.groupBy("query_id").count().filter(col("count") > 5).count() == 0)
+    assert(approx.filter(col("query_id") === col("neighbor_id")).count() == 0)
+  }
 }
