@@ -257,6 +257,19 @@ object Relational {
        floor((sum(value))*100.0 + 0.5)/100.0 AS total_value
        FROM events GROUP BY event_type ORDER BY event_type"""
 
+  /** HLL++ approximate distincts — the 100 TB substitute for q11's
+    * exact two-phase countDistinct: one pass, fixed-size sketch per
+    * group, mergeable map-side (no second shuffle of distinct
+    * values). rows-only — sketch estimates are engine-specific;
+    * RelationalSpec bounds the relative error against exact q11. */
+  def q14(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "events")
+      .groupBy("event_type")
+      .agg(
+        approx_count_distinct(col("user_id"), 0.02).as("approx_users"),
+        count(lit(1)).as("n_events"))
+      .orderBy("event_type")
+
   /** data_loader.py:64-89 quality gate re-expressed: bounds filters,
     * derived total_amount / is_return, seasonal tagging — per-row,
     * fully codegen'd, filter pushed to scan. */
@@ -332,5 +345,6 @@ object Relational {
     Q("q10_top_parts_per_brand", q10, Some(q10Sql)),
     Q("q11_distinct_users", q11, Some(q11Sql)),
     Q("q12_quality_filter", q12, Some(q12Sql)),
-    Q("q13_order_categorize", q13, Some(q13Sql)))
+    Q("q13_order_categorize", q13, Some(q13Sql)),
+    Q("q14_approx_distinct", q14, None))
 }

@@ -55,4 +55,14 @@ class RelationalSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"), "expected broadcast joins for dims")
   }
+
+  test("q14 HLL estimate is within 5% of exact distinct counts") {
+    val exact = operators.Relational.q11(spark, sf)
+      .select(col("event_type"), col("n_users"))
+    val approx = operators.Relational.q14(spark, sf)
+      .select(col("event_type"), col("approx_users"))
+    val bad = exact.join(approx, "event_type")
+      .filter(abs(col("approx_users") - col("n_users")) > col("n_users") * 0.05)
+    assert(bad.count() == 0, bad.collect().mkString(", "))
+  }
 }
