@@ -8,25 +8,32 @@ import org.apache.spark.sql.SparkSession
   *
   * Each query is materialized through the `noop` sink — a plain
   * count() would let Catalyst prune computed columns and measure
-  * only the scan.
+  * only the scan. Each query is timed SPARK_GRAFT_RUNS times
+  * (default 2) and the minimum reported: the min estimates the
+  * query's true cost with the host's background noise removed,
+  * which run-to-run swings ±25% here.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       Runtime.getRuntime.availableProcessors.toString).toInt
+    val runs = sys.env.getOrElse("SPARK_GRAFT_RUNS", "2").toInt
     val spark = GraftSession.local(cpus)
     // Untimed warmup: session init, codegen compiler, shuffle paths —
     // so the first timed query measures the query, not JVM startup.
     spark.range(0, 1000000).selectExpr("id % 7 AS k", "id AS v")
       .groupBy("k").sum("v").write.format("noop").mode("overwrite").save()
     val results = SparkEntry.all.map { q =>
-      val t0 = System.nanoTime()
-      try q.fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] ${q.name} failed: ${e.getMessage}")
+      val times = (1 to runs).map { _ =>
+        val t0 = System.nanoTime()
+        try q.fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] ${q.name} failed: ${e.getMessage}")
+        }
+        (System.nanoTime() - t0) / 1e9
       }
-      q.name -> (System.nanoTime() - t0) / 1e9
+      q.name -> times.min
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

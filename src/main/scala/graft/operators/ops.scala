@@ -41,6 +41,23 @@ object ops {
     * order (include a unique tiebreaker) so ranks are well-defined
     * independent of range boundaries.
     */
+  /** Salted equi-join for skewed keys: the big side scatters each row
+    * into one of `salt` sub-keys; the other side replicates `salt`
+    * times; joining on (key, salt) spreads one hot key over `salt`
+    * tasks. AQE's skew-join split handles most batch cases at
+    * runtime — explicit salting remains for deterministic layouts and
+    * stream-stream joins where AQE cannot re-plan. `key` must exist
+    * on both sides (rename before calling); the replicated side's
+    * size must tolerate ×salt duplication (dims, not facts).
+    */
+  def saltedJoin(big: DataFrame, replicated: DataFrame, key: String, salt: Int): DataFrame = {
+    val b = big.withColumn("_salt",
+      pmod(hash(monotonically_increasing_id()), lit(salt)))
+    val r = replicated.withColumn("_salt",
+      explode(array((0 until salt).map(lit): _*)))
+    b.join(r, Seq(key, "_salt")).drop("_salt")
+  }
+
   def globalNtile(df: DataFrame, k: Int, out: String, sort: Column*): DataFrame = {
     val nPart = df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt
     val ranged = df.repartitionByRange(nPart, sort: _*)

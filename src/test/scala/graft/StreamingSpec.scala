@@ -49,4 +49,18 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamedFinal.exceptAll(batchFinal).count() == 0)
     assert(batchFinal.exceptAll(streamedFinal).count() == 0)
   }
+
+  test("parquet sink with checkpoint round-trips the enriched stream") {
+    val out = java.nio.file.Files.createTempDirectory("graft-sink").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    val q = streaming.EnrichStream.enriched(spark, sf)
+      .writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    val written = spark.read.parquet(out)
+    val batch = operators.Events.q21(spark, sf)
+    assert(written.count() == batch.count())
+    assert(written.exceptAll(batch).count() == 0)
+  }
 }
