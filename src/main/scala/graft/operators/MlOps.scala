@@ -19,11 +19,12 @@ import org.apache.spark.sql.functions._
   */
 object MlOps {
 
-  /** RFM segmentation: recency/frequency/monetary quartile scores. */
-  def q30(s: SparkSession, dir: String): DataFrame = {
+  /** Per-customer recency/frequency/monetary features (shared by the
+    * quartile scorer q30 and the MLlib clusterer q33). */
+  private def rfm(s: SparkSession, dir: String): DataFrame = {
     val o = Tables(s, dir, "orders")
     val maxd = o.agg(max("o_orderdate").as("md"))
-    val cust = o.groupBy("o_custkey").agg(
+    o.groupBy("o_custkey").agg(
       max("o_orderdate").as("last_od"),
       count(lit(1)).as("frequency"),
       ops.r2(sum("o_totalprice")).as("monetary"))
@@ -31,6 +32,11 @@ object MlOps {
       .select(col("o_custkey"),
         datediff(col("md"), col("last_od")).as("recency_days"),
         col("frequency"), col("monetary"))
+  }
+
+  /** RFM segmentation: recency/frequency/monetary quartile scores. */
+  def q30(s: SparkSession, dir: String): DataFrame = {
+    val cust = rfm(s, dir)
     // Rank slim (key, metric) projections and join the scores back:
     // nesting globalNtile calls would replicate the whole upstream
     // subtree ~2x per level (40+ joins in the physical plan); this
@@ -141,8 +147,64 @@ object MlOps {
        FROM spend, st WHERE $z > 2.0 ORDER BY o_custkey"""
   }
 
+  /** MLlib KMeans over standardized RFM features — the trained
+    * counterpart of q30's rule-based quartiles (reference README
+    * "Customer Segmentation": behavioral clustering). Seeded and
+    * k-means||-initialized; exact membership is partitioning-
+    * dependent FP, so the check is structural (rows-only + spec). */
+  def q33(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.feature.{StandardScaler, VectorAssembler}
+    val feats = rfm(s, dir).select(
+      col("o_custkey"),
+      col("recency_days").cast("double"),
+      col("frequency").cast("double"),
+      col("monetary"))
+    val assembled = new VectorAssembler()
+      .setInputCols(Array("recency_days", "frequency", "monetary"))
+      .setOutputCol("raw").transform(feats)
+    val scaled = new StandardScaler().setWithMean(true).setWithStd(true)
+      .setInputCol("raw").setOutputCol("features")
+      .fit(assembled).transform(assembled)
+    new KMeans().setK(4).setSeed(42L).setMaxIter(20)
+      .setFeaturesCol("features").setPredictionCol("cluster")
+      .fit(scaled).transform(scaled)
+      .select(col("o_custkey"), col("recency_days"), col("frequency"),
+        col("monetary"), col("cluster"))
+      .orderBy("o_custkey")
+  }
+
+  /** MLlib ALS implicit-feedback collaborative filtering — the
+    * matrix-factorization counterpart of q31's co-occurrence cosine
+    * (reference README "Product Recommendations"). Implicit strength
+    * = total quantity a customer ordered of a part. Top-5 per
+    * customer via recommendForAllUsers (blocked factor scoring —
+    * never a full user×item materialization). Seeded; rows-only. */
+  def q34(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.ml.recommendation.ALS
+    val li = Tables(s, dir, "lineitem").select("l_orderkey", "l_partkey", "l_quantity")
+    val o = Tables(s, dir, "orders").select("o_orderkey", "o_custkey")
+    val ratings = li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_custkey").cast("int").as("user"),
+        col("l_partkey").cast("int").as("item"))
+      .agg(sum("l_quantity").cast("float").as("strength"))
+    val model = new ALS().setRank(8).setMaxIter(5).setRegParam(0.1)
+      .setImplicitPrefs(true).setSeed(42L)
+      .setUserCol("user").setItemCol("item").setRatingCol("strength")
+      .fit(ratings)
+    model.setColdStartStrategy("drop")
+    model.recommendForAllUsers(5)
+      .select(col("user").as("o_custkey"),
+        posexplode(col("recommendations")).as(Seq("pos", "rec")))
+      .select(col("o_custkey"), col("rec.item").as("rec_partkey"),
+        (col("pos") + 1).as("rank"), ops.r6(col("rec.rating")).as("score"))
+      .orderBy("o_custkey", "rank")
+  }
+
   val qs: Seq[Q] = Seq(
     Q("q30_rfm_segments", q30, Some(q30Sql)),
     Q("q31_product_recs", q31, Some(q31Sql)),
-    Q("q32_anomaly_users", q32, Some(q32Sql)))
+    Q("q32_anomaly_users", q32, Some(q32Sql)),
+    Q("q33_kmeans_rfm", q33, None),
+    Q("q34_als_recs", q34, None))
 }

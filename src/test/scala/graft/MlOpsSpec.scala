@@ -41,4 +41,23 @@ class MlOpsSpec extends AnyFunSuite {
   test("q32 flags only customers beyond 2 sigma") {
     assert(operators.MlOps.q32(spark, sf).filter(col("z_score") <= 2.0).count() == 0)
   }
+
+  test("q33 clusters every customer into one of 4 non-empty clusters") {
+    val df = operators.MlOps.q33(spark, sf)
+    val custs = Tables(spark, sf, "orders").select("o_custkey").distinct().count()
+    assert(df.count() == custs)
+    assert(df.filter(col("cluster") < 0 || col("cluster") > 3).count() == 0)
+    val sizes = df.groupBy("cluster").count()
+    assert(sizes.count() >= 2, "KMeans collapsed to a single cluster")
+  }
+
+  test("q34 ALS gives each customer 5 ranked recs with descending scores") {
+    val df = operators.MlOps.q34(spark, sf)
+    assert(df.groupBy("o_custkey").count().filter(col("count") =!= 5).count() == 0)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("o_custkey").orderBy("rank")
+    val bad = df.withColumn("prev", lag("score", 1).over(w))
+      .filter(col("prev").isNotNull && col("score") > col("prev"))
+    assert(bad.count() == 0, "scores must be non-increasing with rank")
+  }
 }
