@@ -34,11 +34,16 @@ object Dedup {
                 i -> concat_ws(' ', element_at(tk,i), element_at(tk,i+1), element_at(tk,i+2))))
            ELSE array() END""")).as("s"))
 
-  /** Shingles surviving the document-frequency cap. */
+  /** Shingles surviving the document-frequency cap. The over-cap
+    * ("hot") shingle set is tiny by construction — ubiquitous
+    * n-grams are few — so it broadcasts and the exclusion is an
+    * anti join: the full shingle stream is never shuffled just to
+    * apply the cap (its only shuffle is the downstream index join). */
   private def cappedShingles(s: SparkSession, dir: String): DataFrame = {
     val sh = shingled(s, dir)
-    val df = sh.groupBy("s").agg(count(lit(1)).as("df")).filter(col("df") <= DfCap)
-    sh.join(df.select("s"), "s")
+    val hot = sh.groupBy("s").agg(count(lit(1)).as("df"))
+      .filter(col("df") > DfCap).select("s")
+    sh.join(broadcast(hot), Seq("s"), "left_anti")
   }
 
   private val shingleCte =
