@@ -81,6 +81,15 @@ object EnrichStream {
         })
   }
 
+  /** Exactly-once bridge for an at-least-once replayed source (the
+    * reference's Kafka consumer redelivers on rebalance): keyed
+    * dedup with watermark-bounded state — a duplicate arriving
+    * within the watermark horizon is dropped; state for older keys
+    * ages out instead of growing forever. */
+  def dedupedSource(stream: DataFrame): DataFrame =
+    stream.withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("event_id")
+
   /** Typed view of the stream for stateful operators. */
   def typedSource(spark: SparkSession, dir: String): Dataset[Ev] = {
     import spark.implicits._

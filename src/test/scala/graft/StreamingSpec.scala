@@ -50,6 +50,25 @@ class StreamingSpec extends AnyFunSuite {
     assert(batchFinal.exceptAll(streamedFinal).count() == 0)
   }
 
+  test("watermarked dedup collapses a duplicated replay to distinct events") {
+    // simulate an at-least-once source: the events file delivered twice
+    val dupDir = java.nio.file.Files.createTempDirectory("graft-dup").toString
+    val ev = Tables(spark, sf, "events")
+    val raw = ev.select(col("event_id"), unix_micros(col("ts")).as("ts"),
+      col("user_id"), col("event_type"), col("value"), col("props"))
+    raw.write.mode("overwrite").parquet(dupDir + "/replay1")
+    raw.write.mode("append").parquet(dupDir + "/replay1")
+    val stream = spark.readStream
+      .schema(streaming.EnrichStream.rawSchema)
+      .parquet(dupDir + "/replay1")
+      .withColumn("ts", expr("timestamp_micros(ts)"))
+    val q = streaming.EnrichStream.dedupedSource(stream)
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    assert(spark.table("dedup_out").count() == ev.count())
+  }
+
   test("parquet sink with checkpoint round-trips the enriched stream") {
     val out = java.nio.file.Files.createTempDirectory("graft-sink").toString
     val ckpt = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
