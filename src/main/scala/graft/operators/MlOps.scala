@@ -188,7 +188,7 @@ object MlOps {
       .groupBy(col("o_custkey").cast("int").as("user"),
         col("l_partkey").cast("int").as("item"))
       .agg(sum("l_quantity").cast("float").as("strength"))
-    val model = new ALS().setRank(8).setMaxIter(5).setRegParam(0.1)
+    val model = new ALS().setRank(8).setMaxIter(3).setRegParam(0.1)
       .setImplicitPrefs(true).setSeed(42L)
       .setUserCol("user").setItemCol("item").setRatingCol("strength")
       .fit(ratings)
