@@ -17,7 +17,8 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Sq
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   private def info(name: String, usage: String) =
-    new ExpressionInfo(classOf[DotProduct].getName, null, name, usage, "")
+    new ExpressionInfo(classOf[DotProduct].getName, null, name, usage,
+      "", "", "", "", "", "", "built-in")
 
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((
