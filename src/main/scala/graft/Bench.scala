@@ -25,15 +25,19 @@ object Bench {
     spark.range(0, 1000000).selectExpr("id % 7 AS k", "id AS v")
       .groupBy("k").sum("v").write.format("noop").mode("overwrite").save()
     val results = SparkEntry.all.map { q =>
-      val times = (1 to runs).map { _ =>
+      // a failed run must not contribute a (fast) bogus time; a query
+      // failing every run reports -1 so the JSON shows the failure
+      val times = (1 to runs).flatMap { _ =>
         val t0 = System.nanoTime()
-        try q.fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        catch { case e: Throwable =>
+        try {
+          q.fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          Some((System.nanoTime() - t0) / 1e9)
+        } catch { case e: Throwable =>
           System.err.println(s"[bench] ${q.name} failed: ${e.getMessage}")
+          None
         }
-        (System.nanoTime() - t0) / 1e9
       }
-      q.name -> times.min
+      q.name -> (if (times.nonEmpty) times.min else -1.0)
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -20,14 +20,21 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     new ExpressionInfo(classOf[DotProduct].getName, null, name, usage,
       "", "", "", "", "", "", "built-in")
 
+  private def arity(name: String, n: Int)(f: Seq[Expression] => Expression)
+      : Seq[Expression] => Expression = { args =>
+    require(args.length == n,
+      s"$name expects $n argument(s), got ${args.length}")
+    f(args)
+  }
+
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((
       FunctionIdentifier("dot_product"),
       info("dot_product", "dot_product(a, b) - dot product of two float/double arrays"),
-      (args: Seq[Expression]) => DotProduct(args(0), args(1))))
+      arity("dot_product", 2)(args => DotProduct(args(0), args(1)))))
     ext.injectFunction((
       FunctionIdentifier("l2_norm"),
       info("l2_norm", "l2_norm(a) - Euclidean norm of a float/double array"),
-      (args: Seq[Expression]) => Sqrt(DotProduct(args(0), args(0)))))
+      arity("l2_norm", 1)(args => Sqrt(DotProduct(args(0), args(0))))))
   }
 }

@@ -21,12 +21,17 @@ import org.apache.spark.sql.types._
   * Float elements are widened to double per element and accumulated
   * sequentially — the exact arithmetic (and IEEE result) of the HOF
   * form and of DuckDB's `list_cosine_similarity` over `DOUBLE[]`,
-  * so oracle parity is unchanged. Null array elements are read as
-  * 0.0 (the embedding tables never contain them).
+  * so oracle parity is unchanged. Mismatched lengths yield NULL —
+  * same as `zip_with`'s null-padding propagating through the sum —
+  * so a corrupt short embedding drops out of similarity filters
+  * instead of passing with a silently partial dot product. Null
+  * array ELEMENTS are read as 0.0 (the embedding tables never
+  * contain them).
   */
 case class DotProduct(left: Expression, right: Expression) extends BinaryExpression {
 
   override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
 
   private def ok(t: DataType): Boolean = t == FloatType || t == DoubleType
   private def elemType(e: Expression): DataType =
@@ -43,8 +48,9 @@ case class DotProduct(left: Expression, right: Expression) extends BinaryExpress
   override def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]
     val b = r.asInstanceOf[ArrayData]
+    if (a.numElements() != b.numElements()) return null
     val (lt, rt) = (elemType(left), elemType(right))
-    val n = math.min(a.numElements(), b.numElements())
+    val n = a.numElements()
     var s = 0.0
     var i = 0
     while (i < n) {
@@ -64,12 +70,16 @@ case class DotProduct(left: Expression, right: Expression) extends BinaryExpress
       val i = ctx.freshName("i")
       val s = ctx.freshName("sum")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $s = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $s += ${get(a, i, elemType(left))} * ${get(b, i, elemType(right))};
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $s = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $s += ${get(a, i, elemType(left))} * ${get(b, i, elemType(right))};
+         |  }
+         |  ${ev.value} = $s;
          |}
-         |${ev.value} = $s;
        """.stripMargin
     })
 

@@ -34,16 +34,19 @@ object Dedup {
                 i -> concat_ws(' ', element_at(tk,i), element_at(tk,i+1), element_at(tk,i+2))))
            ELSE array() END""")).as("s"))
 
-  /** Shingles surviving the document-frequency cap. The over-cap
-    * ("hot") shingle set is tiny by construction — ubiquitous
-    * n-grams are few — so it broadcasts and the exclusion is an
-    * anti join: the full shingle stream is never shuffled just to
-    * apply the cap (its only shuffle is the downstream index join). */
+  /** Shingles surviving the document-frequency cap, applied as an
+    * anti join against the over-cap ("hot") set. The hot set is
+    * usually tiny (ubiquitous n-grams are few) and AQE then picks a
+    * broadcast anti join, sparing the shingle stream a shuffle — but
+    * it is NOT broadcast-hinted: a boilerplate-heavy corpus can push
+    * millions of shingles over the cap, and the hint would force an
+    * over-limit broadcast where a shuffle anti join is the safe plan.
+    */
   private def cappedShingles(s: SparkSession, dir: String): DataFrame = {
     val sh = shingled(s, dir)
     val hot = sh.groupBy("s").agg(count(lit(1)).as("df"))
       .filter(col("df") > DfCap).select("s")
-    sh.join(broadcast(hot), Seq("s"), "left_anti")
+    sh.join(hot, Seq("s"), "left_anti")
   }
 
   private val shingleCte =

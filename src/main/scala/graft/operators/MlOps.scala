@@ -179,7 +179,11 @@ object MlOps {
     * (reference README "Product Recommendations"). Implicit strength
     * = total quantity a customer ordered of a part. Top-5 per
     * customer via recommendForAllUsers (blocked factor scoring —
-    * never a full user×item materialization). Seeded; rows-only. */
+    * never a full user×item materialization). Seeded; rows-only.
+    *
+    * ALS requires int ids; custkey/partkey fit comfortably at the
+    * tested SFs. At an SF where keys exceed 2^31, remap them first
+    * (dense_rank or zipWithUniqueId) — a raw cast would wrap. */
   def q34(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.ml.recommendation.ALS
     val li = Tables(s, dir, "lineitem").select("l_orderkey", "l_partkey", "l_quantity")
@@ -192,7 +196,6 @@ object MlOps {
       .setImplicitPrefs(true).setSeed(42L)
       .setUserCol("user").setItemCol("item").setRatingCol("strength")
       .fit(ratings)
-    model.setColdStartStrategy("drop")
     model.recommendForAllUsers(5)
       .select(col("user").as("o_custkey"),
         posexplode(col("recommendations")).as(Seq("pos", "rec")))

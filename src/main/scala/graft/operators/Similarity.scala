@@ -107,12 +107,17 @@ object Similarity {
     val nprobe = 4
     val e = withNorm(Tables(s, dir, "embeddings")).select(col("vec_id"), col("ed"), col("nrm"))
 
+    // Cell-assignment ranking key: for a fixed vector, argmin over
+    // centroids of ||v-c||² ignores the constant ||v||² term, so it
+    // is never computed — one dot per (vector, centroid), not three.
     def d2(vec: Column, cvec: Column): Column =
-      dotp(vec, vec) - lit(2.0) * dotp(vec, cvec) + dotp(cvec, cvec)
+      dotp(cvec, cvec) - lit(2.0) * dotp(vec, cvec)
 
-    var cents: Seq[(Int, Seq[Double])] = e.filter(col("vec_id") < k)
+    // deterministic init: the k lowest vec_ids (whatever their values)
+    var cents: Seq[(Int, Seq[Double])] = e.orderBy("vec_id").limit(k)
       .select(col("vec_id").cast("int"), col("ed")).as[(Int, Seq[Float])]
-      .collect().toSeq.map { case (i, v) => (i, v.map(_.toDouble)) }
+      .collect().toSeq.zipWithIndex
+      .map { case ((_, v), i) => (i, v.map(_.toDouble)) }
 
     for (_ <- 1 to iters) {
       val centDf = broadcast(cents.toDF("cid", "cvec"))

@@ -23,24 +23,6 @@ object ops {
   def R4(e: String): String = s"floor(($e)*10000.0 + 0.5)/10000.0"
   def R6(e: String): String = s"floor(($e)*1000000.0 + 0.5)/1000000.0"
 
-  /** Exact distributed `ntile(k)` over a global ordering, without the
-    * single-partition window `ntile().over(Window.orderBy(...))`
-    * degenerates to. Plan shape:
-    *
-    *  1. `repartitionByRange` on the sort key — ranges are globally
-    *     ordered, so partition p holds ranks (offset_p, offset_p+cnt_p].
-    *  2. `row_number` within each range partition (parallel window
-    *     keyed by `spark_partition_id`).
-    *  3. A numShufflePartitions-row offset table (cumulative counts)
-    *     broadcast back, giving every row its exact global rank.
-    *  4. SQL-standard ntile arithmetic: first n%k buckets get
-    *     floor(n/k)+1 rows, the rest floor(n/k).
-    *
-    * Both data-sized shuffles are fully parallel; the only global sort
-    * is over the tiny offset table. `sort` must be a strict total
-    * order (include a unique tiebreaker) so ranks are well-defined
-    * independent of range boundaries.
-    */
   /** Salted equi-join for skewed keys: the big side scatters each row
     * into one of `salt` sub-keys; the other side replicates `salt`
     * times; joining on (key, salt) spreads one hot key over `salt`
@@ -58,10 +40,37 @@ object ops {
     b.join(r, Seq(key, "_salt")).drop("_salt")
   }
 
+  /** Exact distributed `ntile(k)` over a global ordering, without the
+    * single-partition window `ntile().over(Window.orderBy(...))`
+    * degenerates to. Plan shape:
+    *
+    *  1. `repartitionByRange` on the sort key — ranges are globally
+    *     ordered, so partition p holds ranks (offset_p, offset_p+cnt_p].
+    *  2. `row_number` within each range partition (parallel window
+    *     keyed by `spark_partition_id`).
+    *  3. A numShufflePartitions-row offset table (cumulative counts)
+    *     broadcast back, giving every row its exact global rank.
+    *  4. SQL-standard ntile arithmetic: first n%k buckets get
+    *     floor(n/k)+1 rows, the rest floor(n/k).
+    *
+    * Both data-sized shuffles are fully parallel; the only global sort
+    * is over the tiny offset table. `sort` must be a strict total
+    * order (include a unique tiebreaker) so ranks are well-defined
+    * independent of range boundaries.
+    *
+    * The ranged frame is `localCheckpoint`ed: RangePartitioner
+    * boundaries come from sampling seeded per execution, and the
+    * offset table and the ranked rows MUST see the same boundaries —
+    * relying on exchange reuse to dedupe the two consumers would make
+    * correctness depend on an optimizer heuristic. The checkpoint
+    * materializes only the slim input projection; losing a block
+    * fails the job (correct-or-fail, never silently wrong).
+    */
   def globalNtile(df: DataFrame, k: Int, out: String, sort: Column*): DataFrame = {
     val nPart = df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt
     val ranged = df.repartitionByRange(nPart, sort: _*)
       .withColumn("_pid", spark_partition_id())
+      .localCheckpoint(false)
     val counts = ranged.groupBy("_pid").agg(count(lit(1)).as("_cnt"))
     val offs = counts
       .withColumn("_off", coalesce(sum("_cnt").over(

@@ -54,6 +54,12 @@ class VectorOpsSpec extends AnyFunSuite {
     assert(math.abs(r.getDouble(1) - math.sqrt(14.0)) < 1e-12)
   }
 
+  test("mismatched lengths yield NULL, matching zip_with null-padding semantics") {
+    val df = Seq((Array(1.0f, 2.0f, 3.0f), Array(1.0f, 2.0f))).toDF("a", "b")
+    assert(df.select(dotp(col("a"), col("b"))).head().isNullAt(0))
+    assert(df.select(hof.as("h")).head().isNullAt(0))
+  }
+
   test("rejects non-numeric-array inputs at analysis time") {
     val df = Seq((Array("x"), Array(1.0f))).toDF("s", "f")
     val e = intercept[Exception] {
