@@ -197,10 +197,63 @@ object Dedup {
        WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.45
        ORDER BY id1, id2"""
 
+  /** Near-dup CLUSTERS: connected components over the q41 pair graph
+    * (HashMin label propagation — each round every doc takes the min
+    * cluster id among itself and its neighbors, O(diameter) rounds,
+    * driver-checked convergence so the fixpoint is exact at any SF).
+    * Labels are localCheckpointed per round to truncate the iterative
+    * lineage; the driver-side loop moves only one count per round.
+    * This is the step a dedup pipeline actually keys on: keep
+    * min(doc_id) per cluster, drop the rest. */
+  def q65(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(s, dir, "documents").select(col("doc_id"))
+    val pairs = jaccardPairs(s, dir).filter(col("jacc_raw") >= 0.6)
+      .select(col("d1"), col("d2"))
+    val sym = pairs.union(pairs.select(col("d2").as("d1"), col("d1").as("d2")))
+      .localCheckpoint(false)
+    var labels = docs.select(col("doc_id"), col("doc_id").as("cluster_id"))
+      .localCheckpoint(false)
+    var changed = 1L
+    var rounds = 0
+    while (changed > 0 && rounds < 64) {
+      val nbrMin = sym.join(labels, sym("d2") === labels("doc_id"))
+        .groupBy(sym("d1").as("nd")).agg(min("cluster_id").as("nbr_min"))
+      val updated = labels
+        .join(nbrMin, labels("doc_id") === nbrMin("nd"), "left")
+        .select(col("doc_id"),
+          least(col("cluster_id"), coalesce(col("nbr_min"), col("cluster_id"))).as("cluster_id"))
+        .localCheckpoint(false)
+      changed = updated.as("u")
+        .join(labels.as("l"), col("u.doc_id") === col("l.doc_id"))
+        .filter(col("u.cluster_id") =!= col("l.cluster_id")).count()
+      labels = updated
+      rounds += 1
+    }
+    labels.orderBy("doc_id")
+  }
+
+  private val q65Sql =
+    s"""WITH RECURSIVE $shingleCte,
+       sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+       pairs0 AS (SELECT a.doc_id d1, b.doc_id d2, count(*) c
+                  FROM sh a JOIN sh b ON a.s=b.s AND a.doc_id < b.doc_id GROUP BY 1,2),
+       p AS (SELECT d1, d2 FROM pairs0 JOIN sz n1 ON d1=n1.doc_id JOIN sz n2 ON d2=n2.doc_id
+             WHERE c*1.0/(n1.n + n2.n - c) >= 0.6),
+       sym AS (SELECT d1 a, d2 b FROM p UNION ALL SELECT d2, d1 FROM p),
+       reach(a, b) AS (
+         SELECT a, b FROM sym
+         UNION
+         SELECT r.a, s2.b FROM reach r JOIN sym s2 ON r.b = s2.a
+       )
+       SELECT d.doc_id, least(d.doc_id, coalesce(min(r.b), d.doc_id)) AS cluster_id
+       FROM documents d LEFT JOIN reach r ON d.doc_id = r.a
+       GROUP BY d.doc_id ORDER BY doc_id"""
+
   val qs: Seq[Q] = Seq(
     Q("q40_exact_dedup", q40, Some(q40Sql)),
     Q("q41_ngram_jaccard", q41, Some(q41Sql)),
     Q("q42_minhash_lsh", q42, None),
     Q("q43_simhash", q43, None),
-    Q("q44_embedding_neardup", q44, Some(q44Sql)))
+    Q("q44_embedding_neardup", q44, Some(q44Sql)),
+    Q("q65_neardup_clusters", q65, Some(q65Sql)))
 }

@@ -31,6 +31,21 @@ class DedupSpec extends AnyFunSuite {
     assert(lsh.join(exact, Seq("d1", "d2"), "left_anti").count() == 0)
   }
 
+  test("q65 clusters are closed under the pair graph and keyed by minimum") {
+    val labels = operators.Dedup.q65(spark, sf)
+    val pairs = operators.Dedup.q41(spark, sf).select("d1", "d2")
+    // every near-dup pair must share a cluster
+    val l1 = labels.withColumnRenamed("doc_id", "d1").withColumnRenamed("cluster_id", "c1")
+    val l2 = labels.withColumnRenamed("doc_id", "d2").withColumnRenamed("cluster_id", "c2")
+    val split = pairs.join(l1, "d1").join(l2, "d2").filter(col("c1") =!= col("c2"))
+    assert(split.count() == 0, "a connected pair landed in two clusters")
+    // cluster id is the minimum member id
+    val badKey = labels.groupBy("cluster_id").agg(min("doc_id").as("m"))
+      .filter(col("cluster_id") =!= col("m"))
+    assert(badKey.count() == 0)
+    assert(labels.count() == Tables(spark, sf, "documents").count())
+  }
+
   test("q43 simhash near-dups have small hamming distance and include true dups") {
     val df = operators.Dedup.q43(spark, sf)
     assert(df.filter(col("hamming") > 8).count() == 0)
