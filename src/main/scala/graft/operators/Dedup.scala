@@ -204,14 +204,19 @@ object Dedup {
     * Labels are localCheckpointed per round to truncate the iterative
     * lineage; the driver-side loop moves only one count per round.
     * This is the step a dedup pipeline actually keys on: keep
-    * min(doc_id) per cluster, drop the rest. */
+    * min(doc_id) per cluster, drop the rest.
+    *
+    * Only edge-connected docs ride through the iteration — at scale
+    * isolated docs vastly outnumber near-dup nodes, and they get
+    * their identity label in one final left join. */
   def q65(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables(s, dir, "documents").select(col("doc_id"))
     val pairs = jaccardPairs(s, dir).filter(col("jacc_raw") >= 0.6)
       .select(col("d1"), col("d2"))
     val sym = pairs.union(pairs.select(col("d2").as("d1"), col("d1").as("d2")))
       .localCheckpoint(false)
-    var labels = docs.select(col("doc_id"), col("doc_id").as("cluster_id"))
+    var labels = sym.select(col("d1").as("doc_id")).distinct()
+      .select(col("doc_id"), col("doc_id").as("cluster_id"))
       .localCheckpoint(false)
     var changed = 1L
     var rounds = 0
@@ -229,7 +234,9 @@ object Dedup {
       labels = updated
       rounds += 1
     }
-    labels.orderBy("doc_id")
+    docs.join(labels, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
+      .orderBy("doc_id")
   }
 
   private val q65Sql =
