@@ -20,6 +20,10 @@ object Dedup {
 
   private val DfCap = 1000
 
+  /** Near-dup Jaccard threshold, shared by q41/q42/q65 and their
+    * oracle SQL so engine and oracle can never drift apart. */
+  private val JaccThr = "0.6"
+
   /** Whitespace tokens, empties removed (exact parity with DuckDB's
     * list_filter(string_split(...))). */
   val tokensExpr = "filter(split(text, ' '), x -> x != '')"
@@ -93,7 +97,7 @@ object Dedup {
   /** n-gram Jaccard near-dup pairs (inverted-index join, no O(n²)). */
   def q41(s: SparkSession, dir: String): DataFrame =
     jaccardPairs(s, dir)
-      .filter(col("jacc_raw") >= 0.6)
+      .filter(col("jacc_raw") >= JaccThr.toDouble)
       .select(col("d1"), col("d2"), ops.r6(col("jacc_raw")).as("jaccard"))
       .orderBy("d1", "d2")
 
@@ -104,7 +108,7 @@ object Dedup {
                  FROM sh a JOIN sh b ON a.s=b.s AND a.doc_id < b.doc_id GROUP BY 1,2)
        SELECT d1, d2, ${ops.R6("c*1.0/(n1.n + n2.n - c)")} AS jaccard
        FROM pairs JOIN sz n1 ON d1=n1.doc_id JOIN sz n2 ON d2=n2.doc_id
-       WHERE c*1.0/(n1.n + n2.n - c) >= 0.6
+       WHERE c*1.0/(n1.n + n2.n - c) >= $JaccThr
        ORDER BY d1, d2"""
 
   /** MinHash(128) + LSH banding (32 bands × 4 rows) with exact
@@ -141,7 +145,7 @@ object Dedup {
       .join(sets.select(col("doc_id").as("d2"), col("ss").as("ss2"), col("n").as("n2")), "d2")
       .withColumn("c", size(array_intersect(col("ss1"), col("ss2"))))
       .withColumn("jacc_raw", col("c") * lit(1.0) / (col("n1") + col("n2") - col("c")))
-      .filter(col("jacc_raw") >= 0.6)
+      .filter(col("jacc_raw") >= JaccThr.toDouble)
       .select(col("d1"), col("d2"), ops.r6(col("jacc_raw")).as("jaccard"))
       .orderBy("d1", "d2")
   }
@@ -211,29 +215,38 @@ object Dedup {
     * their identity label in one final left join. */
   def q65(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables(s, dir, "documents").select(col("doc_id"))
-    val pairs = jaccardPairs(s, dir).filter(col("jacc_raw") >= 0.6)
+    val pairs = jaccardPairs(s, dir).filter(col("jacc_raw") >= JaccThr.toDouble)
       .select(col("d1"), col("d2"))
     val sym = pairs.union(pairs.select(col("d2").as("d1"), col("d1").as("d2")))
       .localCheckpoint(false)
-    var labels = sym.select(col("d1").as("doc_id")).distinct()
+    // `ckpt` is the checkpointed frame itself (unpersist must target
+    // it, not a derived projection); `labels` is its working view.
+    var ckpt = sym.select(col("d1").as("doc_id")).distinct()
       .select(col("doc_id"), col("doc_id").as("cluster_id"))
       .localCheckpoint(false)
+    var labels = ckpt
     var changed = 1L
     var rounds = 0
-    while (changed > 0 && rounds < 64) {
+    val maxRounds = 64
+    while (changed > 0 && rounds < maxRounds) {
       val nbrMin = sym.join(labels, sym("d2") === labels("doc_id"))
         .groupBy(sym("d1").as("nd")).agg(min("cluster_id").as("nbr_min"))
+      // carry the previous label as a column: convergence is one scan
+      // of the (checkpointed) frame, not a second full join per round
       val updated = labels
         .join(nbrMin, labels("doc_id") === nbrMin("nd"), "left")
-        .select(col("doc_id"),
+        .select(col("doc_id"), col("cluster_id").as("_prev"),
           least(col("cluster_id"), coalesce(col("nbr_min"), col("cluster_id"))).as("cluster_id"))
         .localCheckpoint(false)
-      changed = updated.as("u")
-        .join(labels.as("l"), col("u.doc_id") === col("l.doc_id"))
-        .filter(col("u.cluster_id") =!= col("l.cluster_id")).count()
-      labels = updated
+      changed = updated.filter(col("cluster_id") =!= col("_prev")).count()
+      ckpt.unpersist() // superseded round's checkpoint blocks
+      ckpt = updated
+      labels = updated.drop("_prev")
       rounds += 1
     }
+    require(changed == 0,
+      s"q65 label propagation did not converge in $maxRounds rounds " +
+        "(component diameter exceeds the cap); raise maxRounds")
     docs.join(labels, Seq("doc_id"), "left")
       .select(col("doc_id"), coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
       .orderBy("doc_id")
@@ -245,7 +258,7 @@ object Dedup {
        pairs0 AS (SELECT a.doc_id d1, b.doc_id d2, count(*) c
                   FROM sh a JOIN sh b ON a.s=b.s AND a.doc_id < b.doc_id GROUP BY 1,2),
        p AS (SELECT d1, d2 FROM pairs0 JOIN sz n1 ON d1=n1.doc_id JOIN sz n2 ON d2=n2.doc_id
-             WHERE c*1.0/(n1.n + n2.n - c) >= 0.6),
+             WHERE c*1.0/(n1.n + n2.n - c) >= $JaccThr),
        sym AS (SELECT d1 a, d2 b FROM p UNION ALL SELECT d2, d1 FROM p),
        reach(a, b) AS (
          SELECT a, b FROM sym

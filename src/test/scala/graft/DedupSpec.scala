@@ -44,6 +44,14 @@ class DedupSpec extends AnyFunSuite {
       .filter(col("cluster_id") =!= col("m"))
     assert(badKey.count() == 0)
     assert(labels.count() == Tables(spark, sf, "documents").count())
+    // no over-merging: p edges can merge away at most p clusters, so
+    // clusters >= docs - pairs (catches a degenerate all-one-cluster
+    // labeling that the closure assertions above cannot see)
+    val nClusters = labels.select("cluster_id").distinct().count()
+    val nDocs = labels.count()
+    val nPairs = pairs.count()
+    assert(nClusters >= nDocs - nPairs && nClusters > 1,
+      s"over-merged: $nClusters clusters for $nDocs docs / $nPairs pairs")
   }
 
   test("q43 simhash near-dups have small hamming distance and include true dups") {
