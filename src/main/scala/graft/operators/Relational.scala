@@ -270,6 +270,32 @@ object Relational {
         count(lit(1)).as("n_events"))
       .orderBy("event_type")
 
+  /** Revenue ROLLUP by (nation, order year): grouping sets give the
+    * detail rows plus per-nation and grand totals in ONE pass
+    * (partial-aggregated; no self-union of three aggregations).
+    * Rollup nulls are coalesced to 'ALL' / -1 sentinels in both
+    * engines so the hash compare never sees NULL group keys. */
+  def q15(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "orders")
+      .join(Tables(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+      .rollup(col("n_name"), year(col("o_orderdate")).as("o_year"))
+      .agg(ops.r2(sum("o_totalprice")).as("revenue"), count(lit(1)).as("n_orders"))
+      .select(
+        coalesce(col("n_name"), lit("ALL")).as("nation"),
+        coalesce(col("o_year"), lit(-1)).as("o_year"),
+        col("revenue"), col("n_orders"))
+      .orderBy("nation", "o_year")
+
+  private val q15Sql =
+    s"""SELECT coalesce(n_name, 'ALL') AS nation,
+       coalesce(year(o_orderdate), -1) AS o_year,
+       ${ops.R2("sum(o_totalprice)")} AS revenue, count(*) AS n_orders
+       FROM orders JOIN customer ON o_custkey=c_custkey
+       JOIN nation ON c_nationkey=n_nationkey
+       GROUP BY ROLLUP(n_name, year(o_orderdate))
+       ORDER BY nation, o_year"""
+
   /** data_loader.py:64-89 quality gate re-expressed: bounds filters,
     * derived total_amount / is_return, seasonal tagging — per-row,
     * fully codegen'd, filter pushed to scan. */
@@ -346,5 +372,6 @@ object Relational {
     Q("q11_distinct_users", q11, Some(q11Sql)),
     Q("q12_quality_filter", q12, Some(q12Sql)),
     Q("q13_order_categorize", q13, Some(q13Sql)),
-    Q("q14_approx_distinct", q14, None))
+    Q("q14_approx_distinct", q14, None),
+    Q("q15_revenue_rollup", q15, Some(q15Sql)))
 }

@@ -56,6 +56,16 @@ class RelationalSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin"), "expected broadcast joins for dims")
   }
 
+  test("q15 rollup totals are consistent across grouping levels") {
+    val df = operators.Relational.q15(spark, sf)
+    val grand = df.filter(col("nation") === "ALL").select("n_orders").head().getLong(0)
+    val nationTotals = df.filter(col("nation") =!= "ALL" && col("o_year") === -1)
+      .agg(sum("n_orders")).head().getLong(0)
+    val detail = df.filter(col("o_year") =!= -1)
+      .agg(sum("n_orders")).head().getLong(0)
+    assert(grand == nationTotals && grand == detail)
+  }
+
   test("q14 HLL estimate is within 5% of exact distinct counts") {
     val exact = operators.Relational.q11(spark, sf)
       .select(col("event_type"), col("n_users"))
