@@ -19,12 +19,14 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       Runtime.getRuntime.availableProcessors.toString).toInt
     val runs = sys.env.getOrElse("SPARK_GRAFT_RUNS", "2").toInt
+    // iteration aid: SPARK_GRAFT_ONLY=q43_simhash,q44_... times a subset
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val spark = GraftSession.local(cpus)
     // Untimed warmup: session init, codegen compiler, shuffle paths —
     // so the first timed query measures the query, not JVM startup.
     spark.range(0, 1000000).selectExpr("id % 7 AS k", "id AS v")
       .groupBy("k").sum("v").write.format("noop").mode("overwrite").save()
-    val results = SparkEntry.all.map { q =>
+    val results = SparkEntry.all.filter(q => only.forall(_.contains(q.name))).map { q =>
       // a failed run must not contribute a (fast) bogus time; a query
       // failing every run reports -1 so the JSON shows the failure
       val times = (1 to runs).flatMap { _ =>
@@ -41,8 +43,11 @@ object Bench {
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // -1 failure sentinels must not shrink the headline number: sum
+    // successes only and surface the failure count explicitly.
+    val total = results.map(_._2).filter(_ >= 0).sum
+    val failed = results.count(_._2 < 0)
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

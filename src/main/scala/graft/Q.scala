@@ -21,9 +21,16 @@ object Tables {
     * reader rejects; read nanos as long and rebuild a micros
     * timestamp (integer DIV — nanos exceed 2^53 so float division
     * would corrupt). Matches DuckDB's ts::TIMESTAMP truncation.
+    *
+    * The nanosAsLong flag is session-global, so setting it here as a
+    * plan-construction side effect would surprise a caller whose
+    * session already reads other parquet — GraftSession.tune owns the
+    * flag; this just refuses to mis-read silently without it.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    require(spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").contains("true"),
+      "events.parquet is TIMESTAMP(NANOS): build the session via GraftSession.tune/local " +
+        "(sets spark.sql.legacy.parquet.nanosAsLong=true)")
     spark.read.parquet(s"$dir/events.parquet")
       .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts DIV 1000)"))
   }

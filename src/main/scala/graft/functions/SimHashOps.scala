@@ -1,0 +1,70 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.GraftBridge
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types._
+
+/** Block-combination helpers for the SimHash banding in
+  * [[graft.operators.Dedup.q43]].
+  *
+  * The canonical-combo dedup predicate ("keep a joined pair only on
+  * the combo of its two lowest-indexed clean blocks") is pure bit
+  * arithmetic, but expressed as nested Columns every reference to an
+  * intermediate re-expands its whole subtree — Catalyst does no
+  * common-subexpression elimination inside join conditions, and the
+  * expanded tree cost ~10 µs per matched row (40M matches → minutes).
+  * As a single fused expression it is one ~30-op loop, inlined by
+  * whole-stage codegen via the static forwarder below.
+  */
+object SimHashOps {
+
+  /** Block layout: 10 blocks over 64 bits (4×7 + 6×6). ≤8 differing
+    * bits dirty ≤8 blocks, so every hamming≤8 pair has ≥2 clean
+    * blocks — the pigeonhole base of the recall guarantee
+    * (Manku/Jain/Das Sarma, WWW'07 §3). */
+  val BlockSizes: Array[Int] = Array(7, 7, 7, 7, 6, 6, 6, 6, 6, 6)
+  val BlockOffsets: Array[Int] = BlockSizes.scanLeft(0)(_ + _).init
+
+  /** Lexicographic index (among the 45 ordered block pairs) of the
+    * combo over the two lowest-indexed clean blocks of `xor`, or -1
+    * when fewer than two blocks are clean. Called from generated
+    * code — keep it static-forwardable and allocation-free. */
+  def canonicalCombo(xor: Long): Int = {
+    var clean = 0
+    var b = 0
+    while (b < 10) {
+      if (((xor >>> BlockOffsets(b)) & ((1L << BlockSizes(b)) - 1)) == 0L) clean |= 1 << b
+      b += 1
+    }
+    if (Integer.bitCount(clean) < 2) return -1
+    val i1 = Integer.numberOfTrailingZeros(clean)
+    val i2 = Integer.numberOfTrailingZeros(clean & (clean - 1))
+    (i1 * (19 - i1)) / 2 + (i2 - i1 - 1)
+  }
+
+  def canonicalCombo(xor: Column): Column =
+    GraftBridge.column(CanonicalCombo(GraftBridge.expression(xor)))
+}
+
+/** Codegen'd wrapper over [[SimHashOps.canonicalCombo]]. */
+case class CanonicalCombo(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = IntegerType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == LongType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"canonical_combo expects a bigint simhash xor, got ${child.dataType}")
+
+  override def nullSafeEval(x: Any): Any =
+    SimHashOps.canonicalCombo(x.asInstanceOf[Long])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, x => s"graft.functions.SimHashOps.canonicalCombo($x)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

@@ -119,10 +119,14 @@ object Dedup {
     * Perf shape: each shingle is string-hashed ONCE; the 128
     * permutation hashes re-hash that fixed-width long with the
     * permutation index as seed (vs 128 string concat+hash per
-    * shingle), all inside one codegen'd 128-column min-agg; and
-    * verification intersects the shingle sets of CANDIDATE pairs
-    * only — never the full inverted-index self-join, which is the
-    * whole point of LSH at 100 TB. */
+    * shingle), all inside one codegen'd 128-column min-agg.
+    * Verification joins the inverted index restricted to CANDIDATE
+    * pairs — a counting equi-join, never materializing per-doc
+    * shingle sets into rows (a boilerplate-heavy 100 TB corpus has
+    * docs with 10⁵+ shingles; `collect_set` rows that wide blow the
+    * row-buffer budget, a count per pair never does). A candidate
+    * pair sharing zero capped shingles drops out of the inner join —
+    * its Jaccard is 0, below any threshold, so nothing is lost. */
   def q42(s: SparkSession, dir: String): DataFrame = {
     val sh = cappedShingles(s, dir)
     val perms = 128
@@ -139,67 +143,176 @@ object Dedup {
         col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
         col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2")).distinct()
-    val sets = sh.groupBy("doc_id").agg(collect_set("s").as("ss"), count(lit(1)).as("n"))
-    cands
-      .join(sets.select(col("doc_id").as("d1"), col("ss").as("ss1"), col("n").as("n1")), "d1")
-      .join(sets.select(col("doc_id").as("d2"), col("ss").as("ss2"), col("n").as("n2")), "d2")
-      .withColumn("c", size(array_intersect(col("ss1"), col("ss2"))))
+    val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val common = cands
+      .join(sh.select(col("doc_id").as("d1"), col("s")), "d1")
+      .join(sh.select(col("doc_id").as("d2"), col("s")), Seq("d2", "s"))
+      .groupBy("d1", "d2").agg(count(lit(1)).as("c"))
+    common
+      .join(sz.select(col("doc_id").as("d1"), col("n").as("n1")), "d1")
+      .join(sz.select(col("doc_id").as("d2"), col("n").as("n2")), "d2")
       .withColumn("jacc_raw", col("c") * lit(1.0) / (col("n1") + col("n2") - col("c")))
       .filter(col("jacc_raw") >= JaccThr.toDouble)
       .select(col("d1"), col("d2"), ops.r6(col("jacc_raw")).as("jaccard"))
       .orderBy("d1", "d2")
   }
 
-  /** SimHash(64-bit over unigrams) + 16-bit band join, hamming ≤ 8. */
-  def q43(s: SparkSession, dir: String): DataFrame = {
+  /** SimHash(64) per document (unigram token hashing, majority vote
+    * per bit). Exposed for DedupSpec's exhaustive-recall check. */
+  def simhashes(s: SparkSession, dir: String): DataFrame = {
     val toks = Tables(s, dir, "documents")
       .select(col("doc_id"), explode(expr(s"array_distinct($tokensExpr)")).as("tok"))
       .withColumn("h", xxhash64(col("tok")))
     val bitAggs = (0 until 64).map(b =>
       sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$b"))
-    val sims = toks.groupBy("doc_id")
+    toks.groupBy("doc_id")
       .agg(bitAggs.head, bitAggs.tail: _*)
       .select(col("doc_id"),
         (0 until 64).map(b => when(col(s"b$b") >= 0, lit(1L << b)).otherwise(0L))
           .reduce(_ + _).as("simhash"))
-    val bands = sims.select(col("doc_id"), col("simhash"), explode(expr(
-      "transform(sequence(0, 3), i -> struct(i AS band, shiftright(simhash, i*16) & 65535 AS bkey))")).as("bk"))
-      .select(col("doc_id"), col("simhash"), col("bk.band"), col("bk.bkey"))
-    bands.as("x").join(bands.as("y"),
-        col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
+  }
+
+  /** SimHash near-dup pairs, hamming ≤ 8 — GUARANTEED recall via
+    * block-combination banding (Manku/Jain/Das Sarma, WWW'07 §3): the
+    * 64 bits split into 10 blocks (4×7 + 6×6 bits); ≤ 8 differing
+    * bits dirty at most 8 blocks, so ≥ 2 blocks are clean and the
+    * pair collides on that block-pair's key. Keys are all C(10,2)=45
+    * ordered block pairs (~13-14 bits each) — vs the old 4×16-bit
+    * scheme this trades 45 bucket tables for a recall PROOF (4 bands
+    * of 16 only guarantee hamming ≤ 3) and the spec checks it
+    * exhaustively. The self-join is an equi-join on (combo, key);
+    * skewed buckets (simhash bits are not uniform — common tokens
+    * correlate them) are AQE skew-split. */
+  def q43(s: SparkSession, dir: String): DataFrame = {
+    // The repartition is a PLANNING barrier, not a data move for its
+    // own sake: without it CollapseProject inlines the 64-term
+    // simhash expression into every one of the 45 key structs (×2
+    // block refs ≈ 5.8k CASE terms) and optimizer+AQE replans take
+    // minutes. Behind the barrier simhash is a plain attribute; the
+    // shuffle itself is linear in docs × 16 bytes.
+    val sims = simhashes(s, dir).repartition(col("doc_id"))
+    import graft.functions.SimHashOps.{BlockOffsets, BlockSizes, canonicalCombo}
+    def block(i: Int): Column =
+      shiftright(col("simhash"), BlockOffsets(i)).bitwiseAND(lit((1L << BlockSizes(i)) - 1))
+    val combos = for { i <- 0 until 10; j <- i + 1 until 10 } yield (i, j)
+    val keyed = sims.select(col("doc_id"), col("simhash"),
+        explode(array(combos.zipWithIndex.map { case ((i, j), c) =>
+          struct(lit(c).as("cb"), (block(i) * lit(128L) + block(j)).as("bkey"))
+        }: _*)).as("k"))
+      .select(col("doc_id"), col("simhash"), col("k.cb"), col("k.bkey"))
+    // A near-identical pair matches on MANY combos (up to C(9,2)+ at
+    // hamming 0) — deduping that fan-out through distinct() shuffles
+    // the whole multiplied pair stream. Both simhashes are present in
+    // the joined row, so dedup is instead one codegen'd predicate:
+    // keep a row only on the pair's CANONICAL combo — the one over
+    // its two lowest-indexed clean (xor==0) blocks (a joined row
+    // matched blocks (i,j), so ≥2 clean blocks always exist). Every
+    // surviving pair is emitted exactly once and the distinct()
+    // shuffle disappears. The check is the fused Expression
+    // [[graft.functions.CanonicalCombo]] — built from nested Columns
+    // its intermediates re-expand per reference inside the join
+    // condition (no CSE there) and cost µs per matched row.
+    val xorCol = col("x.simhash").bitwiseXOR(col("y.simhash"))
+    // shuffle_merge, NOT broadcast: the keyed table is tiny in bytes
+    // (broadcast-eligible) but match-multiplied 100-1000× by the
+    // dup-cluster buckets — under a broadcast join the whole multiplied
+    // probe runs in however few partitions the upstream agg coalesced
+    // to (observed: ONE task, 10+ min). Shuffling by (cb, bkey)
+    // spreads a mega-cluster's 45 combo keys across the shuffle
+    // partitions, so the match explosion is what gets parallelized.
+    keyed.as("x").hint("shuffle_merge").join(keyed.as("y").hint("shuffle_merge"),
+        col("x.cb") === col("y.cb") && col("x.bkey") === col("y.bkey") &&
         col("x.doc_id") < col("y.doc_id"))
+      .filter(col("x.cb") === canonicalCombo(xorCol))
       .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"),
-        bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).as("hamming"))
-      .distinct()
+        bit_count(xorCol).as("hamming"))
       .filter(col("hamming") <= 8)
       .orderBy("d1", "d2")
   }
 
-  /** Embedding cosine near-dup pairs. Threshold calibrated to the
-    * synthetic data (max pair cosine ≈ 0.51). Exact-by-contract →
-    * pairwise with id-ordering; the approximate scale path is
-    * Similarity.q51's LSH bucketing. The per-pair dot product is the
-    * codegen'd [[graft.functions.VectorOps.dotp]] — the HOF form put
-    * two interpreted lambdas in the O(n²) hot loop. */
+  /** q44 cosine threshold — ONE constant shared with the oracle SQL. */
+  private val CosThr = "0.45"
+
+  /** q44 LSH geometry: NdBands bands × NdBits hyperplane sign bits.
+    * P(band match) = p^NdBits with p = 1 - θ/π per bit; at the 0.45
+    * threshold (θ ≈ 63°, p ≈ 0.649) a pair misses all 96 6-bit bands
+    * with prob (1-0.649⁶)⁹⁶ ≈ 7e-4 — and planes are a FIXED seed, so
+    * recall is checked once per test SF (exhaustive spec at sf0.001,
+    * oracle hash at sf0.01), not re-rolled per run. */
+  private val NdBands = 96
+  private val NdBits = 6
+
+  /** Embedding cosine near-dup pairs: hyperplane-LSH band join for
+    * candidate generation + exact codegen'd-DotProduct verification.
+    * The previous exact form — `a.join(b, id1 < id2)` — was a
+    * BroadcastNestedLoopJoin: O(n²) pairs evaluated on ONE broadcast
+    * copy, which never finishes at 100 TB. Here candidates come from
+    * an equi self-join on (band, bucket) — shuffle-partitioned,
+    * skew-split by AQE, and at real near-dup thresholds (≥ 0.8) the
+    * same geometry needs far fewer bands, so candidate volume
+    * collapses; 0.45 is adversarially low and still recalls fully at
+    * the test SFs. Signatures are computed in one mapPartitions pass
+    * over the closed-over plane matrix (96×6 planes × 64 dims as
+    * column literals would defeat codegen; the scan stays
+    * embarrassingly parallel). */
   def q44(s: SparkSession, dir: String): DataFrame = {
     import graft.functions.VectorOps.{dotp, l2norm}
+    import s.implicits._
+    val nPlanes = NdBands * NdBits
+    val planes: Array[Array[Double]] = {
+      val rnd = new scala.util.Random(1337)
+      Array.fill(nPlanes)(Array.fill(64)(rnd.nextGaussian()))
+    }
     val e = Tables(s, dir, "embeddings")
       .withColumn("nrm", l2norm(col("embedding")))
-    val a = e.select(col("vec_id").as("id1"), col("embedding").as("e1"), col("nrm").as("n1"))
-    val b = e.select(col("vec_id").as("id2"), col("embedding").as("e2"), col("nrm").as("n2"))
-    a.join(b, col("id1") < col("id2"))
+    val keys = e.select(col("vec_id"), col("embedding")).as[(Long, Seq[Float])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, v) =>
+          val arr = v.toArray
+          Iterator.tabulate(NdBands) { band =>
+            var key = 0L
+            var b = 0
+            while (b < NdBits) {
+              val p = planes(band * NdBits + b)
+              val m = math.min(arr.length, p.length)
+              var d = 0.0
+              var i = 0
+              while (i < m) { d += arr(i) * p(i); i += 1 }
+              key = (key << 1) | (if (d >= 0) 1L else 0L)
+              b += 1
+            }
+            (id, band, key)
+          }
+        }
+      }.toDF("vec_id", "band", "bkey")
+    val cands = keys.as("x").join(keys.as("y"),
+        col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
+        col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("id1"), col("y.vec_id").as("id2")).distinct()
+    cands
+      .join(e.select(col("vec_id").as("id1"), col("embedding").as("e1"), col("nrm").as("n1")), "id1")
+      .join(e.select(col("vec_id").as("id2"), col("embedding").as("e2"), col("nrm").as("n2")), "id2")
       .withColumn("cos", dotp(col("e1"), col("e2")) / (col("n1") * col("n2")))
-      .filter(col("cos") >= 0.45)
+      .filter(col("cos") >= CosThr.toDouble)
       .select(col("id1"), col("id2"), ops.r4(col("cos")).as("cosine"))
       .orderBy("id1", "id2")
   }
 
-  private val q44Sql =
-    s"""SELECT a.vec_id AS id1, b.vec_id AS id2,
-       ${ops.R4("list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[])")} AS cosine
-       FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-       WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.45
-       ORDER BY id1, id2"""
+  /** Oracle stays the EXACT all-pairs definition (the operator must
+    * recall it fully), with the cosine spelled out as
+    * dot/(sqrt(dot)·sqrt(dot)) so DuckDB evaluates the engine's
+    * arithmetic rather than list_cosine_similarity's internal
+    * (potentially fused) form — an ulp of drift at the threshold
+    * boundary would flip rows. */
+  private val q44Sql = {
+    val cos = """list_inner_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
+       (sqrt(list_inner_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
+        sqrt(list_inner_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[])))"""
+    s"""WITH p AS (SELECT a.vec_id AS id1, b.vec_id AS id2, $cos AS cos
+       FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
+       SELECT id1, id2, ${ops.R4("cos")} AS cosine FROM p
+       WHERE cos >= $CosThr ORDER BY id1, id2"""
+  }
 
   /** Near-dup CLUSTERS: connected components over the q41 pair graph
     * (HashMin label propagation — each round every doc takes the min

@@ -25,12 +25,43 @@ import org.apache.spark.sql.functions._
   */
 object Events {
 
+  /** Bulk-quantity threshold for the `wholesale` segment — the
+    * reference's `bulk_purchase` (data_loader.py:128 `quantity > 10`
+    * on baskets averaging ~3) adapted to this table's uniform
+    * 0..100 `k` quantity: > 90 marks the same top-decile bulk tail.
+    * ONE constant shared by the Spark column and the oracle SQL. */
+  val BulkK = 90
+
+  /** Return marker (reference EnrichmentFunction.java:100-118:
+    * metadata is_return flag OR a *return* event type; negative value
+    * is the degenerate encoding a loader without the flag produces).
+    * The natural testdata contains none of these, so the rule is
+    * vacuous there — EventsSpec/StreamingSpec drive it with synthetic
+    * return events; the oracle SQL carries the identical rule so the
+    * hash gate stays meaningful if the data ever grows returns. */
+  def isReturn: Column =
+    coalesce(
+      col("value") < 0.0 ||
+        col("event_type").contains("return") ||
+        get_json_object(col("props"), "$.is_return") === "true",
+      lit(false)) // a missing props flag is NULL; SQL's CASE/WHERE treat that as false — make it false everywhere (typed streams need a real boolean)
+
   /** Streaming-ready enrichment columns (shared with
     * graft.streaming.EnrichStream — the batch/stream parity is the
     * point: same Columns, two execution modes).
+    *
+    * Taxonomy mirrors EnrichmentFunction.java:40-53 (anonymous / new
+    * / vip / wholesale / return_customer / regular), keyed on this
+    * table's event_type+props instead of the reference's
+    * pre-categorized event names, and keeps the at_risk /
+    * regular_buyer refinements from round 1.
     */
   def userSegment: Column =
-    when(col("event_type") === "signup", "new")
+    when(col("user_id").isNull, "anonymous")
+      .when(isReturn, "return_customer")
+      .when(col("event_type") === "signup", "new")
+      .when(col("event_type") === "purchase" &&
+        get_json_object(col("props"), "$.k").cast("int") > BulkK, "wholesale")
       .when(col("event_type") === "purchase" && col("value") > 100.0, "vip")
       .when(col("event_type") === "error", "at_risk")
       .when(col("event_type") === "purchase", "regular_buyer")
@@ -71,10 +102,16 @@ object Events {
   def q21(s: SparkSession, dir: String): DataFrame =
     enrich(Tables(s, dir, "events")).orderBy("event_id")
 
+  private val isReturnSql =
+    "(value < 0.0 OR event_type LIKE '%return%' OR json_extract_string(props,'$.is_return') = 'true')"
+
   private val q21Sql =
-    """SELECT event_id, user_id, event_type, ts, value,
-       json_extract_string(props,'$.k')::INT AS k_value,
-       CASE WHEN event_type='signup' THEN 'new'
+    s"""SELECT event_id, user_id, event_type, ts, value,
+       json_extract_string(props,'$$.k')::INT AS k_value,
+       CASE WHEN user_id IS NULL THEN 'anonymous'
+            WHEN $isReturnSql THEN 'return_customer'
+            WHEN event_type='signup' THEN 'new'
+            WHEN event_type='purchase' AND json_extract_string(props,'$$.k')::INT > $BulkK THEN 'wholesale'
             WHEN event_type='purchase' AND value>100.0 THEN 'vip'
             WHEN event_type='error' THEN 'at_risk'
             WHEN event_type='purchase' THEN 'regular_buyer'
@@ -86,25 +123,41 @@ object Events {
                WHEN event_type='signup' THEN 0.2 ELSE 0.0 END)) AS risk_score
        FROM events ORDER BY event_id"""
 
+  /** Monetary events that move LTV: purchases and returns
+    * (EnrichmentFunction.java:71-75 keys updateLtv on event types
+    * containing "purchase" or "return"). */
+  def isMonetary: Column =
+    col("event_type").contains("purchase") ||
+      col("event_type").contains("return") || isReturn
+
+  /** Signed LTV delta in exact integer cents: returns SUBTRACT
+    * abs(amount) (EnrichmentFunction.java:113-118), purchases add. */
+  def ltvCents: Column =
+    when(isReturn, -floor(abs(col("value")) * 100.0 + 0.5))
+      .otherwise(floor(col("value") * 100.0 + 0.5)).cast("long")
+
   /** Per-user running LTV: the Flink ValueState re-expressed as a
-    * cumulative window over exact integer cents. */
+    * cumulative window over exact integer cents, return-aware. */
   def q22(s: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     Tables(s, dir, "events")
-      .filter(col("event_type") === "purchase")
-      .withColumn("cents", floor(col("value") * 100.0 + 0.5).cast("long"))
+      .filter(isMonetary)
+      .withColumn("cents", ltvCents)
       .select(col("event_id"), col("user_id"),
         (sum("cents").over(w) / 100.0).as("ltv"))
       .orderBy("user_id", "event_id")
   }
 
   private val q22Sql =
-    """SELECT event_id, user_id,
-       (sum(CAST(floor(value*100.0 + 0.5) AS BIGINT)) OVER (
+    s"""SELECT event_id, user_id,
+       (sum(CASE WHEN $isReturnSql THEN -CAST(floor(abs(value)*100.0 + 0.5) AS BIGINT)
+                 ELSE CAST(floor(value*100.0 + 0.5) AS BIGINT) END) OVER (
          PARTITION BY user_id ORDER BY ts, event_id
          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))/100.0 AS ltv
-       FROM events WHERE event_type='purchase' ORDER BY user_id, event_id"""
+       FROM events
+       WHERE event_type LIKE '%purchase%' OR event_type LIKE '%return%' OR $isReturnSql
+       ORDER BY user_id, event_id"""
 
   /** Gap-based sessionization (30 min) — lag + cumulative flag. */
   def q23(s: SparkSession, dir: String): DataFrame = {

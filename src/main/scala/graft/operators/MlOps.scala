@@ -81,11 +81,29 @@ object MlOps {
                    ELSE 'regular' END AS segment
        FROM scored ORDER BY o_custkey"""
 
+  /** Pair fan-out guard for q31: a basket of L lines contributes
+    * C(L,2) pairs on ONE join key, so a single pathological
+    * mega-basket (a crawler order with 10⁵ lines) quadratically
+    * dominates the shuffle. Baskets are capped to the MaxBasket
+    * lowest part ids — deterministic, mirrored in the oracle SQL,
+    * vacuous on the natural data (orders average ~4 lines). */
+  val MaxBasket = 200
+
   /** product_recommendations: item-item co-occurrence cosine, top-5.
     * cosine = co_count / sqrt(n1*n2) over distinct (order, part)
     * baskets — collaborative filtering without MF, deterministic. */
-  def q31(s: SparkSession, dir: String): DataFrame = {
-    val b = Tables(s, dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+  def q31(s: SparkSession, dir: String): DataFrame =
+    recsFromBaskets(Tables(s, dir, "lineitem").select("l_orderkey", "l_partkey"))
+
+  /** Core of q31 over any (l_orderkey, l_partkey) basket table —
+    * exposed so MlOpsSpec can drive a synthetic mega-basket through
+    * the cap. */
+  def recsFromBaskets(baskets: DataFrame): DataFrame = {
+    val wCap = Window.partitionBy("l_orderkey").orderBy("l_partkey")
+    val b = baskets.distinct()
+      .withColumn("_rn", row_number().over(wCap))
+      .filter(col("_rn") <= MaxBasket)
+      .drop("_rn")
     val cnt = b.groupBy("l_partkey").agg(count(lit(1)).as("n"))
     val pairs = b.as("a").join(b.as("bb"),
         col("a.l_orderkey") === col("bb.l_orderkey") && col("a.l_partkey") < col("bb.l_partkey"))
@@ -105,7 +123,10 @@ object MlOps {
   }
 
   private val q31Sql =
-    s"""WITH b AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    s"""WITH b0 AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+       b AS (SELECT l_orderkey, l_partkey FROM (
+         SELECT *, row_number() OVER (PARTITION BY l_orderkey ORDER BY l_partkey) AS rn FROM b0)
+         WHERE rn <= $MaxBasket),
        cnt AS (SELECT l_partkey, count(*) AS n FROM b GROUP BY 1),
        pair AS (SELECT a.l_partkey p1, b2.l_partkey p2, count(*) c
                 FROM b a JOIN b b2 ON a.l_orderkey=b2.l_orderkey AND a.l_partkey < b2.l_partkey

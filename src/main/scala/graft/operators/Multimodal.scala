@@ -26,17 +26,24 @@ case class MediaMeta(
   */
 object Multimodal {
 
-  /** STUB decoder: deterministic fake features from raw bytes. */
+  /** STUB decoder: deterministic fake features from raw bytes.
+    * `bytes(0) & 0xff` (not the raw signed byte) so a payload whose
+    * first byte is >= 0x80 classifies like the oracle's ascii()
+    * codepoint on the ASCII corpus instead of going negative; a
+    * zero-length payload is its own format rather than an
+    * ArrayIndexOutOfBounds. */
   private def stubDecode(id: Long, bytes: Array[Byte]): MediaMeta = {
     val n = bytes.length
     var i = 0
     var sum = 0L
     while (i < n) { sum += (bytes(i) & 0xff); i += 1 }
-    val format = (bytes(0) % 3) match {
-      case 0 => "jpeg"
-      case 1 => "png"
-      case _ => "wav"
-    }
+    val format =
+      if (n == 0) "empty"
+      else ((bytes(0) & 0xff) % 3) match {
+        case 0 => "jpeg"
+        case 1 => "png"
+        case _ => "wav"
+      }
     MediaMeta(id, n.toLong, sum, format, 64L + n % 512, 64L + sum % 512)
   }
 
@@ -55,10 +62,11 @@ object Multimodal {
     * the full plumbing end-to-end (ASCII corpus: char == byte). */
   private val q70Sql =
     """SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n_bytes,
-       CAST(list_sum(list_transform(range(1, strlen(text)+1), i -> ascii(text[i]))) AS BIGINT) AS byte_sum,
-       CASE ascii(text[1]) % 3 WHEN 0 THEN 'jpeg' WHEN 1 THEN 'png' ELSE 'wav' END AS format,
+       CAST(coalesce(list_sum(list_transform(range(1, strlen(text)+1), i -> ascii(text[i]))), 0) AS BIGINT) AS byte_sum,
+       CASE WHEN strlen(text) = 0 THEN 'empty'
+            ELSE CASE ascii(text[1]) % 3 WHEN 0 THEN 'jpeg' WHEN 1 THEN 'png' ELSE 'wav' END END AS format,
        CAST(64 + strlen(text) % 512 AS BIGINT) AS width,
-       CAST(64 + list_sum(list_transform(range(1, strlen(text)+1), i -> ascii(text[i]))) % 512 AS BIGINT) AS height
+       CAST(64 + coalesce(list_sum(list_transform(range(1, strlen(text)+1), i -> ascii(text[i]))), 0) % 512 AS BIGINT) AS height
        FROM documents ORDER BY doc_id"""
 
   val qs: Seq[Q] = Seq(

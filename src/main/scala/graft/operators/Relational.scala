@@ -296,14 +296,24 @@ object Relational {
        GROUP BY ROLLUP(n_name, year(o_orderdate))
        ORDER BY nation, o_year"""
 
-  /** data_loader.py:64-89 quality gate re-expressed: bounds filters,
+  /** data_loader.py:52-89 quality gate re-expressed: bounds filters,
     * derived total_amount / is_return, seasonal tagging — per-row,
-    * fully codegen'd, filter pushed to scan. */
+    * fully codegen'd, filter pushed to scan. Anonymous-customer
+    * handling per data_loader.py:52-63: a line whose order has no
+    * customer gets a stable NEGATIVE id (the reference hands out
+    * -1,-2,… from a driver-side counter; distributed we derive
+    * -l_orderkey, equally unique and deterministic) and a
+    * customer_type tag. Vacuous on TPC-H-shaped data (custkey is
+    * never null) but the rule rides the oracle so it can't rot. */
   def q12(s: SparkSession, dir: String): DataFrame =
     Tables(s, dir, "lineitem")
       .filter(col("l_quantity") > 0 && col("l_quantity") < 100000 && col("l_extendedprice") > 0)
+      .join(Tables(s, dir, "orders").select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
       .select(
         col("l_orderkey"), col("l_linenumber"),
+        coalesce(col("o_custkey"), -col("l_orderkey")).as("customer_id"),
+        when(col("o_custkey").isNull, "anonymous").otherwise("registered").as("customer_type"),
         ops.r2(disc(col("l_extendedprice"), col("l_discount"))).as("total_amount"),
         (col("l_returnflag") === "R").as("is_return"),
         when(month(col("l_shipdate")).isin(11, 12), "holiday")
@@ -314,14 +324,66 @@ object Relational {
 
   private val q12Sql =
     """SELECT l_orderkey, l_linenumber,
+       coalesce(o_custkey, -l_orderkey) AS customer_id,
+       CASE WHEN o_custkey IS NULL THEN 'anonymous' ELSE 'registered' END AS customer_type,
        floor((l_extendedprice*(1.0-l_discount))*100.0 + 0.5)/100.0 AS total_amount,
        l_returnflag='R' AS is_return,
        CASE WHEN month(l_shipdate) IN (11,12) THEN 'holiday'
             WHEN month(l_shipdate) IN (3,4,5) THEN 'spring'
             WHEN month(l_shipdate) IN (6,7,8) THEN 'summer'
             ELSE 'fall' END AS season
-       FROM lineitem
+       FROM lineitem JOIN orders ON l_orderkey = o_orderkey
        WHERE l_quantity > 0 AND l_quantity < 100000 AND l_extendedprice > 0
+       ORDER BY l_orderkey, l_linenumber"""
+
+  /** data_loader.py:113-126 return subcategorization: for each
+    * returned line, the most recent PRIOR purchase of the same part
+    * by the same customer decides the class — full (quantities
+    * equal), partial (differ), credit_note (no tracked prior
+    * purchase; the reference keys this on 'C'-invoices, which have
+    * no analog here — a return without purchase history is exactly
+    * the case a credit note memorializes). The reference walks a
+    * driver-side dict in date order; distributed this is a
+    * last_value(ignoreNulls) window over (customer, part) — high
+    * cardinality, no skew, scale-safe. */
+  def q16(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(s, dir, "lineitem")
+      .join(Tables(s, dir, "orders").select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey").as("custkey"), col("l_partkey").as("partkey"),
+        col("l_orderkey"), col("l_linenumber"), col("l_quantity"), col("l_shipdate"),
+        (col("l_returnflag") === "R").as("is_return"))
+    val w = Window.partitionBy("custkey", "partkey")
+      .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    ev.withColumn("prior_qty",
+        last(when(!col("is_return"), col("l_quantity")), ignoreNulls = true).over(w))
+      .filter(col("is_return"))
+      .select(col("l_orderkey"), col("l_linenumber"), col("custkey"), col("partkey"),
+        col("l_quantity").as("quantity"), col("prior_qty"),
+        when(col("prior_qty").isNull, "credit_note_return")
+          .when(col("l_quantity") === col("prior_qty"), "full_return")
+          .otherwise("partial_return").as("return_class"))
+      .orderBy("l_orderkey", "l_linenumber")
+  }
+
+  private val q16Sql =
+    """WITH ev AS (
+         SELECT o_custkey AS custkey, l_partkey AS partkey, l_orderkey, l_linenumber,
+                l_quantity, l_shipdate, l_returnflag='R' AS is_return
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+       pr AS (
+         SELECT *, last_value(CASE WHEN NOT is_return THEN l_quantity END IGNORE NULLS)
+           OVER (PARTITION BY custkey, partkey
+                 ORDER BY l_shipdate, l_orderkey, l_linenumber
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prior_qty
+         FROM ev)
+       SELECT l_orderkey, l_linenumber, custkey, partkey,
+              l_quantity AS quantity, prior_qty,
+              CASE WHEN prior_qty IS NULL THEN 'credit_note_return'
+                   WHEN l_quantity = prior_qty THEN 'full_return'
+                   ELSE 'partial_return' END AS return_class
+       FROM pr WHERE is_return
        ORDER BY l_orderkey, l_linenumber"""
 
   /** data_loader.py:108-141 purchase categorization: first vs repeat
@@ -373,5 +435,6 @@ object Relational {
     Q("q12_quality_filter", q12, Some(q12Sql)),
     Q("q13_order_categorize", q13, Some(q13Sql)),
     Q("q14_approx_distinct", q14, None),
-    Q("q15_revenue_rollup", q15, Some(q15Sql)))
+    Q("q15_revenue_rollup", q15, Some(q15Sql)),
+    Q("q16_return_classes", q16, Some(q16Sql)))
 }

@@ -6,8 +6,11 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 import org.apache.spark.sql.types._
 
-/** Input event (ts in integer micros — see graft.Tables on why). */
-case class Ev(event_id: Long, user_id: Long, event_type: String, ts_us: Long, value: Double)
+/** Input event (ts in integer micros — see graft.Tables on why).
+  * `is_return` is precomputed from the SHARED Events.isReturn column
+  * so batch and stream can never disagree on what a return is. */
+case class Ev(event_id: Long, user_id: Long, event_type: String, ts_us: Long,
+    value: Double, is_return: Boolean)
 case class LtvState(cents: Long)
 case class LtvOut(user_id: Long, event_id: Long, ltv: Double)
 
@@ -39,7 +42,8 @@ object EnrichStream {
 
   /** File-source stream of events with micros timestamp rebuilt. */
   def source(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    require(spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").contains("true"),
+      "events.parquet is TIMESTAMP(NANOS): build the session via GraftSession.tune/local")
     // events.parquet is a single file; the file stream source wants a
     // directory, so stream the table dir filtered to that file.
     spark.readStream
@@ -63,17 +67,22 @@ object EnrichStream {
 
   /** Keyed running LTV via explicit state (Flink ValueState analog).
     * Within each micro-batch, events are applied in event-time order;
-    * the running cents survive across batches in the state store. */
+    * the running cents survive across batches in the state store.
+    * Return-aware like batch q22: returns subtract abs(amount)
+    * (EnrichmentFunction.java:100-118). */
   def ltvStateful(events: Dataset[Ev]): Dataset[LtvOut] = {
     import events.sparkSession.implicits._
     events
-      .filter(_.event_type == "purchase")
+      .filter(e => e.event_type.contains("purchase") ||
+        e.event_type.contains("return") || e.is_return)
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
         (uid: Long, evs: Iterator[Ev], state: GroupState[LtvState]) => {
           var cents = state.getOption.map(_.cents).getOrElse(0L)
           val out = evs.toSeq.sortBy(e => (e.ts_us, e.event_id)).map { e =>
-            cents += math.floor(e.value * 100.0 + 0.5).toLong
+            cents +=
+              (if (e.is_return) -math.floor(math.abs(e.value) * 100.0 + 0.5).toLong
+               else math.floor(e.value * 100.0 + 0.5).toLong)
             LtvOut(uid, e.event_id, cents / 100.0)
           }
           state.update(LtvState(cents))
@@ -91,11 +100,27 @@ object EnrichStream {
       .dropDuplicatesWithinWatermark("event_id")
 
   /** Typed view of the stream for stateful operators. */
-  def typedSource(spark: SparkSession, dir: String): Dataset[Ev] = {
-    import spark.implicits._
-    source(spark, dir)
-      .select(col("event_id"), col("user_id"), col("event_type"),
-        unix_micros(col("ts")).as("ts_us"), col("value"))
+  def typedSource(spark: SparkSession, dir: String): Dataset[Ev] =
+    typed(source(spark, dir))
+
+  /** DataFrame (with event columns + props) → typed stream. */
+  def typed(df: DataFrame): Dataset[Ev] = {
+    import df.sparkSession.implicits._
+    df.select(col("event_id"), col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("ts_us"), col("value"),
+        Events.isReturn.as("is_return"))
       .as[Ev]
   }
+
+  /** Rate-limited replay of a directory of event files — the batch
+    * analog of event_simulator.py's speed-factor pacing: the file
+    * source admits at most `filesPerTrigger` files per micro-batch,
+    * so a bulk backlog replays as a bounded stream instead of one
+    * giant batch (same lever as Kafka's maxOffsetsPerTrigger). */
+  def replaySource(spark: SparkSession, dir: String, filesPerTrigger: Int): DataFrame =
+    spark.readStream
+      .schema(rawSchema)
+      .option("maxFilesPerTrigger", filesPerTrigger)
+      .parquet(dir)
+      .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
 }

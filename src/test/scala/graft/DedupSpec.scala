@@ -60,9 +60,38 @@ class DedupSpec extends AnyFunSuite {
     assert(df.count() > 0, "expected simhash candidates on near-dup corpus")
   }
 
+  test("q43 block-combination banding recalls ALL hamming<=8 pairs (exhaustive)") {
+    val sims = operators.Dedup.simhashes(spark, sf)
+    val a = sims.select(col("doc_id").as("d1"), col("simhash").as("h1"))
+    val b = sims.select(col("doc_id").as("d2"), col("simhash").as("h2"))
+    val exact = a.join(b, col("d1") < col("d2"))
+      .withColumn("hamming", bit_count(col("h1").bitwiseXOR(col("h2"))))
+      .filter(col("hamming") <= 8)
+      .select("d1", "d2", "hamming")
+    val got = operators.Dedup.q43(spark, sf).select("d1", "d2", "hamming")
+    assert(exact.exceptAll(got).count() == 0,
+      "banding missed a hamming<=8 pair — the >=2-clean-blocks guarantee is broken")
+    assert(got.exceptAll(exact).count() == 0, "q43 emitted a pair outside hamming<=8")
+  }
+
   test("q44 embedding near-dups are id-ordered and above threshold") {
     val df = operators.Dedup.q44(spark, sf)
     assert(df.filter(col("id1") >= col("id2")).count() == 0)
     assert(df.filter(col("cosine") < 0.45).count() == 0)
+  }
+
+  test("q44 LSH candidates recall the exact all-pairs result (exhaustive)") {
+    import graft.functions.VectorOps.{dotp, l2norm}
+    val e = Tables(spark, sf, "embeddings").withColumn("nrm", l2norm(col("embedding")))
+    val a = e.select(col("vec_id").as("id1"), col("embedding").as("e1"), col("nrm").as("n1"))
+    val b = e.select(col("vec_id").as("id2"), col("embedding").as("e2"), col("nrm").as("n2"))
+    val exact = a.join(b, col("id1") < col("id2"))
+      .withColumn("cos", dotp(col("e1"), col("e2")) / (col("n1") * col("n2")))
+      .filter(col("cos") >= 0.45)
+      .select("id1", "id2")
+    val got = operators.Dedup.q44(spark, sf).select("id1", "id2")
+    assert(exact.exceptAll(got).count() == 0,
+      "LSH candidate generation missed a true pair at this SF — widen NdBands")
+    assert(got.exceptAll(exact).count() == 0, "q44 emitted a pair below threshold")
   }
 }
