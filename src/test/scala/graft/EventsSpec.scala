@@ -52,4 +52,43 @@ class EventsSpec extends AnyFunSuite {
   test("q26 only emits hours above the 2-sigma line") {
     assert(operators.Events.q26(spark, sf).filter(col("z_score") <= 2.0).count() == 0)
   }
+
+  /** The natural events table has no returns, so drive the
+    * return/anonymous/wholesale rules with synthetic events — the
+    * same Columns the batch q21/q22 and the streaming pipeline use. */
+  test("segment taxonomy covers returns, anonymous, and wholesale") {
+    import spark.implicits._
+    val ev = Seq(
+      // (event_id, user_id, event_type, value, props)
+      (1L, Some(10L), "purchase", 50.0, """{"k": 5}"""),
+      (2L, Some(10L), "purchase", 150.0, """{"k": 5}"""),          // vip
+      (3L, Some(10L), "purchase", 40.0, """{"k": 95}"""),          // wholesale (k > 90)
+      (4L, Some(10L), "return", 30.0, """{"k": 1}"""),             // return_customer
+      (5L, Some(10L), "purchase", -20.0, """{"k": 1}"""),          // negative value => return
+      (6L, Some(10L), "purchase", 25.0, """{"k": 2, "is_return": "true"}"""), // flag => return
+      (7L, None, "view", 1.0, """{"k": 1}"""),                     // anonymous
+      (8L, Some(11L), "signup", 0.1, """{"k": 1}"""))
+      .toDF("event_id", "user_id", "event_type", "value", "props")
+    val seg = ev.withColumn("s", operators.Events.userSegment)
+      .select("event_id", "s").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(seg(1L) == "regular_buyer" && seg(2L) == "vip" && seg(3L) == "wholesale")
+    assert(seg(4L) == "return_customer" && seg(5L) == "return_customer" && seg(6L) == "return_customer")
+    assert(seg(7L) == "anonymous" && seg(8L) == "new")
+  }
+
+  test("LTV deltas subtract abs(amount) on returns and skip non-monetary events") {
+    import spark.implicits._
+    val ev = Seq(
+      (1L, "purchase", 10.0, """{}"""),
+      (2L, "return", 4.0, """{}"""),
+      (3L, "purchase", -3.0, """{}"""),
+      (4L, "view", 99.0, """{}"""),
+      (5L, "purchase", 2.5, """{"is_return": "true"}"""))
+      .toDF("event_id", "event_type", "value", "props")
+    val out = ev.filter(operators.Events.isMonetary)
+      .withColumn("cents", operators.Events.ltvCents)
+      .select("event_id", "cents").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 1000L, 2L -> -400L, 3L -> -300L, 5L -> -250L),
+      s"unexpected deltas: $out")
+  }
 }

@@ -51,6 +51,20 @@ class MlOpsSpec extends AnyFunSuite {
     assert(sizes.count() >= 2, "KMeans collapsed to a single cluster")
   }
 
+  test("q31 basket cap bounds pair fan-out on a synthetic mega-basket") {
+    import spark.implicits._
+    val cap = operators.MlOps.MaxBasket
+    // one pathological 1000-line basket + a small normal one
+    val mega = (1 to 1000).map(p => (1L, p.toLong)) ++ Seq((2L, 1L), (2L, 2L))
+    val recs = operators.MlOps.recsFromBaskets(mega.toDF("l_orderkey", "l_partkey"))
+    // parts beyond the cap (lowest part ids win) contribute nothing
+    assert(recs.filter(col("part_id") > cap).count() == 0,
+      "a part past the basket cap leaked into the pair join")
+    // and the surviving fan-out is the capped C(cap,2), not C(1000,2):
+    // every kept part has at most 5 recs by construction of the top-k
+    assert(recs.select("part_id").distinct().count() <= cap)
+  }
+
   test("q34 ALS gives each customer 5 ranked recs with descending scores") {
     val df = operators.MlOps.q34(spark, sf)
     assert(df.groupBy("o_custkey").count().filter(col("count") =!= 5).count() == 0)

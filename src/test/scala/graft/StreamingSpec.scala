@@ -69,6 +69,51 @@ class StreamingSpec extends AnyFunSuite {
     assert(spark.table("dedup_out").count() == ev.count())
   }
 
+  test("rate-limited replay paces a backlog across micro-batches and loses nothing") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-replay").toString
+    val raw = Tables(spark, sf, "events")
+      .select(col("event_id"), unix_micros(col("ts")).as("ts"),
+        col("user_id"), col("event_type"), col("value"), col("props"))
+    // a 4-file backlog replayed at 1 file per trigger = 4 micro-batches
+    raw.repartition(4).write.mode("overwrite").parquet(dir)
+    var batches = 0
+    var rows = 0L
+    val q = streaming.EnrichStream.replaySource(spark, dir, filesPerTrigger = 1)
+      .writeStream
+      .outputMode("append")
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        batches += 1; rows += df.count()
+      }
+      .start()
+    q.processAllAvailable(); q.stop()
+    assert(batches >= 4, s"expected the backlog paced over >=4 micro-batches, got $batches")
+    assert(rows == raw.count(), "replay dropped or duplicated events")
+  }
+
+  test("stream of synthetic returns matches batch LTV including subtractions") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-returns").toString
+    Seq(
+      (1L, 1000000L, 7L, "purchase", 10.0, """{}"""),
+      (2L, 2000000L, 7L, "return", 4.0, """{}"""),
+      (3L, 3000000L, 7L, "purchase", -3.0, """{}"""),
+      (4L, 4000000L, 7L, "purchase", 2.5, """{"is_return": "true"}"""),
+      (5L, 5000000L, 8L, "purchase", 1.0, """{}"""))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream.schema(streaming.EnrichStream.rawSchema).parquet(dir)
+      .withColumn("ts", expr("timestamp_micros(ts)"))
+    val q = streaming.EnrichStream.ltvStateful(streaming.EnrichStream.typed(stream))
+      .writeStream.format("memory").queryName("ltv_ret_out")
+      .outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    val ltv = spark.table("ltv_ret_out")
+      .collect().map(r => r.getLong(1) -> r.getDouble(2)).toMap
+    // user 7: +10.00, -4.00, -3.00, -2.50 => 10.0, 6.0, 3.0, 0.5
+    assert(ltv == Map(1L -> 10.0, 2L -> 6.0, 3L -> 3.0, 4L -> 0.5, 5L -> 1.0),
+      s"unexpected streamed LTV trajectory: $ltv")
+  }
+
   test("parquet sink with checkpoint round-trips the enriched stream") {
     val out = java.nio.file.Files.createTempDirectory("graft-sink").toString
     val ckpt = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
