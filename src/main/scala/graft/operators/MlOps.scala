@@ -213,8 +213,13 @@ object MlOps {
       .groupBy(col("o_custkey").cast("int").as("user"),
         col("l_partkey").cast("int").as("item"))
       .agg(sum("l_quantity").cast("float").as("strength"))
+    // numBlocks bounds ALS's user×item block grid (default 10×10 =
+    // 100 tasks per factor stage × ~30 stages): at this data size the
+    // job is driver-scheduling-bound, not compute-bound, and 4×4
+    // blocks cut wall time ~2-3×. On a real cluster size blocks to
+    // cores, not to this constant.
     val model = new ALS().setRank(8).setMaxIter(3).setRegParam(0.1)
-      .setImplicitPrefs(true).setSeed(42L)
+      .setImplicitPrefs(true).setSeed(42L).setNumBlocks(4)
       .setUserCol("user").setItemCol("item").setRatingCol("strength")
       .fit(ratings)
     model.recommendForAllUsers(5)
