@@ -14,8 +14,26 @@ final case class Q(
     oracle: Option[String])
 
 object Tables {
-  def apply(spark: SparkSession, dir: String, name: String): DataFrame =
-    if (name == "events") events(spark, dir) else spark.read.parquet(s"$dir/$name.parquet")
+  def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val df =
+      if (name == "events") events(spark, dir)
+      else spark.read.parquet(s"$dir/$name.parquet")
+    // The LLM-pipeline tables feed explode-heavy pipelines (shingles,
+    // token hashing, LSH signatures) whose cost is 10-100x the scan:
+    // a single-row-group file scans as ONE task and serializes all of
+    // it. Rebalance UP-only — a real deployment's multi-file table
+    // already has >= defaultParallelism splits and is left untouched,
+    // so this never shrinks a big scan. Safe for parity: every
+    // downstream aggregation over these tables is integer/min-based
+    // (counts, xxhash mins, +/-1 sums), so partition order cannot
+    // drift a float result against the oracle.
+    if (name == "documents" || name == "embeddings") rebalanced(df, spark) else df
+  }
+
+  private def rebalanced(df: DataFrame, spark: SparkSession): DataFrame = {
+    val target = spark.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
 
   /** events.parquet carries TIMESTAMP(NANOS) which Spark's parquet
     * reader rejects; read nanos as long and rebuild a micros

@@ -328,14 +328,27 @@ object Dedup {
     * their identity label in one final left join. */
   def q65(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables(s, dir, "documents").select(col("doc_id"))
+    // checkpoint the pair list BEFORE symmetrizing: the union
+    // references it twice, and without the barrier the whole shingle
+    // subtree executes twice.
     val pairs = jaccardPairs(s, dir).filter(col("jacc_raw") >= JaccThr.toDouble)
       .select(col("d1"), col("d2"))
+      .localCheckpoint(false)
+    // Size the iteration frames to the graph, not to the session
+    // default: the edge set is usually orders of magnitude smaller
+    // than the corpus, and dragging defaultParallelism near-empty
+    // partitions through every round turns the loop
+    // scheduling-bound. count() on the checkpointed frame is free.
+    val parts = math.max(1L, math.min(pairs.count() / 500000L + 1L,
+      s.sparkContext.defaultParallelism.toLong)).toInt
     val sym = pairs.union(pairs.select(col("d2").as("d1"), col("d1").as("d2")))
+      .repartition(parts)
       .localCheckpoint(false)
     // `ckpt` is the checkpointed frame itself (unpersist must target
     // it, not a derived projection); `labels` is its working view.
     var ckpt = sym.select(col("d1").as("doc_id")).distinct()
       .select(col("doc_id"), col("doc_id").as("cluster_id"))
+      .repartition(parts)
       .localCheckpoint(false)
     var labels = ckpt
     var changed = 1L
