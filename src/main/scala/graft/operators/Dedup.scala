@@ -46,11 +46,17 @@ object Dedup {
     * millions of shingles over the cap, and the hint would force an
     * over-limit broadcast where a shuffle anti join is the safe plan.
     */
+  /** The capped inverted index is consumed 3-4× per query (self-join
+    * sides, per-doc sizes, verification) — localCheckpoint it so the
+    * tokenize→explode→anti-join subtree runs once instead of per
+    * consumer. The materialization is the index itself (linear,
+    * partitioned): the standard cache-the-index trade at any scale.
+    */
   private def cappedShingles(s: SparkSession, dir: String): DataFrame = {
     val sh = shingled(s, dir)
     val hot = sh.groupBy("s").agg(count(lit(1)).as("df"))
       .filter(col("df") > DfCap).select("s")
-    sh.join(hot, Seq("s"), "left_anti")
+    sh.join(hot, Seq("s"), "left_anti").localCheckpoint(false)
   }
 
   private val shingleCte =
