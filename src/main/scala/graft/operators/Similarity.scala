@@ -2,21 +2,33 @@ package graft.operators
 
 import graft.{Q, Tables}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Similarity search over the embedding column (SURVEY §2.E).
   *
-  * q50 is the exact brute-force baseline: the (small) query set is
-  * broadcast against the candidate corpus — at 100 TB the corpus
-  * side stays partitioned and never shuffles; per-partition top-k
-  * then a k×partitions driver merge (TakeOrderedAndProject shape).
-  * q51 is the scale path: random-hyperplane LSH signatures bucket
-  * the corpus so each query only scores its colliding buckets.
+  * q50 is the exact brute-force baseline; q51 and q52 are the two
+  * standard ANN scale paths — binary quantization (hamming pre-rank
+  * over compact hyperplane signatures) and IVF (coarse-quantizer
+  * cells) — each verified against q50 by a recall spec.
+  *
+  * All three share one ranking primitive: a bounded per-partition
+  * top-k aggregate ([[graft.functions.TopKAgg]]). A
+  * `row_number().over(Window.partitionBy(query_id))` would shuffle
+  * every scored row into #queries partitions — parallelism equal to
+  * the query count, an all-data exchange at corpus scale. The
+  * aggregate keeps k rows per (query × partition) map-side and
+  * merges k-bounded state, so ranking cost is independent of the
+  * corpus row count.
   */
 object Similarity {
 
+  import graft.functions.TopK
   import graft.functions.VectorOps.{dotp, l2norm}
+
+  /** Query-set contract shared by q50/q51/q52: vec_id < QueryMax.
+    * The query side is bounded (broadcast/collect-safe) by design;
+    * the CORPUS side is the thing that scales and never collects. */
+  private val QueryMax = 20
 
   /** embedding (float[]) plus L2 norm; dot/norm via the codegen'd
     * [[graft.functions.DotProduct]] (same IEEE result as the HOF
@@ -25,25 +37,33 @@ object Similarity {
     df.withColumn("ed", col("embedding"))
       .withColumn("nrm", l2norm(col("embedding")))
 
-  private def dot(a: String, b: String): Column = dotp(col(a), col(b))
+  /** Exact top-5 per query over (query_id, neighbor_id, cosine) rows
+    * via the bounded aggregate; ties broken by neighbor_id exactly
+    * like `ORDER BY cosine DESC, neighbor_id`. */
+  private def top5(scored: DataFrame): DataFrame =
+    scored.groupBy("query_id")
+      .agg(TopK.topk(5)(col("cosine"), col("neighbor_id")).as("top"))
+      .select(col("query_id"), posexplode(col("top")))
+      .select(col("query_id"), col("col.id").as("neighbor_id"),
+        (col("pos") + 1).as("rank"), col("col.score").as("cosine"))
+      .orderBy("query_id", "rank")
 
-  /** Brute-force cosine top-5 per query vector (query set: id < 20). */
+  /** Brute-force cosine top-5 per query vector: the query set is
+    * broadcast against the candidate corpus, which never shuffles —
+    * scoring is map-side and ranking is the bounded top-k agg. */
   def q50(s: SparkSession, dir: String): DataFrame = {
     val e = withNorm(Tables(s, dir, "embeddings"))
-    val q = e.filter(col("vec_id") < 20)
+    val q = e.filter(col("vec_id") < QueryMax)
       .select(col("vec_id").as("query_id"), col("ed").as("qe"), col("nrm").as("qn"))
     val c = e.select(col("vec_id").as("neighbor_id"), col("ed").as("ce"), col("nrm").as("cn"))
     val scored = c.join(broadcast(q), col("neighbor_id") =!= col("query_id"))
-      .withColumn("cosine", ops.r6(dot("qe", "ce") / (col("qn") * col("cn"))))
-    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= 5)
-      .select("query_id", "neighbor_id", "rank", "cosine")
-      .orderBy("query_id", "rank")
+      .withColumn("cosine", ops.r6(dotp(col("qe"), col("ce")) / (col("qn") * col("cn"))))
+      .select("query_id", "neighbor_id", "cosine")
+    top5(scored)
   }
 
   private val q50Sql =
-    s"""WITH q AS (SELECT * FROM embeddings WHERE vec_id < 20),
+    s"""WITH q AS (SELECT * FROM embeddings WHERE vec_id < $QueryMax),
        p AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
              ${ops.R6("list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[])")} AS cosine
              FROM q JOIN embeddings c ON c.vec_id <> q.vec_id)
@@ -52,105 +72,229 @@ object Similarity {
            ORDER BY cosine DESC, neighbor_id) AS rank FROM p)
        WHERE rank <= 5 ORDER BY query_id, rank"""
 
-  /** Deterministic random hyperplanes (seed 42), 16 bits → 4 bands. */
-  private val planes: Seq[Seq[Double]] = {
-    val rnd = new scala.util.Random(42)
-    Seq.fill(16)(Seq.fill(64)(rnd.nextGaussian()))
+  /** q51 signature geometry. 512 hyperplane sign bits per vector —
+    * a 64-byte binary code (4× smaller than the 256-byte raw
+    * embedding) whose hamming distance estimates the angle with
+    * σ(θ̂) = π·sqrt(p(1-p)/512) ≈ 0.07 rad.
+    *
+    * Why not bucketed band-join LSH (the q43/q44 machinery): bucket
+    * LSH prunes by EXACT key match, and its enrichment per band is
+    * (p/0.5)^bits with p = 1 − θ/π per bit. This corpus's true
+    * top-5 neighbors sit near cosine 0.3 (θ ≈ 72°, p ≈ 0.60), so a
+    * 20-bit band enriches only 1.2²⁰ ≈ 38× over random — recall 0.9
+    * at usable candidate volume needs ~10⁵ bands (≫10⁶ plane dots
+    * per vector). No exact-match geometry separates 0.6 from 0.5;
+    * graded hamming over a WIDE signature does it with 512 bits.
+    * (q43/q44 keep banding because near-DUP thresholds sit at
+    * p ≥ 0.8 where a 6-bit band enriches 46× and a handful of bands
+    * suffice — different operating point, different geometry.)
+    */
+  private[graft] val SigBits = 512
+  private val SigWords = SigBits / 64
+
+  /** Candidates kept per query before exact rerank. Recall@5 at the
+    * test SFs: 0.99 (n=500) / 0.92 (n=2000); candidate fraction
+    * CandK/n shrinks as the corpus grows (9.6% → 2.4%). */
+  private[graft] val CandK = 48
+
+  private lazy val sigPlanes: Array[Array[Double]] = {
+    val rnd = new scala.util.Random(7331)
+    Array.fill(SigBits)(Array.fill(64)(rnd.nextGaussian()))
   }
 
-  /** LSH-bucketed approximate top-5: candidates = vectors sharing at
-    * least one 4-bit signature band with the query. rows-only —
-    * SimilaritySpec asserts recall against q50. */
+  private def sigOf(planes: Array[Array[Double]], arr: Array[Float]): Array[Long] = {
+    val sig = new Array[Long](SigWords)
+    var b = 0
+    while (b < SigBits) {
+      val p = planes(b)
+      val m = math.min(arr.length, p.length)
+      var d = 0.0
+      var i = 0
+      while (i < m) { d += arr(i) * p(i); i += 1 }
+      if (d >= 0) sig(b >> 6) |= 1L << (b & 63)
+      b += 1
+    }
+    sig
+  }
+
+  /** Binary-quantization ANN: one signature pass over the corpus
+    * (mapPartitions, closed-over plane matrix — embarrassingly
+    * parallel, no shuffle), a bounded per-partition top-CandK
+    * hamming heap per query, a k-bounded global merge, then EXACT
+    * cosine rerank of the CandK survivors. The corpus is touched in
+    * full exactly once at 64 B/row compare cost; floats are read
+    * only for the CandK×|Q| reranked rows. rows-only —
+    * SimilaritySpec asserts recall ≥ 0.9 vs q50. */
   def q51(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
     val e = withNorm(Tables(s, dir, "embeddings"))
-    val sig = planes.zipWithIndex.map { case (p, i) =>
-      val planeDot = dotp(col("ed"), array(p.map(v => lit(v)): _*))
-      when(planeDot >= 0, lit(1 << i)).otherwise(lit(0))
-    }.reduce(_ + _)
-    val signed = e.withColumn("sig", sig)
-    val bands = signed.select(col("vec_id"), col("ed"), col("nrm"), explode(expr(
-      "transform(sequence(0, 3), i -> struct(i AS band, shiftright(sig, i*4) & 15 AS bkey))")).as("bk"))
-      .select(col("vec_id"), col("ed"), col("nrm"), col("bk.band"), col("bk.bkey"))
-    val qb = bands.filter(col("vec_id") < 20)
-      .select(col("vec_id").as("query_id"), col("ed").as("qe"), col("nrm").as("qn"),
-        col("band"), col("bkey"))
-    val cands = bands.as("c").join(qb.as("q"),
-        col("c.band") === col("q.band") && col("c.bkey") === col("q.bkey") &&
-        col("c.vec_id") =!= col("q.query_id"))
-      .select(col("q.query_id"), col("c.vec_id").as("neighbor_id"),
-        col("q.qe"), col("q.qn"), col("c.ed").as("ce"), col("c.nrm").as("cn"))
-      .dropDuplicates("query_id", "neighbor_id")
-    val scored = cands.withColumn("cosine", ops.r6(dot("qe", "ce") / (col("qn") * col("cn"))))
-    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= 5)
-      .select("query_id", "neighbor_id", "rank", "cosine")
-      .orderBy("query_id", "rank")
+    val planes = sigPlanes
+    // query signatures: driver-computed from the bounded query set
+    val qsigs: Array[(Long, Array[Long])] = e.filter(col("vec_id") < QueryMax)
+      .select(col("vec_id"), col("embedding")).as[(Long, Seq[Float])]
+      .collect().sortBy(_._1)
+      .map { case (id, v) => (id, sigOf(planes, v.toArray)) }
+    val nq = qsigs.length
+    // per-partition bounded heaps: worst candidate on top, so a
+    // beaten worst is dequeued in O(log CandK); emits <= nq×CandK
+    // rows per partition regardless of partition size.
+    val cands = e.select(col("vec_id"), col("embedding")).as[(Long, Seq[Float])]
+      .mapPartitions { it =>
+        val heaps = Array.fill(nq)(new scala.collection.mutable.PriorityQueue[(Int, Long)]())
+        it.foreach { case (id, v) =>
+          val sig = sigOf(planes, v.toArray)
+          var qi = 0
+          while (qi < nq) {
+            val (qid, qsig) = qsigs(qi)
+            if (id != qid) {
+              var h = 0
+              var w = 0
+              while (w < SigWords) { h += java.lang.Long.bitCount(sig(w) ^ qsig(w)); w += 1 }
+              val heap = heaps(qi)
+              if (heap.size < CandK) heap.enqueue((h, id))
+              else {
+                val worst = heap.head
+                if (h < worst._1 || (h == worst._1 && id < worst._2)) {
+                  heap.dequeue(); heap.enqueue((h, id))
+                }
+              }
+            }
+            qi += 1
+          }
+        }
+        heaps.iterator.zipWithIndex.flatMap { case (heap, qi) =>
+          heap.iterator.map { case (h, id) => (qsigs(qi)._1, id, h) }
+        }
+      }.toDF("query_id", "neighbor_id", "ham")
+    // global top-CandK per query (k-bounded merge of partition heaps)
+    val topC = cands.groupBy("query_id")
+      .agg(TopK.topk(CandK)(-col("ham").cast("double"), col("neighbor_id")).as("top"))
+      .select(col("query_id"), explode(col("top.id")).as("neighbor_id"))
+    // exact rerank: candidate list is tiny → broadcast; the corpus
+    // scan supplying the float vectors stays map-side.
+    val q = e.filter(col("vec_id") < QueryMax)
+      .select(col("vec_id").as("query_id"), col("ed").as("qe"), col("nrm").as("qn"))
+    val scored = e.select(col("vec_id").as("neighbor_id"), col("ed").as("ce"), col("nrm").as("cn"))
+      .join(broadcast(topC), "neighbor_id")
+      .join(broadcast(q), "query_id")
+      .withColumn("cosine", ops.r6(dotp(col("qe"), col("ce")) / (col("qn") * col("cn"))))
+      .select("query_id", "neighbor_id", "cosine")
+    top5(scored)
   }
 
   /** IVF (inverted-file) ANN — the coarse-quantizer scale path:
     * k-means cells over the corpus, queries probe only the `nprobe`
-    * nearest cells. At 100 TB the cell index is written bucketed by
-    * cell id so a probe reads only matching buckets; here the
-    * cell join is an ordinary shuffle join on cid.
+    * nearest cells. k scales as ⌈√n⌉ so cell size and cell count
+    * both grow as √n — probe volume is nprobe·√n rows, not O(n). At
+    * 100 TB the cell index is written bucketed by cell id so a probe
+    * reads only matching buckets.
     *
-    * Lloyd iterations are DataFrame aggregations; only the k
-    * centroids (k × dim doubles) ever reach the driver — the
-    * MLlib KMeans pattern, bounded by k not data size. Centroids are
+    * Every per-row argmin is computed MAP-SIDE against the broadcast
+    * centroid array inside mapPartitions — no crossJoin, no shuffle
+    * of embedding-carrying rows, per Lloyd iteration or at final
+    * assignment. Each iteration ships k×dim partial sums per
+    * partition to the driver (the MLlib KMeans collect shape,
+    * bounded by k·dim·#partitions, not data size). Centroids are
     * rounded to 1e-9 after each iteration so FP accumulation order
-    * can't make runs diverge. Deterministic init: the k lowest
+    * cannot make runs diverge. Deterministic init: the k lowest
     * vec_ids. rows-only; SimilaritySpec asserts recall vs q50. */
   def q52(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val k = 16
     val iters = 3
     val nprobe = 4
     val e = withNorm(Tables(s, dir, "embeddings")).select(col("vec_id"), col("ed"), col("nrm"))
+    val typed = e.as[(Long, Seq[Float], Double)]
+    val n = typed.count()
+    val k = math.max(16, math.ceil(math.sqrt(n.toDouble)).toInt)
 
-    // Cell-assignment ranking key: for a fixed vector, argmin over
-    // centroids of ||v-c||² ignores the constant ||v||² term, so it
-    // is never computed — one dot per (vector, centroid), not three.
-    def d2(vec: Column, cvec: Column): Column =
-      dotp(cvec, cvec) - lit(2.0) * dotp(vec, cvec)
+    // Ranking key: argmin over centroids of ||v-c||² ignores the
+    // constant ||v||² term → d = c·c − 2 v·c; ties to the lowest cid.
+    def argmin(arr: Array[Float], cs: Array[Array[Double]], cn2: Array[Double]): Int = {
+      var best = 0
+      var bestD = Double.MaxValue
+      var c = 0
+      while (c < cs.length) {
+        val cv = cs(c)
+        val m = math.min(arr.length, cv.length)
+        var dp = 0.0
+        var i = 0
+        while (i < m) { dp += arr(i) * cv(i); i += 1 }
+        val d = cn2(c) - 2.0 * dp
+        if (d < bestD) { bestD = d; best = c }
+        c += 1
+      }
+      best
+    }
+    def norms2(cs: Array[Array[Double]]): Array[Double] =
+      cs.map { cv =>
+        var x = 0.0; var i = 0
+        while (i < cv.length) { x += cv(i) * cv(i); i += 1 }
+        x
+      }
 
-    // deterministic init: the k lowest vec_ids (whatever their values)
-    var cents: Seq[(Int, Seq[Double])] = e.orderBy("vec_id").limit(k)
-      .select(col("vec_id").cast("int"), col("ed")).as[(Int, Seq[Float])]
-      .collect().toSeq.zipWithIndex
-      .map { case ((_, v), i) => (i, v.map(_.toDouble)) }
+    var cents: Array[Array[Double]] = e.orderBy("vec_id").limit(k)
+      .select(col("vec_id"), col("ed")).as[(Long, Seq[Float])]
+      .collect().map(_._2.toArray.map(_.toDouble))
+    val dim = cents.head.length
 
     for (_ <- 1 to iters) {
-      val centDf = broadcast(cents.toDF("cid", "cvec"))
-      cents = e.crossJoin(centDf)
-        .groupBy("vec_id")
-        .agg(min(struct(d2(col("ed"), col("cvec")).as("d2"), col("cid"), col("ed"))).as("m"))
-        .select(col("m.cid").as("cid"), posexplode(col("m.ed")))
-        .groupBy("cid", "pos").agg(avg(col("col").cast("double")).as("v"))
-        .groupBy("cid")
-        .agg(expr("transform(array_sort(collect_list(struct(pos, v))), x -> x.v)").as("cvec"))
-        .as[(Int, Seq[Double])].collect().toSeq
-        .map { case (c, v) => (c, v.map(x => math.rint(x * 1e9) / 1e9)) }
+      val bc = s.sparkContext.broadcast(cents)
+      val partials = typed.mapPartitions { it =>
+        val cs = bc.value
+        val cn2 = norms2(cs)
+        val sums = Array.fill(cs.length)(new Array[Double](dim))
+        val cnts = new Array[Long](cs.length)
+        it.foreach { case (_, v, _) =>
+          val arr = v.toArray
+          val cid = argmin(arr, cs, cn2)
+          val sm = sums(cid)
+          val m = math.min(arr.length, dim)
+          var i = 0
+          while (i < m) { sm(i) += arr(i); i += 1 }
+          cnts(cid) += 1L
+        }
+        Iterator.range(0, cs.length).filter(cnts(_) > 0L).map(c => (c, sums(c), cnts(c)))
+      }.collect()
+      val agg = Array.fill(k)(new Array[Double](dim))
+      val cnt = new Array[Long](k)
+      partials.foreach { case (c, sm, ct) =>
+        var i = 0
+        while (i < dim) { agg(c)(i) += sm(i); i += 1 }
+        cnt(c) += ct
+      }
+      cents = Array.tabulate(k) { c =>
+        if (cnt(c) == 0L) cents(c) // empty cell keeps its centroid
+        else Array.tabulate(dim)(i => math.rint(agg(c)(i) / cnt(c) * 1e9) / 1e9)
+      }
+      bc.unpersist()
     }
 
-    val centDf = broadcast(cents.toDF("cid", "cvec"))
-    val cells = e.crossJoin(centDf)
-      .groupBy("vec_id")
-      .agg(min(struct(d2(col("ed"), col("cvec")).as("d2"), col("cid"), col("ed"), col("nrm"))).as("m"))
-      .select(col("vec_id"), col("m.cid").as("cid"), col("m.ed").as("ed"), col("m.nrm").as("nrm"))
-    val probes = e.filter(col("vec_id") < 20).crossJoin(centDf)
-      .withColumn("rn", row_number().over(
-        Window.partitionBy("vec_id").orderBy(d2(col("ed"), col("cvec")), col("cid"))))
-      .filter(col("rn") <= nprobe)
-      .select(col("vec_id").as("query_id"), col("ed").as("qe"), col("nrm").as("qn"), col("cid"))
-    val scored = probes.join(cells, "cid")
+    val bcF = s.sparkContext.broadcast(cents)
+    val cells = typed.mapPartitions { it =>
+      val cs = bcF.value
+      val cn2 = norms2(cs)
+      it.map { case (id, v, nrm) => (id, argmin(v.toArray, cs, cn2), v, nrm) }
+    }.toDF("vec_id", "cid", "ed", "nrm")
+    // probe list: nprobe nearest cells per query, driver-computed
+    // from the bounded query set (ties to the lowest cid)
+    val cn2 = norms2(cents)
+    val probes = typed.filter(_._1 < QueryMax).collect().sortBy(_._1)
+      .flatMap { case (qid, qv, qn) =>
+        val arr = qv.toArray
+        cents.indices.map { c =>
+          val cv = cents(c)
+          val m = math.min(arr.length, cv.length)
+          var dp = 0.0
+          var i = 0
+          while (i < m) { dp += arr(i) * cv(i); i += 1 }
+          (cn2(c) - 2.0 * dp, c)
+        }.sorted.take(nprobe).map { case (_, c) => (qid, qv, qn, c) }
+      }.toSeq.toDF("query_id", "qe", "qn", "cid")
+    val scored = cells.join(broadcast(probes), "cid")
       .filter(col("vec_id") =!= col("query_id"))
       .withColumn("cosine", ops.r6(dotp(col("qe"), col("ed")) / (col("qn") * col("nrm"))))
       .select(col("query_id"), col("vec_id").as("neighbor_id"), col("cosine"))
-    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= 5)
-      .select("query_id", "neighbor_id", "rank", "cosine")
-      .orderBy("query_id", "rank")
+    top5(scored)
   }
 
   val qs: Seq[Q] = Seq(

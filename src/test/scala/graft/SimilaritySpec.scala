@@ -23,25 +23,36 @@ class SimilaritySpec extends AnyFunSuite {
     assert(bad.count() == 0)
   }
 
-  test("q51 LSH ANN achieves measurable recall@5 against brute force") {
+  test("q51 binary-signature ANN: recall@5 >= 0.9, candidates << n/4") {
     val exact = operators.Similarity.q50(spark, sf).select("query_id", "neighbor_id")
-    val approx = operators.Similarity.q51(spark, sf).select("query_id", "neighbor_id")
+    val approx = operators.Similarity.q51(spark, sf)
     val n = exact.count()
-    val hit = exact.join(approx, Seq("query_id", "neighbor_id"), "left_semi").count()
-    // 4 bands × 4 bits on weakly-clustered synthetic data: expect
-    // well above random (~6% of corpus per bucket-union)
-    assert(hit * 1.0 / n >= 0.3, s"recall@5 = $hit/$n too low")
-    assert(approx.groupBy("query_id").count().filter(col("count") > 5).count() == 0)
+    val hit = exact.join(approx.select("query_id", "neighbor_id"),
+      Seq("query_id", "neighbor_id"), "left_semi").count()
+    val recall = hit * 1.0 / n
+    info(s"q51 recall@5 = $hit/$n = $recall")
+    // 512-bit signatures + exact rerank of the top-48 hamming
+    // candidates; planes are a fixed seed, so this is deterministic.
+    assert(recall >= 0.9, s"recall@5 = $hit/$n below 0.9")
+    // the scale claim: candidate volume per query is CandK, a small
+    // fixed fraction of the corpus (and a SHRINKING one as n grows)
+    val corpus = Tables(spark, sf, "embeddings").count()
+    val frac = operators.Similarity.CandK * 1.0 / corpus
+    info(s"q51 candidate fraction = ${operators.Similarity.CandK}/$corpus = $frac")
+    assert(frac <= 0.125, s"candidate fraction $frac not << n/4")
+    assert(approx.groupBy("query_id").count().filter(col("count") =!= 5).count() == 0)
+    assert(approx.filter(col("query_id") === col("neighbor_id")).count() == 0)
   }
 
-  test("q52 IVF ANN achieves measurable recall@5 against brute force") {
+  test("q52 IVF ANN achieves high recall@5 against brute force") {
     val exact = operators.Similarity.q50(spark, sf).select("query_id", "neighbor_id")
-    val approx = operators.Similarity.q52(spark, sf).select("query_id", "neighbor_id")
+    val approx = operators.Similarity.q52(spark, sf)
     val n = exact.count()
-    val hit = exact.join(approx, Seq("query_id", "neighbor_id"), "left_semi").count()
+    val hit = exact.join(approx.select("query_id", "neighbor_id"),
+      Seq("query_id", "neighbor_id"), "left_semi").count()
     info(s"IVF recall@5 = $hit/$n")
-    // nprobe=4 of k=16 cells scans ~25% of a weakly-clustered corpus
-    assert(hit * 1.0 / n >= 0.3, s"recall@5 = $hit/$n too low")
+    // nprobe=4 of k=ceil(sqrt(n)) cells; deterministic init/rounding
+    assert(hit * 1.0 / n >= 0.7, s"recall@5 = $hit/$n below 0.7")
     assert(approx.groupBy("query_id").count().filter(col("count") > 5).count() == 0)
     assert(approx.filter(col("query_id") === col("neighbor_id")).count() == 0)
   }
