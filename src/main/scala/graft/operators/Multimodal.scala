@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.{Q, Tables}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Decoded metadata for one multimodal payload. */
@@ -13,12 +13,17 @@ case class MediaMeta(
   * columns + typed metadata, feature extraction via batched
   * per-partition iteration.
   *
-  * The DECODER IS A STUB — image/audio codecs aren't in this
-  * container. It derives deterministic fake features from the raw
-  * bytes so the Spark-side plumbing (binary column, typed Dataset,
-  * mapPartitions batch shape, partition-preserving schema) is real
-  * and oracle-checkable. Swap `stubDecode` for a real codec (JNI /
-  * javax.imageio) without touching the plan.
+  * Genuine PNG and JPEG payloads get REAL byte-level metadata: PNG
+  * IHDR and JPEG SOF0/2 width-height parsing is pure byte
+  * arithmetic and needs no codec. Payloads that are neither fall
+  * back to a deterministic stub (full pixel decode would need an
+  * image codec, absent in this container) so the plumbing stays
+  * total and oracle-checkable: the test corpus is ASCII text, whose
+  * first byte is < 0x80 and therefore can never match the PNG
+  * (0x89...) or JPEG (0xFF 0xD8) signatures — the oracle-compared
+  * query exercises exactly the stub arithmetic, while
+  * MultimodalSpec feeds synthesized real headers through the same
+  * mapPartitions plumbing.
   *
   * Scale: mapPartitions keeps decode zero-copy per executor; binary
   * payloads stay columnar in parquet until the iterator touches
@@ -26,12 +31,61 @@ case class MediaMeta(
   */
 object Multimodal {
 
-  /** STUB decoder: deterministic fake features from raw bytes.
-    * `bytes(0) & 0xff` (not the raw signed byte) so a payload whose
-    * first byte is >= 0x80 classifies like the oracle's ascii()
-    * codepoint on the ASCII corpus instead of going negative; a
-    * zero-length payload is its own format rather than an
-    * ArrayIndexOutOfBounds. */
+  private def u8(b: Byte): Int = b & 0xff
+  private def be32(b: Array[Byte], i: Int): Long =
+    (u8(b(i)).toLong << 24) | (u8(b(i + 1)).toLong << 16) |
+      (u8(b(i + 2)).toLong << 8) | u8(b(i + 3)).toLong
+  private def be16(b: Array[Byte], i: Int): Int = (u8(b(i)) << 8) | u8(b(i + 1))
+
+  private val PngSig = Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a)
+
+  /** PNG: 8-byte signature, 4-byte chunk length, "IHDR", then
+    * width/height as 4-byte big-endian at offsets 16 and 20. */
+  private def pngMeta(b: Array[Byte]): Option[(Long, Long)] =
+    if (b.length >= 24 && PngSig.indices.forall(i => u8(b(i)) == PngSig(i)) &&
+        b(12) == 'I' && b(13) == 'H' && b(14) == 'D' && b(15) == 'R')
+      Some((be32(b, 16), be32(b, 20)))
+    else None
+
+  /** JPEG SOF markers carry the frame size: C0-CF minus C4 (DHT),
+    * C8 (JPG extension), CC (DAC). */
+  private def isSof(m: Int): Boolean =
+    m >= 0xc0 && m <= 0xcf && m != 0xc4 && m != 0xc8 && m != 0xcc
+
+  /** JPEG: SOI (FF D8), then marker segments `FF <marker> <len:be16>
+    * <payload>`; walk segments to the first SOF, whose payload is
+    * precision(1), height(be16), width(be16). Standalone markers
+    * (TEM, RST0-7) have no length field; FF fill bytes are skipped.
+    * Any structural violation (truncation, lost marker alignment,
+    * EOI before SOF) abandons the parse → stub fallback. */
+  private def jpegMeta(b: Array[Byte]): Option[(Long, Long)] = {
+    if (b.length < 4 || u8(b(0)) != 0xff || u8(b(1)) != 0xd8) return None
+    var i = 2
+    while (i + 3 < b.length) {
+      if (u8(b(i)) != 0xff) return None
+      val marker = u8(b(i + 1))
+      if (marker == 0xff) i += 1 // fill byte
+      else if (marker == 0x01 || (marker >= 0xd0 && marker <= 0xd8)) i += 2
+      else if (marker == 0xd9) return None // EOI before any SOF
+      else {
+        val len = be16(b, i + 2)
+        if (len < 2 || i + 2 + len > b.length) return None // truncated segment
+        if (isSof(marker)) {
+          if (len < 7) return None // SOF payload too short for a size
+          return Some((be16(b, i + 7).toLong, be16(b, i + 5).toLong))
+        }
+        i += 2 + len
+      }
+    }
+    None
+  }
+
+  /** STUB decoder for payloads that are not real PNG/JPEG streams:
+    * deterministic fake features from raw bytes. `bytes(0) & 0xff`
+    * (not the raw signed byte) so a payload whose first byte is
+    * >= 0x80 classifies like the oracle's ascii() codepoint on the
+    * ASCII corpus instead of going negative; a zero-length payload
+    * is its own format rather than an ArrayIndexOutOfBounds. */
   private def stubDecode(id: Long, bytes: Array[Byte]): MediaMeta = {
     val n = bytes.length
     var i = 0
@@ -47,19 +101,42 @@ object Multimodal {
     MediaMeta(id, n.toLong, sum, format, 64L + n % 512, 64L + sum % 512)
   }
 
+  /** Total decode: real header parse for PNG/JPEG, stub otherwise. */
+  private[graft] def decode(id: Long, bytes: Array[Byte]): MediaMeta =
+    pngMeta(bytes) match {
+      case Some((w, h)) =>
+        val base = stubDecode(id, bytes)
+        base.copy(format = "png", width = w, height = h)
+      case None =>
+        jpegMeta(bytes) match {
+          case Some((w, h)) =>
+            val base = stubDecode(id, bytes)
+            base.copy(format = "jpeg", width = w, height = h)
+          case None => stubDecode(id, bytes)
+        }
+    }
+
+  /** The decode plumbing over any (id, payload) dataset — shared by
+    * q70 and MultimodalSpec's synthesized-header tests so the spec
+    * exercises the exact executor path. */
+  private[graft] def decodeDs(ds: Dataset[(Long, Array[Byte])]): DataFrame = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions(_.map { case (id, bytes) => decode(id, bytes) }).toDF()
+  }
+
   /** Binary payload → decoded metadata via mapPartitions. */
   def q70(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    Tables(s, dir, "documents")
-      .select(col("doc_id"), col("text").cast("binary").as("payload"))
-      .as[(Long, Array[Byte])]
-      .mapPartitions(_.map { case (id, bytes) => stubDecode(id, bytes) })
-      .toDF()
+    decodeDs(
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), col("text").cast("binary").as("payload"))
+        .as[(Long, Array[Byte])])
       .orderBy("doc_id")
   }
 
   /** The stub features are byte arithmetic, so the oracle can verify
-    * the full plumbing end-to-end (ASCII corpus: char == byte). */
+    * the full plumbing end-to-end (ASCII corpus: char == byte, and
+    * no ASCII payload can carry a PNG/JPEG signature byte). */
   private val q70Sql =
     """SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n_bytes,
        CAST(coalesce(list_sum(list_transform(range(1, strlen(text)+1), i -> ascii(text[i]))), 0) AS BIGINT) AS byte_sum,

@@ -22,4 +22,62 @@ class MultimodalSpec extends AnyFunSuite {
     val joined = operators.Multimodal.q70(spark, sf).join(viaExpr, "doc_id")
     assert(joined.filter(col("byte_sum") =!= col("byte_sum2")).count() == 0)
   }
+
+  // --- genuine byte-level header parsing, through the same
+  // mapPartitions plumbing q70 uses ---
+
+  private def pngBytes(w: Int, h: Int): Array[Byte] = {
+    val sig = Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+    val ihdr = Array[Byte](0, 0, 0, 13, 'I', 'H', 'D', 'R',
+      (w >> 24).toByte, (w >> 16).toByte, (w >> 8).toByte, w.toByte,
+      (h >> 24).toByte, (h >> 16).toByte, (h >> 8).toByte, h.toByte,
+      8, 6, 0, 0, 0) // bit depth, color type, compression, filter, interlace
+    sig ++ ihdr
+  }
+
+  private def jpegBytes(w: Int, h: Int, withApp0: Boolean): Array[Byte] = {
+    val soi = Array(0xff, 0xd8).map(_.toByte)
+    val app0 =
+      if (withApp0)
+        Array(0xff, 0xe0, 0, 16).map(_.toByte) ++
+          "JFIF".getBytes ++ Array[Byte](0, 1, 1, 0, 0, 1, 0, 1, 0, 0)
+      else Array.empty[Byte]
+    // SOF0: marker, len=17, precision 8, height be16, width be16, 3 components
+    val sof = Array(0xff, 0xc0, 0, 17, 8).map(_.toByte) ++
+      Array((h >> 8).toByte, h.toByte, (w >> 8).toByte, w.toByte) ++
+      Array[Byte](3, 1, 0x22, 0, 2, 0x11, 1, 3, 0x11, 1)
+    soi ++ app0 ++ sof
+  }
+
+  test("q70 decode parses real PNG IHDR and JPEG SOF dimensions") {
+    import spark.implicits._
+    val payloads: Seq[(Long, Array[Byte])] = Seq(
+      1L -> pngBytes(1920, 1080),
+      2L -> jpegBytes(640, 480, withApp0 = true),
+      3L -> jpegBytes(12000, 9000, withApp0 = false), // SOF directly after SOI
+      4L -> pngBytes(1, 1),
+      5L -> "plain ascii text".getBytes, // stub path
+      6L -> pngBytes(800, 600).take(20), // truncated PNG -> stub
+      7L -> jpegBytes(640, 480, withApp0 = true).take(6), // truncated JPEG -> stub
+      8L -> Array.empty[Byte]) // empty -> stub sentinel
+    val out = operators.Multimodal.decodeDs(payloads.toDS())
+      .collect().map(m => m.getLong(0) -> m).toMap
+    def check(id: Long, fmt: String, w: Long, h: Long): Unit = {
+      assert(out(id).getString(3) == fmt, s"id=$id format")
+      assert(out(id).getLong(4) == w, s"id=$id width")
+      assert(out(id).getLong(5) == h, s"id=$id height")
+    }
+    check(1L, "png", 1920, 1080)
+    check(2L, "jpeg", 640, 480)
+    check(3L, "jpeg", 12000, 9000)
+    check(4L, "png", 1, 1)
+    assert(out(8L).getString(3) == "empty")
+    // stub fallbacks classify by first-byte arithmetic, not headers
+    assert(Set("jpeg", "png", "wav").contains(out(5L).getString(3)))
+    assert(Set("jpeg", "png", "wav").contains(out(6L).getString(3)))
+    assert(Set("jpeg", "png", "wav").contains(out(7L).getString(3)))
+    // n_bytes/byte_sum are computed from raw bytes on every path
+    assert(out(1L).getLong(1) == pngBytes(1920, 1080).length.toLong)
+    assert(out(8L).getLong(1) == 0L)
+  }
 }
