@@ -173,7 +173,10 @@ object MlOps {
     * "Customer Segmentation": behavioral clustering). Seeded and
     * k-means||-initialized; exact membership is partitioning-
     * dependent FP, so the check is structural (rows-only + spec). */
-  def q33(s: SparkSession, dir: String): DataFrame = {
+  /** Fitted KMeans(4) over standardized RFM space: clustered rows
+    * plus the learned centroids — shared by q33 (memberships) and
+    * q35 (distance-based anomaly score). */
+  private def kmeansRfm(s: SparkSession, dir: String): (DataFrame, Array[Array[Double]]) = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.feature.{StandardScaler, VectorAssembler}
     val feats = rfm(s, dir).select(
@@ -187,11 +190,56 @@ object MlOps {
     val scaled = new StandardScaler().setWithMean(true).setWithStd(true)
       .setInputCol("raw").setOutputCol("features")
       .fit(assembled).transform(assembled)
-    new KMeans().setK(4).setSeed(42L).setMaxIter(20)
+    val model = new KMeans().setK(4).setSeed(42L).setMaxIter(20)
       .setFeaturesCol("features").setPredictionCol("cluster")
-      .fit(scaled).transform(scaled)
+      .fit(scaled)
+    (model.transform(scaled), model.clusterCenters.map(_.toArray))
+  }
+
+  def q33(s: SparkSession, dir: String): DataFrame =
+    kmeansRfm(s, dir)._1
       .select(col("o_custkey"), col("recency_days"), col("frequency"),
         col("monetary"), col("cluster"))
+      .orderBy("o_custkey")
+
+  /** Trained anomaly detection (reference README "Anomaly Detection";
+    * its sklearn model source is absent upstream): distance to the
+    * ASSIGNED KMeans centroid in standardized RFM space, flagged when
+    * the distance z-score against the population exceeds 2 — the
+    * model-based counterpart of q32's univariate spend z-score (a
+    * customer can be anomalous in SHAPE — odd recency/frequency/
+    * monetary combination — without extreme spend).
+    *
+    * The k centroids are driver-side constants; distance is a pure
+    * codegen'd column (dot products against centroid array literals
+    * selected by a k-way CASE on the cluster id), so scoring is
+    * map-side over the clustered rows — no shuffle beyond q33's own
+    * fitting. KMeans membership is partitioning-dependent FP →
+    * rows-only; MlOpsSpec checks the score's structure. */
+  def q35(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.VectorOps.dotp
+    import org.apache.spark.ml.functions.vector_to_array
+    val (clustered, centers) = kmeansRfm(s, dir)
+    val farr = vector_to_array(col("features"))
+    val d2 = centers.zipWithIndex.foldLeft(lit(Double.NaN)) {
+      case (acc, (c, i)) =>
+        val carr = array(c.map(lit): _*)
+        val cn2 = c.map(x => x * x).sum
+        when(col("cluster") === i,
+          dotp(farr, farr) - lit(2.0) * dotp(farr, carr) + lit(cn2)).otherwise(acc)
+    }
+    val dists = clustered
+      .withColumn("dist", sqrt(greatest(d2, lit(0.0))))
+      .select(col("o_custkey"), col("cluster"), col("dist"))
+    val stats = dists.agg(
+      count(lit(1)).as("n"), sum("dist").as("s1"),
+      sum(col("dist") * col("dist")).as("s2"))
+    val z = (col("dist") - col("s1") / col("n")) /
+      sqrt((col("s2") - col("s1") * col("s1") / col("n")) / (col("n") - 1))
+    dists.crossJoin(broadcast(stats))
+      .filter(z > 2.0)
+      .select(col("o_custkey"), col("cluster"),
+        ops.r4(col("dist")).as("centroid_dist"), ops.r4(z).as("z_score"))
       .orderBy("o_custkey")
   }
 
@@ -235,5 +283,6 @@ object MlOps {
     Q("q31_product_recs", q31, Some(q31Sql)),
     Q("q32_anomaly_users", q32, Some(q32Sql)),
     Q("q33_kmeans_rfm", q33, None),
-    Q("q34_als_recs", q34, None))
+    Q("q34_als_recs", q34, None),
+    Q("q35_kmeans_anomaly", q35, None))
 }

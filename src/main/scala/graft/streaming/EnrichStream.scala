@@ -69,7 +69,17 @@ object EnrichStream {
     * Within each micro-batch, events are applied in event-time order;
     * the running cents survive across batches in the state store.
     * Return-aware like batch q22: returns subtract abs(amount)
-    * (EnrichmentFunction.java:100-118). */
+    * (EnrichmentFunction.java:100-118).
+    *
+    * MEMORY CONTRACT: the `evs.toSeq.sortBy` buffers ONE USER'S
+    * events of ONE MICRO-BATCH to order them — that is the unit this
+    * operator assumes bounded. A live stream bounds it naturally
+    * (micro-batches are seconds wide); a bulk BACKLOG must be
+    * replayed paced — [[replaySource]] (maxFilesPerTrigger) or
+    * [[timeCompressedReplay]] — so no single batch carries a hot
+    * user's entire history. StreamingSpec's paced-backlog test holds
+    * this contract: an 8-file hot-user backlog at one file per
+    * trigger never buffers more than one file's rows per user. */
   def ltvStateful(events: Dataset[Ev]): Dataset[LtvOut] = {
     import events.sparkSession.implicits._
     events
@@ -123,4 +133,40 @@ object EnrichStream {
       .option("maxFilesPerTrigger", filesPerTrigger)
       .parquet(dir)
       .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+
+  /** EVENT-TIME speed-factor replay — the exact semantics of
+    * event_simulator.py:31,160,183 (`time.sleep(delay/compression)`):
+    * a compressed virtual clock admits each backlog event when the
+    * clock passes its event time, so the stream re-emits history in
+    * event-time order at `factor`× real time.
+    *
+    * Mechanics: the `rate` source ticks `ticksPerSecond` times per
+    * real second; tick t admits the backlog slice with event_time in
+    * `[vstart + t·Δ, vstart + (t+1)·Δ)` where Δ = factor/ticksPerSecond
+    * virtual seconds and vstart is the backlog's earliest event.
+    * Ticks are unique and the half-open windows tile virtual time, so
+    * every event is admitted exactly once, and batch b's events all
+    * precede batch b+1's in event time.
+    *
+    * The tick set is broadcast (a handful of rows per batch); the
+    * backlog stays a partitioned static scan re-filtered per batch.
+    * At scale, store the backlog partitioned by a time column so each
+    * micro-batch's window prunes to matching partitions instead of
+    * rescanning history. */
+  def timeCompressedReplay(spark: SparkSession, dir: String, factor: Double,
+      ticksPerSecond: Int = 1): DataFrame = {
+    val backlog = spark.read.schema(rawSchema).parquet(dir)
+      .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+    val minRow = backlog.agg(min(unix_micros(col("ts")))).collect()(0)
+    val vstartUs = if (minRow.isNullAt(0)) 0L else minRow.getLong(0)
+    val usPerTick = math.max(1L, math.rint(factor * 1e6 / ticksPerSecond).toLong)
+    val ticks = spark.readStream.format("rate")
+      .option("rowsPerSecond", ticksPerSecond.toLong).load()
+      .select(col("value").as("tick"))
+    val evUs = unix_micros(backlog("ts"))
+    broadcast(ticks).join(backlog,
+        evUs >= lit(vstartUs) + col("tick") * usPerTick &&
+          evUs < lit(vstartUs) + (col("tick") + lit(1L)) * usPerTick)
+      .drop("tick")
+  }
 }

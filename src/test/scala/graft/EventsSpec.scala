@@ -19,12 +19,39 @@ class EventsSpec extends AnyFunSuite {
     assert(df.filter(col("user_segment").isNull).count() == 0)
   }
 
-  test("q22 LTV is non-decreasing per user (purchases only add)") {
+  // q22 is return-aware (returns subtract), but the natural events
+  // table carries no returns, so its LTV never dips there; the
+  // return-driven decrease is asserted on synthetic events below.
+  test("q22 LTV is non-decreasing on the returns-free natural data") {
     val w = Window.partitionBy("user_id").orderBy("event_id")
     val bad = operators.Events.q22(spark, sf)
       .withColumn("prev", lag("ltv", 1).over(w))
       .filter(col("prev").isNotNull && col("ltv") < col("prev"))
     assert(bad.count() == 0)
+  }
+
+  /** Batch twin of StreamingSpec's synthetic-returns trajectory test:
+    * the q22 window formula over events WITH returns must show LTV
+    * decreasing after each return. */
+  test("q22 window formula decreases LTV after returns (synthetic batch)") {
+    import spark.implicits._
+    val ev = Seq(
+      (1L, 1000000L, 7L, "purchase", 10.0, """{}"""),
+      (2L, 2000000L, 7L, "return", 4.0, """{}"""),
+      (3L, 3000000L, 7L, "purchase", -3.0, """{}"""),
+      (4L, 4000000L, 7L, "purchase", 2.5, """{"is_return": "true"}"""),
+      (5L, 5000000L, 8L, "purchase", 1.0, """{}"""))
+      .toDF("event_id", "us", "user_id", "event_type", "value", "props")
+      .withColumn("ts", expr("timestamp_micros(us)"))
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ltv = ev.filter(operators.Events.isMonetary)
+      .withColumn("cents", operators.Events.ltvCents)
+      .select(col("event_id"), (sum("cents").over(w) / 100.0).as("ltv"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // user 7: +10.00, -4.00, -3.00, -2.50 => 10.0, 6.0, 3.0, 0.5
+    assert(ltv == Map(1L -> 10.0, 2L -> 6.0, 3L -> 3.0, 4L -> 0.5, 5L -> 1.0),
+      s"unexpected batch LTV trajectory: $ltv")
   }
 
   test("q23 sessions start at seq 1 and durations are non-negative") {

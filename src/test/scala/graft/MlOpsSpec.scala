@@ -65,6 +65,20 @@ class MlOpsSpec extends AnyFunSuite {
     assert(recs.select("part_id").distinct().count() <= cap)
   }
 
+  test("q35 flags only far-from-centroid customers, consistent with q33 clusters") {
+    val df = operators.MlOps.q35(spark, sf)
+    assert(df.filter(col("z_score") <= 2.0).count() == 0)
+    assert(df.filter(col("centroid_dist") < 0).count() == 0)
+    // anomalies are a strict minority of the population
+    val custs = Tables(spark, sf, "orders").select("o_custkey").distinct().count()
+    val n = df.count()
+    assert(n > 0 && n < custs / 10, s"$n anomalies of $custs customers")
+    // each flagged customer carries the same cluster id q33 assigns
+    val joined = df.join(operators.MlOps.q33(spark, sf)
+      .select(col("o_custkey"), col("cluster").as("c33")), "o_custkey")
+    assert(joined.filter(col("cluster") =!= col("c33")).count() == 0)
+  }
+
   test("q34 ALS gives each customer 5 ranked recs with descending scores") {
     val df = operators.MlOps.q34(spark, sf)
     assert(df.groupBy("o_custkey").count().filter(col("count") =!= 5).count() == 0)

@@ -114,6 +114,83 @@ class StreamingSpec extends AnyFunSuite {
       s"unexpected streamed LTV trajectory: $ltv")
   }
 
+  test("speed-factor replay emits in event-time order across micro-batches") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-vclock").toString
+    val raw = Tables(spark, sf, "events")
+      .select(col("event_id"), (unix_micros(col("ts")) * 1000).as("ts"),
+        col("user_id"), col("event_type"), col("value"), col("props"))
+    raw.write.mode("overwrite").parquet(dir)
+    val expected = raw.count()
+    val span = Tables(spark, sf, "events")
+      .agg((unix_micros(max("ts")) - unix_micros(min("ts"))).as("us"))
+      .collect()(0).getLong(0) / 1e6
+    // compress the whole backlog into ~12 ticks at 4 ticks/second
+    val factor = span / 12.0 * 4.0
+    val batches = scala.collection.mutable.ArrayBuffer[(Long, Long, Long)]() // (count, minUs, maxUs)
+    val q = streaming.EnrichStream.timeCompressedReplay(spark, dir, factor, ticksPerSecond = 4)
+      .writeStream.outputMode("append")
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        val r = df.agg(count(lit(1)), min(unix_micros(col("ts"))), max(unix_micros(col("ts")))).collect()(0)
+        if (r.getLong(0) > 0) batches.synchronized {
+          batches += ((r.getLong(0), r.getLong(1), r.getLong(2)))
+        }
+        ()
+      }
+      .start()
+    val deadline = System.nanoTime() + 90L * 1000000000L
+    while (batches.synchronized(batches.map(_._1).sum) < expected && System.nanoTime() < deadline) {
+      Thread.sleep(200)
+    }
+    q.stop()
+    val snap = batches.synchronized(batches.toList)
+    assert(snap.map(_._1).sum == expected, s"replay dropped or duplicated events: $snap")
+    assert(snap.length >= 2, s"expected the replay spread over >=2 micro-batches, got ${snap.length}")
+    // event-time order ACROSS batches: each batch's earliest event is
+    // at or after every prior batch's latest
+    snap.sliding(2).foreach {
+      case List((_, _, prevMax), (_, curMin, _)) =>
+        assert(curMin >= prevMax, s"event-time order violated across batches: $snap")
+      case _ => ()
+    }
+  }
+
+  test("paced backlog through stateful LTV: bounded per-batch buffering, exact final total") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-hotuser").toString
+    import spark.implicits._
+    // one hot user with 4000 purchases — the adversarial shape for
+    // per-(user, batch) buffering — split into 8 time-ranged files
+    val events = (1 to 4000).map(i =>
+      (i.toLong, i.toLong * 1000000000L, 99L, "purchase", 2.0, "{}"))
+    events.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .repartitionByRange(8, col("ts"))
+      .write.mode("overwrite").parquet(dir)
+    val perBatch = scala.collection.mutable.ArrayBuffer[Long]()
+    val finalLtv = new java.util.concurrent.atomic.AtomicLong(0L)
+    val q = streaming.EnrichStream.ltvStateful(
+        streaming.EnrichStream.typed(
+          streaming.EnrichStream.replaySource(spark, dir, filesPerTrigger = 1)))
+      .writeStream.outputMode("append")
+      .foreachBatch { (ds: org.apache.spark.sql.Dataset[streaming.LtvOut], _: Long) =>
+        val rows = ds.collect()
+        if (rows.nonEmpty) {
+          perBatch.synchronized { perBatch += rows.length.toLong }
+          val m = rows.map(_.ltv).max
+          finalLtv.updateAndGet(cur => math.max(cur, math.round(m * 100)))
+        }
+        ()
+      }
+      .start()
+    q.processAllAvailable(); q.stop()
+    val counts = perBatch.synchronized(perBatch.toList)
+    assert(counts.sum == 4000, s"lost or duplicated events: $counts")
+    assert(counts.length >= 8, s"pacing did not split the backlog: $counts")
+    // the contract ltvStateful documents: no batch buffers more than
+    // one paced file's worth of a user's events
+    assert(counts.max <= 600, s"a micro-batch buffered too much for one user: $counts")
+    // all values positive => running max is order-independent: 4000 x $2
+    assert(finalLtv.get() == 800000L, s"final LTV cents = ${finalLtv.get()}")
+  }
+
   test("parquet sink with checkpoint round-trips the enriched stream") {
     val out = java.nio.file.Files.createTempDirectory("graft-sink").toString
     val ckpt = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
