@@ -39,15 +39,20 @@ object Bench {
           None
         }
       }
-      q.name -> (if (times.nonEmpty) times.min else -1.0)
+      (q.name, if (times.nonEmpty) times.min else -1.0, runs - times.size)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     // -1 failure sentinels must not shrink the headline number: sum
     // successes only and surface the failure count explicitly.
-    val total = results.map(_._2).filter(_ >= 0).sum
+    val total = results.collect { case (_, v, _) if v >= 0 => v }.sum
     val failed = results.count(_._2 < 0)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
+    // a query that threw on SOME runs but still reported a best time
+    // would otherwise be invisible (an error stack in the log with
+    // failed:0) — name the thrower in the JSON itself.
+    val runFailures = results.collect { case (k, _, f) if f > 0 => "\"" + k + "\":" + f }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"run_failures":$runFailures,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
