@@ -141,9 +141,51 @@ object TextOps {
        FROM (SELECT doc_id, list_filter(string_split(text,' '), x -> x<>'') AS tk FROM documents)
        ORDER BY doc_id"""
 
+  /** PII patterns — deliberately in the syntax subset where Java
+    * regex (Spark) and RE2 (DuckDB) agree: character classes,
+    * bounded/unbounded repetition, no backrefs or lookaround. */
+  private[graft] val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private[graft] val PhoneRe = "\\+[0-9]{7,15}"
+
+  /** PII scrubbing core over any (doc_id, text) frame — exposed so
+    * TextOpsSpec can drive synthetic PII through it (the natural
+    * corpus is clean, which the oracle also verifies). */
+  def scrub(df: DataFrame): DataFrame =
+    df.withColumn("n_emails", size(regexp_extract_all(col("text"), lit(EmailRe), lit(0))))
+      .withColumn("n_phones", size(regexp_extract_all(col("text"), lit(PhoneRe), lit(0))))
+      .select(
+        col("doc_id"), col("n_emails"), col("n_phones"),
+        (col("n_emails") + col("n_phones") === 0).as("is_clean"),
+        regexp_replace(
+          regexp_replace(col("text"), EmailRe, "<EMAIL>"),
+          PhoneRe, "<PHONE>").as("scrubbed"))
+
+  /** PII redaction pass: count and mask emails/phone numbers — the
+    * compliance step every training pipeline runs before a corpus
+    * leaves quarantine. Pure per-row regex projection (map-only at
+    * any scale); patterns live in ONE constant for engine/oracle
+    * parity. */
+  def q64(s: SparkSession, dir: String): DataFrame =
+    scrub(Tables(s, dir, "documents")).orderBy("doc_id")
+
+  private val q64Sql = {
+    // DuckDB standard strings don't process backslash escapes, so the
+    // runtime pattern (single backslash before the dot) passes through
+    // to RE2 verbatim.
+    val email = EmailRe
+    val phone = PhoneRe
+    s"""SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '$email')) AS INT) AS n_emails,
+       CAST(len(regexp_extract_all(text, '$phone')) AS INT) AS n_phones,
+       len(regexp_extract_all(text, '$email')) + len(regexp_extract_all(text, '$phone')) = 0 AS is_clean,
+       regexp_replace(regexp_replace(text, '$email', '<EMAIL>', 'g'), '$phone', '<PHONE>', 'g') AS scrubbed
+       FROM documents ORDER BY doc_id"""
+  }
+
   val qs: Seq[Q] = Seq(
     Q("q60_text_quality", q60, Some(q60Sql)),
     Q("q61_lang_id", q61, Some(q61Sql)),
     Q("q62_token_stats", q62, Some(q62Sql)),
-    Q("q63_fingerprint", q63, Some(q63Sql)))
+    Q("q63_fingerprint", q63, Some(q63Sql)),
+    Q("q64_pii_scrub", q64, Some(q64Sql)))
 }

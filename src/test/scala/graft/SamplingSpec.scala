@@ -1,0 +1,56 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+class SamplingSpec extends AnyFunSuite {
+  import TestSpark.{spark, sf}
+
+  test("q66 split is exhaustive, disjoint, and roughly 80/10/10") {
+    val df = operators.Sampling.q66(spark, sf)
+    val total = Tables(spark, sf, "documents").count()
+    assert(df.count() == total)
+    val by = df.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(by.keySet == Set("train", "val", "test"))
+    val trainFrac = by("train") * 1.0 / total
+    assert(trainFrac > 0.7 && trainFrac < 0.9, s"train fraction $trainFrac")
+    assert(df.filter(col("bucket") < 0 || col("bucket") >= 1000).count() == 0)
+  }
+
+  test("q66 keys the split on content: identical texts share a split") {
+    // the corpus has byte-identical duplicate documents (q40 finds
+    // them); every such group must land in exactly one split
+    val dup = operators.Dedup.q40(spark, sf)
+      .select(col("doc_id"), col("group_hash"))
+    val splits = operators.Sampling.q66(spark, sf).join(dup, "doc_id")
+    val straddling = splits.groupBy("group_hash")
+      .agg(countDistinct("split").as("k")).filter(col("k") > 1)
+    assert(straddling.count() == 0, "a duplicate group straddles train/test")
+  }
+
+  test("q66 is invariant to partitioning and rerun") {
+    val a = operators.Sampling.q66(spark, sf).collect()
+    val b = operators.Sampling.q66(spark, sf).collect()
+    assert(a.sameElements(b))
+  }
+
+  test("q67 equalizes language strata to about the smallest stratum") {
+    val docs = Tables(spark, sf, "documents")
+    val minLang = docs.groupBy("lang").count()
+      .agg(min("count")).collect()(0).getLong(0)
+    val sampled = operators.Sampling.q67(spark, sf)
+    val perLang = sampled.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(perLang.keySet == docs.select("lang").distinct()
+      .collect().map(_.getString(0)).toSet)
+    // rate-based admission: each stratum lands near the target with
+    // binomial noise (rate = target/n_lang over n_lang draws)
+    perLang.foreach { case (lang, n) =>
+      assert(n > minLang * 0.5 && n < minLang * 1.6,
+        s"stratum $lang sampled $n vs target $minLang")
+    }
+    // the sample is a subset of the corpus
+    assert(sampled.join(docs.select("doc_id"), Seq("doc_id"), "left_anti").count() == 0)
+  }
+}

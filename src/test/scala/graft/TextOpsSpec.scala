@@ -36,4 +36,23 @@ class TextOpsSpec extends AnyFunSuite {
     val distinct = df.select("fingerprint").distinct().count()
     assert(distinct > n / 2, "fingerprint collisions too frequent")
   }
+
+  test("q64 scrub masks synthetic emails and phones, counts them, and leaves clean text") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "contact alice.smith+spam@example-corp.co.uk or bob@x.io today"),
+      (2L, "call +14155551234 now"),
+      (3L, "mixed a@b.com and +4930123456 twice a@b.com"),
+      (4L, "perfectly clean prose with no identifiers"),
+      (5L, "")).toDF("doc_id", "text")
+    val out = operators.TextOps.scrub(df).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getInt(1) == 2 && out(1L).getInt(2) == 0)
+    assert(out(1L).getString(4) == "contact <EMAIL> or <EMAIL> today")
+    assert(out(2L).getInt(2) == 1 && out(2L).getString(4) == "call <PHONE> now")
+    assert(out(3L).getInt(1) == 2 && out(3L).getInt(2) == 1)
+    assert(out(3L).getString(4) == "mixed <EMAIL> and <PHONE> twice <EMAIL>")
+    assert(out(4L).getBoolean(3) && out(4L).getString(4) == "perfectly clean prose with no identifiers")
+    assert(out(5L).getBoolean(3) && out(5L).getString(4) == "")
+  }
 }
