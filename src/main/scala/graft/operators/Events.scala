@@ -289,6 +289,85 @@ object Events {
        FROM events WHERE event_type='purchase' GROUP BY 1
        ORDER BY total_spend DESC, user_id LIMIT 10"""
 
+  /** AS-OF JOIN core over any (events, orders)-shaped pair — the
+    * operator Spark's API lacks natively. Each event is joined to
+    * the user's most recent order AT OR BEFORE the event time
+    * (ties on order date broken to the highest order key).
+    *
+    * Implementation is the UNION-WINDOW form, the scale-correct
+    * shape for as-of: tag both sides, union, ONE shuffle by user,
+    * and a running `last(_, ignoreNulls)` window ordered by
+    * (time, side, key) — orders sort before events at the same
+    * instant, so "at or before" is exact. Cost is one sort per user
+    * partition, linear in |events|+|orders|, with no range-join
+    * fan-out and no per-event probe (a lateral/subquery form runs a
+    * probe per event; a range join explodes on hot users). This is
+    * how an as-of join should look on a 1000-executor cluster:
+    * shuffle both sides once by key, sort, single pass. */
+  def asofOrders(events: DataFrame, orders: DataFrame): DataFrame = {
+    val oSide = orders.select(
+      col("o_custkey").as("user_id"),
+      col("o_orderdate").cast("timestamp").as("t"),
+      lit(0).as("kind"),
+      col("o_orderkey"),
+      col("o_totalprice"),
+      col("o_orderdate"),
+      lit(null).cast("long").as("event_id"),
+      lit(null).cast("string").as("event_type"),
+      lit(null).cast("double").as("value"))
+    val eSide = events.select(
+      col("user_id"),
+      col("ts").as("t"),
+      lit(1).as("kind"),
+      lit(null).cast("long").as("o_orderkey"),
+      lit(null).cast("double").as("o_totalprice"),
+      lit(null).cast("date").as("o_orderdate"),
+      col("event_id"),
+      col("event_type"),
+      col("value"))
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("t"), col("kind"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    oSide.union(eSide)
+      .withColumn("last_order_key", last("o_orderkey", ignoreNulls = true).over(w))
+      .withColumn("last_order_price", last("o_totalprice", ignoreNulls = true).over(w))
+      .withColumn("last_order_date", last("o_orderdate", ignoreNulls = true).over(w))
+      .filter(col("kind") === 1)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"),
+        col("last_order_key"), ops.r2(col("last_order_price")).as("last_order_price"),
+        datediff(to_date(col("t")), col("last_order_date")).as("days_since_order"))
+  }
+
+  /** Order-context enrichment: every event tagged with the customer's
+    * most recent order as of the event time. */
+  def q28(s: SparkSession, dir: String): DataFrame =
+    asofOrders(Tables(s, dir, "events"), Tables(s, dir, "orders"))
+      .orderBy("event_id")
+
+  /** Oracle mirrors the union-window form (not DuckDB's ASOF JOIN
+    * keyword, whose tie-break among equal order dates is
+    * unspecified — the explicit window pins it to max order key). */
+  private val q28Sql =
+    s"""WITH u AS (
+         SELECT o_custkey AS user_id, o_orderdate::TIMESTAMP AS t, 0 AS kind,
+                o_orderkey, o_totalprice, o_orderdate,
+                NULL::BIGINT AS event_id, NULL::VARCHAR AS event_type, NULL::DOUBLE AS value
+         FROM orders
+         UNION ALL
+         SELECT user_id, ts, 1, NULL, NULL, NULL, event_id, event_type, value FROM events),
+       w AS (
+         SELECT *,
+           last_value(o_orderkey IGNORE NULLS) OVER win AS last_order_key,
+           last_value(o_totalprice IGNORE NULLS) OVER win AS last_order_price,
+           last_value(o_orderdate IGNORE NULLS) OVER win AS last_order_date
+         FROM u
+         WINDOW win AS (PARTITION BY user_id ORDER BY t, kind, o_orderkey
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+       SELECT event_id, user_id, event_type, value, last_order_key,
+              ${ops.R2("last_order_price")} AS last_order_price,
+              CAST(date_diff('day', last_order_date, t::DATE) AS INT) AS days_since_order
+       FROM w WHERE kind = 1 ORDER BY event_id"""
+
   val qs: Seq[Q] = Seq(
     Q("q20_hourly_revenue", q20, Some(q20Sql)),
     Q("q21_enrich_events", q21, Some(q21Sql)),
@@ -297,5 +376,6 @@ object Events {
     Q("q24_funnel", q24, Some(q24Sql)),
     Q("q25_retention_cohorts", q25, Some(q25Sql)),
     Q("q26_anomaly_hours", q26, Some(q26Sql)),
-    Q("q27_top_spenders", q27, Some(q27Sql)))
+    Q("q27_top_spenders", q27, Some(q27Sql)),
+    Q("q28_order_asof", q28, Some(q28Sql)))
 }

@@ -80,6 +80,37 @@ class EventsSpec extends AnyFunSuite {
     assert(operators.Events.q26(spark, sf).filter(col("z_score") <= 2.0).count() == 0)
   }
 
+  /** The natural data has every event after every order, so the
+    * general as-of cases — event before any order (null context),
+    * context switching mid-stream, same-date order ties — are driven
+    * synthetically through the same core. */
+  test("q28 as-of join picks the latest order at-or-before each event, ties to max key") {
+    import spark.implicits._
+    val orders = Seq(
+      (100L, 7L, "2024-01-10", 50.0),
+      (101L, 7L, "2024-01-20", 70.0),
+      (102L, 7L, "2024-01-20", 90.0), // same date as 101 -> tie to key 102
+      (103L, 8L, "2024-03-01", 10.0))
+      .toDF("o_orderkey", "o_custkey", "d", "o_totalprice")
+      .withColumn("o_orderdate", col("d").cast("date")).drop("d")
+    val events = Seq(
+      (1L, 7L, "2024-01-05 12:00:00", "view", 1.0),   // before any order -> null
+      (2L, 7L, "2024-01-10 00:00:00", "view", 1.0),   // exactly at order ts -> order 100
+      (3L, 7L, "2024-01-15 09:00:00", "click", 1.0),  // -> order 100
+      (4L, 7L, "2024-01-25 09:00:00", "purchase", 5.0), // -> tie date, key 102
+      (5L, 8L, "2024-02-01 00:00:00", "view", 1.0))   // before 8's order -> null
+      .toDF("event_id", "user_id", "tss", "event_type", "value")
+      .withColumn("ts", col("tss").cast("timestamp")).drop("tss")
+    val out = operators.Events.asofOrders(events, orders)
+      .collect().map(r => r.getLong(0) -> Option(r.get(4))).toMap
+    assert(out(1L).isEmpty && out(5L).isEmpty)
+    assert(out(2L).contains(100L) && out(3L).contains(100L))
+    assert(out(4L).contains(102L))
+    val days = operators.Events.asofOrders(events, orders)
+      .filter(col("event_id") === 3L).collect()(0).getInt(6)
+    assert(days == 5)
+  }
+
   /** The natural events table has no returns, so drive the
     * return/anonymous/wholesale rules with synthetic events — the
     * same Columns the batch q21/q22 and the streaming pipeline use. */
