@@ -32,6 +32,16 @@ object Sources {
   def readParquet(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 
+  /** ORC — the other columnar format Spark ships natively; same
+    * predicate-pushdown/column-pruning behavior as parquet, so a
+    * warehouse standardized on ORC plugs in without a conversion
+    * pass. */
+  def readOrc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
+  def writeOrc(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).orc(path)
+
   /** Hive-style partitioned parquet: scans filtered on `parts`
     * columns read only matching directories (partition pruning —
     * visible as PartitionFilters in the scan node). */

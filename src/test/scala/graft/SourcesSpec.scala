@@ -33,6 +33,19 @@ class SourcesSpec extends AnyFunSuite {
     assert(back.exceptAll(orders).isEmpty)
   }
 
+  test("orc round-trip preserves lineitem rows and pushes filters to the scan") {
+    val li = Tables(spark, sf, "lineitem").limit(1000)
+    val dir = tmp("orc")
+    Sources.writeOrc(li, dir)
+    val back = Sources.readOrc(spark, dir)
+    assert(back.count() == 1000)
+    assert(back.exceptAll(li).isEmpty)
+    val filtered = Sources.readOrc(spark, dir).filter(col("l_quantity") > 25.0)
+    val scan = filtered.queryExecution.executedPlan.collectLeaves().head.toString
+    assert(scan.contains("PushedFilters") && scan.contains("l_quantity"),
+      s"filter not pushed to ORC scan: $scan")
+  }
+
   test("partitioned parquet write prunes partitions on read") {
     val ev = Tables(spark, sf, "events")
     val dir = tmp("part")
