@@ -420,6 +420,70 @@ object Relational {
              ORDER BY o_orderdate, o_orderkey) AS rn FROM orders)
        ORDER BY o_orderkey"""
 
+  /** Order years present in the data — the explicit pivot column
+    * domain (never let pivot() infer values: inference is an extra
+    * full pass AND makes the output schema data-dependent). */
+  private val PivotYears = 1995 to 2001
+
+  /** Revenue pivot: nation rows × order-year columns. Spark's
+    * `pivot` with an explicit value list compiles to one partial-agg
+    * groupBy with a CASE per column — no extra shuffle vs the flat
+    * aggregate, broadcast dims. */
+  def q17(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables(s, dir, "orders")
+    val c = Tables(s, dir, "customer").select("c_custkey", "c_nationkey")
+    val n = Tables(s, dir, "nation").select("n_nationkey", "n_name")
+    o.join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .withColumn("yr", year(col("o_orderdate")))
+      .groupBy("n_name")
+      .pivot("yr", PivotYears.map(Integer.valueOf))
+      .agg(ops.r2(sum("o_totalprice")))
+      .orderBy("n_name")
+  }
+
+  private val q17Sql = {
+    val cols = PivotYears.map(y =>
+      s"""${R2(s"sum(o_totalprice) FILTER (WHERE year(o_orderdate) = $y)")} AS "$y"""").mkString(",\n       ")
+    s"""SELECT n_name, $cols
+       FROM orders
+       JOIN customer ON o_custkey = c_custkey
+       JOIN nation ON c_nationkey = n_nationkey
+       GROUP BY n_name ORDER BY n_name"""
+  }
+
+  /** 7-day moving-average daily revenue per order priority — a RANGE
+    * window frame over event-time (gaps in the calendar still cover
+    * the trailing 6 days, unlike a ROWS frame). The scale story is
+    * the PRE-AGGREGATION: the window runs over (priority × day) rows
+    * — thousands per year regardless of fact-table size — after one
+    * partial-agg groupBy over the facts. Daily revenue is exact
+    * integer cents; the moving average divides a long sum, identical
+    * arithmetic in both engines. */
+  def q18(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables(s, dir, "orders")
+      .groupBy(col("o_orderpriority"), to_date(col("o_orderdate")).as("day"))
+      .agg(sum(floor(col("o_totalprice") * 100.0 + 0.5).cast("long")).as("cents"))
+      .withColumn("dayn", datediff(col("day"), lit("1990-01-01").cast("date")))
+    val w = Window.partitionBy("o_orderpriority").orderBy("dayn").rangeBetween(-6, 0)
+    daily
+      .withColumn("rev_7d_avg", ops.r2(avg(col("cents")).over(w) / 100.0))
+      .select(col("o_orderpriority"), col("day"),
+        ops.r2(col("cents") / 100.0).as("revenue"), col("rev_7d_avg"))
+      .orderBy("o_orderpriority", "day")
+  }
+
+  private val q18Sql =
+    s"""WITH daily AS (
+         SELECT o_orderpriority, o_orderdate::DATE AS day,
+                CAST(sum(CAST(floor(o_totalprice*100.0 + 0.5) AS BIGINT)) AS BIGINT) AS cents,
+                date_diff('day', DATE '1990-01-01', o_orderdate::DATE) AS dayn
+         FROM orders GROUP BY 1, 2)
+       SELECT o_orderpriority, day, ${R2("cents / 100.0")} AS revenue,
+              ${R2("""avg(cents) OVER (PARTITION BY o_orderpriority ORDER BY dayn
+                RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) / 100.0""")} AS rev_7d_avg
+       FROM daily ORDER BY o_orderpriority, day"""
+
   val qs: Seq[Q] = Seq(
     Q("q01_pricing_summary", q01, Some(q01Sql)),
     Q("q02_revenue_by_nation", q02, Some(q02Sql)),
@@ -436,5 +500,7 @@ object Relational {
     Q("q13_order_categorize", q13, Some(q13Sql)),
     Q("q14_approx_distinct", q14, None),
     Q("q15_revenue_rollup", q15, Some(q15Sql)),
-    Q("q16_return_classes", q16, Some(q16Sql)))
+    Q("q16_return_classes", q16, Some(q16Sql)),
+    Q("q17_pivot_revenue", q17, Some(q17Sql)),
+    Q("q18_moving_revenue", q18, Some(q18Sql)))
 }

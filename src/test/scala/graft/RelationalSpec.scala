@@ -75,4 +75,35 @@ class RelationalSpec extends AnyFunSuite {
       .filter(abs(col("approx_users") - col("n_users")) > col("n_users") * 0.05)
     assert(bad.count() == 0, bad.collect().mkString(", "))
   }
+
+  test("q17 pivot cells sum to the flat revenue total") {
+    val df = operators.Relational.q17(spark, sf)
+    assert(df.columns.toSeq == "n_name" +: (1995 to 2001).map(_.toString))
+    val pivotTotal = df.select(
+      (1995 to 2001).map(y => coalesce(col(s"`$y`"), lit(0.0))).reduce(_ + _).as("s"))
+      .agg(sum("s")).collect()(0).getDouble(0)
+    val flatTotal = Tables(spark, sf, "orders")
+      .groupBy(col("o_custkey"))
+      .agg(operators.ops.r2(sum("o_totalprice")).as("r"))
+      .agg(sum("r")).collect()(0).getDouble(0)
+    // same facts, different grouping: totals agree to rounding slack
+    assert(math.abs(pivotTotal - flatTotal) < 1.0,
+      s"pivot total $pivotTotal vs flat $flatTotal")
+  }
+
+  test("q18 moving average equals daily revenue when windows are singleton, and smooths otherwise") {
+    val df = operators.Relational.q18(spark, sf)
+    // every (priority, day) appears once; the 7-day average never
+    // exceeds the max daily revenue within its trailing week
+    assert(df.groupBy("o_orderpriority", "day").count().filter(col("count") > 1).count() == 0)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("o_orderpriority")
+      .orderBy(datediff(col("day"), lit("1990-01-01").cast("date")))
+      .rangeBetween(-6, 0)
+    val bad = df
+      .withColumn("mx", max("revenue").over(w))
+      .withColumn("mn", min("revenue").over(w))
+      .filter(col("rev_7d_avg") > col("mx") + 0.01 || col("rev_7d_avg") < col("mn") - 0.01)
+    assert(bad.count() == 0, "moving average escaped its window bounds")
+  }
 }
