@@ -484,6 +484,27 @@ object Relational {
                 RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) / 100.0""")} AS rev_7d_avg
        FROM daily ORDER BY o_orderpriority, day"""
 
+  /** Approximate per-group quantiles via Spark's built-in
+    * Greenwald-Khanna sketch (`percentile_approx`) — the
+    * mergeable-sketch path for percentiles at 100 TB, where an exact
+    * per-group sort is a full shuffle of the fact table but the
+    * sketch is a bounded partial aggregate. Companion of q14's
+    * HLL++: both trade a bounded, spec-checked error for
+    * merge-without-shuffle aggregation. Exact-percentile
+    * interpolation differs per engine in final-ulp arithmetic, and
+    * the sketch is Spark-specific → rows-only; RelationalSpec bounds
+    * the error against exact in-group percentiles. */
+  def q19(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "lineitem")
+      .join(broadcast(Tables(s, dir, "part").select("p_partkey", "p_brand")),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy("p_brand")
+      .agg(
+        count(lit(1)).as("n"),
+        percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000)).as("p50_approx"),
+        percentile_approx(col("l_extendedprice"), lit(0.9), lit(10000)).as("p90_approx"))
+      .orderBy("p_brand")
+
   val qs: Seq[Q] = Seq(
     Q("q01_pricing_summary", q01, Some(q01Sql)),
     Q("q02_revenue_by_nation", q02, Some(q02Sql)),
@@ -502,5 +523,6 @@ object Relational {
     Q("q15_revenue_rollup", q15, Some(q15Sql)),
     Q("q16_return_classes", q16, Some(q16Sql)),
     Q("q17_pivot_revenue", q17, Some(q17Sql)),
-    Q("q18_moving_revenue", q18, Some(q18Sql)))
+    Q("q18_moving_revenue", q18, Some(q18Sql)),
+    Q("q19_approx_quantiles", q19, None))
 }

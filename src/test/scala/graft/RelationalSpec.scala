@@ -76,6 +76,26 @@ class RelationalSpec extends AnyFunSuite {
     assert(bad.count() == 0, bad.collect().mkString(", "))
   }
 
+  test("q19 approx quantiles stay within rank tolerance of exact percentiles") {
+    val approx = operators.Relational.q19(spark, sf)
+    val exact = Tables(spark, sf, "lineitem")
+      .join(Tables(spark, sf, "part").select("p_partkey", "p_brand"),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy("p_brand")
+      .agg(expr("percentile(l_extendedprice, 0.5)").as("p50"),
+        expr("percentile(l_extendedprice, 0.9)").as("p90"),
+        expr("percentile(l_extendedprice, 0.45)").as("p45"),
+        expr("percentile(l_extendedprice, 0.55)").as("p55"),
+        expr("percentile(l_extendedprice, 0.85)").as("p85"),
+        expr("percentile(l_extendedprice, 0.95)").as("p95"))
+    // GK sketch guarantees a RANK error bound; check the value lands
+    // within the surrounding exact-percentile bracket
+    val bad = approx.join(exact, "p_brand")
+      .filter(col("p50_approx") < col("p45") || col("p50_approx") > col("p55") ||
+        col("p90_approx") < col("p85") || col("p90_approx") > col("p95"))
+    assert(bad.count() == 0, bad.collect().mkString(", "))
+  }
+
   test("q17 pivot cells sum to the flat revenue total") {
     val df = operators.Relational.q17(spark, sf)
     assert(df.columns.toSeq == "n_name" +: (1995 to 2001).map(_.toString))
