@@ -134,6 +134,32 @@ object EnrichStream {
       .parquet(dir)
       .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
 
+  /** STREAM-STREAM interval join: each purchase matched to the same
+    * user's views in the trailing hour — the real-time form of the
+    * view→purchase attribution the batch funnel (q24) computes after
+    * the fact. Both sides carry a 1-hour watermark and the join
+    * condition bounds v_ts to [p_ts − 1h, p_ts], so the state store
+    * retains at most the watermark horizon per side: state is
+    * bounded by stream RATE, not stream history. An unbounded or
+    * one-sided condition would accumulate state forever — the
+    * watermark+interval pair is what makes the join deployable. */
+  def viewToPurchase(stream: DataFrame): DataFrame = {
+    val views = stream.filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("ts").as("v_ts"),
+        col("event_id").as("view_id"))
+      .withWatermark("v_ts", "1 hour")
+    val purchases = stream.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+        col("event_id").as("purchase_id"), col("value"))
+      .withWatermark("p_ts", "1 hour")
+    purchases.join(views,
+        col("p_user") === col("v_user") &&
+          col("v_ts") <= col("p_ts") &&
+          col("v_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR"))
+      .select(col("p_user").as("user_id"), col("purchase_id"), col("view_id"),
+        col("p_ts"), col("v_ts"), col("value"))
+  }
+
   /** EVENT-TIME speed-factor replay — the exact semantics of
     * event_simulator.py:31,160,183 (`time.sleep(delay/compression)`):
     * a compressed virtual clock admits each backlog event when the

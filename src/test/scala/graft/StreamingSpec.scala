@@ -114,6 +114,30 @@ class StreamingSpec extends AnyFunSuite {
       s"unexpected streamed LTV trajectory: $ltv")
   }
 
+  test("stream-stream interval join matches the equivalent batch join exactly") {
+    val q = streaming.EnrichStream.viewToPurchase(
+        streaming.EnrichStream.source(spark, sf))
+      .writeStream.format("memory").queryName("v2p_out")
+      .outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("v2p_out")
+    val ev = Tables(spark, sf, "events")
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("ts").as("v_ts"), col("event_id").as("view_id"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+        col("event_id").as("purchase_id"), col("value"))
+    val batch = purchases.join(views,
+        col("p_user") === col("v_user") &&
+          col("v_ts") <= col("p_ts") &&
+          col("v_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR"))
+      .select(col("p_user").as("user_id"), col("purchase_id"), col("view_id"),
+        col("p_ts"), col("v_ts"), col("value"))
+    assert(streamed.count() > 0, "interval join produced no attributions")
+    assert(streamed.exceptAll(batch).count() == 0)
+    assert(batch.exceptAll(streamed).count() == 0)
+  }
+
   test("speed-factor replay emits in event-time order across micro-batches") {
     val dir = java.nio.file.Files.createTempDirectory("graft-vclock").toString
     val raw = Tables(spark, sf, "events")
