@@ -22,7 +22,7 @@ object Dedup {
 
   /** Near-dup Jaccard threshold, shared by q41/q42/q65 and their
     * oracle SQL so engine and oracle can never drift apart. */
-  private val JaccThr = "0.6"
+  private[operators] val JaccThr = "0.6"
 
   /** Whitespace tokens, empties removed (exact parity with DuckDB's
     * list_filter(string_split(...))). */
@@ -59,7 +59,7 @@ object Dedup {
     sh.join(hot, Seq("s"), "left_anti").localCheckpoint(false)
   }
 
-  private val shingleCte =
+  private[operators] val shingleCte =
     s"""t AS (SELECT doc_id, list_filter(string_split(text,' '), x -> x<>'') AS tk FROM documents),
        sh0 AS (SELECT DISTINCT doc_id, tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] AS s
                FROM t, UNNEST(range(1, len(tk)-1)) AS r(i)),

@@ -81,7 +81,92 @@ object Sampling {
        WHERE bucket < (target * 1000) // n_lang
        ORDER BY doc_id"""
 
+  /** Quality floor for q68, applied to q60's ROUNDED quality_score in
+    * both engines so boundary behavior cannot drift. */
+  private val QualityThr = "0.4"
+
+  /** The composed training-set materialization — the pipeline a
+    * corpus actually runs before training, as ONE operator:
+    *
+    *   PII-clean ∧ exact-dedup canonical ∧ near-dup cluster
+    *   canonical ∧ quality ≥ 0.4  →  (doc_id, split, quality_score)
+    *
+    * Exact canonical = min doc_id per md5 group (q40's rule); near-
+    * dup canonical = cluster representative from q65's HashMin
+    * label propagation, whose converged label IS the component's min
+    * doc_id, so "canonical" is simply doc_id == cluster_id. The
+    * exact-dedup gate is kept alongside the cluster gate because
+    * sub-3-token documents produce no shingles and thus no cluster
+    * edges — their byte-identical copies are only caught by the md5
+    * rule. Every gate is a reused operator (q64/q40/q65/q60/q66), so
+    * this is also the composition test: one Catalyst plan, shared
+    * scans, no materialization between stages except q65's own
+    * iterative checkpoint. */
+  def q68(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables(s, dir, "documents")
+    val exKeep = docs
+      .withColumn("group_hash", md5(col("text").cast("binary")))
+      .withColumn("ex_canon", min("doc_id").over(Window.partitionBy("group_hash")))
+      .select(col("doc_id"), (col("doc_id") === col("ex_canon")).as("ex_keep"))
+    val ndKeep = Dedup.q65(s, dir)
+      .select(col("doc_id"), (col("doc_id") === col("cluster_id")).as("nd_keep"))
+    val qual = TextOps.q60(s, dir).select("doc_id", "quality_score")
+    val clean = TextOps.scrub(docs.select("doc_id", "text"))
+      .select("doc_id", "is_clean")
+    val split = q66(s, dir).select("doc_id", "split")
+    docs.select("doc_id")
+      .join(exKeep, "doc_id").join(ndKeep, "doc_id").join(qual, "doc_id")
+      .join(clean, "doc_id").join(split, "doc_id")
+      .filter(col("ex_keep") && col("nd_keep") && col("is_clean") &&
+        col("quality_score") >= QualityThr.toDouble)
+      .select("doc_id", "split", "quality_score")
+      .orderBy("doc_id")
+  }
+
+  private val q68Sql = {
+    val stopCount = TextOps.duckScore(TextOps.stopEn)
+    s"""WITH RECURSIVE ${Dedup.shingleCte},
+       sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+       pairs0 AS (SELECT a.doc_id d1, b.doc_id d2, count(*) c
+                  FROM sh a JOIN sh b ON a.s=b.s AND a.doc_id < b.doc_id GROUP BY 1,2),
+       p AS (SELECT d1, d2 FROM pairs0 JOIN sz n1 ON d1=n1.doc_id JOIN sz n2 ON d2=n2.doc_id
+             WHERE c*1.0/(n1.n + n2.n - c) >= ${Dedup.JaccThr}),
+       sym AS (SELECT d1 a, d2 b FROM p UNION ALL SELECT d2, d1 FROM p),
+       reach(a, b) AS (
+         SELECT a, b FROM sym
+         UNION
+         SELECT r.a, s2.b FROM reach r JOIN sym s2 ON r.b = s2.a),
+       cl AS (SELECT d.doc_id, least(d.doc_id, coalesce(min(r.b), d.doc_id)) AS cluster_id
+              FROM documents d LEFT JOIN reach r ON d.doc_id = r.a GROUP BY d.doc_id),
+       ex AS (SELECT doc_id, doc_id = min(doc_id) OVER (PARTITION BY md5(text)) AS ex_keep
+              FROM documents),
+       qual AS (SELECT doc_id,
+                ${ops.R4(s"least(1.0, len(tk)/100.0) * (1.0 - $stopCount*1.0 / len(tk))")} AS quality_score
+                FROM t),
+       clean AS (SELECT doc_id,
+                 len(regexp_extract_all(text, '${TextOps.EmailRe}')) +
+                 len(regexp_extract_all(text, '${TextOps.PhoneRe}')) = 0 AS is_clean
+                 FROM documents),
+       spl AS (SELECT doc_id,
+               CASE WHEN $BucketSql < $TrainLt THEN 'train'
+                    WHEN $BucketSql < $ValLt THEN 'val'
+                    ELSE 'test' END AS split
+               FROM documents)
+       SELECT d.doc_id, spl.split, qual.quality_score
+       FROM documents d
+       JOIN ex ON d.doc_id = ex.doc_id
+       JOIN cl ON d.doc_id = cl.doc_id
+       JOIN qual ON d.doc_id = qual.doc_id
+       JOIN clean ON d.doc_id = clean.doc_id
+       JOIN spl ON d.doc_id = spl.doc_id
+       WHERE ex.ex_keep AND cl.cluster_id = d.doc_id AND clean.is_clean
+         AND qual.quality_score >= $QualityThr
+       ORDER BY d.doc_id"""
+  }
+
   val qs: Seq[Q] = Seq(
     Q("q66_train_split", q66, Some(q66Sql)),
-    Q("q67_stratified_sample", q67, Some(q67Sql)))
+    Q("q67_stratified_sample", q67, Some(q67Sql)),
+    Q("q68_corpus_keep", q68, Some(q68Sql)))
 }

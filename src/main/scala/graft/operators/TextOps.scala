@@ -13,7 +13,7 @@ object TextOps {
 
   private val tk = Dedup.tokensExpr
 
-  private val stopEn = Seq("the", "a", "of", "and", "to", "in", "is", "for")
+  private[operators] val stopEn = Seq("the", "a", "of", "and", "to", "in", "is", "for")
   private val stopEs = Seq("el", "la", "de", "y", "en", "que", "los", "del")
   private val stopDe = Seq("der", "die", "und", "das", "von", "mit", "ist", "den")
   private val stopFr = Seq("le", "la", "de", "et", "les", "des", "un", "une")
@@ -21,7 +21,7 @@ object TextOps {
   private def sqlArr(ws: Seq[String]) = ws.map(w => s"'$w'").mkString(", ")
   private def scoreExpr(ws: Seq[String]) =
     s"size(filter(tk, x -> array_contains(array(${sqlArr(ws)}), x)))"
-  private def duckScore(ws: Seq[String]) =
+  private[operators] def duckScore(ws: Seq[String]) =
     s"len(list_filter(tk, x -> list_contains([${sqlArr(ws)}], x)))"
 
   /** Per-document quality score from length/stopword signals. */

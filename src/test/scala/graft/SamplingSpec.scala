@@ -35,6 +35,25 @@ class SamplingSpec extends AnyFunSuite {
     assert(a.sameElements(b))
   }
 
+  test("q68 keeps exactly the clean, canonical, quality-passing docs") {
+    val kept = operators.Sampling.q68(spark, sf)
+    assert(kept.count() > 0)
+    // no kept doc is an exact duplicate of another kept doc
+    val dups = operators.Dedup.q40(spark, sf)
+      .filter(col("is_duplicate")).select("doc_id")
+    assert(kept.join(dups, Seq("doc_id"), "left_semi").count() == 0)
+    // every kept doc is its cluster's representative
+    val nonCanon = operators.Dedup.q65(spark, sf)
+      .filter(col("doc_id") =!= col("cluster_id")).select("doc_id")
+    assert(kept.join(nonCanon, Seq("doc_id"), "left_semi").count() == 0)
+    // quality floor holds and split labels agree with q66
+    assert(kept.filter(col("quality_score") < 0.4).count() == 0)
+    val disagree = kept.join(
+      operators.Sampling.q66(spark, sf).withColumnRenamed("split", "s66"), "doc_id")
+      .filter(col("split") =!= col("s66"))
+    assert(disagree.count() == 0)
+  }
+
   test("q67 equalizes language strata to about the smallest stratum") {
     val docs = Tables(spark, sf, "documents")
     val minLang = docs.groupBy("lang").count()
