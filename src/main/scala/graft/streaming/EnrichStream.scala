@@ -134,6 +134,25 @@ object EnrichStream {
       .parquet(dir)
       .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
 
+  /** Watermarked SESSION WINDOWS (30-minute inactivity gap) — the
+    * streaming form of q23's batch sessionization, using the native
+    * `session_window` aggregation: state merges windows as events
+    * arrive and the watermark closes a session once no event can
+    * extend it. Append mode therefore emits each session exactly
+    * once, closed; sessions still open at the watermark stay in
+    * state (the correct streaming semantics — a batch job sees the
+    * whole history, a stream must wait out the gap). The window end
+    * is last-event + gap by definition, so it equals q23's
+    * session_end + 30 min. */
+  def sessionizedStream(stream: DataFrame): DataFrame =
+    stream.withWatermark("ts", "1 hour")
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n_events"))
+
   /** STREAM-STREAM interval join: each purchase matched to the same
     * user's views in the trailing hour — the real-time form of the
     * view→purchase attribution the batch funnel (q24) computes after

@@ -114,6 +114,33 @@ class StreamingSpec extends AnyFunSuite {
       s"unexpected streamed LTV trajectory: $ltv")
   }
 
+  test("session windows match batch sessionization for every closed session") {
+    val q = streaming.EnrichStream.sessionizedStream(
+        streaming.EnrichStream.source(spark, sf))
+      .writeStream.format("memory").queryName("sess_out")
+      .outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("sess_out")
+    assert(streamed.count() > 0, "no sessions closed by the final watermark")
+    val batch = operators.Events.q23(spark, sf)
+      .select(col("user_id"), col("session_start"),
+        col("session_end").as("batch_end"), col("n_events").as("batch_n"))
+    // every emitted session must agree exactly with its batch twin:
+    // same start, same count, end = batch end + the 30-minute gap
+    val joined = streamed.join(batch, Seq("user_id", "session_start"), "left")
+    assert(joined.filter(col("batch_n").isNull).count() == 0,
+      "streamed a session batch does not know")
+    assert(joined.filter(col("n_events") =!= col("batch_n")).count() == 0)
+    assert(joined.filter(unix_micros(col("session_end")) =!=
+      unix_micros(col("batch_end")) + 1800L * 1000000L).count() == 0,
+      "session end is not last event + gap")
+    // sessions that ended well before the final watermark are all present
+    val maxTs = Tables(spark, sf, "events").agg(max(unix_micros(col("ts")))).collect()(0).getLong(0)
+    val closed = batch.filter(unix_micros(col("batch_end")) + 1800L * 1000000L < maxTs - 3600L * 1000000L)
+    val missing = closed.join(streamed, Seq("user_id", "session_start"), "left_anti")
+    assert(missing.count() == 0, "a closed session was never emitted")
+  }
+
   test("stream-stream interval join matches the equivalent batch join exactly") {
     val q = streaming.EnrichStream.viewToPurchase(
         streaming.EnrichStream.source(spark, sf))
