@@ -194,15 +194,21 @@ object Relational {
     * Pre-aggregate to (supplier, day) BEFORE the window so the
     * window input is small; window partitions by supplier key. */
   def q09(s: SparkSession, dir: String): DataFrame = {
+    // Round to cents PER LINE ITEM, then sum longs: each item's
+    // product is one deterministic FP multiply (identical in both
+    // engines) and the integer sum is order-independent. Rounding
+    // the group's double sum instead is order-DEPENDENT: partial-agg
+    // accumulation order differs from the oracle's, and at sf0.1
+    // four (supplier, day) groups landed exactly on a floor(x*100+.5)
+    // boundary where one ulp flips the cent — found by the
+    // off-gate sf0.1 oracle sweep, invisible at sf0.01.
     val daily = Tables(s, dir, "lineitem")
       .groupBy(col("l_suppkey"), to_date(col("l_shipdate")).as("day"))
-      .agg(sum(disc(col("l_extendedprice"), col("l_discount"))).as("rev_raw"))
+      .agg(sum(floor(disc(col("l_extendedprice"), col("l_discount")) * 100.0 + 0.5)
+        .cast("long")).as("cents"))
     val w = Window.partitionBy("l_suppkey").orderBy("day")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    // Accumulate exact integer cents: a double running sum diverges
-    // from the oracle by accumulated ulps over long windows.
-    daily.withColumn("cents", floor(col("rev_raw") * 100.0 + 0.5).cast("long"))
-      .select(
+    daily.select(
         col("l_suppkey"), col("day"),
         (col("cents") / 100.0).as("daily_revenue"),
         (sum("cents").over(w) / 100.0).as("cum_revenue"))
@@ -214,7 +220,7 @@ object Relational {
        (sum(cents) OVER (PARTITION BY l_suppkey ORDER BY day
          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))/100.0 AS cum_revenue
        FROM (SELECT l_suppkey, CAST(l_shipdate AS DATE) AS day,
-             CAST(floor(sum(l_extendedprice*(1.0-l_discount))*100.0 + 0.5) AS BIGINT) AS cents
+             CAST(sum(CAST(floor(l_extendedprice*(1.0-l_discount)*100.0 + 0.5) AS BIGINT)) AS BIGINT) AS cents
              FROM lineitem GROUP BY 1,2)
        ORDER BY l_suppkey, day"""
 
