@@ -1,0 +1,47 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-shape regression guards: the scale properties SURVEY §4
+  * claims are asserted here against the actual physical plans, so a
+  * refactor that silently reintroduces an O(n²) join or a
+  * #queries-partition window fails the suite, not a 100 TB run.
+  */
+class PlanGuardSpec extends AnyFunSuite {
+  import TestSpark.{spark, sf}
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+
+  test("near-dup and ANN candidate generation never plans a cartesian or nested-loop join") {
+    for (q <- Seq("q41_ngram_jaccard", "q42_minhash_lsh", "q43_simhash",
+        "q44_embedding_neardup", "q51_knn_lsh")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q plans a cartesian product")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$q plans a nested-loop join")
+    }
+  }
+
+  test("ANN ranking uses the bounded aggregate, never a #queries-partition window") {
+    for (q <- Seq("q50_knn_brute", "q51_knn_lsh", "q52_knn_ivf")) {
+      val p = plan(q)
+      assert(!p.contains("Window"), s"$q ranks through a window operator")
+    }
+  }
+
+  test("q06's filters reach the parquet scan") {
+    val p = plan("q06_forecast_revenue")
+    assert(p.contains("PushedFilters: [IsNotNull") || p.contains("PushedFilters: [Gr"),
+      s"no pushed filters in scan:\n$p")
+  }
+
+  test("map-only operators plan no data exchange beyond the rebalance and final sort") {
+    // q66 is a pure per-row projection: its only exchanges are the
+    // documents rebalance (round-robin) and the output orderBy
+    for (q <- Seq("q66_train_split", "q64_pii_scrub")) {
+      val p = plan(q)
+      val exchanges = "Exchange (hashpartitioning|SinglePartition)".r.findAllIn(p).size
+      assert(exchanges == 0, s"$q shuffles data it should only map: $p")
+    }
+  }
+}
