@@ -165,8 +165,93 @@ object Sampling {
        ORDER BY d.doc_id"""
   }
 
+  /** Decontamination gram width: 8-token grams. q66's content-keyed
+    * split already makes BYTE-IDENTICAL duplicates unable to straddle
+    * splits; decontamination catches the rest — near-duplicate and
+    * quoting overlap, where a train doc shares a long n-gram with an
+    * eval doc. 3-gram shingles (the near-dup index) collide by chance
+    * in a natural corpus; an 8-gram match is essentially always real
+    * shared provenance (the scaled-down form of GPT-3's 13-gram
+    * eval-contamination rule). */
+  private val GramN = 8
+
+  /** Grams with document frequency above the cap are dropped
+    * IDENTICALLY in engine and oracle — ubiquitous boilerplate grams
+    * (license headers, navigation chrome) would otherwise make the
+    * train×eval index join quadratic on hot keys at 100 TB, and
+    * flagging a doc for sharing boilerplate is noise, not
+    * contamination. */
+  private val GramCap = 1000
+
+  private val gramExpr = {
+    val parts = (0 until GramN).map(j => s"element_at(tk, i+$j)").mkString(", ")
+    s"""CASE WHEN size(tk) >= $GramN
+        THEN array_distinct(transform(sequence(1, size(tk)-${GramN - 1}),
+             i -> concat_ws(' ', $parts)))
+        ELSE array() END"""
+  }
+
+  private val gramSql = (0 until GramN).map(j => s"tk[i+$j]").mkString(" || ' ' || ")
+
+  /** Eval-set decontamination: flag TRAIN-split documents sharing any
+    * (DF-capped) 8-gram with any val/test document — the leakage scan
+    * every training pipeline runs before a corpus ships, catching the
+    * near-duplicate overlap that q66's exact content-keying cannot.
+    *
+    * Scale shape: an inverted-index equi-join on the gram key — the
+    * train side joins the DISTINCT eval gram set (each train gram
+    * matches at most one eval row, so the hit count needs no
+    * dedup) — linear in corpus grams, never doc×doc. The capped gram
+    * index is consumed twice (train/eval sides); localCheckpoint
+    * materializes the tokenize→explode→anti-join subtree once. */
+  def q69(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(s, dir, "documents")
+      .withColumn("bucket", expr(BucketExpr))
+      .withColumn("tk", expr(Dedup.tokensExpr))
+    val grams0 = docs.select(col("doc_id"), col("bucket"),
+      explode(expr(gramExpr)).as("s"))
+    val hot = grams0.groupBy("s").agg(count(lit(1)).as("df"))
+      .filter(col("df") > GramCap).select("s")
+    val grams = grams0.join(hot, Seq("s"), "left_anti").localCheckpoint(false)
+    val train = grams.filter(col("bucket") < TrainLt).select("doc_id", "s")
+    val evalSet = grams.filter(col("bucket") >= TrainLt).select("s").distinct()
+    val sz = train.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
+    val hits = train.join(evalSet, "s").groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
+    docs.filter(col("bucket") < TrainLt).select("doc_id")
+      .join(sz, Seq("doc_id"), "left").join(hits, Seq("doc_id"), "left")
+      .withColumn("n_grams", coalesce(col("n_grams"), lit(0L)))
+      .withColumn("n_shared", coalesce(col("n_shared"), lit(0L)))
+      .select(col("doc_id"), col("n_grams"), col("n_shared"),
+        ops.r4(when(col("n_grams") > 0, col("n_shared") * 1.0 / col("n_grams"))
+          .otherwise(0.0)).as("overlap_ratio"),
+        (col("n_shared") >= 1).as("contaminated"))
+      .orderBy("doc_id")
+  }
+
+  private val q69Sql =
+    s"""WITH t AS (SELECT doc_id, $BucketSql AS bucket,
+                     list_filter(string_split(text,' '), x -> x<>'') AS tk FROM documents),
+       g0 AS (SELECT DISTINCT doc_id, bucket, $gramSql AS s
+              FROM t, UNNEST(range(1, len(tk)-${GramN - 2})) AS r(i)),
+       keep AS (SELECT s FROM g0 GROUP BY s HAVING count(*) <= $GramCap),
+       g AS (SELECT g0.doc_id, g0.bucket, g0.s FROM g0 JOIN keep ON g0.s = keep.s),
+       tr AS (SELECT doc_id, s FROM g WHERE bucket < $TrainLt),
+       ev AS (SELECT DISTINCT s FROM g WHERE bucket >= $TrainLt),
+       sz AS (SELECT doc_id, count(*) AS n_grams FROM tr GROUP BY 1),
+       hits AS (SELECT tr.doc_id, count(*) AS n_shared FROM tr JOIN ev ON tr.s = ev.s GROUP BY 1)
+       SELECT d.doc_id,
+         coalesce(sz.n_grams, 0) AS n_grams,
+         coalesce(hits.n_shared, 0) AS n_shared,
+         ${ops.R4("CASE WHEN coalesce(sz.n_grams, 0) > 0 THEN coalesce(hits.n_shared, 0)*1.0/sz.n_grams ELSE 0.0 END")} AS overlap_ratio,
+         coalesce(hits.n_shared, 0) >= 1 AS contaminated
+       FROM t d LEFT JOIN sz ON d.doc_id = sz.doc_id
+                LEFT JOIN hits ON d.doc_id = hits.doc_id
+       WHERE d.bucket < $TrainLt
+       ORDER BY d.doc_id"""
+
   val qs: Seq[Q] = Seq(
     Q("q66_train_split", q66, Some(q66Sql)),
     Q("q67_stratified_sample", q67, Some(q67Sql)),
-    Q("q68_corpus_keep", q68, Some(q68Sql)))
+    Q("q68_corpus_keep", q68, Some(q68Sql)),
+    Q("q69_decontaminate", q69, Some(q69Sql)))
 }

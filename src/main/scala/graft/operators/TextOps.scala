@@ -182,10 +182,78 @@ object TextOps {
        FROM documents ORDER BY doc_id"""
   }
 
+  /** Repetition keep-thresholds (Gopher-style), shared with the
+    * oracle SQL via ONE constant each. The keep flag compares the RAW
+    * ratios (identical IEEE division both engines), never the rounded
+    * output columns. Calibrated non-degenerate on the test corpus:
+    * ~62% keep at sf0.001/sf0.01. */
+  private val DistinctThr = "0.4"
+  private val TopTokThr = "0.2"
+  private val TopBgThr = "0.125"
+
+  /** Token-level repetition quality stats (the Gopher/MassiveText
+    * repetition-filter family, restated for a corpus without line
+    * structure): distinct-token ratio, most-frequent-token fraction,
+    * most-frequent-bigram fraction, and the composed keep flag.
+    * Pure per-row higher-order-function arithmetic — whole-stage
+    * codegen, no shuffle, map-only at any scale. The per-row count
+    * is O(distinct×n) on docs bounded at ~100 tokens; a long-doc
+    * corpus would swap the transform/filter scan for a sort-based
+    * mode count, same columns. */
+  def q71(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "documents")
+      .withColumn("tk", expr(tk))
+      .withColumn("n", expr("size(tk)"))
+      .withColumn("nd", expr("size(array_distinct(tk))"))
+      .withColumn("topc",
+        expr("array_max(transform(array_distinct(tk), u -> size(filter(tk, x -> x = u))))"))
+      .withColumn("bg", expr(
+        """CASE WHEN size(tk) >= 2
+           THEN transform(sequence(1, size(tk)-1),
+                i -> concat_ws(' ', element_at(tk,i), element_at(tk,i+1)))
+           ELSE array() END"""))
+      .withColumn("topbg", expr(
+        """CASE WHEN size(bg) > 0
+           THEN array_max(transform(array_distinct(bg), u -> size(filter(bg, x -> x = u))))
+           ELSE 0 END"""))
+      .withColumn("dr", col("nd") * 1.0 / col("n"))
+      .withColumn("tt", col("topc") * 1.0 / col("n"))
+      .withColumn("tb", col("topbg") * 1.0 / greatest(col("n") - 1, lit(1)))
+      .select(col("doc_id"), col("n").as("n_tokens"),
+        ops.r4(col("dr")).as("distinct_ratio"),
+        ops.r4(col("tt")).as("top_token_frac"),
+        ops.r4(col("tb")).as("top_bigram_frac"),
+        (col("dr") >= DistinctThr.toDouble && col("tt") <= TopTokThr.toDouble &&
+          col("tb") <= TopBgThr.toDouble).as("keep"))
+      .orderBy("doc_id")
+
+  private val q71Sql =
+    s"""WITH t AS (SELECT doc_id, list_filter(string_split(text,' '), x -> x<>'') AS tk FROM documents),
+       s AS (SELECT doc_id, len(tk) AS n,
+               len(list_distinct(tk)) AS nd,
+               list_max(list_transform(list_distinct(tk), u -> len(list_filter(tk, x -> x = u)))) AS topc,
+               CASE WHEN len(tk) >= 2
+                    THEN list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i+1])
+                    ELSE [] END AS bg
+             FROM t),
+       s2 AS (SELECT doc_id, n, nd, topc,
+                CASE WHEN len(bg) > 0
+                     THEN list_max(list_transform(list_distinct(bg), u -> len(list_filter(bg, x -> x = u))))
+                     ELSE 0 END AS topbg
+              FROM s)
+       SELECT doc_id, n AS n_tokens,
+         ${ops.R4("nd*1.0/n")} AS distinct_ratio,
+         ${ops.R4("topc*1.0/n")} AS top_token_frac,
+         ${ops.R4("topbg*1.0/greatest(n-1,1)")} AS top_bigram_frac,
+         (nd*1.0/n >= $DistinctThr AND topc*1.0/n <= $TopTokThr
+           AND topbg*1.0/greatest(n-1,1) <= $TopBgThr) AS keep
+       FROM s2 ORDER BY doc_id"""
+
   val qs: Seq[Q] = Seq(
     Q("q60_text_quality", q60, Some(q60Sql)),
     Q("q61_lang_id", q61, Some(q61Sql)),
     Q("q62_token_stats", q62, Some(q62Sql)),
     Q("q63_fingerprint", q63, Some(q63Sql)),
-    Q("q64_pii_scrub", q64, Some(q64Sql)))
+    Q("q64_pii_scrub", q64, Some(q64Sql)),
+    Q("q71_repetition", q71, Some(q71Sql)))
 }

@@ -54,6 +54,52 @@ class SamplingSpec extends AnyFunSuite {
     assert(disagree.count() == 0)
   }
 
+  test("q69 matches a brute-force 8-gram overlap recomputation") {
+    val docs = Tables(spark, sf, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    def bucket(text: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(text.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 8), 16) % 1000
+    }
+    def grams(text: String): Set[String] = {
+      val tk = text.split(" ").filter(_.nonEmpty)
+      if (tk.length < 8) Set.empty
+      else tk.sliding(8).map(_.mkString(" ")).toSet
+    }
+    val all = docs.map { case (id, t) => (id, bucket(t), grams(t)) }
+    val df = all.toSeq.flatMap(_._3).groupBy(identity).map { case (k, v) => k -> v.size }
+    val kept = all.map { case (id, b, g) => (id, b, g.filter(s => df(s) <= 1000)) }
+    val evalSet = kept.filter(_._2 >= 800).flatMap(_._3).toSet
+    val expected = kept.filter(_._2 < 800).map { case (id, _, g) =>
+      id -> ((g.size.toLong, g.count(evalSet.contains).toLong))
+    }.toMap
+    val got = operators.Sampling.q69(spark, sf).collect()
+    assert(got.length == expected.size)
+    // the split leaks SOMETHING to catch at this sf — the corpus's
+    // planted near-dups straddle the content-keyed split
+    assert(got.count(_.getBoolean(4)) > 0, "no contaminated docs: test is vacuous")
+    got.foreach { r =>
+      val (ng, ns) = expected(r.getLong(0))
+      assert(r.getLong(1) == ng && r.getLong(2) == ns, s"doc ${r.getLong(0)}")
+      assert(r.getBoolean(4) == (ns >= 1), s"doc ${r.getLong(0)} flag")
+    }
+  }
+
+  test("q69 covers exactly the train split with bounded ratios") {
+    val out = operators.Sampling.q69(spark, sf)
+    assert(out.columns.toSeq ==
+      Seq("doc_id", "n_grams", "n_shared", "overlap_ratio", "contaminated"))
+    assert(out.filter(col("overlap_ratio") < 0 || col("overlap_ratio") > 1).count() == 0)
+    assert(out.filter(col("n_shared") > col("n_grams")).count() == 0)
+    // universe = q66's train docs, exactly once each
+    val train = operators.Sampling.q66(spark, sf)
+      .filter(col("split") === "train").select("doc_id")
+    assert(out.count() == train.count())
+    assert(out.join(train, Seq("doc_id"), "left_anti").count() == 0)
+  }
+
   test("q67 equalizes language strata to about the smallest stratum") {
     val docs = Tables(spark, sf, "documents")
     val minLang = docs.groupBy("lang").count()

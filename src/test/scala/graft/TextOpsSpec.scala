@@ -37,6 +37,36 @@ class TextOpsSpec extends AnyFunSuite {
     assert(distinct > n / 2, "fingerprint collisions too frequent")
   }
 
+  test("q71 matches a brute-force repetition recomputation") {
+    val docs = Tables(spark, sf, "documents").select("doc_id", "text").collect()
+    def r4(x: Double) = math.floor(x * 10000.0 + 0.5) / 10000.0
+    val expected = docs.map { r =>
+      val tk = r.getString(1).split(" ").filter(_.nonEmpty).toSeq
+      val n = tk.length
+      val nd = tk.distinct.length
+      val topc = tk.groupBy(identity).values.map(_.size).max
+      val bg = if (n >= 2) tk.sliding(2).map(_.mkString(" ")).toSeq else Seq.empty[String]
+      val topbg = if (bg.nonEmpty) bg.groupBy(identity).values.map(_.size).max else 0
+      val dr = nd * 1.0 / n
+      val tt = topc * 1.0 / n
+      val tb = topbg * 1.0 / math.max(n - 1, 1)
+      r.getLong(0) -> ((n, r4(dr), r4(tt), r4(tb),
+        dr >= 0.4 && tt <= 0.2 && tb <= 0.125))
+    }.toMap
+    val got = operators.TextOps.q71(spark, sf).collect()
+    assert(got.length == expected.size)
+    // the keep flag splits the corpus — neither all-true nor all-false
+    val keeps = got.count(_.getBoolean(5))
+    assert(keeps > 0 && keeps < got.length, s"degenerate keep flag: $keeps/${got.length}")
+    got.foreach { r =>
+      val (n, dr, tt, tb, keep) = expected(r.getLong(0))
+      assert(r.getInt(1) == n, s"doc ${r.getLong(0)} n_tokens")
+      assert(r.getDouble(2) == dr && r.getDouble(3) == tt && r.getDouble(4) == tb,
+        s"doc ${r.getLong(0)} ratios")
+      assert(r.getBoolean(5) == keep, s"doc ${r.getLong(0)} keep")
+    }
+  }
+
   test("q64 scrub masks synthetic emails and phones, counts them, and leaves clean text") {
     import spark.implicits._
     val df = Seq(
