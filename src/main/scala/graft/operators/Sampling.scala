@@ -249,9 +249,83 @@ object Sampling {
        WHERE d.bucket < $TrainLt
        ORDER BY d.doc_id"""
 
+  /** Mixture denominator: the total token budget is corpus_tokens /
+    * MixDen, shared equally across languages (the static-weight
+    * degenerate of a DoReMi-style mixture). ONE constant, spelled
+    * into the oracle SQL. */
+  private val MixDen = 2
+
+  /** Token-budget mixture sampling: admit documents per language, in
+    * deterministic content-hash order, until the language's token
+    * budget (total_tokens div (MixDen × n_langs)) is reached — the
+    * "assemble an N-token training mix with controlled language
+    * weights" step of a pipeline. A document is admitted iff the
+    * tokens BEFORE it (in (bucket, doc_id) order within its
+    * language) are under budget, so the mix may overshoot by at most
+    * one document — the rule real pipelines use, since splitting a
+    * document is worse than a bounded overshoot.
+    *
+    * Scale shape: the naive form is a running sum over every doc,
+    * partitioned by language — a handful of window partitions
+    * swallowing the whole corpus. Instead: (1) a bucket-level token
+    * histogram (|langs|×1000 rows by CONTRACT — driver-bounded like
+    * IVF's centroids, never corpus-sized) → the driver marks each
+    * (lang, bucket) ALL / NONE / the single boundary bucket per
+    * language; (2) a broadcast join turns admission into a map-side
+    * filter for every bucket except the ~1/1000 boundary slice,
+    * which alone pays a (tiny) within-bucket running-sum window. */
+  def q72(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = Tables(s, dir, "documents")
+      .select(col("doc_id"), col("lang"), expr(BucketExpr).as("bucket"),
+        expr(s"size(${Dedup.tokensExpr})").cast("long").as("n_tokens"))
+    val hist = d.groupBy("lang", "bucket").agg(sum("n_tokens").as("btok"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val budget = hist.map(_._3).sum / (MixDen.toLong * hist.map(_._1).distinct.length)
+    val rows = hist.groupBy(_._1).toSeq.flatMap { case (_, bs) =>
+      val sorted = bs.sortBy(_._2)
+      val prefixes = sorted.scanLeft(0L)(_ + _._3)
+      sorted.zip(prefixes).map { case ((lang, b, btok), before) =>
+        val kind =
+          if (before >= budget) "none"
+          else if (before + btok <= budget) "all"
+          else "edge"
+        (lang, b, kind, before)
+      }
+    }
+    val bstat = s.createDataFrame(rows).toDF("lang", "bucket", "kind", "before")
+    val tagged = d.join(broadcast(bstat), Seq("lang", "bucket"))
+    val w = Window.partitionBy("lang", "bucket").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val edge = tagged.filter(col("kind") === "edge")
+      .withColumn("cumb", coalesce(sum("n_tokens").over(w), lit(0L)))
+      .withColumn("selected", col("before") + col("cumb") < budget)
+    val rest = tagged.filter(col("kind") =!= "edge")
+      .withColumn("selected", col("kind") === "all")
+    edge.select("doc_id", "lang", "n_tokens", "selected")
+      .unionByName(rest.select("doc_id", "lang", "n_tokens", "selected"))
+      .orderBy("doc_id")
+  }
+
+  /** The oracle spells the NAIVE form (global per-language running
+    * sum) — same admission rule, so the bucket-cutoff rewrite must
+    * reproduce it row for row. */
+  private val q72Sql =
+    s"""WITH d AS (SELECT doc_id, lang, $BucketSql AS bucket,
+                     len(list_filter(string_split(text,' '), x -> x<>'')) AS n_tokens
+                   FROM documents),
+       b AS (SELECT sum(n_tokens) // ($MixDen * count(DISTINCT lang)) AS budget FROM d),
+       c AS (SELECT doc_id, lang, n_tokens,
+               sum(n_tokens) OVER (PARTITION BY lang ORDER BY bucket, doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS cumb
+             FROM d)
+       SELECT doc_id, lang, n_tokens, coalesce(cumb, 0) < budget AS selected
+       FROM c, b ORDER BY doc_id"""
+
   val qs: Seq[Q] = Seq(
     Q("q66_train_split", q66, Some(q66Sql)),
     Q("q67_stratified_sample", q67, Some(q67Sql)),
     Q("q68_corpus_keep", q68, Some(q68Sql)),
-    Q("q69_decontaminate", q69, Some(q69Sql)))
+    Q("q69_decontaminate", q69, Some(q69Sql)),
+    Q("q72_mix_budget", q72, Some(q72Sql)))
 }

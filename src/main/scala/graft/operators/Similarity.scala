@@ -182,55 +182,73 @@ object Similarity {
     top5(scored)
   }
 
-  /** IVF (inverted-file) ANN — the coarse-quantizer scale path:
-    * k-means cells over the corpus, queries probe only the `nprobe`
-    * nearest cells. k scales as ⌈√n⌉ so cell size and cell count
-    * both grow as √n — probe volume is nprobe·√n rows, not O(n). At
-    * 100 TB the cell index is written bucketed by cell id so a probe
-    * reads only matching buckets.
-    *
-    * Every per-row argmin is computed MAP-SIDE against the broadcast
-    * centroid array inside mapPartitions — no crossJoin, no shuffle
-    * of embedding-carrying rows, per Lloyd iteration or at final
-    * assignment. Each iteration ships k×dim partial sums per
-    * partition to the driver (the MLlib KMeans collect shape,
-    * bounded by k·dim·#partitions, not data size). Centroids are
-    * rounded to 1e-9 after each iteration so FP accumulation order
-    * cannot make runs diverge. Deterministic init: the k lowest
-    * vec_ids. rows-only; SimilaritySpec asserts recall vs q50. */
-  def q52(s: SparkSession, dir: String): DataFrame = {
+  // Ranking key: argmin over centroids of ||v-c||² ignores the
+  // constant ||v||² term → d = c·c − 2 v·c; ties to the lowest cid.
+  private def argmin(arr: Array[Float], cs: Array[Array[Double]], cn2: Array[Double]): Int = {
+    var best = 0
+    var bestD = Double.MaxValue
+    var c = 0
+    while (c < cs.length) {
+      val cv = cs(c)
+      val m = math.min(arr.length, cv.length)
+      var dp = 0.0
+      var i = 0
+      while (i < m) { dp += arr(i) * cv(i); i += 1 }
+      val d = cn2(c) - 2.0 * dp
+      if (d < bestD) { bestD = d; best = c }
+      c += 1
+    }
+    best
+  }
+  // (best, runner-up) cell by the same ranking key; strict < keeps
+  // ties at the lowest cid, so the pair is deterministic.
+  private def argmin2(arr: Array[Float], cs: Array[Array[Double]], cn2: Array[Double]): (Int, Int) = {
+    var b1 = 0
+    var d1 = Double.MaxValue
+    var b2 = 0
+    var d2 = Double.MaxValue
+    var c = 0
+    while (c < cs.length) {
+      val cv = cs(c)
+      val m = math.min(arr.length, cv.length)
+      var dp = 0.0
+      var i = 0
+      while (i < m) { dp += arr(i) * cv(i); i += 1 }
+      val d = cn2(c) - 2.0 * dp
+      if (d < d1) { b2 = b1; d2 = d1; b1 = c; d1 = d }
+      else if (c != b1 && d < d2) { b2 = c; d2 = d }
+      c += 1
+    }
+    (b1, b2)
+  }
+  private def norms2(cs: Array[Array[Double]]): Array[Double] =
+    cs.map { cv =>
+      var x = 0.0; var i = 0
+      while (i < cv.length) { x += cv(i) * cv(i); i += 1 }
+      x
+    }
+
+  /** Lloyd-fit coarse cells shared by q52 (IVF probing) and
+    * [[Dedup.q45]] (SemDeDup): k = ⌈√n⌉ cells, map-side argmin
+    * against broadcast centroids (no n×k shuffle), k×dim partial
+    * sums per partition to the driver per iteration (the MLlib
+    * collect shape — bounded by k·dim·#partitions, not data size).
+    * Deterministic: init from the k lowest vec_ids, centroids
+    * rounded to 1e-9 each iteration so FP accumulation order cannot
+    * make runs diverge. Returns the cell assignment
+    * (vec_id, cid, cid2, ed, nrm) — cid2 is the runner-up cell, used
+    * by SemDeDup's overlapping candidate generation — and the final
+    * centroids. */
+  private[operators] def ivfCells(s: SparkSession, dir: String): (DataFrame, Array[Array[Double]]) =
+    ivfCellsOf(s, Tables(s, dir, "embeddings"))
+
+  private[operators] def ivfCellsOf(s: SparkSession, e0: DataFrame): (DataFrame, Array[Array[Double]]) = {
     import s.implicits._
     val iters = 3
-    val nprobe = 4
-    val e = withNorm(Tables(s, dir, "embeddings")).select(col("vec_id"), col("ed"), col("nrm"))
+    val e = withNorm(e0).select(col("vec_id"), col("ed"), col("nrm"))
     val typed = e.as[(Long, Seq[Float], Double)]
     val n = typed.count()
     val k = math.max(16, math.ceil(math.sqrt(n.toDouble)).toInt)
-
-    // Ranking key: argmin over centroids of ||v-c||² ignores the
-    // constant ||v||² term → d = c·c − 2 v·c; ties to the lowest cid.
-    def argmin(arr: Array[Float], cs: Array[Array[Double]], cn2: Array[Double]): Int = {
-      var best = 0
-      var bestD = Double.MaxValue
-      var c = 0
-      while (c < cs.length) {
-        val cv = cs(c)
-        val m = math.min(arr.length, cv.length)
-        var dp = 0.0
-        var i = 0
-        while (i < m) { dp += arr(i) * cv(i); i += 1 }
-        val d = cn2(c) - 2.0 * dp
-        if (d < bestD) { bestD = d; best = c }
-        c += 1
-      }
-      best
-    }
-    def norms2(cs: Array[Array[Double]]): Array[Double] =
-      cs.map { cv =>
-        var x = 0.0; var i = 0
-        while (i < cv.length) { x += cv(i) * cv(i); i += 1 }
-        x
-      }
 
     var cents: Array[Array[Double]] = e.orderBy("vec_id").limit(k)
       .select(col("vec_id"), col("ed")).as[(Long, Seq[Float])]
@@ -273,8 +291,26 @@ object Similarity {
     val cells = typed.mapPartitions { it =>
       val cs = bcF.value
       val cn2 = norms2(cs)
-      it.map { case (id, v, nrm) => (id, argmin(v.toArray, cs, cn2), v, nrm) }
-    }.toDF("vec_id", "cid", "ed", "nrm")
+      it.map { case (id, v, nrm) =>
+        val (c1, c2) = argmin2(v.toArray, cs, cn2)
+        (id, c1, c2, v, nrm)
+      }
+    }.toDF("vec_id", "cid", "cid2", "ed", "nrm")
+    (cells, cents)
+  }
+
+  /** IVF (inverted-file) ANN — the coarse-quantizer scale path: see
+    * [[ivfCells]] for the fit. Queries probe only the `nprobe`
+    * nearest cells, so probe volume is nprobe·√n rows, not O(n); at
+    * 100 TB the cell index is written bucketed by cell id so a probe
+    * reads only matching buckets. rows-only; SimilaritySpec asserts
+    * recall vs q50. */
+  def q52(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val nprobe = 4
+    val (cells, cents) = ivfCells(s, dir)
+    val e = withNorm(Tables(s, dir, "embeddings")).select(col("vec_id"), col("ed"), col("nrm"))
+    val typed = e.as[(Long, Seq[Float], Double)]
     // probe list: nprobe nearest cells per query, driver-computed
     // from the bounded query set (ties to the lowest cid)
     val cn2 = norms2(cents)

@@ -94,4 +94,69 @@ class DedupSpec extends AnyFunSuite {
       "LSH candidate generation missed a true pair at this SF — widen NdBands")
     assert(got.exceptAll(exact).count() == 0, "q44 emitted a pair below threshold")
   }
+
+  // same arithmetic as the codegen'd DotProduct: per-element float
+  // widened to double, sequential double accumulation
+  private def dot(x: Array[Float], y: Array[Float]): Double = {
+    val m = math.min(x.length, y.length)
+    var d = 0.0; var i = 0
+    while (i < m) { d += x(i).toDouble * y(i).toDouble; i += 1 }
+    d
+  }
+  private def cos(x: Array[Float], y: Array[Float]): Double =
+    dot(x, y) / (math.sqrt(dot(x, x)) * math.sqrt(dot(y, y)))
+
+  test("q45 keep flags match a brute-force shared-cell recomputation") {
+    val emb = Tables(spark, sf, "embeddings").select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    val got = operators.Dedup.q45(spark, sf).collect()
+    assert(got.length == emb.size)
+    val cellsOf = got.map(r => r.getLong(0) -> Set(r.getInt(1), r.getInt(2))).toMap
+    val ids = emb.keys.toArray.sorted
+    got.foreach { r =>
+      val id = r.getLong(0)
+      val expected = !ids.exists(prev => prev < id &&
+        (cellsOf(prev) & cellsOf(id)).nonEmpty && cos(emb(prev), emb(id)) >= 0.45)
+      assert(r.getBoolean(3) == expected, s"vec $id kept flag")
+    }
+    // non-vacuous: the corpus's threshold pairs produce dropped vectors
+    assert(got.exists(!_.getBoolean(3)), "no vector dropped: test is vacuous")
+    // corpus floor: this corpus's pairs sit at 0.45-0.48 cosine (~62
+    // deg — adversarially low for cluster co-location; q44 is the
+    // exact-recall tool there). Documented measured floor: 0.7.
+    val exactPairs = (for {
+      i <- ids.indices.iterator
+      j <- (i + 1) until ids.length
+      if cos(emb(ids(i)), emb(ids(j))) >= 0.45
+    } yield (ids(i), ids(j))).toArray
+    val coLocated = exactPairs.count { case (a, b) => (cellsOf(a) & cellsOf(b)).nonEmpty }
+    assert(exactPairs.nonEmpty)
+    assert(coLocated >= exactPairs.length * 0.7,
+      s"SemDeDup cell recall $coLocated/${exactPairs.length} < 0.7")
+  }
+
+  test("q45 catches ALL planted near-identical dups (SemDeDup operating point)") {
+    import spark.implicits._
+    // 200 well-spread base vectors + 40 planted dups of them
+    // (tiny deterministic perturbation, cosine >= 0.99); SemDeDup
+    // must drop every planted dup and keep every base vector.
+    val rnd = new scala.util.Random(42)
+    val base = Array.fill(200)(Array.fill(64)(rnd.nextGaussian().toFloat))
+    val dups = (0 until 40).map { i =>
+      val src = base(i * 5)
+      val v = src.map(x => x + (rnd.nextGaussian() * 0.01).toFloat)
+      (200L + i, v.toSeq)
+    }
+    val rows = base.zipWithIndex.map { case (v, i) => (i.toLong, v.toSeq) } ++ dups
+    val sanity = rows.toMap
+    dups.foreach { case (id, v) =>
+      assert(cos(sanity((id - 200) * 5).toArray, v.toArray) >= 0.95,
+        s"planted dup $id drifted")
+    }
+    val df = rows.toSeq.toDF("vec_id", "embedding")
+    val out = operators.Dedup.semanticDedup(spark, df, 0.9).collect()
+    val kept = out.filter(_.getBoolean(3)).map(_.getLong(0)).toSet
+    (0 until 200).foreach(i => assert(kept.contains(i.toLong), s"base $i wrongly dropped"))
+    (200 until 240).foreach(i => assert(!kept.contains(i.toLong), s"planted dup $i missed"))
+  }
 }

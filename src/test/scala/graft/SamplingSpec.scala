@@ -100,6 +100,43 @@ class SamplingSpec extends AnyFunSuite {
     assert(out.join(train, Seq("doc_id"), "left_anti").count() == 0)
   }
 
+  test("q72 matches a brute-force token-budget recomputation") {
+    def bucket(text: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(text.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 8), 16) % 1000
+    }
+    val rows = Tables(spark, sf, "documents").select("doc_id", "lang", "text")
+      .collect().map { r =>
+        (r.getLong(0), r.getString(1), bucket(r.getString(2)),
+          r.getString(2).split(" ").count(_.nonEmpty).toLong)
+      }
+    val budget = rows.map(_._4).sum / (2L * rows.map(_._2).distinct.length)
+    val expected = rows.groupBy(_._2).toSeq.flatMap { case (_, rs) =>
+      val sorted = rs.sortBy(r => (r._3, r._1))
+      val cums = sorted.scanLeft(0L)(_ + _._4)
+      sorted.zip(cums).map { case (r, before) => r._1 -> ((r._4, before < budget)) }
+    }.toMap
+    val got = operators.Sampling.q72(spark, sf).collect()
+    assert(got.length == expected.size)
+    // the boundary path is exercised: some language splits
+    // selected/unselected, so the edge-bucket window actually ran
+    val byLang = got.groupBy(_.getString(1))
+    assert(byLang.exists { case (_, rs) =>
+      rs.exists(_.getBoolean(3)) && rs.exists(!_.getBoolean(3))
+    }, "no language hit its budget: boundary path untested")
+    got.foreach { r =>
+      val (nt, sel) = expected(r.getLong(0))
+      assert(r.getLong(2) == nt, s"doc ${r.getLong(0)} n_tokens")
+      assert(r.getBoolean(3) == sel, s"doc ${r.getLong(0)} selected")
+    }
+    // admission overshoots by at most one document per language
+    byLang.foreach { case (lang, rs) =>
+      val selTok = rs.filter(_.getBoolean(3)).map(_.getLong(2)).sum
+      assert(selTok <= budget + rs.map(_.getLong(2)).max, s"$lang over budget")
+    }
+  }
+
   test("q67 equalizes language strata to about the smallest stratum") {
     val docs = Tables(spark, sf, "documents")
     val minLang = docs.groupBy("lang").count()
