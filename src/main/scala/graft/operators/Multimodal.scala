@@ -146,6 +146,97 @@ object Multimodal {
        CAST(64 + coalesce(list_sum(list_transform(range(1, strlen(text)+1), i -> ascii(text[i]))), 0) % 512 AS BIGINT) AS height
        FROM documents ORDER BY doc_id"""
 
+  /** Extracted features for one payload: byte-distribution stats, a
+    * 16-cell downsample ("thumbnail"), and 8 evenly-spaced byte
+    * samples ("frame samples") — comma-joined so both engines emit
+    * one canonical string form. */
+  case class MediaFeatures(
+      doc_id: Long, n_bytes: Long, n_distinct_bytes: Int,
+      mode_byte: Int, mode_count: Long, thumb16: String, sample8: String)
+
+  /** Feature extraction over a binary payload: the resize /
+    * frame-sample step of a media pipeline, restated as codec-free
+    * integer byte arithmetic so the whole path (including the
+    * batched per-partition plumbing a real decoder would plug into)
+    * is oracle-verifiable. thumb16[j] = floor-mean of byte chunk
+    * [j·n/16, (j+1)·n/16) — exactly an area-average downsample of a
+    * 1-D signal; sample8[i] = byte at offset i·n/8 — exactly
+    * fixed-stride frame sampling. mode tie-breaks to the lowest
+    * byte value; all arithmetic is integer, so no float drift can
+    * split the engines. */
+  private[graft] def features(id: Long, b: Array[Byte]): MediaFeatures = {
+    val n = b.length
+    val cnt = new Array[Long](256)
+    var i = 0
+    while (i < n) { cnt(b(i) & 0xff) += 1; i += 1 }
+    var nd = 0
+    var mb = -1
+    var mc = 0L
+    var v = 0
+    while (v < 256) {
+      if (cnt(v) > 0) {
+        nd += 1
+        if (cnt(v) > mc) { mc = cnt(v); mb = v } // first max = lowest byte
+      }
+      v += 1
+    }
+    val thumb = (0 until 16).map { j =>
+      val lo = j * n / 16
+      val hi = (j + 1) * n / 16
+      if (hi > lo) {
+        var ssum = 0L
+        var x = lo
+        while (x < hi) { ssum += (b(x) & 0xff); x += 1 }
+        ssum / (hi - lo)
+      } else 0L
+    }
+    val samples = (0 until 8).map(j => if (n > 0) (b(j * n / 8) & 0xff).toLong else 0L)
+    MediaFeatures(id, n.toLong, nd, mb, mc, thumb.mkString(","), samples.mkString(","))
+  }
+
+  private[graft] def featuresDs(ds: Dataset[(Long, Array[Byte])]): DataFrame = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions(_.map { case (id, bytes) => features(id, bytes) }).toDF()
+  }
+
+  /** Binary payload → extracted features via mapPartitions; same
+    * embarrassingly-parallel shape as q70 (no shuffle, columnar
+    * binary until the iterator touches it). */
+  def q73(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    featuresDs(
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), col("text").cast("binary").as("payload"))
+        .as[(Long, Array[Byte])])
+      .orderBy("doc_id")
+  }
+
+  /** ASCII corpus: char == byte, so the byte features are spellable
+    * over ascii(text[i]). The mode is list_max over [count, -byte]
+    * pairs — lexicographic max = highest count, ties to the LOWEST
+    * byte, matching the Scala scan order. */
+  private val q73Sql =
+    """WITH d AS (SELECT doc_id, strlen(text) AS n,
+             list_transform(range(1, strlen(text)+1), i -> ascii(text[i])) AS lb
+           FROM documents),
+       m AS (SELECT doc_id, n, lb,
+               len(list_distinct(lb)) AS nd,
+               coalesce(list_max(list_transform(list_distinct(lb),
+                 u -> [len(list_filter(lb, x -> x = u)), -u])), [0, 1]) AS mx
+             FROM d)
+       SELECT doc_id, CAST(n AS BIGINT) AS n_bytes,
+         CAST(nd AS INT) AS n_distinct_bytes,
+         CAST(-mx[2] AS INT) AS mode_byte,
+         CAST(mx[1] AS BIGINT) AS mode_count,
+         array_to_string(list_transform(range(0,16), j ->
+           CASE WHEN (j+1)*n//16 > j*n//16
+                THEN list_sum(lb[j*n//16+1 : (j+1)*n//16]) // ((j+1)*n//16 - j*n//16)
+                ELSE 0 END), ',') AS thumb16,
+         array_to_string(list_transform(range(0,8), j ->
+           CASE WHEN n > 0 THEN lb[j*n//8 + 1] ELSE 0 END), ',') AS sample8
+       FROM m ORDER BY doc_id"""
+
   val qs: Seq[Q] = Seq(
-    Q("q70_multimodal_meta", q70, Some(q70Sql)))
+    Q("q70_multimodal_meta", q70, Some(q70Sql)),
+    Q("q73_media_features", q73, Some(q73Sql)))
 }

@@ -6,6 +6,46 @@ import org.apache.spark.sql.functions._
 class MultimodalSpec extends AnyFunSuite {
   import TestSpark.{spark, sf}
 
+  test("q73 features match a brute-force recomputation incl. edge payloads") {
+    import spark.implicits._
+    // corpus payloads + synthetic edges: empty, 1 byte, 15 bytes
+    // (shorter than the thumbnail grid), all-identical bytes, and
+    // a high-bit byte (signed-byte trap)
+    val edges = Seq(
+      900L -> Array.empty[Byte],
+      901L -> Array[Byte](7),
+      902L -> Array.tabulate(15)(i => (i * 17).toByte),
+      903L -> Array.fill(64)(42.toByte),
+      904L -> Array[Byte](0x90.toByte, 0x05, 0x90.toByte))
+    val corpus = Tables(spark, sf, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).getBytes("UTF-8")).toSeq
+    val all = corpus ++ edges
+    val got = operators.Multimodal.featuresDs(all.toDS()).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(got.size == all.size)
+    all.foreach { case (id, b) =>
+      val n = b.length
+      val ub = b.map(_ & 0xff)
+      val counts = ub.groupBy(identity).view.mapValues(_.length.toLong).toMap
+      val nd = counts.size
+      val (mb, mc) =
+        if (n == 0) (-1, 0L)
+        else counts.toSeq.map { case (v, c) => (-c, v) }.min match { case (nc, v) => (v, -nc) }
+      val thumb = (0 until 16).map { j =>
+        val lo = j * n / 16; val hi = (j + 1) * n / 16
+        if (hi > lo) ub.slice(lo, hi).map(_.toLong).sum / (hi - lo) else 0L
+      }.mkString(",")
+      val samp = (0 until 8).map(j => if (n > 0) ub(j * n / 8).toLong else 0L).mkString(",")
+      val r = got(id)
+      assert(r.getLong(1) == n.toLong, s"$id n_bytes")
+      assert(r.getInt(2) == nd, s"$id n_distinct")
+      assert(r.getInt(3) == mb && r.getLong(4) == mc, s"$id mode")
+      assert(r.getString(5) == thumb, s"$id thumb16")
+      assert(r.getString(6) == samp, s"$id sample8")
+    }
+  }
+
   test("q70 decodes every payload with plausible stub features") {
     val df = operators.Multimodal.q70(spark, sf)
     assert(df.count() == Tables(spark, sf, "documents").count())
