@@ -322,10 +322,78 @@ object Sampling {
        SELECT doc_id, lang, n_tokens, coalesce(cumb, 0) < budget AS selected
        FROM c, b ORDER BY doc_id"""
 
+  /** Packed sequence length in tokens — ONE constant, spelled into
+    * the oracle SQL. */
+  private val SeqLen = 512
+
+  /** Sequence packing: lay documents end-to-end, in deterministic
+    * content-hash order, into fixed SeqLen-token training sequences —
+    * every doc gets (bin_id, bin_offset) = (cum_before div SeqLen,
+    * cum_before mod SeqLen), the step that turns a sampled corpus
+    * into fixed-length examples.
+    *
+    * The defining obstacle is the GLOBAL running sum — the textbook
+    * non-distributable operation (an un-partitioned window drags the
+    * whole corpus through one task; Spark warns exactly that).
+    * Classic two-phase prefix sum instead: range-partition by the
+    * order key, one pass for per-partition token totals (a
+    * #partitions-row collect), driver scan turns them into partition
+    * prefix offsets, second pass adds the local running sum map-side.
+    * Total cost: one range shuffle of 3-long rows + two linear
+    * passes — no global window, no driver data path. The
+    * repartitionByRange subtree is localCheckpointed: RangePartitioner
+    * SAMPLES its bounds per execution, and the two passes must see
+    * the SAME partitioning (CLAUDE.md gotcha; and the checkpoint
+    * also fixes within-partition order for pass 2). */
+  def q74(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val d = Tables(s, dir, "documents")
+      .select(col("doc_id"), expr(BucketExpr).as("bucket"),
+        expr(s"size(${Dedup.tokensExpr})").cast("long").as("n_tokens"))
+    val parts = d
+      .repartitionByRange(s.sparkContext.defaultParallelism, col("bucket"), col("doc_id"))
+      .sortWithinPartitions("bucket", "doc_id")
+      .as[(Long, Long, Long)]
+      .localCheckpoint(false)
+    val totals = parts.mapPartitions { it =>
+      val pid = org.apache.spark.TaskContext.getPartitionId()
+      var t = 0L
+      it.foreach(t += _._3)
+      Iterator.single((pid, t))
+    }.collect().sortBy(_._1)
+    val offsets = totals.map(_._1).zip(totals.scanLeft(0L)(_ + _._2)).toMap
+    val bc = s.sparkContext.broadcast(offsets)
+    parts.mapPartitions { it =>
+      var cum = bc.value(org.apache.spark.TaskContext.getPartitionId())
+      it.map { case (id, _, nt) =>
+        val before = cum
+        cum += nt
+        (id, nt, before / SeqLen, before % SeqLen)
+      }
+    }.toDF("doc_id", "n_tokens", "bin_id", "bin_offset")
+      .orderBy("doc_id")
+  }
+
+  /** The oracle spells the naive single-window form; the distributed
+    * prefix sum must reproduce it row for row. */
+  private val q74Sql =
+    s"""WITH d AS (SELECT doc_id, $BucketSql AS bucket,
+                     len(list_filter(string_split(text,' '), x -> x<>'')) AS n_tokens
+                   FROM documents),
+       c AS (SELECT doc_id, n_tokens,
+               coalesce(sum(n_tokens) OVER (ORDER BY bucket, doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+             FROM d)
+       SELECT doc_id, n_tokens,
+         CAST(cb // $SeqLen AS BIGINT) AS bin_id,
+         CAST(cb % $SeqLen AS BIGINT) AS bin_offset
+       FROM c ORDER BY doc_id"""
+
   val qs: Seq[Q] = Seq(
     Q("q66_train_split", q66, Some(q66Sql)),
     Q("q67_stratified_sample", q67, Some(q67Sql)),
     Q("q68_corpus_keep", q68, Some(q68Sql)),
     Q("q69_decontaminate", q69, Some(q69Sql)),
-    Q("q72_mix_budget", q72, Some(q72Sql)))
+    Q("q72_mix_budget", q72, Some(q72Sql)),
+    Q("q74_pack_sequences", q74, Some(q74Sql)))
 }

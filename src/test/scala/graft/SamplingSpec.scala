@@ -137,6 +137,35 @@ class SamplingSpec extends AnyFunSuite {
     }
   }
 
+  test("q74 matches a brute-force sequential packing recomputation") {
+    def bucket(text: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(text.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 8), 16) % 1000
+    }
+    val rows = Tables(spark, sf, "documents").select("doc_id", "text").collect()
+      .map { r =>
+        (r.getLong(0), bucket(r.getString(1)),
+          r.getString(1).split(" ").count(_.nonEmpty).toLong)
+      }.sortBy(r => (r._2, r._1))
+    val cums = rows.scanLeft(0L)(_ + _._3)
+    val expected = rows.zip(cums).map { case ((id, _, nt), before) =>
+      id -> ((nt, before / 512, before % 512))
+    }.toMap
+    val got = operators.Sampling.q74(spark, sf).collect()
+    assert(got.length == expected.size)
+    got.foreach { r =>
+      val (nt, bin, off) = expected(r.getLong(0))
+      assert(r.getLong(1) == nt, s"doc ${r.getLong(0)} n_tokens")
+      assert(r.getLong(2) == bin && r.getLong(3) == off, s"doc ${r.getLong(0)} bin")
+    }
+    // packing is dense: offsets stay inside the sequence length and
+    // bins are contiguous from 0
+    assert(got.forall(r => r.getLong(3) >= 0 && r.getLong(3) < 512))
+    val bins = got.map(_.getLong(2)).distinct.sorted
+    assert(bins.head == 0L && bins.last == bins.length - 1L, "bin ids not contiguous")
+  }
+
   test("q67 equalizes language strata to about the smallest stratum") {
     val docs = Tables(spark, sf, "documents")
     val minLang = docs.groupBy("lang").count()
