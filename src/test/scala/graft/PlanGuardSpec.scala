@@ -29,6 +29,31 @@ class PlanGuardSpec extends AnyFunSuite {
     }
   }
 
+  test("semantic dedup and decontamination join on keys, never a cartesian") {
+    for (q <- Seq("q45_semantic_dedup", "q69_decontaminate")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q plans a cartesian product")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$q plans a nested-loop join")
+    }
+  }
+
+  test("sequence packing plans no window and no global collapse") {
+    // the naive form is a global (un-partitioned) running-sum window;
+    // the two-phase prefix sum must plan neither a Window nor a
+    // single-partition exchange
+    val p = plan("q74_pack_sequences")
+    assert(!p.contains("Window"), "q74 fell back to a window running sum")
+    assert(!p.contains("Exchange SinglePartition"), "q74 collapses to one partition")
+  }
+
+  test("mixture sampling never collapses to a single partition") {
+    // admission is a broadcast-join filter; the only window runs on
+    // the per-language boundary-bucket slice (a partitioned window),
+    // so no single-partition exchange may appear
+    val p = plan("q72_mix_budget")
+    assert(!p.contains("Exchange SinglePartition"), "q72 plans a global window/exchange")
+  }
+
   test("q06's filters reach the parquet scan") {
     val p = plan("q06_forecast_revenue")
     assert(p.contains("PushedFilters: [IsNotNull") || p.contains("PushedFilters: [Gr"),
@@ -38,7 +63,8 @@ class PlanGuardSpec extends AnyFunSuite {
   test("map-only operators plan no data exchange beyond the rebalance and final sort") {
     // q66 is a pure per-row projection: its only exchanges are the
     // documents rebalance (round-robin) and the output orderBy
-    for (q <- Seq("q66_train_split", "q64_pii_scrub")) {
+    for (q <- Seq("q66_train_split", "q64_pii_scrub",
+        "q71_repetition", "q73_media_features")) {
       val p = plan(q)
       val exchanges = "Exchange (hashpartitioning|SinglePartition)".r.findAllIn(p).size
       assert(exchanges == 0, s"$q shuffles data it should only map: $p")
