@@ -65,6 +65,44 @@ object EnrichStream {
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n_events"), sum("value").as("total_value"))
 
+  /** Real-time popular products (the reference's `popular_products`
+    * Mongo collection, kept fresh by its Flink path): watermarked
+    * SLIDING-window purchase counts + revenue per product key (1 h
+    * window, 30 min slide). Ranking deliberately does NOT live in
+    * the streaming aggregation — a streaming global sort is
+    * unsupported, and a rank-per-window would force complete mode
+    * over all state. The standard shape: the stream maintains the
+    * per-(window, product) aggregate; each sink refresh ranks its
+    * own micro-batch output with the bounded [[graft.functions.TopK]]
+    * aggregate ([[topKPerWindow]]) — k-bounded work per update,
+    * state bounded by the watermark. */
+  def popularProducts(stream: DataFrame): DataFrame =
+    stream
+      .filter(col("event_type") === "purchase")
+      .withColumn("product_key", get_json_object(col("props"), "$.k").cast("long"))
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("product_key"))
+      .agg(count(lit(1)).as("n_purchases"), sum("value").as("revenue"))
+
+  /** Batch-side ranking for [[popularProducts]] output (used per
+    * micro-batch in foreachBatch, and by the parity spec): top-k
+    * products per window by (purchases, revenue), ties to the lowest
+    * product key via the bounded top-k aggregate — never a
+    * #windows-partition row_number. The 1e9 packing keeps the count
+    * strictly senior to revenue while one (window, product) cell's
+    * revenue stays under 1e9; a deployment whose single-product
+    * hourly revenue crosses that widens the multiplier. */
+  def topKPerWindow(agg: DataFrame, k: Int): DataFrame = {
+    import graft.functions.TopK
+    agg.groupBy(col("window.start").as("window_start"))
+      .agg(TopK.topk(k)(col("n_purchases").cast("double") * 1e9 + col("revenue"),
+        col("product_key")).as("top"))
+      .select(col("window_start"), posexplode(col("top")))
+      .select(col("window_start"), col("col.id").as("product_key"),
+        (col("pos") + 1).as("rank"))
+      .orderBy("window_start", "rank")
+  }
+
   /** Keyed running LTV via explicit state (Flink ValueState analog).
     * Within each micro-batch, events are applied in event-time order;
     * the running cents survive across batches in the state store.

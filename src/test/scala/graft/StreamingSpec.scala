@@ -36,6 +36,45 @@ class StreamingSpec extends AnyFunSuite {
     assert(batch.exceptAll(streamed).count() == 0)
   }
 
+  test("streaming popular products match batch sliding windows, ranked per window") {
+    val q = streaming.EnrichStream.popularProducts(
+        streaming.EnrichStream.source(spark, sf))
+      .writeStream.format("memory").queryName("pop_out")
+      .outputMode("complete").start()
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("pop_out")
+    // window/product/count parity is exact; revenue is a double sum
+    // whose accumulation order differs stream-vs-batch, so compare
+    // by tolerance instead of hash
+    val ev = Tables(spark, sf, "events")
+      .filter(col("event_type") === "purchase")
+      .withColumn("product_key", get_json_object(col("props"), "$.k").cast("long"))
+    val batch = ev
+      .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("product_key"))
+      .agg(count(lit(1)).as("n_purchases"), sum("value").as("revenue"))
+    val sKeys = streamed.select(col("window.start").as("ws"), col("product_key"), col("n_purchases"))
+    val bKeys = batch.select(col("window.start").as("ws"), col("product_key"), col("n_purchases"))
+    assert(sKeys.exceptAll(bKeys).count() == 0)
+    assert(bKeys.exceptAll(sKeys).count() == 0)
+    val joined = streamed.select(col("window.start").as("ws"), col("product_key"),
+        col("revenue").as("r_s"))
+      .join(batch.select(col("window.start").as("ws"), col("product_key"),
+        col("revenue").as("r_b")), Seq("ws", "product_key"))
+    assert(joined.filter(abs(col("r_s") - col("r_b")) > 1e-6).count() == 0)
+    // per-window top-5 from the bounded aggregate == a reference
+    // row_number ranking over the same (streamed) aggregate
+    import org.apache.spark.sql.expressions.Window
+    val ranked = streaming.EnrichStream.topKPerWindow(streamed, 5)
+    val expect = streamed.withColumn("rank", row_number().over(
+        Window.partitionBy("window").orderBy(col("n_purchases").desc,
+          col("revenue").desc, col("product_key"))))
+      .filter(col("rank") <= 5)
+      .select(col("window.start").as("window_start"), col("product_key"), col("rank"))
+    assert(ranked.count() > 0)
+    assert(ranked.exceptAll(expect).count() == 0)
+    assert(expect.exceptAll(ranked).count() == 0)
+  }
+
   test("stateful LTV final value per user matches batch q22") {
     val q = streaming.EnrichStream.ltvStateful(
         streaming.EnrichStream.typedSource(spark, sf))
