@@ -124,9 +124,12 @@ object Sampling {
       .orderBy("doc_id")
   }
 
-  private val q68Sql = {
+  /** The q68 gate as reusable SQL pieces (CTE list + join/filter
+    * clause) so the composed q75 oracle reuses the IDENTICAL gate
+    * text instead of a drifting copy. */
+  private val gateCtes = {
     val stopCount = TextOps.duckScore(TextOps.stopEn)
-    s"""WITH RECURSIVE ${Dedup.shingleCte},
+    s"""${Dedup.shingleCte},
        sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
        pairs0 AS (SELECT a.doc_id d1, b.doc_id d2, count(*) c
                   FROM sh a JOIN sh b ON a.s=b.s AND a.doc_id < b.doc_id GROUP BY 1,2),
@@ -152,18 +155,24 @@ object Sampling {
                CASE WHEN $BucketSql < $TrainLt THEN 'train'
                     WHEN $BucketSql < $ValLt THEN 'val'
                     ELSE 'test' END AS split
-               FROM documents)
-       SELECT d.doc_id, spl.split, qual.quality_score
-       FROM documents d
+               FROM documents)"""
+  }
+
+  private val gateFromWhere =
+    s"""FROM documents d
        JOIN ex ON d.doc_id = ex.doc_id
        JOIN cl ON d.doc_id = cl.doc_id
        JOIN qual ON d.doc_id = qual.doc_id
        JOIN clean ON d.doc_id = clean.doc_id
        JOIN spl ON d.doc_id = spl.doc_id
        WHERE ex.ex_keep AND cl.cluster_id = d.doc_id AND clean.is_clean
-         AND qual.quality_score >= $QualityThr
+         AND qual.quality_score >= $QualityThr"""
+
+  private val q68Sql =
+    s"""WITH RECURSIVE $gateCtes
+       SELECT d.doc_id, spl.split, qual.quality_score
+       $gateFromWhere
        ORDER BY d.doc_id"""
-  }
 
   /** Decontamination gram width: 8-token grams. q66's content-keyed
     * split already makes BYTE-IDENTICAL duplicates unable to straddle
@@ -274,11 +283,20 @@ object Sampling {
     * language; (2) a broadcast join turns admission into a map-side
     * filter for every bucket except the ~1/1000 boundary slice,
     * which alone pays a (tiny) within-bucket running-sum window. */
-  def q72(s: SparkSession, dir: String): DataFrame = {
+  def q72(s: SparkSession, dir: String): DataFrame =
+    mixCore(s,
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), expr(BucketExpr).as("bucket"),
+          expr(s"size(${Dedup.tokensExpr})").cast("long").as("n_tokens")))
+      .select("doc_id", "lang", "n_tokens", "selected")
+      .orderBy("doc_id")
+
+  /** The budget-admission core over (doc_id, lang, bucket, n_tokens)
+    * rows — shared by q72 and the composed q75. NOTE: `d` feeds two
+    * actions (the histogram and the admission join); a caller whose
+    * `d` is expensive must localCheckpoint it first. */
+  private def mixCore(s: SparkSession, d: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val d = Tables(s, dir, "documents")
-      .select(col("doc_id"), col("lang"), expr(BucketExpr).as("bucket"),
-        expr(s"size(${Dedup.tokensExpr})").cast("long").as("n_tokens"))
     val hist = d.groupBy("lang", "bucket").agg(sum("n_tokens").as("btok"))
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
     val budget = hist.map(_._3).sum / (MixDen.toLong * hist.map(_._1).distinct.length)
@@ -302,9 +320,8 @@ object Sampling {
       .withColumn("selected", col("before") + col("cumb") < budget)
     val rest = tagged.filter(col("kind") =!= "edge")
       .withColumn("selected", col("kind") === "all")
-    edge.select("doc_id", "lang", "n_tokens", "selected")
-      .unionByName(rest.select("doc_id", "lang", "n_tokens", "selected"))
-      .orderBy("doc_id")
+    edge.select("doc_id", "lang", "bucket", "n_tokens", "selected")
+      .unionByName(rest.select("doc_id", "lang", "bucket", "n_tokens", "selected"))
   }
 
   /** The oracle spells the NAIVE form (global per-language running
@@ -345,12 +362,19 @@ object Sampling {
     * SAMPLES its bounds per execution, and the two passes must see
     * the SAME partitioning (CLAUDE.md gotcha; and the checkpoint
     * also fixes within-partition order for pass 2). */
-  def q74(s: SparkSession, dir: String): DataFrame = {
+  def q74(s: SparkSession, dir: String): DataFrame =
+    packCore(s,
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), expr(BucketExpr).as("bucket"),
+          expr(s"size(${Dedup.tokensExpr})").cast("long").as("n_tokens")))
+      .orderBy("doc_id")
+
+  /** The prefix-sum core over (doc_id, bucket, n_tokens) rows —
+    * shared by q74 and the composed q75. */
+  private def packCore(s: SparkSession, d: DataFrame): DataFrame = {
     import s.implicits._
-    val d = Tables(s, dir, "documents")
-      .select(col("doc_id"), expr(BucketExpr).as("bucket"),
-        expr(s"size(${Dedup.tokensExpr})").cast("long").as("n_tokens"))
     val parts = d
+      .select(col("doc_id"), col("bucket"), col("n_tokens"))
       .repartitionByRange(s.sparkContext.defaultParallelism, col("bucket"), col("doc_id"))
       .sortWithinPartitions("bucket", "doc_id")
       .as[(Long, Long, Long)]
@@ -371,7 +395,6 @@ object Sampling {
         (id, nt, before / SeqLen, before % SeqLen)
       }
     }.toDF("doc_id", "n_tokens", "bin_id", "bin_offset")
-      .orderBy("doc_id")
   }
 
   /** The oracle spells the naive single-window form; the distributed
@@ -389,11 +412,59 @@ object Sampling {
          CAST(cb % $SeqLen AS BIGINT) AS bin_offset
        FROM c ORDER BY doc_id"""
 
+  /** THE end-to-end training-set materialization — what a user of
+    * this library actually ships: q68's gate (PII-clean ∧ dedup
+    * canonical ∧ quality) restricted to the train split, q72's
+    * per-language token-budget admission over the SURVIVORS (budgets
+    * derive from post-gate totals), then q74's packing into
+    * SeqLen-token sequences — one call, one composed Catalyst plan
+    * per stage, every stage the already-verified operator core.
+    *
+    * The gated projection is localCheckpointed before the mixture
+    * core: the gate subtree contains q65's iterative loop and feeds
+    * two actions (histogram + admission join) — without the barrier
+    * the cluster computation would execute twice. */
+  def q75(s: SparkSession, dir: String): DataFrame = {
+    val keep = q68(s, dir).filter(col("split") === "train").select("doc_id")
+    val d = Tables(s, dir, "documents")
+      .select(col("doc_id"), col("lang"), expr(BucketExpr).as("bucket"),
+        expr(s"size(${Dedup.tokensExpr})").cast("long").as("n_tokens"))
+      .join(keep, "doc_id")
+      .localCheckpoint(false)
+    val admitted = mixCore(s, d).filter(col("selected"))
+    packCore(s, admitted).orderBy("doc_id")
+  }
+
+  /** The composed oracle: the gate CTEs are the SAME strings q68Sql
+    * uses, followed by the naive mixture window and the naive packing
+    * window — the full pipeline in one recursive-CTE query. */
+  private val q75Sql =
+    s"""WITH RECURSIVE $gateCtes,
+       gate_keep AS (SELECT d.doc_id $gateFromWhere AND spl.split = 'train'),
+       dd AS (SELECT d.doc_id, d.lang, $BucketSql AS bucket,
+                len(list_filter(string_split(text,' '), x -> x<>'')) AS n_tokens
+              FROM documents d JOIN gate_keep k ON d.doc_id = k.doc_id),
+       b AS (SELECT sum(n_tokens) // ($MixDen * count(DISTINCT lang)) AS budget FROM dd),
+       c AS (SELECT doc_id, lang, bucket, n_tokens,
+               coalesce(sum(n_tokens) OVER (PARTITION BY lang ORDER BY bucket, doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cumb
+             FROM dd),
+       adm AS (SELECT doc_id, bucket, n_tokens FROM c, b WHERE cumb < budget),
+       pc AS (SELECT doc_id, n_tokens,
+                coalesce(sum(n_tokens) OVER (ORDER BY bucket, doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+              FROM adm)
+       SELECT doc_id, n_tokens,
+         CAST(cb // $SeqLen AS BIGINT) AS bin_id,
+         CAST(cb % $SeqLen AS BIGINT) AS bin_offset
+       FROM pc ORDER BY doc_id"""
+
   val qs: Seq[Q] = Seq(
     Q("q66_train_split", q66, Some(q66Sql)),
     Q("q67_stratified_sample", q67, Some(q67Sql)),
     Q("q68_corpus_keep", q68, Some(q68Sql)),
     Q("q69_decontaminate", q69, Some(q69Sql)),
     Q("q72_mix_budget", q72, Some(q72Sql)),
-    Q("q74_pack_sequences", q74, Some(q74Sql)))
+    Q("q74_pack_sequences", q74, Some(q74Sql)),
+    Q("q75_assemble", q75, Some(q75Sql)))
 }

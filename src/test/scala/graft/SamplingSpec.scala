@@ -166,6 +166,43 @@ class SamplingSpec extends AnyFunSuite {
     assert(bins.head == 0L && bins.last == bins.length - 1L, "bin ids not contiguous")
   }
 
+  test("q75 equals the composition of q68 gate, q72 admission, q74 packing") {
+    def bucket(text: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(text.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 8), 16) % 1000
+    }
+    val keep = operators.Sampling.q68(spark, sf)
+      .filter(col("split") === "train").select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    val rows = Tables(spark, sf, "documents").select("doc_id", "lang", "text")
+      .collect()
+      .filter(r => keep.contains(r.getLong(0)))
+      .map { r =>
+        (r.getLong(0), r.getString(1), bucket(r.getString(2)),
+          r.getString(2).split(" ").count(_.nonEmpty).toLong)
+      }
+    val budget = rows.map(_._4).sum / (2L * rows.map(_._2).distinct.length)
+    val admitted = rows.groupBy(_._2).toSeq.flatMap { case (_, rs) =>
+      val sorted = rs.sortBy(r => (r._3, r._1))
+      sorted.zip(sorted.scanLeft(0L)(_ + _._4)).collect {
+        case (r, before) if before < budget => r
+      }
+    }.sortBy(r => (r._3, r._1))
+    val expected = admitted.zip(admitted.scanLeft(0L)(_ + _._4)).map {
+      case ((id, _, _, nt), before) => id -> ((nt, before / 512, before % 512))
+    }.toMap
+    val got = operators.Sampling.q75(spark, sf).collect()
+    assert(got.length == expected.size)
+    assert(got.length > 0 && got.length < keep.size,
+      "composition is trivial: admission dropped nothing or everything")
+    got.foreach { r =>
+      val (nt, bin, off) = expected(r.getLong(0))
+      assert(r.getLong(1) == nt && r.getLong(2) == bin && r.getLong(3) == off,
+        s"doc ${r.getLong(0)}")
+    }
+  }
+
   test("q67 equalizes language strata to about the smallest stratum") {
     val docs = Tables(spark, sf, "documents")
     val minLang = docs.groupBy("lang").count()
