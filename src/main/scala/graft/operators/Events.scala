@@ -368,6 +368,31 @@ object Events {
               CAST(date_diff('day', last_order_date, t::DATE) AS INT) AS days_since_order
        FROM w WHERE kind = 1 ORDER BY event_id"""
 
+  /** Misra-Gries heavy-hitter capacity: n/(k+1) error per group. */
+  private val HhK = 16
+
+  /** Approximate heavy hitters: the most frequent product keys per
+    * event type via the mergeable Misra-Gries summary
+    * ([[graft.functions.MisraGriesAgg]]) — the frequency member of
+    * the sketch family (q14 HLL distinct counts, q19 GK quantiles).
+    * At 100 TB this replaces a full groupBy(event_type, product)
+    * shuffle with k-bounded map-side partials. rows-only: which
+    * sub-threshold keys survive is reduce/merge-order-dependent
+    * inside the guarantee envelope (like HLL's ±ε), so EventsSpec
+    * asserts the MG guarantees against exact counts instead of a
+    * hash compare. */
+  def q76(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.HeavyHitters
+    Tables(s, dir, "events")
+      .withColumn("product_key", get_json_object(col("props"), "$.k").cast("long"))
+      .groupBy("event_type")
+      .agg(HeavyHitters.heavyHitters(HhK)(col("product_key")).as("hh"))
+      .select(col("event_type"), posexplode(col("hh")))
+      .select(col("event_type"), col("col.id").as("product_key"),
+        (col("pos") + 1).as("rank"), col("col.est").as("est_count"))
+      .orderBy("event_type", "rank")
+  }
+
   val qs: Seq[Q] = Seq(
     Q("q20_hourly_revenue", q20, Some(q20Sql)),
     Q("q21_enrich_events", q21, Some(q21Sql)),
@@ -377,5 +402,6 @@ object Events {
     Q("q25_retention_cohorts", q25, Some(q25Sql)),
     Q("q26_anomaly_hours", q26, Some(q26Sql)),
     Q("q27_top_spenders", q27, Some(q27Sql)),
-    Q("q28_order_asof", q28, Some(q28Sql)))
+    Q("q28_order_asof", q28, Some(q28Sql)),
+    Q("q76_heavy_hitters", q76, None))
 }

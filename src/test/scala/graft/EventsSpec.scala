@@ -149,4 +149,53 @@ class EventsSpec extends AnyFunSuite {
     assert(out == Map(1L -> 1000L, 2L -> -400L, 3L -> -300L, 5L -> -250L),
       s"unexpected deltas: $out")
   }
+
+  test("q76 heavy hitters satisfy the Misra-Gries error bound vs exact counts") {
+    val k = 16
+    val exact = Tables(spark, sf, "events")
+      .withColumn("product_key", get_json_object(col("props"), "$.k").cast("long"))
+      .groupBy("event_type", "product_key").count()
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val nPerGroup = exact.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
+    val got = operators.Events.q76(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(3)).toMap
+    assert(got.nonEmpty)
+    // the corpus's ~100 uniform keys per type force real decrements
+    // (summary capacity k << distinct keys)
+    assert(exact.groupBy(_._1._1).forall(_._2.size > k))
+    got.foreach { case (key @ (et, _), est) =>
+      val t = exact(key)
+      val err = nPerGroup(et) / (k + 1)
+      assert(est <= t, s"$key overestimated: $est > $t")
+      assert(est >= t - err, s"$key undercounted past the bound: $est < $t - $err")
+    }
+  }
+
+  test("Misra-Gries never loses a guaranteed heavy hitter on a skewed stream") {
+    import spark.implicits._
+    import graft.functions.HeavyHitters
+    val k = 16
+    // 4000 background rows over 200 keys + two hot keys at 400 —
+    // threshold 4800/17 = 282 < 400, so both MUST survive the
+    // capacity-16 summary however Spark partitions the reduce/merge
+    val rows = (0 until 4000).map(i => ("g", (i % 200).toLong)) ++
+      Seq.fill(400)(("g", 1000L)) ++ Seq.fill(400)(("g", 1001L))
+    val out = rows.toDF("grp", "key").repartition(8)
+      .groupBy("grp").agg(HeavyHitters.heavyHitters(k)(col("key")).as("hh"))
+      .select(explode(col("hh")).as("h")).select("h.id", "h.est")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val n = rows.size.toLong
+    assert(out.contains(1000L) && out.contains(1001L),
+      s"guaranteed heavy hitters lost: $out")
+    assert(out.size <= k)
+    Seq(1000L, 1001L).foreach { id =>
+      assert(out(id) <= 400L && out(id) >= 400L - n / (k + 1),
+        s"estimate for $id out of bounds: ${out(id)}")
+    }
+    // background keys (true count 20) can never beat the bound floor
+    out.foreach { case (id, est) =>
+      if (id < 1000L) assert(est <= 20L, s"background key $id overestimated: $est")
+    }
+  }
 }
