@@ -14,6 +14,13 @@ case class Ev(event_id: Long, user_id: Long, event_type: String, ts_us: Long,
 case class LtvState(cents: Long)
 case class LtvOut(user_id: Long, event_id: Long, ltv: Double)
 
+/** Per-event-type anomaly state: still-open hour buckets plus
+  * Welford running stats (n, mean, M2) over CLOSED hours. */
+case class AnomState(open: Map[Long, Long], maxTsUs: Long,
+    n: Long, mean: Double, m2: Double)
+case class AnomOut(event_type: String, hour_us: Long, n_events: Long,
+    zscore: Double, is_anomaly: Boolean)
+
 /** Structured Streaming mirror of the reference's Flink pipeline
   * (RealTimeAnalytics.java:63-104): source → keyed enrichment →
   * sinks, plus windowed aggregates and explicit keyed state.
@@ -134,6 +141,65 @@ object EnrichStream {
             LtvOut(uid, e.event_id, cents / 100.0)
           }
           state.update(LtvState(cents))
+          out.iterator
+        })
+  }
+
+  /** Hour width and finalization slack for [[anomalyStream]]. An
+    * hour closes when the key's max observed event time passes
+    * hour_end + slack — the manual watermark a chained
+    * windowed-agg → stateful op would provide if Spark allowed
+    * mixing fMGWS with other stateful operators (it does not). */
+  private val HourUs = 3600L * 1000000L
+  private val SlackUs = 30L * 60L * 1000000L
+
+  /** z-score threshold shared with the spec. */
+  private[graft] val AnomZ = 3.0
+
+  /** Real-time anomaly detection on hourly event counts — the
+    * streaming counterpart of batch q26 (reference README's anomaly
+    * detection, live). One stateful operator per event type keeps
+    * (a) open hour→count buckets and (b) Welford running stats over
+    * hours already closed; when event time passes an hour's end plus
+    * slack, the hour is finalized IN HOUR ORDER, scored against the
+    * stats of strictly earlier hours (a prefix z-score — what a live
+    * detector can actually know, unlike q26's full-corpus stats),
+    * then folded into the running stats. State is bounded: at most
+    * ceil(slack/hour)+1 open buckets plus three doubles per key,
+    * regardless of stream length. Deterministic as long as no event
+    * arrives later than the slack, matching the replay sources. */
+  def anomalyStream(events: Dataset[Ev]): Dataset[AnomOut] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.event_type)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (et: String, evs: Iterator[Ev], state: GroupState[AnomState]) => {
+          var st = state.getOption.getOrElse(AnomState(Map.empty, Long.MinValue, 0L, 0.0, 0.0))
+          val open = scala.collection.mutable.Map[Long, Long](st.open.toSeq: _*)
+          var maxTs = st.maxTsUs
+          evs.foreach { e =>
+            val h = Math.floorDiv(e.ts_us, HourUs) * HourUs
+            open(h) = open.getOrElse(h, 0L) + 1L
+            if (e.ts_us > maxTs) maxTs = e.ts_us
+          }
+          val closing = open.keys.toSeq.sorted
+            .filter(h => h + HourUs + SlackUs <= maxTs)
+          var (n, mean, m2) = (st.n, st.mean, st.m2)
+          val out = closing.map { h =>
+            val x = open.remove(h).get.toDouble
+            val prevN = n
+            // std floored at 1e-9: identical prior counts (m2 = 0)
+            // make any deviation maximally anomalous, not NaN
+            val z =
+              if (prevN < 2L) 0.0
+              else (x - mean) / math.max(math.sqrt(m2 / (prevN - 1L)), 1e-9)
+            n += 1L
+            val d = x - mean
+            mean += d / n
+            m2 += d * (x - mean)
+            AnomOut(et, h, x.toLong, z, prevN >= 2L && math.abs(z) >= AnomZ)
+          }
+          state.update(AnomState(open.toMap, maxTs, n, mean, m2))
           out.iterator
         })
   }

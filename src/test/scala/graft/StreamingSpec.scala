@@ -75,6 +75,47 @@ class StreamingSpec extends AnyFunSuite {
     assert(expect.exceptAll(ranked).count() == 0)
   }
 
+  test("streaming anomaly hours match a prefix-stats recomputation exactly") {
+    val q = streaming.EnrichStream.anomalyStream(
+        streaming.EnrichStream.typedSource(spark, sf))
+      .writeStream.format("memory").queryName("anom_out")
+      .outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("anom_out").collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getDouble(3), r.getBoolean(4)))).toMap
+    // brute force with IDENTICAL arithmetic: hours in order per type,
+    // Welford prefix stats, z against strictly earlier hours only
+    val hourUs = 3600L * 1000000L
+    val slackUs = 30L * 60L * 1000000L
+    val evs = Tables(spark, sf, "events")
+      .select(col("event_type"), unix_micros(col("ts")).as("ts_us")).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val expected = evs.groupBy(_._1).toSeq.flatMap { case (et, rows) =>
+      val maxTs = rows.map(_._2).max
+      val counts = rows.groupBy(r => Math.floorDiv(r._2, hourUs) * hourUs)
+        .view.mapValues(_.length.toLong).toSeq.sortBy(_._1)
+      var (n, mean, m2) = (0L, 0.0, 0.0)
+      counts.filter { case (h, _) => h + hourUs + slackUs <= maxTs }.map { case (h, c) =>
+        val x = c.toDouble
+        val prevN = n
+        val z = if (prevN < 2L) 0.0
+          else (x - mean) / math.max(math.sqrt(m2 / (prevN - 1L)), 1e-9)
+        n += 1L
+        val d = x - mean
+        mean += d / n
+        m2 += d * (x - mean)
+        (et, h) -> ((c, z, prevN >= 2L && math.abs(z) >= streaming.EnrichStream.AnomZ))
+      }
+    }.toMap
+    assert(streamed.nonEmpty)
+    assert(streamed.keySet == expected.keySet,
+      s"hour sets differ: extra=${streamed.keySet -- expected.keySet} missing=${expected.keySet -- streamed.keySet}")
+    streamed.foreach { case (key, got) =>
+      assert(got == expected(key), s"$key: got $got expected ${expected(key)}")
+    }
+  }
+
   test("stateful LTV final value per user matches batch q22") {
     val q = streaming.EnrichStream.ltvStateful(
         streaming.EnrichStream.typedSource(spark, sf))
