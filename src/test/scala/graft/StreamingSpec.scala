@@ -116,6 +116,60 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming near-dup detection finds the co-bucket pair set incrementally") {
+    import spark.implicits._
+    import streaming.DedupStream
+    // replay the corpus as 4 ranged files, one per micro-batch, so
+    // later documents are checked against genuinely earlier history
+    val dir = java.nio.file.Files.createTempDirectory("graft-dedupstream").toString
+    val base = Tables(spark, sf, "documents")
+      .select("doc_id", "text", "lang", "source", "n_chars")
+    val ids = base.select("doc_id").collect().map(_.getLong(0)).sorted
+    val cuts = (1 to 3).map(i => ids(i * ids.length / 4))
+    val ranges = (Long.MinValue +: cuts) :+ Long.MaxValue
+    ranges.zip(ranges.tail).foreach { case (lo, hi) =>
+      base.filter(col("doc_id") >= lo && col("doc_id") < hi)
+        .coalesce(1).write.mode("append").parquet(dir)
+    }
+    val q = DedupStream.neardupStream(
+        DedupStream.source(spark, dir, filesPerTrigger = 1)
+          .select(col("doc_id"), col("text")).as[(Long, String)])
+      .writeStream.format("memory").queryName("neardup_out")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    val batches = q.recentProgress.count(_.numInputRows > 0)
+    q.stop()
+    assert(batches >= 2, s"replay collapsed into $batches batch(es)")
+    // at-least-once per shared bucket → dedupe on the pair
+    val got = spark.table("neardup_out").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // expected: same shingle/band helpers, every co-bucket pair with
+    // exact Jaccard >= threshold, independent of arrival order
+    val docs = base.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> DedupStream.shingleHashes(r.getString(1)))
+    val bks = docs.map { case (id, sh) => id -> DedupStream.bandKeys(sh).toSet }.toMap
+    def jac(a: Array[Long], b: Array[Long]): Double = {
+      val c = a.intersect(b).length
+      if (a.length + b.length == 0) 0.0 else c.toDouble / (a.length + b.length - c)
+    }
+    val expected = (for {
+      i <- docs.indices.iterator
+      j <- (i + 1) until docs.length
+      (ia, sa) = docs(i)
+      (ib, sb) = docs(j)
+      if (bks(ia) & bks(ib)).nonEmpty && jac(sa, sb) >= DedupStream.JaccThr
+    } yield (math.min(ia, ib), math.max(ia, ib))).toSet
+    assert(expected.nonEmpty, "no near-dup pairs at this SF: test is vacuous")
+    assert(got == expected,
+      s"extra=${got -- expected} missing=${expected -- got}")
+    // semantic recall vs the exact batch inverted-index pairs (q41):
+    // banding misses a 0.6-Jaccard pair with prob ~1.2% per pair
+    val exact = operators.Dedup.q41(spark, sf).select("d1", "d2").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val hit = exact.count(got.contains)
+    assert(hit >= (exact.size * 0.9).ceil.toInt, s"stream recall $hit/${exact.size}")
+  }
+
   test("stateful LTV final value per user matches batch q22") {
     val q = streaming.EnrichStream.ltvStateful(
         streaming.EnrichStream.typedSource(spark, sf))
