@@ -258,6 +258,59 @@ object Sampling {
        WHERE d.bucket < $TrainLt
        ORDER BY d.doc_id"""
 
+  /** q77 Bloom false-positive rate. With g grams per document the
+    * per-document false-flag probability is ~g·fpp, so 1e-4 keeps it
+    * under ~1% at this corpus's ~45 grams/doc. */
+  private val BloomFpp = 1e-4
+
+  /** Bloom-filter decontamination — the map-only scale path of q69
+    * for the benchmark-suite case. q69's inverted-index join is the
+    * general form (both sides corpus-scale); when the reference set
+    * is a bounded external benchmark suite — the common production
+    * case — the right shape is: build a Bloom filter over the
+    * reference grams ONCE (Spark's mergeable sketch aggregate, a
+    * treeAggregate of OR-able bitsets), broadcast it, and probe every
+    * train gram map-side. The 100 TB train corpus is then touched in
+    * exactly one shuffle-free pass — no gram explode-and-join, no
+    * DF-cap pre-shuffle (a hot gram costs O(1) probes, not a
+    * quadratic join key).
+    *
+    * Contract: |reference set| ≪ |corpus| (its Bloom must fit in a
+    * broadcast — ~230 MB at 1e8 grams/1e-4 fpp); here it is the
+    * val/test split so the spec can compare against q69. One-sided
+    * error by construction: every q69-contaminated doc is flagged
+    * (Bloom has no false negatives, and q69's gram universe is a
+    * DF-capped SUBSET of the filter's), plus ~g·fpp false flags —
+    * rows-only, SamplingSpec bounds the overcount. */
+  def q77(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables(s, dir, "documents")
+      .withColumn("bucket", expr(BucketExpr))
+      .withColumn("tk", expr(Dedup.tokensExpr))
+    // reference side: bounded by contract; checkpointed because the
+    // count and the sketch aggregate are two actions over it.
+    // NB: explode the gram EXPRESSION directly (q69's form) — exploding
+    // a withColumn-defined array attribute regenerates+recompiles the
+    // Generate's codegen per execution (~3.5 s flat, size-independent).
+    val evalGrams = docs.filter(col("bucket") >= TrainLt)
+      .select(explode(expr(gramExpr)).as("s")).localCheckpoint(false)
+    val nEval = math.max(evalGrams.count(), 1L)
+    val bloom = evalGrams.stat.bloomFilter("s", nEval, BloomFpp)
+    val bc = s.sparkContext.broadcast(bloom)
+    docs.filter(col("bucket") < TrainLt)
+      .select(col("doc_id"), expr(gramExpr).as("grams")).as[(Long, Seq[String])]
+      .mapPartitions { it =>
+        val f = bc.value
+        it.map { case (id, gs) =>
+          var hits = 0L
+          gs.foreach(g => if (f.mightContainString(g)) hits += 1L)
+          (id, gs.size.toLong, hits, hits >= 1L)
+        }
+      }
+      .toDF("doc_id", "n_grams", "n_shared_est", "contaminated")
+      .orderBy("doc_id")
+  }
+
   /** Mixture denominator: the total token budget is corpus_tokens /
     * MixDen, shared equally across languages (the static-weight
     * degenerate of a DoReMi-style mixture). ONE constant, spelled
@@ -464,6 +517,7 @@ object Sampling {
     Q("q67_stratified_sample", q67, Some(q67Sql)),
     Q("q68_corpus_keep", q68, Some(q68Sql)),
     Q("q69_decontaminate", q69, Some(q69Sql)),
+    Q("q77_bloom_decontaminate", q77, None),
     Q("q72_mix_budget", q72, Some(q72Sql)),
     Q("q74_pack_sequences", q74, Some(q74Sql)),
     Q("q75_assemble", q75, Some(q75Sql)))

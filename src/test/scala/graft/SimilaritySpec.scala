@@ -44,6 +44,21 @@ class SimilaritySpec extends AnyFunSuite {
     assert(approx.filter(col("query_id") === col("neighbor_id")).count() == 0)
   }
 
+  test("q53 PQ ANN: recall@5 vs brute force with 8-byte codes") {
+    val exact = operators.Similarity.q50(spark, sf).select("query_id", "neighbor_id")
+    val approx = operators.Similarity.q53(spark, sf)
+    val n = exact.count()
+    val hit = exact.join(approx.select("query_id", "neighbor_id"),
+      Seq("query_id", "neighbor_id"), "left_semi").count()
+    info(s"q53 PQ recall@5 = $hit/$n = ${hit * 1.0 / n}")
+    // 16 subspaces × 16 centroids (8 B codes, 32× compression) + exact
+    // rerank of the top-48 ADC candidates; codebooks from a fixed
+    // deterministic sample, so this is reproducible.
+    assert(hit * 1.0 / n >= 0.8, s"recall@5 = $hit/$n below 0.8")
+    assert(approx.groupBy("query_id").count().filter(col("count") =!= 5).count() == 0)
+    assert(approx.filter(col("query_id") === col("neighbor_id")).count() == 0)
+  }
+
   test("q52 IVF ANN achieves high recall@5 against brute force") {
     val exact = operators.Similarity.q50(spark, sf).select("query_id", "neighbor_id")
     val approx = operators.Similarity.q52(spark, sf)
