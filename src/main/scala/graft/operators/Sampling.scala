@@ -182,7 +182,7 @@ object Sampling {
     * in a natural corpus; an 8-gram match is essentially always real
     * shared provenance (the scaled-down form of GPT-3's 13-gram
     * eval-contamination rule). */
-  private val GramN = 8
+  private[graft] val GramN = 8
 
   /** Grams with document frequency above the cap are dropped
     * IDENTICALLY in engine and oracle — ubiquitous boilerplate grams
@@ -282,21 +282,32 @@ object Sampling {
     * (Bloom has no false negatives, and q69's gram universe is a
     * DF-capped SUBSET of the filter's), plus ~g·fpp false flags —
     * rows-only, SamplingSpec bounds the overcount. */
+  /** The broadcastable reference sketch: a Bloom filter over the
+    * val/test split's 8-grams — shared by q77 and the streaming
+    * ingest guard ([[graft.streaming.DecontaminateStream]]), so batch
+    * scan and stream admission probe the IDENTICAL filter. The
+    * reference side is checkpointed because the count and the sketch
+    * aggregate are two actions over it.
+    * NB: explode the gram EXPRESSION directly (q69's form) — exploding
+    * a withColumn-defined array attribute regenerates+recompiles the
+    * Generate's codegen per execution (~3.5 s flat, size-independent). */
+  private[graft] def referenceBloom(
+      s: SparkSession, dir: String): org.apache.spark.util.sketch.BloomFilter = {
+    val evalGrams = Tables(s, dir, "documents")
+      .withColumn("bucket", expr(BucketExpr))
+      .withColumn("tk", expr(Dedup.tokensExpr))
+      .filter(col("bucket") >= TrainLt)
+      .select(explode(expr(gramExpr)).as("s")).localCheckpoint(false)
+    val nEval = math.max(evalGrams.count(), 1L)
+    evalGrams.stat.bloomFilter("s", nEval, BloomFpp)
+  }
+
   def q77(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val docs = Tables(s, dir, "documents")
       .withColumn("bucket", expr(BucketExpr))
       .withColumn("tk", expr(Dedup.tokensExpr))
-    // reference side: bounded by contract; checkpointed because the
-    // count and the sketch aggregate are two actions over it.
-    // NB: explode the gram EXPRESSION directly (q69's form) — exploding
-    // a withColumn-defined array attribute regenerates+recompiles the
-    // Generate's codegen per execution (~3.5 s flat, size-independent).
-    val evalGrams = docs.filter(col("bucket") >= TrainLt)
-      .select(explode(expr(gramExpr)).as("s")).localCheckpoint(false)
-    val nEval = math.max(evalGrams.count(), 1L)
-    val bloom = evalGrams.stat.bloomFilter("s", nEval, BloomFpp)
-    val bc = s.sparkContext.broadcast(bloom)
+    val bc = s.sparkContext.broadcast(referenceBloom(s, dir))
     docs.filter(col("bucket") < TrainLt)
       .select(col("doc_id"), expr(gramExpr).as("grams")).as[(Long, Seq[String])]
       .mapPartitions { it =>

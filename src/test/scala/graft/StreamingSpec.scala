@@ -170,6 +170,42 @@ class StreamingSpec extends AnyFunSuite {
     assert(hit >= (exact.size * 0.9).ceil.toInt, s"stream recall $hit/${exact.size}")
   }
 
+  test("streaming decontamination guard matches batch q77 bit-for-bit") {
+    import spark.implicits._
+    import streaming.DecontaminateStream
+    // the reference filter is built ONCE from the batch eval split;
+    // stream the train docs through the guard in 2 micro-batches
+    val bloom = operators.Sampling.referenceBloom(spark, sf)
+    val batch = operators.Sampling.q77(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
+    val dir = java.nio.file.Files.createTempDirectory("graft-decon").toString
+    val trainIds = batch.keySet
+    val base = Tables(spark, sf, "documents")
+      .select("doc_id", "text", "lang", "source", "n_chars")
+      .filter(col("doc_id").isInCollection(trainIds))
+    val mid = trainIds.toSeq.sorted.apply(trainIds.size / 2)
+    base.filter(col("doc_id") < mid).coalesce(1).write.mode("append").parquet(dir)
+    base.filter(col("doc_id") >= mid).coalesce(1).write.mode("append").parquet(dir)
+    val q = DecontaminateStream.guard(
+        streaming.DedupStream.source(spark, dir, filesPerTrigger = 1)
+          .select(col("doc_id"), col("text")).as[(Long, String)], bloom)
+      .writeStream.format("memory").queryName("decon_out")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    val batches = q.recentProgress.count(_.numInputRows > 0)
+    q.stop()
+    assert(batches >= 2, s"replay collapsed into $batches batch(es)")
+    val got = spark.table("decon_out").collect()
+    assert(got.length == batch.size)
+    assert(got.map(_.getLong(0)).distinct.length == got.length)
+    got.foreach { r =>
+      val (ng, ns, contaminated) = batch(r.getLong(0))
+      assert(r.getLong(1) == ng, s"doc ${r.getLong(0)} gram count")
+      assert(r.getLong(2) == ns, s"doc ${r.getLong(0)} shared estimate")
+      assert(r.getBoolean(3) == !contaminated, s"doc ${r.getLong(0)} admission")
+    }
+  }
+
   test("stateful LTV final value per user matches batch q22") {
     val q = streaming.EnrichStream.ltvStateful(
         streaming.EnrichStream.typedSource(spark, sf))
