@@ -334,6 +334,97 @@ object TextOps {
        ORDER BY bm25 DESC, doc_id"""
   }
 
+  /** Per-language corpus data card — the release report a training
+    * corpus ships with: volume, token share, exact-dup rate, PII
+    * incidence, language-ID agreement, mean quality. One pass over
+    * the corpus (per-doc codegen'd expressions), one hash shuffle for
+    * the md5 dup window, one 10-group aggregate — no driver data
+    * path at any scale.
+    *
+    * Every aggregate is integer-exact so the card oracle-matches:
+    * counts are longs, mean quality accumulates per-row
+    * floor(raw·10⁴+0.5) units (the q09 integer-cents pattern — a
+    * double sum over 10⁸ rounded scores would drift a ulp across
+    * partitionings), ratios divide longs and round once at the end. */
+  def q79(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = Tables(s, dir, "documents")
+      .withColumn("tk", expr(tk))
+      .withColumn("n", expr("size(tk)"))
+      .withColumn("s_en", expr(scoreExpr(stopEn)))
+      .withColumn("s_es", expr(scoreExpr(stopEs)))
+      .withColumn("s_de", expr(scoreExpr(stopDe)))
+      .withColumn("s_fr", expr(scoreExpr(stopFr)))
+      .withColumn("predicted",
+        when(col("s_en") >= col("s_es") && col("s_en") >= col("s_de") && col("s_en") >= col("s_fr"), "en")
+          .when(col("s_es") >= col("s_de") && col("s_es") >= col("s_fr"), "es")
+          .when(col("s_de") >= col("s_fr"), "de")
+          .otherwise("fr"))
+      .withColumn("qunits", expr(
+        s"""CASE WHEN n > 0
+            THEN CAST(floor(least(1.0, n/100.0) * (1.0 - ${scoreExpr(stopEn)}*1.0/n) * 10000.0 + 0.5) AS BIGINT)
+            ELSE 0L END"""))
+      .withColumn("has_pii",
+        size(regexp_extract_all(col("text"), lit(EmailRe), lit(0))) +
+          size(regexp_extract_all(col("text"), lit(PhoneRe), lit(0))) > 0)
+      .withColumn("is_dup",
+        col("doc_id") =!= min("doc_id").over(
+          Window.partitionBy(md5(col("text").cast("binary")))))
+    val card = d.groupBy("lang").agg(
+      count(lit(1)).as("n_docs"),
+      sum(col("n").cast("long")).as("total_tokens"),
+      sum(when(col("is_dup"), 1L).otherwise(0L)).as("dup_docs"),
+      sum(when(col("has_pii"), 1L).otherwise(0L)).as("pii_docs"),
+      sum(when(col("predicted") === col("lang"), 1L).otherwise(0L)).as("langid_hits"),
+      sum("qunits").as("sum_qunits"))
+    card.crossJoin(broadcast(card.agg(sum("total_tokens").as("corpus_tokens"))))
+      .select(
+        col("lang"), col("n_docs"), col("total_tokens"),
+        ops.r4(col("total_tokens") * 1.0 / col("corpus_tokens")).as("token_share"),
+        col("dup_docs"),
+        ops.r4(col("dup_docs") * 1.0 / col("n_docs")).as("dup_rate"),
+        col("pii_docs"),
+        ops.r4(col("langid_hits") * 1.0 / col("n_docs")).as("langid_acc"),
+        ops.r4(col("sum_qunits") / (col("n_docs") * 10000.0)).as("avg_quality"))
+      .orderBy("lang")
+  }
+
+  private val q79Sql =
+    s"""WITH t AS (SELECT doc_id, lang, text,
+            list_filter(string_split(text,' '), x -> x<>'') AS tk FROM documents),
+       d AS (SELECT doc_id, lang, text, len(tk) AS n,
+               ${duckScore(stopEn)} AS s_en, ${duckScore(stopEs)} AS s_es,
+               ${duckScore(stopDe)} AS s_de, ${duckScore(stopFr)} AS s_fr,
+               CASE WHEN n > 0
+                 THEN CAST(floor(least(1.0, n/100.0) * (1.0 - ${duckScore(stopEn)}*1.0/n) * 10000.0 + 0.5) AS BIGINT)
+                 ELSE 0 END AS qunits,
+               len(regexp_extract_all(text, '$EmailRe')) + len(regexp_extract_all(text, '$PhoneRe')) > 0 AS has_pii,
+               doc_id <> min(doc_id) OVER (PARTITION BY md5(text)) AS is_dup
+             FROM t),
+       d2 AS (SELECT lang,
+                CASE WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr THEN 'en'
+                     WHEN s_es >= s_de AND s_es >= s_fr THEN 'es'
+                     WHEN s_de >= s_fr THEN 'de'
+                     ELSE 'fr' END = lang AS langid_hit,
+                n, qunits, has_pii, is_dup
+              FROM d),
+       card AS (SELECT lang, count(*) AS n_docs,
+                  CAST(sum(n) AS BIGINT) AS total_tokens,
+                  CAST(sum(CASE WHEN is_dup THEN 1 ELSE 0 END) AS BIGINT) AS dup_docs,
+                  CAST(sum(CASE WHEN has_pii THEN 1 ELSE 0 END) AS BIGINT) AS pii_docs,
+                  CAST(sum(CASE WHEN langid_hit THEN 1 ELSE 0 END) AS BIGINT) AS langid_hits,
+                  CAST(sum(qunits) AS BIGINT) AS sum_qunits
+                FROM d2 GROUP BY lang),
+       tot AS (SELECT CAST(sum(total_tokens) AS BIGINT) AS corpus_tokens FROM card)
+       SELECT lang, n_docs, total_tokens,
+         ${ops.R4("total_tokens*1.0/corpus_tokens")} AS token_share,
+         dup_docs,
+         ${ops.R4("dup_docs*1.0/n_docs")} AS dup_rate,
+         pii_docs,
+         ${ops.R4("langid_hits*1.0/n_docs")} AS langid_acc,
+         ${ops.R4("sum_qunits/(n_docs*10000.0)")} AS avg_quality
+       FROM card, tot ORDER BY lang"""
+
   val qs: Seq[Q] = Seq(
     Q("q60_text_quality", q60, Some(q60Sql)),
     Q("q61_lang_id", q61, Some(q61Sql)),
@@ -341,5 +432,6 @@ object TextOps {
     Q("q63_fingerprint", q63, Some(q63Sql)),
     Q("q64_pii_scrub", q64, Some(q64Sql)),
     Q("q71_repetition", q71, Some(q71Sql)),
-    Q("q78_bm25", q78, Some(q78Sql)))
+    Q("q78_bm25", q78, Some(q78Sql)),
+    Q("q79_corpus_card", q79, Some(q79Sql)))
 }
