@@ -60,6 +60,36 @@ class PlanGuardSpec extends AnyFunSuite {
       s"no pushed filters in scan:\n$p")
   }
 
+  test("PQ ANN plans neither a cartesian join nor a ranking window") {
+    val p = plan("q53_knn_pq")
+    assert(!p.contains("CartesianProduct"), "q53 plans a cartesian product")
+    assert(!p.contains("BroadcastNestedLoopJoin"), "q53 plans a nested-loop join")
+    assert(!p.contains("Window"), "q53 ranks through a window operator")
+  }
+
+  test("bloom decontamination's train pass is map-only") {
+    // the reference side is a bounded checkpointed sketch build; the
+    // TRAIN side (the 100 TB side) must plan no hash or single-
+    // partition exchange — only the rebalance and the output sort
+    val p = plan("q77_bloom_decontaminate")
+    val exchanges = "Exchange (hashpartitioning|SinglePartition)".r.findAllIn(p).size
+    assert(exchanges == 0, s"q77 shuffles the train corpus: $p")
+  }
+
+  test("BM25 ranks via TakeOrderedAndProject, not a sort or window") {
+    val p = plan("q78_bm25")
+    assert(p.contains("TakeOrderedAndProject"), s"q78 lost its top-k plan: $p")
+    assert(!p.contains("Window"), "q78 ranks through a window operator")
+  }
+
+  test("corpus card: dup window is hash-partitioned; single-partition exchange only for the 5-row card") {
+    val p = plan("q79_corpus_card")
+    assert("Exchange hashpartitioning".r.findAllIn(p).nonEmpty,
+      "q79's dup window lost its hash partitioning")
+    val singles = "Exchange SinglePartition".r.findAllIn(p).size
+    assert(singles <= 1, s"q79 plans $singles single-partition exchanges: $p")
+  }
+
   test("map-only operators plan no data exchange beyond the rebalance and final sort") {
     // q66 is a pure per-row projection: its only exchanges are the
     // documents rebalance (round-robin) and the output orderBy
