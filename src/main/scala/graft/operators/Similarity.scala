@@ -496,9 +496,65 @@ object Similarity {
     top5(scored)
   }
 
+  /** All-corpus kNN GRAPH — top-5 neighbors for EVERY vector, the
+    * primitive behind diversity analysis, graph-based clustering,
+    * and SemDeDup-style curation. The defining constraint: the query
+    * set IS the corpus, so the q50/q51/q52 pattern (driver-collected
+    * bounded queries, broadcast) is illegal — nothing here may
+    * collect or broadcast corpus-sized state.
+    *
+    * Shape: shared IVF fit ([[ivfCells]]); each vector emits its
+    * nprobe nearest cells map-side against the broadcast centroids
+    * (n×nprobe rows — linear, small constant); one shuffle equi-join
+    * on cell id against the cell index; codegen'd cosine on the
+    * co-cell candidates (n·nprobe·√n pairs, never n²); bounded
+    * per-group top-k aggregate. The cell index is localCheckpointed —
+    * probes and index are two consumers of the assignment pass. At
+    * 100 TB the index is written bucketed by cell so the join
+    * co-locates without a shuffle. rows-only; SimilaritySpec asserts
+    * recall vs an exact driver-computed graph at sf0.001. */
+  def q54(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val nprobe = 6
+    val (cells0, cents) = ivfCells(s, dir)
+    val cells = cells0.select("vec_id", "cid", "cid2", "ed", "nrm").localCheckpoint(false)
+    val bc = s.sparkContext.broadcast(cents)
+    val probes = cells.select(col("vec_id"), col("ed"), col("nrm"))
+      .as[(Long, Seq[Float], Double)]
+      .mapPartitions { it =>
+        val cs = bc.value
+        val cn2 = norms2(cs)
+        it.flatMap { case (id, v, nrm) =>
+          val arr = v.toArray
+          cs.indices.map { c =>
+            val cv = cs(c)
+            val m = math.min(arr.length, cv.length)
+            var dp = 0.0
+            var i = 0
+            while (i < m) { dp += arr(i) * cv(i); i += 1 }
+            (cn2(c) - 2.0 * dp, c)
+          }.sorted.take(nprobe).map { case (_, c) => (id, v, nrm, c) }
+        }
+      }.toDF("query_id", "qe", "qn", "cid")
+    // soft residency (q45's trick): every vector is indexed under its
+    // best AND runner-up cell, so a neighbor straddling a cell
+    // boundary is still probed. A pair can then be found via both
+    // residencies → dedupe on (query, neighbor) before ranking
+    // (cosines are identical, max is a pure dedupe).
+    val index = cells
+      .select(explode(array(col("cid"), col("cid2"))).as("cid"),
+        col("vec_id").as("neighbor_id"), col("ed").as("ce"), col("nrm").as("cn"))
+    val scored = probes.join(index, "cid")
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", ops.r6(dotp(col("qe"), col("ce")) / (col("qn") * col("cn"))))
+      .groupBy("query_id", "neighbor_id").agg(max("cosine").as("cosine"))
+    top5(scored)
+  }
+
   val qs: Seq[Q] = Seq(
     Q("q50_knn_brute", q50, Some(q50Sql)),
     Q("q51_knn_lsh", q51, None),
     Q("q52_knn_ivf", q52, None),
-    Q("q53_knn_pq", q53, None))
+    Q("q53_knn_pq", q53, None),
+    Q("q54_knn_graph", q54, None))
 }

@@ -15,7 +15,7 @@ class PlanGuardSpec extends AnyFunSuite {
 
   test("near-dup and ANN candidate generation never plans a cartesian or nested-loop join") {
     for (q <- Seq("q41_ngram_jaccard", "q42_minhash_lsh", "q43_simhash",
-        "q44_embedding_neardup", "q51_knn_lsh")) {
+        "q44_embedding_neardup", "q51_knn_lsh", "q54_knn_graph")) {
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q plans a cartesian product")
       assert(!p.contains("BroadcastNestedLoopJoin"), s"$q plans a nested-loop join")

@@ -59,6 +59,35 @@ class SimilaritySpec extends AnyFunSuite {
     assert(approx.filter(col("query_id") === col("neighbor_id")).count() == 0)
   }
 
+  test("q54 kNN graph: recall vs an exact all-pairs graph, no corpus collect") {
+    import org.apache.spark.sql.Row
+    val vecs = Tables(spark, sf, "embeddings")
+      .select("vec_id", "embedding").collect()
+      .map { case Row(id: Long, e: scala.collection.Seq[_]) =>
+        (id, e.asInstanceOf[scala.collection.Seq[Float]].toArray)
+      }.sortBy(_._1)
+    // exact graph, driver-side (test corpus only)
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dp = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { dp += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i); i += 1 }
+      dp / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val exact: Map[Long, Set[Long]] = vecs.map { case (id, v) =>
+      id -> vecs.filter(_._1 != id)
+        .map { case (oid, ov) => (-cos(v, ov), oid) }.sorted.take(5).map(_._2).toSet
+    }.toMap
+    val got = operators.Similarity.q54(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val byQ = got.groupBy(_._1)
+    assert(byQ.size == vecs.length, s"graph covers ${byQ.size} of ${vecs.length} vectors")
+    assert(byQ.values.forall(_.length == 5))
+    val hits = got.count { case (q, n) => exact(q).contains(n) }
+    val recall = hits * 1.0 / (vecs.length * 5)
+    info(s"q54 graph recall@5 = $hits/${vecs.length * 5} = $recall")
+    assert(recall >= 0.75, s"graph recall $recall below 0.75")
+    assert(got.count { case (q, n) => q == n } == 0)
+  }
+
   test("q52 IVF ANN achieves high recall@5 against brute force") {
     val exact = operators.Similarity.q50(spark, sf).select("query_id", "neighbor_id")
     val approx = operators.Similarity.q52(spark, sf)
