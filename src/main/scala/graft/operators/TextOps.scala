@@ -425,6 +425,60 @@ object TextOps {
          ${ops.R4("sum_qunits/(n_docs*10000.0)")} AS avg_quality
        FROM card, tot ORDER BY lang"""
 
+  /** Vocabulary size cutoff — ONE constant, spelled into the SQL. */
+  private val VocabK = 1000
+
+  /** Corpus vocabulary construction — the tokenizer-seeding step of a
+    * training pipeline: corpus-wide token frequencies and document
+    * frequencies, top-VocabK by (count desc, token asc), with each
+    * token's cumulative coverage share of the token stream.
+    *
+    * Scale shape: the canonical wordcount — explode + hash-shuffle
+    * groupBy with map-side partial aggregation (the shuffle carries
+    * one row per DISTINCT token per partition, not the token
+    * stream); document frequency rides the same aggregate via
+    * count(DISTINCT doc_id)'s two-level expansion. The top-K is
+    * TakeOrderedAndProject; the cumulative share is a window over
+    * the K retained rows only (bounded by contract, never
+    * corpus-sized). */
+  def q80(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // explode the expression directly (the q77 codegen gotcha); the
+    // corpus is scanned ONCE — the stream total derives from the
+    // distinct-token aggregate, which is checkpointed for its two
+    // consumers (top-K and the total)
+    val toks = Tables(s, dir, "documents")
+      .select(col("doc_id"), explode(expr(tk)).as("token"))
+    val counts = toks.groupBy("token")
+      .agg(count(lit(1)).as("n_occurrences"), countDistinct("doc_id").as("n_docs"))
+      .localCheckpoint(false)
+    val total = counts.agg(sum("n_occurrences").as("total_tokens"))
+    val top = counts.orderBy(col("n_occurrences").desc, col("token"))
+      .limit(VocabK)
+      .crossJoin(broadcast(total))
+    val w = Window.orderBy(col("n_occurrences").desc, col("token"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    top
+      .withColumn("vocab_rank", row_number().over(w))
+      .withColumn("cum_share", ops.r6(sum("n_occurrences").over(w) * 1.0 / col("total_tokens")))
+      .select("vocab_rank", "token", "n_occurrences", "n_docs", "cum_share")
+      .orderBy("vocab_rank")
+  }
+
+  private val q80Sql =
+    s"""WITH t AS (SELECT doc_id, list_filter(string_split(text,' '), x -> x<>'') AS tk FROM documents),
+       tok AS (SELECT doc_id, unnest(tk) AS token FROM t),
+       c AS (SELECT token, count(*) AS n_occurrences, count(DISTINCT doc_id) AS n_docs
+             FROM tok GROUP BY token),
+       tot AS (SELECT count(*) AS total_tokens FROM tok),
+       top AS (SELECT * FROM c ORDER BY n_occurrences DESC, token LIMIT $VocabK)
+       SELECT row_number() OVER (ORDER BY n_occurrences DESC, token) AS vocab_rank,
+         token,
+         CAST(n_occurrences AS BIGINT) AS n_occurrences,
+         CAST(n_docs AS BIGINT) AS n_docs,
+         ${ops.R6("sum(n_occurrences) OVER (ORDER BY n_occurrences DESC, token ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)*1.0 / total_tokens")} AS cum_share
+       FROM top, tot ORDER BY vocab_rank"""
+
   val qs: Seq[Q] = Seq(
     Q("q60_text_quality", q60, Some(q60Sql)),
     Q("q61_lang_id", q61, Some(q61Sql)),
@@ -433,5 +487,6 @@ object TextOps {
     Q("q64_pii_scrub", q64, Some(q64Sql)),
     Q("q71_repetition", q71, Some(q71Sql)),
     Q("q78_bm25", q78, Some(q78Sql)),
-    Q("q79_corpus_card", q79, Some(q79Sql)))
+    Q("q79_corpus_card", q79, Some(q79Sql)),
+    Q("q80_vocab", q80, Some(q80Sql)))
 }
