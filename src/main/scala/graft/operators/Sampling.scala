@@ -322,6 +322,67 @@ object Sampling {
       .orderBy("doc_id")
   }
 
+  /** Positioned (non-distinct) 8-grams: struct(pos, gram) per window
+    * start — q81 needs every occurrence, where `gramExpr` dedupes. */
+  private val posGramExpr = {
+    val parts = (0 until GramN).map(j => s"element_at(tk, i+$j)").mkString(", ")
+    s"""CASE WHEN size(tk) >= $GramN
+        THEN transform(sequence(1, size(tk)-${GramN - 1}),
+             i -> named_struct('pos', i, 's', concat_ws(' ', $parts)))
+        ELSE array() END"""
+  }
+
+  /** Exact repeated-SPAN detection — the span-level form of exact
+    * dedup (the "deduplicating training data" rule): every maximal
+    * token span whose 8-gram windows ALL occur at least twice in the
+    * corpus (any document, including the same one) is reported as
+    * (doc_id, span_start, span_end) — what a pipeline actually cuts,
+    * where q40/q69 only flag whole documents.
+    *
+    * Scale shape: two linear shuffles of the positioned gram stream —
+    * (1) a count window keyed by gram marks each occurrence whose
+    * gram repeats corpus-wide; (2) the classic gaps-and-islands
+    * rewrite keyed by doc (pos − row_number is constant within a run
+    * of consecutive duplicated window starts) merges marked window
+    * positions into maximal spans. Both windows partition on
+    * high-cardinality keys (gram / doc); nothing is global, nothing
+    * is quadratic, no driver data path. */
+  def q81(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val g = Tables(s, dir, "documents")
+      .withColumn("tk", expr(Dedup.tokensExpr))
+      .select(col("doc_id"), explode(expr(posGramExpr)).as("g"))
+      .select(col("doc_id"), col("g.pos").as("pos"), col("g.s").as("s"))
+    val dup = g.withColumn("occ", count(lit(1)).over(Window.partitionBy("s")))
+      .filter(col("occ") >= 2)
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    dup
+      .withColumn("grp", col("pos") - row_number().over(w))
+      .groupBy("doc_id", "grp")
+      .agg(min("pos").as("span_start"),
+        (max("pos") + lit(GramN - 1)).as("span_end"))
+      .select(col("doc_id"), col("span_start"), col("span_end"),
+        (col("span_end") - col("span_start") + 1).as("span_tokens"))
+      .orderBy("doc_id", "span_start")
+  }
+
+  private val q81Sql =
+    s"""WITH t AS (SELECT doc_id, list_filter(string_split(text,' '), x -> x<>'') AS tk FROM documents),
+       g AS (SELECT doc_id, i AS pos, $gramSql AS s
+             FROM t, UNNEST(range(1, len(tk)-${GramN - 2})) AS r(i)),
+       d AS (SELECT doc_id, pos FROM (
+               SELECT doc_id, pos, count(*) OVER (PARTITION BY s) AS occ FROM g)
+             WHERE occ >= 2),
+       isl AS (SELECT doc_id, pos,
+                 pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+               FROM d)
+       SELECT doc_id,
+         CAST(min(pos) AS BIGINT) AS span_start,
+         CAST(max(pos) + ${GramN - 1} AS BIGINT) AS span_end,
+         CAST(max(pos) + ${GramN - 1} - min(pos) + 1 AS BIGINT) AS span_tokens
+       FROM isl GROUP BY doc_id, grp
+       ORDER BY doc_id, span_start"""
+
   /** Mixture denominator: the total token budget is corpus_tokens /
     * MixDen, shared equally across languages (the static-weight
     * degenerate of a DoReMi-style mixture). ONE constant, spelled
@@ -529,6 +590,7 @@ object Sampling {
     Q("q68_corpus_keep", q68, Some(q68Sql)),
     Q("q69_decontaminate", q69, Some(q69Sql)),
     Q("q77_bloom_decontaminate", q77, None),
+    Q("q81_repeated_spans", q81, Some(q81Sql)),
     Q("q72_mix_budget", q72, Some(q72Sql)),
     Q("q74_pack_sequences", q74, Some(q74Sql)),
     Q("q75_assemble", q75, Some(q75Sql)))

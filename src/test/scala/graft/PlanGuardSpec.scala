@@ -60,6 +60,12 @@ class PlanGuardSpec extends AnyFunSuite {
       s"no pushed filters in scan:\n$p")
   }
 
+  test("repeated-span detection windows stay hash-partitioned, never global") {
+    val p = plan("q81_repeated_spans")
+    assert(!p.contains("Exchange SinglePartition"), s"q81 plans a global exchange: $p")
+    assert(!p.contains("CartesianProduct"), "q81 plans a cartesian product")
+  }
+
   test("PQ ANN plans neither a cartesian join nor a ranking window") {
     val p = plan("q53_knn_pq")
     assert(!p.contains("CartesianProduct"), "q53 plans a cartesian product")
