@@ -6,12 +6,15 @@ import org.apache.spark.sql.functions._
 
 /** Similarity search over the embedding column (SURVEY §2.E).
   *
-  * q50 is the exact brute-force baseline; q51 and q52 are the two
+  * q50 is the exact brute-force baseline; q51/q52/q53 are the three
   * standard ANN scale paths — binary quantization (hamming pre-rank
-  * over compact hyperplane signatures) and IVF (coarse-quantizer
-  * cells) — each verified against q50 by a recall spec.
+  * over compact hyperplane signatures), IVF (coarse-quantizer
+  * cells), and product quantization (8-byte codes scored via ADC
+  * lookup tables) — each verified against q50 by a recall spec; q54
+  * generalizes to the all-corpus kNN graph, where the query set is
+  * the corpus itself and nothing corpus-sized may collect.
   *
-  * All three share one ranking primitive: a bounded per-partition
+  * All of them share one ranking primitive: a bounded per-partition
   * top-k aggregate ([[graft.functions.TopKAgg]]). A
   * `row_number().over(Window.partitionBy(query_id))` would shuffle
   * every scored row into #queries partitions — parallelism equal to
