@@ -369,7 +369,7 @@ object Events {
        FROM w WHERE kind = 1 ORDER BY event_id"""
 
   /** Misra-Gries heavy-hitter capacity: n/(k+1) error per group. */
-  private val HhK = 16
+  private[graft] val HhK = 16
 
   /** Approximate heavy hitters: the most frequent product keys per
     * event type via the mergeable Misra-Gries summary

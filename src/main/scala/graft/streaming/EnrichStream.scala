@@ -72,6 +72,27 @@ object EnrichStream {
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n_events"), sum("value").as("total_value"))
 
+  /** Live heavy hitters — the streaming face of batch q76, giving
+    * the mergeable-sketch family its online member: per event type,
+    * the Misra-Gries summary of hot product keys, maintained as
+    * streaming aggregation state. The udaf's k-bounded map IS the
+    * state (per event type: at most k counters — bytes, not rows),
+    * partials merge per micro-batch exactly like map-side combine in
+    * batch, and the MG error envelope (est ∈ [true − n/(k+1), true],
+    * survival guaranteed above n/(k+1)) holds for the stream prefix
+    * at every emission. Complete output mode: the result is
+    * #event-types × k rows — trivially re-emittable. */
+  def heavyHitterStream(stream: DataFrame): DataFrame = {
+    import graft.functions.HeavyHitters
+    stream
+      .withColumn("product_key", get_json_object(col("props"), "$.k").cast("long"))
+      .groupBy("event_type")
+      .agg(HeavyHitters.heavyHitters(Events.HhK)(col("product_key")).as("hh"))
+      .select(col("event_type"), posexplode(col("hh")))
+      .select(col("event_type"), col("col.id").as("product_key"),
+        (col("pos") + 1).as("rank"), col("col.est").as("est_count"))
+  }
+
   /** Real-time popular products (the reference's `popular_products`
     * Mongo collection, kept fresh by its Flink path): watermarked
     * SLIDING-window purchase counts + revenue per product key (1 h

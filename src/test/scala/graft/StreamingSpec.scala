@@ -206,6 +206,33 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming heavy hitters satisfy the Misra-Gries envelope vs exact counts") {
+    val k = operators.Events.HhK
+    val q = streaming.EnrichStream.heavyHitterStream(
+        streaming.EnrichStream.source(spark, sf))
+      .writeStream.format("memory").queryName("hh_out")
+      .outputMode("complete").start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("hh_out").collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(3)).toMap
+    assert(got.nonEmpty)
+    val exact = Tables(spark, sf, "events")
+      .withColumn("product_key", get_json_object(col("props"), "$.k").cast("long"))
+      .groupBy("event_type", "product_key").count()
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val nPerGroup = exact.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
+    // the stream's merge tree differs from batch q76's, so the exact
+    // survivor set may differ — but the MG envelope must hold at the
+    // final emission just as it does in batch
+    got.foreach { case (key @ (et, _), est) =>
+      val t = exact(key)
+      val err = nPerGroup(et) / (k + 1)
+      assert(est <= t, s"$key overestimated: $est > $t")
+      assert(est >= t - err, s"$key undercounted past the bound: $est < $t - $err")
+    }
+  }
+
   test("stateful LTV final value per user matches batch q22") {
     val q = streaming.EnrichStream.ltvStateful(
         streaming.EnrichStream.typedSource(spark, sf))
