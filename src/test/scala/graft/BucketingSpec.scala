@@ -11,6 +11,33 @@ class BucketingSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   private val sf = TestSpark.sf
 
+  test("bucketed kNN cell index joins probes without shuffling the index") {
+    // substantiates q54's deployment claim: the IVF cell index,
+    // written bucketed by cell id, joins the probe stream with no
+    // exchange on the index side — only the (smaller) probe side
+    // shuffles to the index's bucketing
+    val e = Tables(spark, sf, "embeddings")
+      .select(col("vec_id"), (pmod(col("vec_id"), lit(16))).cast("int").as("cid"),
+        col("embedding"))
+    spark.sql("DROP TABLE IF EXISTS cell_index")
+    e.write.bucketBy(8, "cid").sortBy("cid").saveAsTable("cell_index")
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val probes = e.select(col("vec_id").as("query_id"), col("cid"))
+      val j = probes.join(spark.table("cell_index"), "cid")
+      val plan = j.queryExecution.executedPlan.toString
+      // exactly one hash exchange (the probe side); the bucketed
+      // index side must read shuffle-free
+      val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+      assert(exchanges <= 1, s"cell-index join shuffles both sides:\n$plan")
+      assert(j.count() > 0)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.sql("DROP TABLE IF EXISTS cell_index")
+    }
+  }
+
   test("bucketed lineitem-orders join plans without a shuffle") {
     val li = Tables(spark, sf, "lineitem").select("l_orderkey", "l_quantity")
     val o = Tables(spark, sf, "orders").select("o_orderkey", "o_totalprice")
