@@ -13,17 +13,18 @@ case class MediaMeta(
   * columns + typed metadata, feature extraction via batched
   * per-partition iteration.
   *
-  * Genuine PNG and JPEG payloads get REAL byte-level metadata: PNG
-  * IHDR and JPEG SOF0/2 width-height parsing is pure byte
-  * arithmetic and needs no codec. Payloads that are neither fall
-  * back to a deterministic stub (full pixel decode would need an
-  * image codec, absent in this container) so the plumbing stays
-  * total and oracle-checkable: the test corpus is ASCII text, whose
-  * first byte is < 0x80 and therefore can never match the PNG
-  * (0x89...) or JPEG (0xFF 0xD8) signatures — the oracle-compared
-  * query exercises exactly the stub arithmetic, while
-  * MultimodalSpec feeds synthesized real headers through the same
-  * mapPartitions plumbing.
+  * Genuine PNG, JPEG, and WAV payloads get REAL byte-level metadata:
+  * PNG IHDR / JPEG SOF0/2 width-height and RIFF fmt-chunk sample-
+  * rate/channel parsing is pure byte arithmetic and needs no codec.
+  * Payloads that are none of the three fall back to a deterministic
+  * stub (full pixel/sample decode would need a codec, absent in this
+  * container) so the plumbing stays total and oracle-checkable: the
+  * test corpus is ASCII text, whose first byte is < 0x80 and can
+  * never match the PNG (0x89...) or JPEG (0xFF 0xD8) signatures, and
+  * whose lowercase vocabulary can never spell "RIFF????WAVEfmt " —
+  * the oracle-compared query exercises exactly the stub arithmetic,
+  * while MultimodalSpec feeds synthesized real headers through the
+  * same mapPartitions plumbing.
   *
   * Scale: mapPartitions keeps decode zero-copy per executor; binary
   * payloads stay columnar in parquet until the iterator touches
@@ -80,7 +81,28 @@ object Multimodal {
     None
   }
 
-  /** STUB decoder for payloads that are not real PNG/JPEG streams:
+  private def le32(b: Array[Byte], i: Int): Long =
+    u8(b(i)).toLong | (u8(b(i + 1)).toLong << 8) |
+      (u8(b(i + 2)).toLong << 16) | (u8(b(i + 3)).toLong << 24)
+  private def le16(b: Array[Byte], i: Int): Int = u8(b(i)) | (u8(b(i + 1)) << 8)
+
+  /** WAV (RIFF): "RIFF" <size:le32> "WAVE", then the "fmt " chunk —
+    * channels le16 at 22, sample rate le32 at 24. The audio member
+    * of the real-header family: for audio payloads the two metadata
+    * axes (width, height) carry (sample_rate, n_channels). The
+    * 16-byte magic ("RIFF????WAVEfmt ") cannot occur in the ASCII
+    * test corpus (lowercase vocabulary), so the oracle keeps
+    * exercising the stub while MultimodalSpec feeds a genuine
+    * header. */
+  private def wavMeta(b: Array[Byte]): Option[(Long, Long)] =
+    if (b.length >= 28 &&
+        b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
+        b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E' &&
+        b(12) == 'f' && b(13) == 'm' && b(14) == 't' && b(15) == ' ')
+      Some((le32(b, 24), le16(b, 22).toLong))
+    else None
+
+  /** STUB decoder for payloads that are not real PNG/JPEG/WAV streams:
     * deterministic fake features from raw bytes. `bytes(0) & 0xff`
     * (not the raw signed byte) so a payload whose first byte is
     * >= 0x80 classifies like the oracle's ascii() codepoint on the
@@ -101,7 +123,7 @@ object Multimodal {
     MediaMeta(id, n.toLong, sum, format, 64L + n % 512, 64L + sum % 512)
   }
 
-  /** Total decode: real header parse for PNG/JPEG, stub otherwise. */
+  /** Total decode: real header parse for PNG/JPEG/WAV, stub otherwise. */
   private[graft] def decode(id: Long, bytes: Array[Byte]): MediaMeta =
     pngMeta(bytes) match {
       case Some((w, h)) =>
@@ -112,7 +134,13 @@ object Multimodal {
           case Some((w, h)) =>
             val base = stubDecode(id, bytes)
             base.copy(format = "jpeg", width = w, height = h)
-          case None => stubDecode(id, bytes)
+          case None =>
+            wavMeta(bytes) match {
+              case Some((rate, ch)) =>
+                val base = stubDecode(id, bytes)
+                base.copy(format = "wav", width = rate, height = ch)
+              case None => stubDecode(id, bytes)
+            }
         }
     }
 

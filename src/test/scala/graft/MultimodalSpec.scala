@@ -75,6 +75,17 @@ class MultimodalSpec extends AnyFunSuite {
     sig ++ ihdr
   }
 
+  private def wavBytes(sampleRate: Int, channels: Int): Array[Byte] = {
+    // RIFF <size> WAVE, then the fmt chunk: id+size, format le16,
+    // channels le16 @22, sample rate le32 @24
+    val riff = "RIFF".getBytes ++ Array[Byte](36, 0, 0, 0) ++ "WAVE".getBytes
+    val fmt = "fmt ".getBytes ++ Array[Byte](16, 0, 0, 0, 1, 0,
+      channels.toByte, (channels >> 8).toByte,
+      sampleRate.toByte, (sampleRate >> 8).toByte,
+      (sampleRate >> 16).toByte, (sampleRate >> 24).toByte)
+    riff ++ fmt
+  }
+
   private def jpegBytes(w: Int, h: Int, withApp0: Boolean): Array[Byte] = {
     val soi = Array(0xff, 0xd8).map(_.toByte)
     val app0 =
@@ -99,7 +110,10 @@ class MultimodalSpec extends AnyFunSuite {
       5L -> "plain ascii text".getBytes, // stub path
       6L -> pngBytes(800, 600).take(20), // truncated PNG -> stub
       7L -> jpegBytes(640, 480, withApp0 = true).take(6), // truncated JPEG -> stub
-      8L -> Array.empty[Byte]) // empty -> stub sentinel
+      8L -> Array.empty[Byte], // empty -> stub sentinel
+      9L -> wavBytes(44100, 2),
+      10L -> wavBytes(16000, 1),
+      11L -> wavBytes(44100, 2).take(12)) // truncated WAV -> stub
     val out = operators.Multimodal.decodeDs(payloads.toDS())
       .collect().map(m => m.getLong(0) -> m).toMap
     def check(id: Long, fmt: String, w: Long, h: Long): Unit = {
@@ -111,6 +125,10 @@ class MultimodalSpec extends AnyFunSuite {
     check(2L, "jpeg", 640, 480)
     check(3L, "jpeg", 12000, 9000)
     check(4L, "png", 1, 1)
+    // audio: (width, height) carry (sample_rate, n_channels)
+    check(9L, "wav", 44100, 2)
+    check(10L, "wav", 16000, 1)
+    assert(Set("jpeg", "png", "wav").contains(out(11L).getString(3)))
     assert(out(8L).getString(3) == "empty")
     // stub fallbacks classify by first-byte arithmetic, not headers
     assert(Set("jpeg", "png", "wav").contains(out(5L).getString(3)))
