@@ -253,17 +253,23 @@ object Similarity {
   def q53(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val e = withNorm(Tables(s, dir, "embeddings"))
+    // ONE table scan: the count, sample collect, query collect, and
+    // the scoring pass all consume the checkpointed projection
     val typed = e.select(col("vec_id"), col("embedding"), col("nrm"))
-      .as[(Long, Seq[Float], Double)]
+      .as[(Long, Seq[Float], Double)].localCheckpoint(false)
     // bounded deterministic training sample
     val n = typed.count()
     val step = math.max(1L, n / PqSampleCap)
     val sample = typed.filter(_._1 % step == 0L).collect().sortBy(_._1)
       .map(_._2.toArray.map(_.toDouble))
     val dim = sample.head.length
-    val subDim = math.max(1, dim / PqM)
+    // non-empty subspaces covering every dimension: at most PqM
+    // slices, the LAST one extended to dim so a non-divisible dim
+    // never silently drops its tail dimensions from codes and scores
+    val effM = math.min(PqM, dim)
+    val subDim = dim / effM
     val slices: Array[(Int, Int)] =
-      Array.tabulate(PqM)(m => (m * subDim, math.min((m + 1) * subDim, dim)))
+      Array.tabulate(effM)(m => (m * subDim, if (m == effM - 1) dim else (m + 1) * subDim))
     val books: Array[Array[Array[Double]]] = slices.map { case (lo, hi) =>
       fitSubCodebook(sample.map(_.slice(lo, hi)))
     }
@@ -277,7 +283,8 @@ object Similarity {
       val bks = bcBooks.value
       val subN2: Array[Array[Double]] = bks.map(norms2)
       // ADC tables: lut(q)(m)(c) = query_m · centroid_mc
-      val lut = Array.tabulate(nq, PqM, PqK) { (qi, m, c) =>
+      val nSub = slices.length
+      val lut = Array.tabulate(nq, nSub, PqK) { (qi, m, c) =>
         val (lo, _) = slices(m)
         val cv = bks(m)(c)
         var dp = 0.0
@@ -288,11 +295,11 @@ object Similarity {
       // worst candidate on top: min approx-cos, ties to the larger id
       val heaps = Array.fill(nq)(new scala.collection.mutable.PriorityQueue[(Double, Long)]()(
         Ordering.by { case (c, id) => (-c, id) }))
-      val code = new Array[Int](PqM)
+      val code = new Array[Int](nSub)
       it.foreach { case (id, v, nrm) =>
         val arr = v.toArray
         var m = 0
-        while (m < PqM) {
+        while (m < nSub) {
           val (lo, hi) = slices(m)
           val cs = bks(m)
           val cn2 = subN2(m)
@@ -317,7 +324,7 @@ object Similarity {
           if (id != qid) {
             var dot = 0.0
             var mm = 0
-            while (mm < PqM) { dot += lut(qi)(mm)(code(mm)); mm += 1 }
+            while (mm < nSub) { dot += lut(qi)(mm)(code(mm)); mm += 1 }
             val cos = dot / (qn * nrm)
             val heap = heaps(qi)
             if (heap.size < CandK) heap.enqueue((cos, id))
@@ -514,7 +521,15 @@ object Similarity {
     * per-group top-k aggregate. The cell index is localCheckpointed —
     * probes and index are two consumers of the assignment pass. At
     * 100 TB the index is written bucketed by cell so the join
-    * co-locates without a shuffle. rows-only; SimilaritySpec asserts
+    * co-locates without a shuffle (BucketingSpec proves the shape).
+    *
+    * Cell-count tuning: ivfCells' k = ⌈√n⌉ minimizes single-query
+    * cost (q52's operating point) and makes the graph's compare
+    * volume n·nprobe·√n. For the all-corpus graph at extreme scale
+    * the right knob is FIXED cell size B (k ∝ n/B): probe volume per
+    * vector becomes nprobe·B = constant and total work linear in n —
+    * the same tunable, a different setting; recall/cost trade is
+    * B × nprobe either way. rows-only; SimilaritySpec asserts
     * recall vs an exact driver-computed graph at sf0.001. */
   def q54(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -547,7 +562,12 @@ object Similarity {
     val index = cells
       .select(explode(array(col("cid"), col("cid2"))).as("cid"),
         col("vec_id").as("neighbor_id"), col("ed").as("ce"), col("nrm").as("cn"))
-    val scored = probes.join(index, "cid")
+    // shuffle_merge, NOT broadcast (the q43/q45 lesson): the index is
+    // broadcast-eligible in bytes but the join is match-MULTIPLIED by
+    // cell size — under a broadcast plan the whole multiplied probe
+    // runs in however few partitions the probe side has; shuffling by
+    // cid parallelizes the explosion by key
+    val scored = probes.hint("shuffle_merge").join(index.hint("shuffle_merge"), "cid")
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cosine", ops.r6(dotp(col("qe"), col("ce")) / (col("qn") * col("cn"))))
       .groupBy("query_id", "neighbor_id").agg(max("cosine").as("cosine"))

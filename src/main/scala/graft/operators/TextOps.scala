@@ -360,10 +360,16 @@ object TextOps {
           .when(col("s_es") >= col("s_de") && col("s_es") >= col("s_fr"), "es")
           .when(col("s_de") >= col("s_fr"), "de")
           .otherwise("fr"))
-      .withColumn("qunits", expr(
-        s"""CASE WHEN n > 0
-            THEN CAST(floor(least(1.0, n/100.0) * (1.0 - ${scoreExpr(stopEn)}*1.0/n) * 10000.0 + 0.5) AS BIGINT)
-            ELSE 0L END"""))
+      // Column-API DOUBLE literals, exactly like q60's proven-green
+      // quality_score: fractional literals inside expr() SQL text
+      // parse as DECIMAL and round the floor(x*1e4+0.5) boundary
+      // HALF_UP where DuckDB computes in binary double — the q09
+      // latent divergence class
+      .withColumn("qunits",
+        when(col("n") > 0,
+          floor(least(lit(1.0), col("n") / 100.0) *
+            (lit(1.0) - col("s_en") * 1.0 / col("n")) * 10000.0 + 0.5).cast("long"))
+          .otherwise(lit(0L)))
       .withColumn("has_pii",
         size(regexp_extract_all(col("text"), lit(EmailRe), lit(0))) +
           size(regexp_extract_all(col("text"), lit(PhoneRe), lit(0))) > 0)
