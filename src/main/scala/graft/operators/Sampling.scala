@@ -412,7 +412,11 @@ object Sampling {
     mixCore(s,
       Tables(s, dir, "documents")
         .select(col("doc_id"), col("lang"), expr(BucketExpr).as("bucket"),
-          expr(s"size(${Dedup.tokensExpr})").cast("long").as("n_tokens")))
+          expr(s"size(${Dedup.tokensExpr})").cast("long").as("n_tokens"))
+        // mixCore's contract: d feeds two actions (histogram +
+        // admission join) — checkpoint so the corpus-wide md5 +
+        // tokenize runs once, like q75's gated projection
+        .localCheckpoint(false))
       .select("doc_id", "lang", "n_tokens", "selected")
       .orderBy("doc_id")
 
@@ -429,9 +433,13 @@ object Sampling {
       val sorted = bs.sortBy(_._2)
       val prefixes = sorted.scanLeft(0L)(_ + _._3)
       sorted.zip(prefixes).map { case ((lang, b, btok), before) =>
+        // a bucket ending EXACTLY on the budget goes through the edge
+        // window, not "all": a zero-token doc sitting on the boundary
+        // has cumb == budget and the naive rule (cumb < budget)
+        // excludes it — "all" would wrongly admit it
         val kind =
           if (before >= budget) "none"
-          else if (before + btok <= budget) "all"
+          else if (before + btok < budget) "all"
           else "edge"
         (lang, b, kind, before)
       }
