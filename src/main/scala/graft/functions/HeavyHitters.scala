@@ -9,6 +9,15 @@ import org.apache.spark.sql.functions.udaf
   * by at most n/(k+1) (the Misra-Gries guarantee). */
 case class Hh(id: Long, est: Long)
 
+/** Mutable Misra-Gries buffer: at most k (id, count) counters in
+  * parallel primitive arrays, fill `n`. Mutated in place between
+  * serialization points (the partial→final shuffle), so the per-row
+  * `reduce` — including the saturated decrement-all path — allocates
+  * nothing; the previous immutable-`Map` form rebuilt the whole map
+  * (`mapValues(_-1).filter.toMap`) on every non-member row once
+  * saturated. */
+case class MgBuf(ids: Array[Long], counts: Array[Long], var n: Int)
+
 /** Misra-Gries mergeable heavy-hitter summary (Misra & Gries 1982;
   * mergeability per Agarwal et al., "Mergeable Summaries", PODS'12).
   *
@@ -25,38 +34,83 @@ case class Hh(id: Long, est: Long)
   * is rows-only (spec asserts the guarantees, like q14's ±ε), never
   * hash-compared.
   *
-  * reduce: classic MG — increment a present key, insert if a slot is
-  * free, else decrement every counter (dropping zeros). merge: add
-  * counts, then subtract the (k+1)-th largest count from all and
-  * drop non-positives, which restores the size bound while
-  * preserving the error envelope.
+  * reduce: classic MG — increment a present key (linear scan of ≤ k
+  * slots), insert if a slot is free, else decrement every counter in
+  * place and compact out the zeros. merge: add counts, then subtract
+  * the (k+1)-th largest count from all and drop non-positives, which
+  * restores the size bound while preserving the error envelope.
   */
-class MisraGriesAgg(k: Int) extends Aggregator[Long, Map[Long, Long], Seq[Hh]] {
+class MisraGriesAgg(k: Int) extends Aggregator[Long, MgBuf, Seq[Hh]] {
   require(k >= 1, s"misra-gries needs k >= 1, got $k")
 
-  override def zero: Map[Long, Long] = Map.empty
+  override def zero: MgBuf = MgBuf(new Array[Long](k), new Array[Long](k), 0)
 
-  override def reduce(m: Map[Long, Long], x: Long): Map[Long, Long] =
-    m.get(x) match {
-      case Some(c) => m.updated(x, c + 1L)
-      case None if m.size < k => m.updated(x, 1L)
-      case None => m.view.mapValues(_ - 1L).filter(_._2 > 0L).toMap
+  override def reduce(b: MgBuf, x: Long): MgBuf = {
+    val n = b.n
+    var i = 0
+    while (i < n) {
+      if (b.ids(i) == x) { b.counts(i) += 1L; return b }
+      i += 1
     }
-
-  override def merge(a: Map[Long, Long], b: Map[Long, Long]): Map[Long, Long] = {
-    val s = (a.keySet ++ b.keySet).iterator
-      .map(id => id -> (a.getOrElse(id, 0L) + b.getOrElse(id, 0L))).toMap
-    if (s.size <= k) s
-    else {
-      val cut = s.values.toIndexedSeq.sorted(Ordering[Long].reverse)(k)
-      s.view.mapValues(_ - cut).filter(_._2 > 0L).toMap
+    if (n < k) { b.ids(n) = x; b.counts(n) = 1L; b.n = n + 1; return b }
+    // saturated non-member: decrement all, compact zeros in place
+    var w = 0
+    i = 0
+    while (i < n) {
+      val c = b.counts(i) - 1L
+      if (c > 0L) { b.ids(w) = b.ids(i); b.counts(w) = c; w += 1 }
+      i += 1
     }
+    b.n = w
+    b
   }
 
-  override def finish(m: Map[Long, Long]): Seq[Hh] =
-    m.toSeq.sortBy { case (id, est) => (-est, id) }.map { case (id, est) => Hh(id, est) }
+  override def merge(x: MgBuf, y: MgBuf): MgBuf = {
+    if (y.n == 0) return x
+    if (x.n == 0) return y
+    val ids = new Array[Long](x.n + y.n)
+    val cts = new Array[Long](x.n + y.n)
+    var m = x.n
+    System.arraycopy(x.ids, 0, ids, 0, x.n)
+    System.arraycopy(x.counts, 0, cts, 0, x.n)
+    var j = 0
+    while (j < y.n) {
+      val id = y.ids(j)
+      var f = 0
+      var found = false
+      while (f < x.n && !found) {
+        if (ids(f) == id) { cts(f) += y.counts(j); found = true }
+        f += 1
+      }
+      if (!found) { ids(m) = id; cts(m) = y.counts(j); m += 1 }
+      j += 1
+    }
+    val out = zero
+    if (m <= k) {
+      System.arraycopy(ids, 0, out.ids, 0, m)
+      System.arraycopy(cts, 0, out.counts, 0, m)
+      out.n = m
+    } else {
+      // survivors are the counts strictly above the (k+1)-th largest —
+      // at most k of them by definition of the cut
+      val cut = cts.take(m).sorted(Ordering[Long].reverse)(k)
+      var w = 0
+      var i = 0
+      while (i < m) {
+        val c = cts(i) - cut
+        if (c > 0L) { out.ids(w) = ids(i); out.counts(w) = c; w += 1 }
+        i += 1
+      }
+      out.n = w
+    }
+    out
+  }
 
-  override def bufferEncoder: Encoder[Map[Long, Long]] = ExpressionEncoder()
+  override def finish(b: MgBuf): Seq[Hh] =
+    (0 until b.n).map(i => (b.ids(i), b.counts(i)))
+      .sortBy { case (id, est) => (-est, id) }.map { case (id, est) => Hh(id, est) }
+
+  override def bufferEncoder: Encoder[MgBuf] = ExpressionEncoder()
   override def outputEncoder: Encoder[Seq[Hh]] = ExpressionEncoder()
 }
 

@@ -10,6 +10,15 @@ import org.apache.spark.sql.functions.udaf
   */
 case class Scored(score: Double, id: Long)
 
+/** Mutable bounded top-k buffer: parallel primitive arrays kept
+  * best-first, capacity k, fill `n`. A case class of primitive
+  * arrays so the `ExpressionEncoder` serializes it compactly at the
+  * partial→final shuffle; between rows the object lives unserialized
+  * in the `ObjectHashAggregate` map and is mutated in place — the
+  * hot `reduce` path allocates nothing.
+  */
+case class TopKBuf(scores: Array[Double], ids: Array[Long], var n: Int)
+
 /** Bounded top-k aggregate: the k largest (score, id) pairs per
   * group, as a best-first array.
   *
@@ -23,27 +32,66 @@ case class Scored(score: Double, id: Long)
   * most k rows per (group × input partition) and the final merge is
   * k-bounded per group — the distributed TakeOrderedAndProject shape
   * the window form only pretends to have.
+  *
+  * The buffer is a pair of primitive arrays mutated in place
+  * (insertion by shift into the sorted prefix); the previous
+  * `Seq[Scored]` form re-sorted and re-allocated the whole buffer on
+  * every accepted row. Order of results is bit-identical: strict
+  * (score DESC, id ASC) insertion produces the same sequence as
+  * `sortWith(beats).take(k)` on distinct (score, id) pairs.
   */
-class TopKAgg(k: Int) extends Aggregator[Scored, Seq[Scored], Seq[Scored]] {
+class TopKAgg(k: Int) extends Aggregator[Scored, TopKBuf, Seq[Scored]] {
   require(k >= 1, s"top-k needs k >= 1, got $k")
 
-  private def beats(a: Scored, b: Scored): Boolean =
-    a.score > b.score || (a.score == b.score && a.id < b.id)
+  /** Strict total order on distinct pairs: true iff (s1,i1) ranks
+    * before (s2,i2). NaN scores compare false both ways (as the old
+    * sortWith did), so they sink behind any comparable entry already
+    * buffered. */
+  private def beats(s1: Double, i1: Long, s2: Double, i2: Long): Boolean =
+    s1 > s2 || (s1 == s2 && i1 < i2)
 
-  override def zero: Seq[Scored] = Nil
+  override def zero: TopKBuf = TopKBuf(new Array[Double](k), new Array[Long](k), 0)
 
-  override def reduce(b: Seq[Scored], a: Scored): Seq[Scored] =
+  override def reduce(b: TopKBuf, a: Scored): TopKBuf = {
+    val n = b.n
     // full buffer whose worst entry beats the row: the common case at
-    // scale — no allocation, no sort.
-    if (b.lengthCompare(k) >= 0 && beats(b.last, a)) b
-    else ((a +: b).sortWith(beats)).take(k)
+    // scale — no shift, no allocation.
+    if (n == k && beats(b.scores(n - 1), b.ids(n - 1), a.score, a.id)) return b
+    // find insertion point: first slot whose entry does NOT beat a
+    var pos = 0
+    while (pos < n && beats(b.scores(pos), b.ids(pos), a.score, a.id)) pos += 1
+    if (pos >= k) return b // beaten by a full buffer of ties-or-better
+    val last = math.min(n, k - 1) // entries at/after pos shift right; overflow drops
+    var i = last
+    while (i > pos) {
+      b.scores(i) = b.scores(i - 1); b.ids(i) = b.ids(i - 1); i -= 1
+    }
+    b.scores(pos) = a.score; b.ids(pos) = a.id
+    if (n < k) b.n = n + 1
+    b
+  }
 
-  override def merge(x: Seq[Scored], y: Seq[Scored]): Seq[Scored] =
-    (x ++ y).sortWith(beats).take(k)
+  override def merge(x: TopKBuf, y: TopKBuf): TopKBuf = {
+    if (y.n == 0) return x
+    if (x.n == 0) return y
+    val ms = new Array[Double](k); val mi = new Array[Long](k)
+    var xi = 0; var yi = 0; var o = 0
+    while (o < k && (xi < x.n || yi < y.n)) {
+      val takeX =
+        if (yi >= y.n) true
+        else if (xi >= x.n) false
+        else beats(x.scores(xi), x.ids(xi), y.scores(yi), y.ids(yi))
+      if (takeX) { ms(o) = x.scores(xi); mi(o) = x.ids(xi); xi += 1 }
+      else { ms(o) = y.scores(yi); mi(o) = y.ids(yi); yi += 1 }
+      o += 1
+    }
+    TopKBuf(ms, mi, o)
+  }
 
-  override def finish(r: Seq[Scored]): Seq[Scored] = r
+  override def finish(r: TopKBuf): Seq[Scored] =
+    (0 until r.n).map(i => Scored(r.scores(i), r.ids(i)))
 
-  override def bufferEncoder: Encoder[Seq[Scored]] = ExpressionEncoder()
+  override def bufferEncoder: Encoder[TopKBuf] = ExpressionEncoder()
   override def outputEncoder: Encoder[Seq[Scored]] = ExpressionEncoder()
 }
 

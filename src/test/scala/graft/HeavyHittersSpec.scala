@@ -18,7 +18,8 @@ class HeavyHittersSpec extends AnyFunSuite {
     // aggregation shape
     val bounds = (0 +: cuts.sorted :+ xs.length).distinct.sorted
     val slices = bounds.zip(bounds.tail).map { case (a, b) => xs.slice(a, b) }
-    slices.map(_.foldLeft(agg.zero)(agg.reduce)).foldLeft(agg.zero)(agg.merge)
+    val buf = slices.map(_.foldLeft(agg.zero)(agg.reduce)).foldLeft(agg.zero)(agg.merge)
+    agg.finish(buf).map(h => h.id -> h.est).toMap
   }
 
   test("Misra-Gries bounds hold for random streams and merge trees") {
