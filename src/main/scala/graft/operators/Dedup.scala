@@ -291,6 +291,11 @@ object Dedup {
           }
         }
       }.toDF("vec_id", "band", "bkey")
+      // barrier: both sides of the self-join consume this frame, and
+      // exchange reuse deduping the two scans is an optimizer
+      // heuristic, not a guarantee (q65 lesson) — without it the
+      // mapPartitions signature pass can run twice.
+      .localCheckpoint(false)
     val cands = keys.as("x").join(keys.as("y"),
         col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
         col("x.vec_id") < col("y.vec_id"))

@@ -87,14 +87,14 @@ object Events {
       .filter(col("event_type") === "purchase")
       .groupBy(date_trunc("hour", col("ts")).as("hour_ts"))
       .agg(
-        ops.r2(sum("value")).as("total_revenue"),
+        ops.sumMoney(col("value")).as("total_revenue"),
         count(lit(1)).as("order_count"),
         countDistinct(col("user_id")).as("unique_customers"))
       .orderBy("hour_ts")
 
   private val q20Sql =
     s"""SELECT date_trunc('hour', ts) AS hour_ts,
-       ${ops.R2("sum(value)")} AS total_revenue,
+       ${ops.SumMoney("value")} AS total_revenue,
        count(*) AS order_count, count(DISTINCT user_id) AS unique_customers
        FROM events WHERE event_type='purchase' GROUP BY 1 ORDER BY 1"""
 
@@ -280,12 +280,12 @@ object Events {
     Tables(s, dir, "events")
       .filter(col("event_type") === "purchase")
       .groupBy("user_id")
-      .agg(ops.r2(sum("value")).as("total_spend"), count(lit(1)).as("n_purchases"))
+      .agg(ops.sumMoney(col("value")).as("total_spend"), count(lit(1)).as("n_purchases"))
       .orderBy(col("total_spend").desc, col("user_id"))
       .limit(10)
 
   private val q27Sql =
-    s"""SELECT user_id, ${ops.R2("sum(value)")} AS total_spend, count(*) AS n_purchases
+    s"""SELECT user_id, ${ops.SumMoney("value")} AS total_spend, count(*) AS n_purchases
        FROM events WHERE event_type='purchase' GROUP BY 1
        ORDER BY total_spend DESC, user_id LIMIT 10"""
 

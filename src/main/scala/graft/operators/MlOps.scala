@@ -27,7 +27,7 @@ object MlOps {
     o.groupBy("o_custkey").agg(
       max("o_orderdate").as("last_od"),
       count(lit(1)).as("frequency"),
-      ops.r2(sum("o_totalprice")).as("monetary"))
+      ops.sumMoney(col("o_totalprice")).as("monetary"))
       .crossJoin(broadcast(maxd))
       .select(col("o_custkey"),
         datediff(col("md"), col("last_od")).as("recency_days"),
@@ -65,7 +65,7 @@ object MlOps {
          SELECT o_custkey,
                 date_diff('day', max(o_orderdate), (SELECT max(o_orderdate) FROM orders)) AS recency_days,
                 count(*) AS frequency,
-                ${ops.R2("sum(o_totalprice)")} AS monetary
+                ${ops.SumMoney("o_totalprice")} AS monetary
          FROM orders GROUP BY 1),
        scored AS (
          SELECT *,
@@ -104,6 +104,11 @@ object MlOps {
       .withColumn("_rn", row_number().over(wCap))
       .filter(col("_rn") <= MaxBasket)
       .drop("_rn")
+      // barrier: three consumers (cnt + both sides of the pair
+      // self-join) reference this capped frame; exchange reuse is a
+      // heuristic (q65 lesson), so without it the distinct+window
+      // subtree can execute up to three times.
+      .localCheckpoint(false)
     val cnt = b.groupBy("l_partkey").agg(count(lit(1)).as("n"))
     val pairs = b.as("a").join(b.as("bb"),
         col("a.l_orderkey") === col("bb.l_orderkey") && col("a.l_partkey") < col("bb.l_partkey"))
@@ -144,27 +149,38 @@ object MlOps {
          FROM scored)
        WHERE rank <= 5 ORDER BY part_id, rank"""
 
-  /** Per-customer spend outliers (z > 2 vs population). */
+  /** Per-customer spend outliers (z > 2 vs population). The z-score
+    * is derived entirely from exact integer moments — per-customer
+    * cents (long) and population Σc / Σc² (Σc² summed as
+    * decimal(38,0); DuckDB sums BIGINT as HUGEINT, equally exact) —
+    * then converted to double ONCE, so both engines feed identical
+    * IEEE operands into the z arithmetic. Summing the double spends
+    * (the previous form) was accumulation-order-dependent in s1/s2:
+    * a boundary z near the 2.0 gate or an r4 floor could flip with
+    * partitioning (the q09 risk class, here at second order). */
   def q32(s: SparkSession, dir: String): DataFrame = {
     val spend = Tables(s, dir, "orders").groupBy("o_custkey")
-      .agg(ops.r2(sum("o_totalprice")).as("spend"))
+      .agg(sum(ops.cents(col("o_totalprice"))).as("c"))
     val stats = spend.agg(
-      count(lit(1)).as("n"), sum("spend").as("s1"),
-      sum(col("spend") * col("spend")).as("s2"))
-    val z = (col("spend") - col("s1") / col("n")) /
-      sqrt((col("s2") - col("s1") * col("s1") / col("n")) / (col("n") - 1))
+      count(lit(1)).as("n"), sum("c").as("s1"),
+      sum((col("c").cast("decimal(38,0)") * col("c"))).as("s2"))
+    val (cD, nD) = (col("c").cast("double"), col("n").cast("double"))
+    val (s1D, s2D) = (col("s1").cast("double"), col("s2").cast("double"))
+    val z = (cD - s1D / nD) / sqrt((s2D - s1D * s1D / nD) / (nD - 1))
     spend.crossJoin(broadcast(stats))
       .filter(z > 2.0)
-      .select(col("o_custkey"), col("spend"), ops.r4(z).as("z_score"))
+      .select(col("o_custkey"), (col("c") / 100.0).as("spend"), ops.r4(z).as("z_score"))
       .orderBy("o_custkey")
   }
 
   private val q32Sql = {
-    val z = "(spend - s1/n) / sqrt((s2 - s1*s1/n)/(n-1))"
-    s"""WITH spend AS (SELECT o_custkey, ${ops.R2("sum(o_totalprice)")} AS spend
+    val z = "(CAST(c AS DOUBLE) - s1/n) / sqrt((s2 - s1*s1/n)/(n-1))"
+    s"""WITH spend AS (SELECT o_custkey,
+           CAST(sum(${ops.Cents("o_totalprice")}) AS BIGINT) AS c
          FROM orders GROUP BY 1),
-       st AS (SELECT count(*) n, sum(spend) s1, sum(spend*spend) s2 FROM spend)
-       SELECT o_custkey, spend, ${ops.R4(z)} AS z_score
+       st AS (SELECT count(*) n, CAST(sum(c) AS DOUBLE) s1,
+              CAST(sum(c*c) AS DOUBLE) s2 FROM spend)
+       SELECT o_custkey, c/100.0 AS spend, ${ops.R4(z)} AS z_score
        FROM spend, st WHERE $z > 2.0 ORDER BY o_custkey"""
   }
 

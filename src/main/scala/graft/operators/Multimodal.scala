@@ -86,21 +86,39 @@ object Multimodal {
       (u8(b(i + 2)).toLong << 16) | (u8(b(i + 3)).toLong << 24)
   private def le16(b: Array[Byte], i: Int): Int = u8(b(i)) | (u8(b(i + 1)) << 8)
 
-  /** WAV (RIFF): "RIFF" <size:le32> "WAVE", then the "fmt " chunk —
-    * channels le16 at 22, sample rate le32 at 24. The audio member
-    * of the real-header family: for audio payloads the two metadata
-    * axes (width, height) carry (sample_rate, n_channels). The
-    * 16-byte magic ("RIFF????WAVEfmt ") cannot occur in the ASCII
-    * test corpus (lowercase vocabulary), so the oracle keeps
-    * exercising the stub while MultimodalSpec feeds a genuine
-    * header. */
-  private def wavMeta(b: Array[Byte]): Option[(Long, Long)] =
-    if (b.length >= 28 &&
-        b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
-        b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E' &&
-        b(12) == 'f' && b(13) == 'm' && b(14) == 't' && b(15) == ' ')
-      Some((le32(b, 24), le16(b, 22).toLong))
-    else None
+  /** WAV (RIFF): "RIFF" <size:le32> "WAVE", then a CHUNK WALK to the
+    * "fmt " chunk — spec-valid files may carry JUNK/LIST/bext chunks
+    * first, and hardcoding fmt at offset 12 silently stubbed those
+    * with fabricated metadata. Within fmt: channels le16 at +2,
+    * sample rate le32 at +4 of the chunk payload. The walk is
+    * bounded (64 hops) and total: any truncated/undersized chunk
+    * abandons the parse → stub fallback. The audio member of the
+    * real-header family: for audio payloads the two metadata axes
+    * (width, height) carry (sample_rate, n_channels). The 12-byte
+    * magic ("RIFF????WAVE") cannot occur in the ASCII test corpus
+    * (lowercase vocabulary), so the oracle keeps exercising the stub
+    * while MultimodalSpec feeds genuine headers. */
+  private def wavMeta(b: Array[Byte]): Option[(Long, Long)] = {
+    if (b.length < 12 ||
+        !(b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F') ||
+        !(b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E')) return None
+    var i = 12
+    var hops = 0
+    while (i + 8 <= b.length && hops < 64) {
+      val size = le32(b, i + 4)
+      if (b(i) == 'f' && b(i + 1) == 'm' && b(i + 2) == 't' && b(i + 3) == ' ') {
+        // need the payload only through the rate field (+4..+7);
+        // requiring the full declared 16 bytes would reject streams
+        // truncated right after the metadata this parser reads
+        if (size < 16 || i + 16 > b.length) return None
+        return Some((le32(b, i + 12), le16(b, i + 10).toLong))
+      }
+      if (size < 0 || size > Int.MaxValue - 9) return None
+      i += 8 + size.toInt + (size.toInt & 1) // RIFF chunks are word-aligned
+      hops += 1
+    }
+    None
+  }
 
   /** STUB decoder for payloads that are not real PNG/JPEG/WAV streams:
     * deterministic fake features from raw bytes. `bytes(0) & 0xff`

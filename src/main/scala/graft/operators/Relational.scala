@@ -4,7 +4,7 @@ import graft.{Q, Tables}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.operators.ops.{R2, R4}
+import graft.operators.ops.R2
 
 /** Relational / batch-ETL core (SURVEY §2.A).
   *
@@ -32,23 +32,23 @@ object Relational {
       .filter(col("l_shipdate") <= ts("2000-01-01"))
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
-        ops.r2(sum("l_quantity")).as("sum_qty"),
-        ops.r2(sum("l_extendedprice")).as("sum_base_price"),
-        ops.r2(sum(disc(col("l_extendedprice"), col("l_discount")))).as("sum_disc_price"),
-        ops.r2(sum(disc(col("l_extendedprice"), col("l_discount")) * (lit(1.0) + col("l_tax")))).as("sum_charge"),
-        ops.r4(avg("l_quantity")).as("avg_qty"),
-        ops.r4(avg("l_extendedprice")).as("avg_price"),
+        ops.sumMoney(col("l_quantity")).as("sum_qty"),
+        ops.sumMoney(col("l_extendedprice")).as("sum_base_price"),
+        ops.sumMoney(disc(col("l_extendedprice"), col("l_discount"))).as("sum_disc_price"),
+        ops.sumMoney(disc(col("l_extendedprice"), col("l_discount")) * (lit(1.0) + col("l_tax"))).as("sum_charge"),
+        ops.avgMoney4(col("l_quantity")).as("avg_qty"),
+        ops.avgMoney4(col("l_extendedprice")).as("avg_price"),
         count(lit(1)).as("count_order"))
       .orderBy("l_returnflag", "l_linestatus")
 
   private val q01Sql =
-    """SELECT l_returnflag, l_linestatus,
-       floor((sum(l_quantity))*100.0 + 0.5)/100.0 AS sum_qty,
-       floor((sum(l_extendedprice))*100.0 + 0.5)/100.0 AS sum_base_price,
-       floor((sum(l_extendedprice*(1.0-l_discount)))*100.0 + 0.5)/100.0 AS sum_disc_price,
-       floor((sum(l_extendedprice*(1.0-l_discount)*(1.0+l_tax)))*100.0 + 0.5)/100.0 AS sum_charge,
-       floor((avg(l_quantity))*10000.0 + 0.5)/10000.0 AS avg_qty,
-       floor((avg(l_extendedprice))*10000.0 + 0.5)/10000.0 AS avg_price,
+    s"""SELECT l_returnflag, l_linestatus,
+       ${ops.SumMoney("l_quantity")} AS sum_qty,
+       ${ops.SumMoney("l_extendedprice")} AS sum_base_price,
+       ${ops.SumMoney("l_extendedprice*(1.0-l_discount)")} AS sum_disc_price,
+       ${ops.SumMoney("l_extendedprice*(1.0-l_discount)*(1.0+l_tax)")} AS sum_charge,
+       ${ops.AvgMoney4("l_quantity")} AS avg_qty,
+       ${ops.AvgMoney4("l_extendedprice")} AS avg_price,
        count(*) AS count_order
        FROM lineitem WHERE l_shipdate <= TIMESTAMP '2000-01-01'
        GROUP BY l_returnflag, l_linestatus ORDER BY 1, 2"""
@@ -66,12 +66,12 @@ object Relational {
         col("o_orderdate") >= ts("1996-01-01") && col("o_orderdate") < ts("1999-01-01"))
       .groupBy("n_name")
       .agg(
-        ops.r2(sum(disc(col("l_extendedprice"), col("l_discount")))).as("revenue"),
+        ops.sumMoney(disc(col("l_extendedprice"), col("l_discount"))).as("revenue"),
         count(lit(1)).as("n_lines"))
       .orderBy("n_name")
 
   private val q02Sql =
-    """SELECT n_name, floor((sum(l_extendedprice*(1.0-l_discount)))*100.0 + 0.5)/100.0 AS revenue, count(*) AS n_lines
+    s"""SELECT n_name, ${ops.SumMoney("l_extendedprice*(1.0-l_discount)")} AS revenue, count(*) AS n_lines
        FROM lineitem JOIN orders ON l_orderkey=o_orderkey
        JOIN customer ON o_custkey=c_custkey
        JOIN nation ON c_nationkey=n_nationkey
@@ -89,13 +89,13 @@ object Relational {
       .join(Tables(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING"),
         col("o_custkey") === col("c_custkey"))
       .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
-      .agg(ops.r2(sum(disc(col("l_extendedprice"), col("l_discount")))).as("revenue"))
+      .agg(ops.sumMoney(disc(col("l_extendedprice"), col("l_discount"))).as("revenue"))
       .orderBy(col("revenue").desc, col("l_orderkey"))
       .limit(10)
 
   private val q03Sql =
-    """SELECT l_orderkey, o_orderdate, o_orderpriority,
-       floor((sum(l_extendedprice*(1.0-l_discount)))*100.0 + 0.5)/100.0 AS revenue
+    s"""SELECT l_orderkey, o_orderdate, o_orderpriority,
+       ${ops.SumMoney("l_extendedprice*(1.0-l_discount)")} AS revenue
        FROM lineitem JOIN orders ON l_orderkey=o_orderkey
        JOIN customer ON o_custkey=c_custkey
        WHERE l_shipdate > TIMESTAMP '1999-01-01' AND o_orderdate < TIMESTAMP '1999-01-01'
@@ -126,13 +126,13 @@ object Relational {
       .join(Tables(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
       .groupBy("c_mktsegment")
       .agg(
-        ops.r2(sum("o_totalprice")).as("revenue"),
+        ops.sumMoney(col("o_totalprice")).as("revenue"),
         count(lit(1)).as("n_orders"),
         countDistinct(col("c_custkey")).as("n_customers"))
       .orderBy("c_mktsegment")
 
   private val q05Sql =
-    """SELECT c_mktsegment, floor((sum(o_totalprice))*100.0 + 0.5)/100.0 AS revenue, count(*) AS n_orders,
+    s"""SELECT c_mktsegment, ${ops.SumMoney("o_totalprice")} AS revenue, count(*) AS n_orders,
        count(DISTINCT c_custkey) AS n_customers
        FROM orders JOIN customer ON o_custkey=c_custkey
        GROUP BY c_mktsegment ORDER BY c_mktsegment"""
@@ -143,11 +143,11 @@ object Relational {
     Tables(s, dir, "lineitem")
       .filter(col("l_shipdate") >= ts("1997-01-01") && col("l_shipdate") < ts("1998-01-01") &&
         col("l_discount") >= 0.03 && col("l_discount") <= 0.07 && col("l_quantity") < 25)
-      .agg(ops.r2(sum(col("l_extendedprice") * col("l_discount"))).as("revenue"),
+      .agg(ops.sumMoney(col("l_extendedprice") * col("l_discount")).as("revenue"),
         count(lit(1)).as("n_lines"))
 
   private val q06Sql =
-    """SELECT floor((sum(l_extendedprice*l_discount))*100.0 + 0.5)/100.0 AS revenue, count(*) AS n_lines
+    s"""SELECT ${ops.SumMoney("l_extendedprice*l_discount")} AS revenue, count(*) AS n_lines
        FROM lineitem
        WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
          AND l_discount >= 0.03 AND l_discount <= 0.07 AND l_quantity < 25"""
@@ -159,12 +159,12 @@ object Relational {
       .join(Tables(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
       .join(broadcast(Tables(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
       .groupBy("c_custkey", "c_name", "n_name")
-      .agg(ops.r2(sum(disc(col("l_extendedprice"), col("l_discount")))).as("revenue"))
+      .agg(ops.sumMoney(disc(col("l_extendedprice"), col("l_discount"))).as("revenue"))
       .orderBy(col("revenue").desc, col("c_custkey"))
       .limit(20)
 
   private val q07Sql =
-    """SELECT c_custkey, c_name, n_name, floor((sum(l_extendedprice*(1.0-l_discount)))*100.0 + 0.5)/100.0 AS revenue
+    s"""SELECT c_custkey, c_name, n_name, ${ops.SumMoney("l_extendedprice*(1.0-l_discount)")} AS revenue
        FROM lineitem JOIN orders ON l_orderkey=o_orderkey
        JOIN customer ON o_custkey=c_custkey JOIN nation ON c_nationkey=n_nationkey
        WHERE l_returnflag='R'
@@ -177,15 +177,15 @@ object Relational {
       .join(broadcast(Tables(s, dir, "part")), col("l_partkey") === col("p_partkey"))
       .groupBy("p_partkey", "p_name", "p_brand")
       .agg(
-        ops.r2(sum("l_quantity")).as("total_quantity"),
-        ops.r2(sum(disc(col("l_extendedprice"), col("l_discount")))).as("total_revenue"),
+        ops.sumMoney(col("l_quantity")).as("total_quantity"),
+        ops.sumMoney(disc(col("l_extendedprice"), col("l_discount"))).as("total_revenue"),
         countDistinct(col("l_orderkey")).as("n_orders"))
       .orderBy(col("total_quantity").desc, col("p_partkey"))
       .limit(15)
 
   private val q08Sql =
-    """SELECT p_partkey, p_name, p_brand, floor((sum(l_quantity))*100.0 + 0.5)/100.0 AS total_quantity,
-       floor((sum(l_extendedprice*(1.0-l_discount)))*100.0 + 0.5)/100.0 AS total_revenue,
+    s"""SELECT p_partkey, p_name, p_brand, ${ops.SumMoney("l_quantity")} AS total_quantity,
+       ${ops.SumMoney("l_extendedprice*(1.0-l_discount)")} AS total_revenue,
        count(DISTINCT l_orderkey) AS n_orders
        FROM lineitem JOIN part ON l_partkey=p_partkey
        GROUP BY 1,2,3 ORDER BY total_quantity DESC, p_partkey LIMIT 15"""
@@ -231,7 +231,7 @@ object Relational {
     val rev = Tables(s, dir, "lineitem")
       .join(broadcast(Tables(s, dir, "part")), col("l_partkey") === col("p_partkey"))
       .groupBy("p_brand", "p_partkey", "p_name")
-      .agg(ops.r2(sum(disc(col("l_extendedprice"), col("l_discount")))).as("revenue"))
+      .agg(ops.sumMoney(disc(col("l_extendedprice"), col("l_discount"))).as("revenue"))
     val w = Window.partitionBy("p_brand").orderBy(col("revenue").desc, col("p_partkey"))
     rev.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= 3)
@@ -239,11 +239,11 @@ object Relational {
   }
 
   private val q10Sql =
-    """SELECT * FROM (
+    s"""SELECT * FROM (
          SELECT p_brand, p_partkey, p_name, revenue,
                 row_number() OVER (PARTITION BY p_brand ORDER BY revenue DESC, p_partkey) AS rank
          FROM (SELECT p_brand, p_partkey, p_name,
-               floor((sum(l_extendedprice*(1.0-l_discount)))*100.0 + 0.5)/100.0 AS revenue
+               ${ops.SumMoney("l_extendedprice*(1.0-l_discount)")} AS revenue
                FROM lineitem JOIN part ON l_partkey=p_partkey GROUP BY 1,2,3))
        WHERE rank <= 3 ORDER BY p_brand, rank"""
 
@@ -255,12 +255,12 @@ object Relational {
       .agg(
         count(lit(1)).as("n_events"),
         countDistinct(col("user_id")).as("n_users"),
-        ops.r2(sum("value")).as("total_value"))
+        ops.sumMoney(col("value")).as("total_value"))
       .orderBy("event_type")
 
   private val q11Sql =
-    """SELECT event_type, count(*) AS n_events, count(DISTINCT user_id) AS n_users,
-       floor((sum(value))*100.0 + 0.5)/100.0 AS total_value
+    s"""SELECT event_type, count(*) AS n_events, count(DISTINCT user_id) AS n_users,
+       ${ops.SumMoney("value")} AS total_value
        FROM events GROUP BY event_type ORDER BY event_type"""
 
   /** HLL++ approximate distincts — the 100 TB substitute for q11's
@@ -286,7 +286,7 @@ object Relational {
       .join(Tables(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
       .join(broadcast(Tables(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
       .rollup(col("n_name"), year(col("o_orderdate")).as("o_year"))
-      .agg(ops.r2(sum("o_totalprice")).as("revenue"), count(lit(1)).as("n_orders"))
+      .agg(ops.sumMoney(col("o_totalprice")).as("revenue"), count(lit(1)).as("n_orders"))
       .select(
         coalesce(col("n_name"), lit("ALL")).as("nation"),
         coalesce(col("o_year"), lit(-1)).as("o_year"),
@@ -296,7 +296,7 @@ object Relational {
   private val q15Sql =
     s"""SELECT coalesce(n_name, 'ALL') AS nation,
        coalesce(year(o_orderdate), -1) AS o_year,
-       ${ops.R2("sum(o_totalprice)")} AS revenue, count(*) AS n_orders
+       ${ops.SumMoney("o_totalprice")} AS revenue, count(*) AS n_orders
        FROM orders JOIN customer ON o_custkey=c_custkey
        JOIN nation ON c_nationkey=n_nationkey
        GROUP BY ROLLUP(n_name, year(o_orderdate))
@@ -444,13 +444,13 @@ object Relational {
       .withColumn("yr", year(col("o_orderdate")))
       .groupBy("n_name")
       .pivot("yr", PivotYears.map(Integer.valueOf))
-      .agg(ops.r2(sum("o_totalprice")))
+      .agg(ops.sumMoney(col("o_totalprice")))
       .orderBy("n_name")
   }
 
   private val q17Sql = {
     val cols = PivotYears.map(y =>
-      s"""${R2(s"sum(o_totalprice) FILTER (WHERE year(o_orderdate) = $y)")} AS "$y"""").mkString(",\n       ")
+      s"""(sum(${ops.Cents("o_totalprice")}) FILTER (WHERE year(o_orderdate) = $y))/100.0 AS "$y"""").mkString(",\n       ")
     s"""SELECT n_name, $cols
        FROM orders
        JOIN customer ON o_custkey = c_custkey

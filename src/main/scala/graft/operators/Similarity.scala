@@ -257,10 +257,19 @@ object Similarity {
     // the scoring pass all consume the checkpointed projection
     val typed = e.select(col("vec_id"), col("embedding"), col("nrm"))
       .as[(Long, Seq[Float], Double)].localCheckpoint(false)
-    // bounded deterministic training sample
+    // bounded deterministic training sample, RANK-based: every
+    // step-th row of the checkpointed projection, so the collect is
+    // ~PqSampleCap rows regardless of id layout. (Raw id-modulo
+    // assumed dense zero-based vec_ids: sparse or offset ids made
+    // the sample empty — sample.head throws — or far beyond the
+    // cap. On dense 0..n-1 ids rank == id, so the sample and the
+    // recall spec's measured numbers are unchanged.)
     val n = typed.count()
     val step = math.max(1L, n / PqSampleCap)
-    val sample = typed.filter(_._1 % step == 0L).collect().sortBy(_._1)
+    val sample = typed.rdd.zipWithIndex()
+      .filter { case (_, r) => r % step == 0L }
+      .map { case ((id, v, _), _) => (id, v) }
+      .collect().sortBy(_._1)
       .map(_._2.toArray.map(_.toDouble))
     val dim = sample.head.length
     // non-empty subspaces covering every dimension: at most PqM
@@ -415,13 +424,25 @@ object Similarity {
   private[operators] def ivfCells(s: SparkSession, dir: String): (DataFrame, Array[Array[Double]]) =
     ivfCellsOf(s, Tables(s, dir, "embeddings"))
 
-  private[operators] def ivfCellsOf(s: SparkSession, e0: DataFrame): (DataFrame, Array[Array[Double]]) = {
+  /** `cellSize = None` → k = ⌈√n⌉ cells (q52's single-query operating
+    * point); `Some(B)` → FIXED expected cell size: k = ⌈n/B⌉, the
+    * extreme-scale knob where per-vector probe volume stays nprobe·B
+    * regardless of corpus growth (see [[q54]]'s Scaladoc; the recall
+    * equivalence of the two modes is spec-tested at sf0.001). */
+  private[operators] def ivfCellsOf(s: SparkSession, e0: DataFrame,
+      cellSize: Option[Int] = None): (DataFrame, Array[Array[Double]]) = {
     import s.implicits._
     val iters = 3
     val e = withNorm(e0).select(col("vec_id"), col("ed"), col("nrm"))
     val typed = e.as[(Long, Seq[Float], Double)]
     val n = typed.count()
-    val k = math.max(16, math.ceil(math.sqrt(n.toDouble)).toInt)
+    val kTarget = cellSize match {
+      case Some(b) => math.ceil(n.toDouble / b.toDouble).toInt
+      case None    => math.ceil(math.sqrt(n.toDouble)).toInt
+    }
+    // floor of 16 for probe selectivity, capped at n so the lowest-id
+    // init below always yields exactly k centroids
+    val k = math.max(1L, math.min(math.max(16, kTarget).toLong, n)).toInt
 
     var cents: Array[Array[Double]] = e.orderBy("vec_id").limit(k)
       .select(col("vec_id"), col("ed")).as[(Long, Seq[Float])]
@@ -529,12 +550,20 @@ object Similarity {
     * the right knob is FIXED cell size B (k ∝ n/B): probe volume per
     * vector becomes nprobe·B = constant and total work linear in n —
     * the same tunable, a different setting; recall/cost trade is
-    * B × nprobe either way. rows-only; SimilaritySpec asserts
-    * recall vs an exact driver-computed graph at sf0.001. */
-  def q54(s: SparkSession, dir: String): DataFrame = {
+    * B × nprobe either way — [[knnGraphOf]] takes the knob and
+    * SimilaritySpec holds the fixed-B mode to the √n mode's recall
+    * at sf0.001. rows-only; SimilaritySpec asserts recall vs an
+    * exact driver-computed graph at sf0.001. */
+  def q54(s: SparkSession, dir: String): DataFrame =
+    knnGraphOf(s, Tables(s, dir, "embeddings"), cellSize = None)
+
+  /** q54 core over any embeddings-shaped frame; `cellSize` selects
+    * the coarse-quantizer mode (see [[ivfCellsOf]]). */
+  private[graft] def knnGraphOf(s: SparkSession, e0: DataFrame,
+      cellSize: Option[Int]): DataFrame = {
     import s.implicits._
     val nprobe = 6
-    val (cells0, cents) = ivfCells(s, dir)
+    val (cells0, cents) = ivfCellsOf(s, e0, cellSize)
     val cells = cells0.select("vec_id", "cid", "cid2", "ed", "nrm").localCheckpoint(false)
     val bc = s.sparkContext.broadcast(cents)
     val probes = cells.select(col("vec_id"), col("ed"), col("nrm"))

@@ -383,6 +383,11 @@ object TextOps {
       sum(when(col("has_pii"), 1L).otherwise(0L)).as("pii_docs"),
       sum(when(col("predicted") === col("lang"), 1L).otherwise(0L)).as("langid_hits"),
       sum("qunits").as("sum_qunits"))
+      // barrier (|langs| rows): the crossJoin below consumes card
+      // twice (rows + grand total), and without it the whole corpus
+      // scan + md5 dup window can execute twice (q65 lesson —
+      // exchange reuse is a heuristic).
+      .localCheckpoint(false)
     card.crossJoin(broadcast(card.agg(sum("total_tokens").as("corpus_tokens"))))
       .select(
         col("lang"), col("n_docs"), col("total_tokens"),

@@ -23,6 +23,22 @@ object ops {
   def R4(e: String): String = s"floor(($e)*10000.0 + 0.5)/10000.0"
   def R6(e: String): String = s"floor(($e)*1000000.0 + 0.5)/1000000.0"
 
+  /** Money-exact aggregation, retiring the r2(sum(double)) risk class
+    * (the q09 lesson): round each ROW to integer cents — one
+    * deterministic FP multiply, bit-identical cross-engine — sum
+    * longs (order-independent), divide once at the end. `r2(sum(x))`
+    * instead rounds a shuffled double sum whose accumulation order
+    * differs from the oracle's, and with enough groups one lands on a
+    * floor boundary where an ulp flips the cent. DuckDB `/` on
+    * integer operands is float division returning DOUBLE, so
+    * `sum(cents)/100.0` is the same IEEE divide in both engines. */
+  def cents(c: Column): Column = floor(c * 100.0 + 0.5).cast("long")
+  def sumMoney(c: Column): Column = sum(cents(c)) / 100.0
+  def avgMoney4(c: Column): Column = r4(sum(cents(c)) / (lit(100.0) * count(lit(1))))
+  def Cents(e: String): String = s"CAST(floor(($e)*100.0 + 0.5) AS BIGINT)"
+  def SumMoney(e: String): String = s"sum(${Cents(e)})/100.0"
+  def AvgMoney4(e: String): String = R4(s"sum(${Cents(e)}) / (100.0*count(*))")
+
   /** Salted equi-join for skewed keys: the big side scatters each row
     * into one of `salt` sub-keys; the other side replicates `salt`
     * times; joining on (key, salt) spreads one hot key over `salt`

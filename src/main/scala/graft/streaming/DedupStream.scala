@@ -13,6 +13,11 @@ case class DocSig(id: Long, sh: Array[Long])
 case class BucketState(docs: Seq[DocSig])
 case class DupHit(d1: Long, d2: Long, jaccard: Double)
 
+/** TTL'd resident: admission event-time (epoch ms) rides along so
+  * stale residents can be evicted against the stream's watermark. */
+case class DocSigT(id: Long, sh: Array[Long], ts: Long)
+case class BucketStateT(docs: Seq[DocSigT])
+
 /** Online near-duplicate detection — dedup-before-ingest for a
   * document STREAM, the streaming face of batch q41/q42: each
   * arriving document is checked against the full history it might
@@ -112,6 +117,61 @@ object DedupStream {
       .option("pathGlobFilter", "*.parquet")
     (if (filesPerTrigger > 0) r.option("maxFilesPerTrigger", filesPerTrigger) else r)
       .parquet(dir)
+  }
+
+  /** TTL'd variant of [[neardupStream]] for unbounded streams: each
+    * resident carries its event-time admission stamp, residents older
+    * than `ttl` relative to the watermark are evicted before matching
+    * (their bucket slot frees up under [[BucketCap]]), and an idle
+    * bucket's whole state is removed by an event-time timeout once
+    * the watermark passes its newest resident + ttl — so state is
+    * bounded by stream rate × ttl, not by history. Eviction follows
+    * the WATERMARK, which trails the newest seen event time by the
+    * configured delay and updates at batch boundaries — replay-
+    * deterministic, like the rest of the operator. The watermark is
+    * declared here on the banded rows' event-time field (zero
+    * delay); callers supply event time as the third tuple field. */
+  def neardupStreamTtl(docs: Dataset[(Long, String, java.sql.Timestamp)],
+      ttl: java.time.Duration): Dataset[DupHit] = {
+    import docs.sparkSession.implicits._
+    val ttlMs = ttl.toMillis
+    docs
+      .flatMap { case (id, text, ts) =>
+        val sh = shingleHashes(text)
+        bandKeys(sh).map(k => (k, id, sh, ts))
+      }
+      .withWatermark("_4", "0 seconds")
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        (_: Long, rows: Iterator[(Long, Long, Array[Long], java.sql.Timestamp)],
+            state: GroupState[BucketStateT]) => {
+          val wm = state.getCurrentWatermarkMs()
+          var docs0 = state.getOption.map(_.docs).getOrElse(Seq.empty)
+            .filter(_.ts >= wm - ttlMs) // evict stale residents
+          val out = Seq.newBuilder[DupHit]
+          if (!state.hasTimedOut) {
+            rows.toSeq.sortBy(_._2).foreach { case (_, id, sh, ts) =>
+              if (docs0.size < BucketCap && !docs0.exists(_.id == id)) {
+                docs0.foreach { res =>
+                  val j = jaccard(res.sh, sh)
+                  if (j >= JaccThr)
+                    out += DupHit(math.min(res.id, id), math.max(res.id, id),
+                      math.floor(j * 1e6 + 0.5) / 1e6)
+                }
+                docs0 = docs0 :+ DocSigT(id, sh, ts.getTime)
+              }
+            }
+          }
+          if (docs0.isEmpty) state.remove()
+          else {
+            state.update(BucketStateT(docs0))
+            // wake once the newest resident ages out (must sit beyond
+            // the current watermark or Spark rejects it)
+            state.setTimeoutTimestamp(
+              math.max(docs0.map(_.ts).max + ttlMs, wm + 1L))
+          }
+          out.result().iterator
+        })
   }
 
   /** docs (doc_id, text) stream → near-dup hits against history. */

@@ -75,15 +75,22 @@ class MultimodalSpec extends AnyFunSuite {
     sig ++ ihdr
   }
 
-  private def wavBytes(sampleRate: Int, channels: Int): Array[Byte] = {
-    // RIFF <size> WAVE, then the fmt chunk: id+size, format le16,
-    // channels le16 @22, sample rate le32 @24
+  private def wavBytes(sampleRate: Int, channels: Int,
+      preChunks: Seq[(String, Int)] = Nil): Array[Byte] = {
+    // RIFF <size> WAVE, optional leading chunks (JUNK/LIST/...), then
+    // the fmt chunk: id+size, format le16, channels le16 @+2 of the
+    // payload, sample rate le32 @+4
     val riff = "RIFF".getBytes ++ Array[Byte](36, 0, 0, 0) ++ "WAVE".getBytes
+    val pre = preChunks.flatMap { case (id, size) =>
+      id.getBytes ++ Array[Byte](size.toByte, (size >> 8).toByte,
+        (size >> 16).toByte, (size >> 24).toByte) ++
+        Array.fill[Byte](size + (size & 1))(0x6a) // word-aligned padding
+    }
     val fmt = "fmt ".getBytes ++ Array[Byte](16, 0, 0, 0, 1, 0,
       channels.toByte, (channels >> 8).toByte,
       sampleRate.toByte, (sampleRate >> 8).toByte,
       (sampleRate >> 16).toByte, (sampleRate >> 24).toByte)
-    riff ++ fmt
+    riff ++ pre ++ fmt
   }
 
   private def jpegBytes(w: Int, h: Int, withApp0: Boolean): Array[Byte] = {
@@ -113,7 +120,11 @@ class MultimodalSpec extends AnyFunSuite {
       8L -> Array.empty[Byte], // empty -> stub sentinel
       9L -> wavBytes(44100, 2),
       10L -> wavBytes(16000, 1),
-      11L -> wavBytes(44100, 2).take(12)) // truncated WAV -> stub
+      11L -> wavBytes(44100, 2).take(12), // truncated WAV -> stub
+      // spec-valid WAVs whose fmt chunk is NOT at offset 12: the
+      // chunk walk must skip JUNK/LIST (incl. odd-size + pad byte)
+      12L -> wavBytes(48000, 6, Seq("JUNK" -> 28)),
+      13L -> wavBytes(22050, 1, Seq("JUNK" -> 7, "LIST" -> 12)))
     val out = operators.Multimodal.decodeDs(payloads.toDS())
       .collect().map(m => m.getLong(0) -> m).toMap
     def check(id: Long, fmt: String, w: Long, h: Long): Unit = {
@@ -128,6 +139,8 @@ class MultimodalSpec extends AnyFunSuite {
     // audio: (width, height) carry (sample_rate, n_channels)
     check(9L, "wav", 44100, 2)
     check(10L, "wav", 16000, 1)
+    check(12L, "wav", 48000, 6)
+    check(13L, "wav", 22050, 1)
     assert(Set("jpeg", "png", "wav").contains(out(11L).getString(3)))
     assert(out(8L).getString(3) == "empty")
     // stub fallbacks classify by first-byte arithmetic, not headers

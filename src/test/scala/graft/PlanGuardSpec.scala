@@ -88,10 +88,16 @@ class PlanGuardSpec extends AnyFunSuite {
     assert(!p.contains("Window"), "q78 ranks through a window operator")
   }
 
-  test("corpus card: dup window is hash-partitioned; single-partition exchange only for the 5-row card") {
+  test("corpus card: corpus subtree sits behind a checkpoint barrier, scanned once") {
+    // r4: the card aggregate is localCheckpointed before the
+    // crossJoin consumes it twice (rows + grand total), so the
+    // corpus scan + md5 dup window executes exactly once at
+    // materialization and the FINAL plan must reference only the
+    // checkpointed RDD — a parquet FileScan reappearing here means
+    // the barrier was dropped and the corpus subtree runs per branch
     val p = plan("q79_corpus_card")
-    assert("Exchange hashpartitioning".r.findAllIn(p).nonEmpty,
-      "q79's dup window lost its hash partitioning")
+    assert(p.contains("Scan ExistingRDD"), s"q79 lost its checkpoint barrier: $p")
+    assert(!p.contains("FileScan"), s"q79 re-scans the corpus outside the checkpoint: $p")
     val singles = "Exchange SinglePartition".r.findAllIn(p).size
     assert(singles <= 1, s"q79 plans $singles single-partition exchanges: $p")
   }

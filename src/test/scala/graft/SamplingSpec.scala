@@ -112,8 +112,12 @@ class SamplingSpec extends AnyFunSuite {
       val (id, ng, ns, fl) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3))
       val (eng, ens, efl) = exact(id)
       // q77 counts UNCAPPED grams (no DF-cap shuffle in the map-only
-      // path); at this sf no gram exceeds the cap, so counts align
-      assert(ng == eng, s"doc $id gram count $ng != $eng")
+      // path), so its count is >= q69's DF-capped one — the actual
+      // one-sided contract. At this sf no gram exceeds the cap and
+      // the counts are equal, but asserting equality would fail with
+      // a misleading 'gram count' message if testdata or GramCap
+      // ever changes.
+      assert(ng >= eng, s"doc $id uncapped gram count $ng < capped $eng")
       // no false negatives: Bloom membership is one-sided, and q69's
       // capped gram universe is a subset of the filter's
       assert(ns >= ens, s"doc $id est $ns < exact $ens")

@@ -59,33 +59,55 @@ class SimilaritySpec extends AnyFunSuite {
     assert(approx.filter(col("query_id") === col("neighbor_id")).count() == 0)
   }
 
-  test("q54 kNN graph: recall vs an exact all-pairs graph, no corpus collect") {
+  /** Exact all-pairs top-5 graph, driver-side (test corpus only). */
+  private lazy val exactGraph: (Int, Map[Long, Set[Long]]) = {
     import org.apache.spark.sql.Row
     val vecs = Tables(spark, sf, "embeddings")
       .select("vec_id", "embedding").collect()
       .map { case Row(id: Long, e: scala.collection.Seq[_]) =>
         (id, e.asInstanceOf[scala.collection.Seq[Float]].toArray)
       }.sortBy(_._1)
-    // exact graph, driver-side (test corpus only)
     def cos(a: Array[Float], b: Array[Float]): Double = {
       var dp = 0.0; var na = 0.0; var nb = 0.0; var i = 0
       while (i < a.length) { dp += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i); i += 1 }
       dp / (math.sqrt(na) * math.sqrt(nb))
     }
-    val exact: Map[Long, Set[Long]] = vecs.map { case (id, v) =>
+    (vecs.length, vecs.map { case (id, v) =>
       id -> vecs.filter(_._1 != id)
         .map { case (oid, ov) => (-cos(v, ov), oid) }.sorted.take(5).map(_._2).toSet
-    }.toMap
-    val got = operators.Similarity.q54(spark, sf)
-      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    }.toMap)
+  }
+
+  private def graphRecall(df: org.apache.spark.sql.DataFrame, label: String): Double = {
+    val (nVecs, exact) = exactGraph
+    val got = df.collect().map(r => (r.getLong(0), r.getLong(1)))
     val byQ = got.groupBy(_._1)
-    assert(byQ.size == vecs.length, s"graph covers ${byQ.size} of ${vecs.length} vectors")
+    assert(byQ.size == nVecs, s"$label covers ${byQ.size} of $nVecs vectors")
     assert(byQ.values.forall(_.length == 5))
-    val hits = got.count { case (q, n) => exact(q).contains(n) }
-    val recall = hits * 1.0 / (vecs.length * 5)
-    info(s"q54 graph recall@5 = $hits/${vecs.length * 5} = $recall")
-    assert(recall >= 0.75, s"graph recall $recall below 0.75")
     assert(got.count { case (q, n) => q == n } == 0)
+    val hits = got.count { case (q, n) => exact(q).contains(n) }
+    val recall = hits * 1.0 / (nVecs * 5)
+    info(s"$label recall@5 = $hits/${nVecs * 5} = $recall")
+    recall
+  }
+
+  test("q54 kNN graph: recall vs an exact all-pairs graph, no corpus collect") {
+    val recall = graphRecall(operators.Similarity.q54(spark, sf), "q54 graph")
+    assert(recall >= 0.75, s"graph recall $recall below 0.75")
+  }
+
+  test("q54 fixed-cell-size mode matches the sqrt(n) mode's recall") {
+    // k = ceil(n/B) instead of ceil(sqrt(n)): the extreme-scale knob
+    // (linear total work) must not cost recall at the same nprobe.
+    // B=32 lands on the k=16 floor at n=500 — a genuinely different
+    // quantizer than the default's k=23.
+    val fixed = graphRecall(
+      operators.Similarity.knnGraphOf(spark, Tables(spark, sf, "embeddings"),
+        cellSize = Some(32)), "q54 fixed-B graph")
+    val default = graphRecall(operators.Similarity.q54(spark, sf), "q54 default graph")
+    assert(fixed >= 0.75, s"fixed-B recall $fixed below 0.75")
+    assert(fixed >= default - 0.05,
+      s"fixed-B recall $fixed more than 0.05 below default-mode $default")
   }
 
   test("q52 IVF ANN achieves high recall@5 against brute force") {

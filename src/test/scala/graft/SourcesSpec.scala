@@ -46,6 +46,42 @@ class SourcesSpec extends AnyFunSuite {
       s"filter not pushed to ORC scan: $scan")
   }
 
+  test("bench-scale (sf0.1) orc round-trip: exact values, pushdown + pruning at volume") {
+    // the format surface's perf datapoint: full sf0.1 lineitem through
+    // ORC, with the q06-style filter pushed to the scan and the
+    // projection pruned — the shapes that matter at 100 TB, asserted
+    // at the largest local SF instead of the 0.001 smoke corpus
+    val dir01 = "/root/testdata/sf0.1"
+    val li = Tables(spark, dir01, "lineitem")
+    val dir = tmp("orc01")
+    val t0 = System.nanoTime()
+    Sources.writeOrc(li, dir)
+    val back = Sources.readOrc(spark, dir)
+    val nRows = back.count()
+    val secs = (System.nanoTime() - t0) / 1e9
+    assert(nRows == li.count())
+    val probe = back
+      .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("l_discount") >= 0.03 && col("l_discount") <= 0.07)
+      .select(sum(operators.ops.cents(col("l_extendedprice"))).as("cents"),
+        count(lit(1)).as("n"))
+    val scan = probe.queryExecution.executedPlan.collectLeaves().head.toString
+    assert(scan.contains("PushedFilters") && scan.contains("l_discount"),
+      s"filter not pushed to sf0.1 ORC scan: $scan")
+    // projection pruning: the scan must not read all 16 columns
+    assert(scan.contains("l_extendedprice") && !scan.contains("l_comment"),
+      s"projection not pruned on sf0.1 ORC scan: $scan")
+    // exact parity with the same aggregate over the parquet original
+    val viaOrc = probe.collect()(0)
+    val viaParquet = li
+      .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("l_discount") >= 0.03 && col("l_discount") <= 0.07)
+      .select(sum(operators.ops.cents(col("l_extendedprice"))).as("cents"),
+        count(lit(1)).as("n")).collect()(0)
+    assert(viaOrc == viaParquet)
+    info(f"sf0.1 ORC write+count: $nRows rows in $secs%.1f s")
+  }
+
   test("partitioned parquet write prunes partitions on read") {
     val ev = Tables(spark, sf, "events")
     val dir = tmp("part")

@@ -439,6 +439,51 @@ class StreamingSpec extends AnyFunSuite {
     assert(finalLtv.get() == 800000L, s"final LTV cents = ${finalLtv.get()}")
   }
 
+  test("TTL'd near-dup stream evicts aged-out residents and bounds state by rate, not history") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import streaming.DedupStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // offset base: epoch-0 event times sit exactly on the initial
+    // watermark and get dropped as late
+    def ts(min: Int) = new java.sql.Timestamp(1700000000000L + min * 60000L)
+    def text(stem: String) = (1 to 60).map(i => s"$stem$i").mkString(" ")
+    val (base, d5, u1, u2) = (text("alpha"), text("solo"), text("first"), text("second"))
+    val mem = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val q = DedupStream.neardupStreamTtl(mem.toDS(), java.time.Duration.ofHours(1))
+      .writeStream.format("memory").queryName("neardup_ttl_out")
+      .outputMode("append").start()
+    def hits = spark.table("neardup_ttl_out").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def stateRows = q.recentProgress.filter(_.stateOperators.nonEmpty)
+      .last.stateOperators.head.numRowsTotal
+    // t=0h: a dup pair plus a loner enter the history
+    mem.addData((1L, base, ts(0)), (2L, base, ts(0)), (5L, d5, ts(0)))
+    q.processAllAvailable()
+    assert(hits == Set((1L, 2L)))
+    // unrelated traffic at t=2h advances the watermark past 0h+TTL;
+    // the next batch's timeout sweep removes every idle aged bucket
+    mem.addData((90L, u1, ts(120))); q.processAllAvailable()
+    mem.addData((91L, u2, ts(121))); q.processAllAvailable()
+    // t=2h05: a fresh dup of the 0h pair — its residents aged out, so
+    // NO hit against history...
+    mem.addData((3L, base, ts(125))); q.processAllAvailable()
+    assert(hits == Set((1L, 2L)), "aged-out residents must stop matching")
+    // ...but a dup of the FRESH doc still matches: eviction is
+    // selective, the operator keeps working
+    mem.addData((4L, base, ts(126))); q.processAllAvailable()
+    assert(hits == Set((1L, 2L), (3L, 4L)))
+    // state plateaus at the ALIVE docs' bucket keys (d5's buckets and
+    // the pre-eviction copies of base's are gone), not at history size
+    def keys(t: String) = DedupStream.bandKeys(DedupStream.shingleHashes(t)).toSet
+    val alive = keys(base) ++ keys(u1) ++ keys(u2)
+    val ever = alive ++ keys(d5)
+    assert(ever.size > alive.size, "loner shares all buckets: vacuous")
+    assert(stateRows == alive.size.toLong,
+      s"state rows $stateRows != alive bucket keys ${alive.size}")
+    q.stop()
+  }
+
   test("parquet sink with checkpoint round-trips the enriched stream") {
     val out = java.nio.file.Files.createTempDirectory("graft-sink").toString
     val ckpt = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
