@@ -592,6 +592,93 @@ object Sampling {
          CAST(cb % $SeqLen AS BIGINT) AS bin_offset
        FROM pc ORDER BY doc_id"""
 
+  /** Chunk geometry for q82: fixed window, fixed stride (overlap =
+    * ChunkLen - ChunkStride tokens). ONE pair of constants shared
+    * with the oracle SQL. */
+  private val ChunkLen = 64
+  private val ChunkStride = 48
+
+  /** Fixed-length overlapping chunking — the step that turns cleaned
+    * documents into training sequences (and RAG index entries):
+    * every document becomes ⌈n/stride⌉ windows of ChunkLen tokens
+    * starting every ChunkStride, the final window short. Pure
+    * per-row flatMap — explode of a sequence() computed in the SAME
+    * select as the explode (the q69 form; a withColumn-computed
+    * array feeding explode regenerates its Generate codegen per
+    * execution, the q77 lesson). At 100 TB this is a map-only pass
+    * whose output is ~n/stride× the input rows — no shuffle until
+    * the trailing order-stabilizing sort, which a pipeline consumer
+    * would drop. */
+  def q82(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "documents")
+      .select(col("doc_id"), expr("filter(split(text, ' '), x -> x != '')").as("tk"))
+      .filter(size(col("tk")) > 0)
+      .select(col("doc_id"), col("tk"), size(col("tk")).as("n"),
+        expr(s"explode(sequence(0, size(tk) - 1, $ChunkStride))").as("start_tok"))
+      .select(
+        col("doc_id"),
+        (col("start_tok") / ChunkStride).cast("long").as("chunk_id"),
+        col("start_tok").cast("long").as("start_tok"),
+        least(lit(ChunkLen), col("n") - col("start_tok")).cast("long").as("n_tok"),
+        concat_ws(" ", expr(s"slice(tk, start_tok + 1, least($ChunkLen, n - start_tok))"))
+          .as("chunk_text"))
+      .orderBy("doc_id", "chunk_id")
+
+  private val q82Sql =
+    s"""WITH t AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS tk
+         FROM documents),
+       st AS (SELECT doc_id, tk, len(tk) AS n,
+              unnest(range(0, len(tk), $ChunkStride)) AS start_tok
+              FROM t WHERE len(tk) > 0)
+       SELECT doc_id,
+              CAST(start_tok // $ChunkStride AS BIGINT) AS chunk_id,
+              CAST(start_tok AS BIGINT) AS start_tok,
+              CAST(least($ChunkLen, n - start_tok) AS BIGINT) AS n_tok,
+              array_to_string(list_slice(tk, start_tok + 1,
+                start_tok + least($ChunkLen, n - start_tok)), ' ') AS chunk_text
+       FROM st ORDER BY doc_id, chunk_id"""
+
+  /** Per-stratum sample size for q83. */
+  private val SampleK = 20
+
+  /** Unmodded content-hash ranking key (0..2³² — exact as a double,
+    * so the top-k aggregate's double score is lossless). */
+  private val RankExpr =
+    "CAST(conv(substring(md5(CAST(text AS BINARY)), 1, 8), 16, 10) AS BIGINT)"
+  private val RankSql = "('0x' || substr(md5(text), 1, 8))::BIGINT"
+
+  /** Fixed-COUNT deterministic sample per stratum — q67's complement
+    * (rates in, exact counts out): the SampleK lowest content-hash
+    * documents per language, the "reservoir sample" of a batch
+    * pipeline made deterministic. Ranking goes through the bounded
+    * top-k aggregate ([[graft.functions.TopKAgg]]), NOT
+    * row_number().over(Window.partitionBy(lang)) — the window form
+    * shuffles every document into |langs| partitions (the
+    * no-parallelism shape PlanGuardSpec bans for ANN ranking; same
+    * operator, same fix): the aggregate keeps K rows per
+    * (stratum × partition) map-side and merges K-bounded state.
+    * Content-keyed like q66: reruns and re-partitionings select the
+    * same documents, and renumbered ids cannot change membership. */
+  def q83(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TopK
+    Tables(s, dir, "documents")
+      .select(col("lang"), col("doc_id"), expr(RankExpr).as("rh"))
+      .groupBy("lang")
+      .agg(TopK.topk(SampleK)(-col("rh").cast("double"), col("doc_id")).as("top"))
+      .select(col("lang"), posexplode(col("top")))
+      .select(col("lang"), (col("pos") + 1).as("rank"), col("col.id").as("doc_id"),
+        (-col("col.score")).cast("long").as("rh"))
+      .orderBy("lang", "rank")
+  }
+
+  private val q83Sql =
+    s"""SELECT lang, CAST(rank AS INT) AS rank, doc_id, rh FROM (
+         SELECT lang, doc_id, $RankSql AS rh,
+                row_number() OVER (PARTITION BY lang
+                  ORDER BY $RankSql, doc_id) AS rank
+         FROM documents)
+       WHERE rank <= $SampleK ORDER BY lang, rank"""
+
   val qs: Seq[Q] = Seq(
     Q("q66_train_split", q66, Some(q66Sql)),
     Q("q67_stratified_sample", q67, Some(q67Sql)),
@@ -601,5 +688,7 @@ object Sampling {
     Q("q81_repeated_spans", q81, Some(q81Sql)),
     Q("q72_mix_budget", q72, Some(q72Sql)),
     Q("q74_pack_sequences", q74, Some(q74Sql)),
-    Q("q75_assemble", q75, Some(q75Sql)))
+    Q("q75_assemble", q75, Some(q75Sql)),
+    Q("q82_chunk_overlap", q82, Some(q82Sql)),
+    Q("q83_sample_per_stratum", q83, Some(q83Sql)))
 }

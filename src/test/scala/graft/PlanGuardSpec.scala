@@ -102,6 +102,20 @@ class PlanGuardSpec extends AnyFunSuite {
     assert(singles <= 1, s"q79 plans $singles single-partition exchanges: $p")
   }
 
+  test("chunking is map-only; fixed-count sampling ranks via the bounded aggregate") {
+    // q82: explode of a per-row sequence — no hash or single-
+    // partition exchange may appear (rebalance + output range sort
+    // are the only exchanges)
+    val p82 = plan("q82_chunk_overlap")
+    val ex = "Exchange (hashpartitioning|SinglePartition)".r.findAllIn(p82).size
+    assert(ex == 0, s"q82 shuffles data it should only flatMap: $p82")
+    // q83: the fixed-count sample must rank through the k-bounded
+    // aggregate, never a |langs|-partition row_number window
+    val p83 = plan("q83_sample_per_stratum")
+    assert(!p83.contains("Window"), s"q83 ranks through a window operator: $p83")
+    assert(p83.contains("ObjectHashAggregate"), s"q83 lost the bounded top-k aggregate: $p83")
+  }
+
   test("map-only operators plan no data exchange beyond the rebalance and final sort") {
     // q66 is a pure per-row projection: its only exchanges are the
     // documents rebalance (round-robin) and the output orderBy
