@@ -23,11 +23,19 @@ for SF in "${SFS[@]}"; do
   if ! sbt -batch "runMain graft.Verify /root/testdata/$SF $OUT" >"/tmp/sweep_${SF}.log" 2>&1; then
     echo "FAIL $SF: Verify crashed (see /tmp/sweep_${SF}.log)"; FAIL=1; continue
   fi
-  python3 scripts/check_oracle.py "/root/testdata/$SF" "$OUT" >"/tmp/sweep_${SF}_oracle.log" 2>&1
+  if ! python3 scripts/check_oracle.py "/root/testdata/$SF" "$OUT" >"/tmp/sweep_${SF}_oracle.log" 2>&1; then
+    echo "FAIL $SF: check_oracle crashed (see /tmp/sweep_${SF}_oracle.log)"; FAIL=1; continue
+  fi
   tail -1 "/tmp/sweep_${SF}_oracle.log" | sed "s/^/    $SF: /"
   if grep -q '^FAIL' "/tmp/sweep_${SF}_oracle.log"; then
     grep '^FAIL' "/tmp/sweep_${SF}_oracle.log" | sed "s/^/    $SF /"
     FAIL=1
+  fi
+  # a green run must END with "N/N oracle queries match" where the
+  # two counts agree — a checker that silently compared nothing (or
+  # died without a traceback) must not read as a pass
+  if ! tail -1 "/tmp/sweep_${SF}_oracle.log" | grep -qE '^([0-9]+)/\1 oracle queries match$'; then
+    echo "FAIL $SF: no N/N match line (see /tmp/sweep_${SF}_oracle.log)"; FAIL=1
   fi
 done
 if [ "$FAIL" -ne 0 ]; then echo "SWEEP: FAIL"; exit 1; fi

@@ -43,16 +43,20 @@ case class TopKBuf(scores: Array[Double], ids: Array[Long], var n: Int)
 class TopKAgg(k: Int) extends Aggregator[Scored, TopKBuf, Seq[Scored]] {
   require(k >= 1, s"top-k needs k >= 1, got $k")
 
-  /** Strict total order on distinct pairs: true iff (s1,i1) ranks
-    * before (s2,i2). NaN scores compare false both ways (as the old
-    * sortWith did), so they sink behind any comparable entry already
-    * buffered. */
+  /** Strict total order on distinct non-NaN pairs: true iff (s1,i1)
+    * ranks before (s2,i2). */
   private def beats(s1: Double, i1: Long, s2: Double, i2: Long): Boolean =
     s1 > s2 || (s1 == s2 && i1 < i2)
 
   override def zero: TopKBuf = TopKBuf(new Array[Double](k), new Array[Long](k), 0)
 
   override def reduce(b: TopKBuf, a: Scored): TopKBuf = {
+    // NaN scores are unrankable and REJECTED at the gate: `beats` is
+    // false on both sides of a NaN, so admitting one would place it
+    // differently in reduce (front) than in merge (back), making the
+    // output merge-tree-dependent — the determinism this class
+    // promises. (The old Seq.sortWith form had the same instability.)
+    if (a.score.isNaN) return b
     val n = b.n
     // full buffer whose worst entry beats the row: the common case at
     // scale — no shift, no allocation.

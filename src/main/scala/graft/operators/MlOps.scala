@@ -154,7 +154,13 @@ object MlOps {
     * cents (long) and population Σc / Σc² (Σc² summed as
     * decimal(38,0); DuckDB sums BIGINT as HUGEINT, equally exact) —
     * then converted to double ONCE, so both engines feed identical
-    * IEEE operands into the z arithmetic. Summing the double spends
+    * IEEE operands into the z arithmetic. The single conversion is
+    * safe even past 2^53 because BOTH integer→double casts are
+    * correctly rounded: Spark's Decimal.toDouble goes through
+    * BigDecimal.doubleValue, and DuckDB's HUGEINT→DOUBLE was probed
+    * on boundary values (2^53+1, 2^64+2^11+1, 3^40+7, ~1.2e26 …) and
+    * matches Python's correctly-rounded int→float bit-for-bit.
+    * Summing the double spends
     * (the previous form) was accumulation-order-dependent in s1/s2:
     * a boundary z near the 2.0 gate or an r4 floor could flip with
     * partitioning (the q09 risk class, here at second order). */

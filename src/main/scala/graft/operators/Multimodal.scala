@@ -102,19 +102,22 @@ object Multimodal {
     if (b.length < 12 ||
         !(b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F') ||
         !(b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E')) return None
-    var i = 12
+    // offsets advance in Long: a hostile declared chunk size near
+    // Int.MaxValue must walk off the end (→ stub), never wrap an Int
+    // into a negative index
+    var i = 12L
     var hops = 0
     while (i + 8 <= b.length && hops < 64) {
-      val size = le32(b, i + 4)
-      if (b(i) == 'f' && b(i + 1) == 'm' && b(i + 2) == 't' && b(i + 3) == ' ') {
+      val p = i.toInt
+      val size = le32(b, p + 4)
+      if (b(p) == 'f' && b(p + 1) == 'm' && b(p + 2) == 't' && b(p + 3) == ' ') {
         // need the payload only through the rate field (+4..+7);
         // requiring the full declared 16 bytes would reject streams
         // truncated right after the metadata this parser reads
         if (size < 16 || i + 16 > b.length) return None
-        return Some((le32(b, i + 12), le16(b, i + 10).toLong))
+        return Some((le32(b, p + 12), le16(b, p + 10).toLong))
       }
-      if (size < 0 || size > Int.MaxValue - 9) return None
-      i += 8 + size.toInt + (size.toInt & 1) // RIFF chunks are word-aligned
+      i += 8L + size + (size & 1L) // RIFF chunks are word-aligned
       hops += 1
     }
     None

@@ -18,12 +18,17 @@ import org.apache.spark.sql.functions._
   */
 object Sampling {
 
-  /** Content bucket in [0, 1000): first 8 hex digits of md5(text).
-    * The same expression is spelled in the oracle SQL — Spark `conv`
-    * and DuckDB's hex-literal cast parse the identical substring. */
-  private val BucketExpr =
-    "CAST(conv(substring(md5(CAST(text AS BINARY)), 1, 8), 16, 10) AS BIGINT) % 1000"
-  private val BucketSql = "('0x' || substr(md5(text), 1, 8))::BIGINT % 1000"
+  /** Unmodded content hash (0..2³², first 8 hex digits of md5(text) —
+    * exact as a double): the ONE cross-engine md5→BIGINT pair, from
+    * which the mod-1000 bucket below derives. Spark `conv` and
+    * DuckDB's hex-literal cast parse the identical substring. */
+  private[operators] val RankExpr =
+    "CAST(conv(substring(md5(CAST(text AS BINARY)), 1, 8), 16, 10) AS BIGINT)"
+  private[operators] val RankSql = "('0x' || substr(md5(text), 1, 8))::BIGINT"
+
+  /** Content bucket in [0, 1000), same pair modulo 1000. */
+  private val BucketExpr = s"$RankExpr % 1000"
+  private val BucketSql = s"$RankSql % 1000"
 
   /** train/val/test fractions in thousandths: 80/10/10. */
   private val TrainLt = 800
@@ -190,9 +195,9 @@ object Sampling {
     * train×eval index join quadratic on hot keys at 100 TB, and
     * flagging a doc for sharing boilerplate is noise, not
     * contamination. */
-  private val GramCap = 1000
+  private[graft] val GramCap = 1000
 
-  private val gramExpr = {
+  private[graft] val gramExpr = {
     val parts = (0 until GramN).map(j => s"element_at(tk, i+$j)").mkString(", ")
     s"""CASE WHEN size(tk) >= $GramN
         THEN array_distinct(transform(sequence(1, size(tk)-${GramN - 1}),
@@ -638,14 +643,10 @@ object Sampling {
                 start_tok + least($ChunkLen, n - start_tok)), ' ') AS chunk_text
        FROM st ORDER BY doc_id, chunk_id"""
 
-  /** Per-stratum sample size for q83. */
-  private val SampleK = 20
-
-  /** Unmodded content-hash ranking key (0..2³² — exact as a double,
+  /** Per-stratum sample size for q83; ranking key is the shared
+    * [[RankExpr]] unmodded content hash (0..2³² — exact as a double,
     * so the top-k aggregate's double score is lossless). */
-  private val RankExpr =
-    "CAST(conv(substring(md5(CAST(text AS BINARY)), 1, 8), 16, 10) AS BIGINT)"
-  private val RankSql = "('0x' || substr(md5(text), 1, 8))::BIGINT"
+  private val SampleK = 20
 
   /** Fixed-COUNT deterministic sample per stratum — q67's complement
     * (rates in, exact counts out): the SampleK lowest content-hash

@@ -105,6 +105,12 @@ class SamplingSpec extends AnyFunSuite {
       .select("doc_id", "n_grams", "n_shared", "contaminated").collect()
       .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
     val bloom = operators.Sampling.q77(spark, sf).collect()
+    // does any gram's corpus DF exceed the cap at this SF?
+    val capBinds = Tables(spark, sf, "documents")
+      .withColumn("tk", expr(operators.Dedup.tokensExpr))
+      .select(explode(expr(operators.Sampling.gramExpr)).as("s"))
+      .groupBy("s").count()
+      .filter(col("count") > operators.Sampling.GramCap).limit(1).count() > 0
     // same train universe, one row per doc
     assert(bloom.length == exact.size)
     var extraFlags = 0L
@@ -113,11 +119,12 @@ class SamplingSpec extends AnyFunSuite {
       val (eng, ens, efl) = exact(id)
       // q77 counts UNCAPPED grams (no DF-cap shuffle in the map-only
       // path), so its count is >= q69's DF-capped one — the actual
-      // one-sided contract. At this sf no gram exceeds the cap and
-      // the counts are equal, but asserting equality would fail with
-      // a misleading 'gram count' message if testdata or GramCap
-      // ever changes.
+      // one-sided contract. Equality additionally holds whenever the
+      // cap does not bind (asserted below with an explicit cap
+      // probe, so an overcount regression is still caught while a
+      // future cap-binding corpus fails with the right message).
       assert(ng >= eng, s"doc $id uncapped gram count $ng < capped $eng")
+      if (!capBinds) assert(ng == eng, s"doc $id overcounts grams: $ng != $eng (cap not binding)")
       // no false negatives: Bloom membership is one-sided, and q69's
       // capped gram universe is a subset of the filter's
       assert(ns >= ens, s"doc $id est $ns < exact $ens")

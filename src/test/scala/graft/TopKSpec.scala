@@ -50,4 +50,17 @@ class TopKSpec extends AnyFunSuite {
     val out = agg.finish(xs.foldLeft(agg.zero)(agg.reduce))
     assert(out == xs.sortWith(beats).take(3))
   }
+
+  test("NaN scores are rejected at the gate, independent of merge shape") {
+    // a NaN compares false on both sides of `beats`, so admitting one
+    // would place it at the FRONT in reduce but sink it in merge —
+    // the gate keeps the output identical for every partitioning
+    val agg = new TopKAgg(2)
+    val xs = Seq(Scored(1.0, 1), Scored(Double.NaN, 9), Scored(2.0, 2), Scored(0.5, 3))
+    val expected = Seq(Scored(2.0, 2), Scored(1.0, 1))
+    for (cuts <- Seq(Nil, Seq(1), Seq(2), Seq(1, 3)))
+      assert(viaAgg(agg, xs, cuts) == expected, s"cuts=$cuts")
+    // all-NaN stream yields an empty result, not a NaN ranking
+    assert(viaAgg(agg, Seq(Scored(Double.NaN, 1), Scored(Double.NaN, 2)), Nil).isEmpty)
+  }
 }
