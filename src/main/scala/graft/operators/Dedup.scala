@@ -236,8 +236,9 @@ object Dedup {
       .orderBy("d1", "d2")
   }
 
-  /** q44 cosine threshold — ONE constant shared with the oracle SQL. */
-  private val CosThr = "0.45"
+  /** q44 cosine threshold — ONE constant shared with the oracle SQL
+    * and the streaming twin ([[graft.streaming.EmbedDedupStream]]). */
+  private[graft] val CosThr = "0.45"
 
   /** q44 LSH geometry: NdBands bands × NdBits hyperplane sign bits.
     * P(band match) = p^NdBits with p = 1 - θ/π per bit; at the 0.45
@@ -245,8 +246,32 @@ object Dedup {
     * with prob (1-0.649⁶)⁹⁶ ≈ 7e-4 — and planes are a FIXED seed, so
     * recall is checked once per test SF (exhaustive spec at sf0.001,
     * oracle hash at sf0.01), not re-rolled per run. */
-  private val NdBands = 96
+  private[graft] val NdBands = 96
   private val NdBits = 6
+
+  /** The fixed plane matrix and per-band bucket keys — shared
+    * verbatim by batch q44 and the online twin, so the two generate
+    * IDENTICAL candidate sets. */
+  private[graft] lazy val ndPlanes: Array[Array[Double]] = {
+    val rnd = new scala.util.Random(1337)
+    Array.fill(NdBands * NdBits)(Array.fill(64)(rnd.nextGaussian()))
+  }
+
+  private[graft] def ndBandKeys(planes: Array[Array[Double]], arr: Array[Float]): Array[Long] =
+    Array.tabulate(NdBands) { band =>
+      var key = 0L
+      var b = 0
+      while (b < NdBits) {
+        val p = planes(band * NdBits + b)
+        val m = math.min(arr.length, p.length)
+        var d = 0.0
+        var i = 0
+        while (i < m) { d += arr(i) * p(i); i += 1 }
+        key = (key << 1) | (if (d >= 0) 1L else 0L)
+        b += 1
+      }
+      key
+    }
 
   /** Embedding cosine near-dup pairs: hyperplane-LSH band join for
     * candidate generation + exact codegen'd-DotProduct verification.
@@ -264,31 +289,15 @@ object Dedup {
   def q44(s: SparkSession, dir: String): DataFrame = {
     import graft.functions.VectorOps.{dotp, l2norm}
     import s.implicits._
-    val nPlanes = NdBands * NdBits
-    val planes: Array[Array[Double]] = {
-      val rnd = new scala.util.Random(1337)
-      Array.fill(nPlanes)(Array.fill(64)(rnd.nextGaussian()))
-    }
+    val planes = ndPlanes // local copy: the closure must not drag the object
     val e = Tables(s, dir, "embeddings")
       .withColumn("nrm", l2norm(col("embedding")))
     val keys = e.select(col("vec_id"), col("embedding")).as[(Long, Seq[Float])]
       .mapPartitions { it =>
         it.flatMap { case (id, v) =>
           val arr = v.toArray
-          Iterator.tabulate(NdBands) { band =>
-            var key = 0L
-            var b = 0
-            while (b < NdBits) {
-              val p = planes(band * NdBits + b)
-              val m = math.min(arr.length, p.length)
-              var d = 0.0
-              var i = 0
-              while (i < m) { d += arr(i) * p(i); i += 1 }
-              key = (key << 1) | (if (d >= 0) 1L else 0L)
-              b += 1
-            }
-            (id, band, key)
-          }
+          val ks = ndBandKeys(planes, arr)
+          Iterator.tabulate(NdBands)(band => (id, band, ks(band)))
         }
       }.toDF("vec_id", "band", "bkey")
       // barrier: both sides of the self-join consume this frame, and

@@ -1,0 +1,94 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+import graft.operators.Dedup
+
+/** One admitted vector in a (band, bucket): id + raw floats + L2
+  * norm, so arrivals verify EXACT cosine online. */
+case class VecRes(id: Long, v: Array[Float], nrm: Double)
+case class VecBucketState(docs: Seq[VecRes])
+case class CosHit(id1: Long, id2: Long, cosine: Double)
+
+/** Online embedding near-duplicate detection — the streaming twin of
+  * batch [[graft.operators.Dedup.q44]], completing the
+  * batch↔stream symmetry the n-gram side already has
+  * ([[DedupStream]] ↔ q41/q42): each arriving vector is checked
+  * against the full history it might duplicate, in one pass, without
+  * all-pairs.
+  *
+  * Geometry is IDENTICAL to q44 by construction — the same fixed
+  * plane matrix and band keys ([[Dedup.ndPlanes]]/[[Dedup.ndBandKeys]]),
+  * the same exact-cosine verification (sequential float-widened
+  * double accumulation, the arithmetic of the codegen'd DotProduct),
+  * the same threshold constant — so the emitted pair set equals the
+  * batch operator's output exactly (StreamingSpec asserts set
+  * equality, not recall). Same contracts as [[DedupStream]]:
+  * at-least-once per shared bucket (consumers dedupe on the pair),
+  * [[BucketCap]] bounds ubiquitous-content buckets, in-batch
+  * arrivals process in id order for replay determinism. State here
+  * holds the raw vector per residency (NdBands× duplication) — the
+  * online-LSH space/latency trade; a TTL'd variant would follow
+  * [[DedupStream.neardupStreamTtl]] verbatim. */
+object EmbedDedupStream {
+
+  private[graft] val BucketCap = 1024
+  private val CosThrD = Dedup.CosThr.toDouble
+
+  /** File-source stream of the embeddings table. */
+  def source(spark: SparkSession, dir: String, filesPerTrigger: Int = 0): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType))))
+    val r = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "*.parquet")
+    (if (filesPerTrigger > 0) r.option("maxFilesPerTrigger", filesPerTrigger) else r)
+      .parquet(dir)
+  }
+
+  /** (vec_id, embedding) stream → exact-cosine near-dup hits. */
+  def neardupStream(vecs: Dataset[(Long, Seq[Float])]): Dataset[CosHit] = {
+    import vecs.sparkSession.implicits._
+    val planes = Dedup.ndPlanes
+    vecs
+      .flatMap { case (id, v) =>
+        val arr = v.toArray
+        var n2 = 0.0
+        var i = 0
+        while (i < arr.length) { n2 += arr(i).toDouble * arr(i); i += 1 }
+        val nrm = math.sqrt(n2)
+        Dedup.ndBandKeys(planes, arr).zipWithIndex.map { case (k, band) =>
+          (band, k, id, arr, nrm)
+        }
+      }
+      .groupByKey { case (band, k, _, _, _) => (band, k) }
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (_: (Int, Long), rows: Iterator[(Int, Long, Long, Array[Float], Double)],
+            state: GroupState[VecBucketState]) => {
+          var res = state.getOption.map(_.docs).getOrElse(Seq.empty)
+          val out = Seq.newBuilder[CosHit]
+          rows.toSeq.sortBy(_._3).foreach { case (_, _, id, arr, nrm) =>
+            if (res.size < BucketCap && !res.exists(_.id == id)) {
+              res.foreach { r =>
+                // mismatched lengths: batch DotProduct yields NULL and
+                // the row drops from the filter — mirror that
+                if (r.v.length == arr.length) {
+                  var d = 0.0
+                  var i = 0
+                  while (i < arr.length) { d += r.v(i).toDouble * arr(i); i += 1 }
+                  val cos = d / (r.nrm * nrm)
+                  if (cos >= CosThrD)
+                    out += CosHit(math.min(r.id, id), math.max(r.id, id),
+                      math.floor(cos * 1e4 + 0.5) / 1e4)
+                }
+              }
+              res = res :+ VecRes(id, arr, nrm)
+            }
+          }
+          state.update(VecBucketState(res))
+          out.result().iterator
+        })
+  }
+}

@@ -439,6 +439,31 @@ class StreamingSpec extends AnyFunSuite {
     assert(finalLtv.get() == 800000L, s"final LTV cents = ${finalLtv.get()}")
   }
 
+  test("online embedding near-dup matches batch q44 pair-for-pair") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val vecs = Tables(spark, sf, "embeddings").select("vec_id", "embedding")
+      .as[(Long, Seq[Float])].collect().sortBy(_._1)
+    val mem = MemoryStream[(Long, Seq[Float])]
+    val q = streaming.EmbedDedupStream.neardupStream(mem.toDS())
+      .writeStream.format("memory").queryName("embed_neardup_out")
+      .outputMode("append").start()
+    // several micro-batches so pairs form against cross-batch history,
+    // not just within one batch
+    vecs.grouped(150).foreach { g => mem.addData(g.toSeq); q.processAllAvailable() }
+    q.stop()
+    // at-least-once per shared bucket → dedupe on the pair; identical
+    // geometry + exact verify → SET EQUALITY with the batch operator,
+    // cosine included (same sequential float-widened arithmetic)
+    val got = spark.table("embed_neardup_out").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val batch = operators.Dedup.q44(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(batch.nonEmpty, "no near-dup pairs at this SF: vacuous")
+    assert(got == batch, s"extra=${got -- batch} missing=${batch -- got}")
+  }
+
   test("TTL'd near-dup stream evicts aged-out residents and bounds state by rate, not history") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
