@@ -12,6 +12,10 @@ case class VecRes(id: Long, v: Array[Float], nrm: Double)
 case class VecBucketState(docs: Seq[VecRes])
 case class CosHit(id1: Long, id2: Long, cosine: Double)
 
+/** TTL'd resident: admission event-time (epoch ms) rides along. */
+case class VecResT(id: Long, v: Array[Float], nrm: Double, ts: Long)
+case class VecBucketStateT(docs: Seq[VecResT])
+
 /** Online embedding near-duplicate detection — the streaming twin of
   * batch [[graft.operators.Dedup.q44]], completing the
   * batch↔stream symmetry the n-gram side already has
@@ -30,8 +34,8 @@ case class CosHit(id1: Long, id2: Long, cosine: Double)
   * [[BucketCap]] bounds ubiquitous-content buckets, in-batch
   * arrivals process in id order for replay determinism. State here
   * holds the raw vector per residency (NdBands× duplication) — the
-  * online-LSH space/latency trade; a TTL'd variant would follow
-  * [[DedupStream.neardupStreamTtl]] verbatim. */
+  * online-LSH space/latency trade; [[neardupStreamTtl]] bounds it
+  * by rate × ttl for unbounded streams. */
 object EmbedDedupStream {
 
   private[graft] val BucketCap = 1024
@@ -46,6 +50,66 @@ object EmbedDedupStream {
       .option("pathGlobFilter", "*.parquet")
     (if (filesPerTrigger > 0) r.option("maxFilesPerTrigger", filesPerTrigger) else r)
       .parquet(dir)
+  }
+
+  /** TTL'd variant for unbounded vector streams, following
+    * [[DedupStream.neardupStreamTtl]]'s contract verbatim: residents
+    * older than `ttl` against the watermark are evicted before
+    * matching (freeing their [[BucketCap]] slot), idle buckets are
+    * removed by an event-time timeout, so state is bounded by
+    * stream rate × ttl rather than corpus history — the knob that
+    * makes an always-on embedding-ingest guard deployable. */
+  def neardupStreamTtl(vecs: Dataset[(Long, Seq[Float], java.sql.Timestamp)],
+      ttl: java.time.Duration): Dataset[CosHit] = {
+    import vecs.sparkSession.implicits._
+    val planes = Dedup.ndPlanes
+    val ttlMs = ttl.toMillis
+    vecs
+      .flatMap { case (id, v, ts) =>
+        val arr = v.toArray
+        var n2 = 0.0
+        var i = 0
+        while (i < arr.length) { n2 += arr(i).toDouble * arr(i); i += 1 }
+        val nrm = math.sqrt(n2)
+        Dedup.ndBandKeys(planes, arr).zipWithIndex.map { case (k, band) =>
+          (band, k, id, arr, nrm, ts)
+        }
+      }
+      .withWatermark("_6", "0 seconds")
+      .groupByKey { case (band, k, _, _, _, _) => (band, k) }
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        (_: (Int, Long),
+            rows: Iterator[(Int, Long, Long, Array[Float], Double, java.sql.Timestamp)],
+            state: GroupState[VecBucketStateT]) => {
+          val wm = state.getCurrentWatermarkMs()
+          var res = state.getOption.map(_.docs).getOrElse(Seq.empty)
+            .filter(_.ts >= wm - ttlMs)
+          val out = Seq.newBuilder[CosHit]
+          if (!state.hasTimedOut) {
+            rows.toSeq.sortBy(_._3).foreach { case (_, _, id, arr, nrm, ts) =>
+              if (res.size < BucketCap && !res.exists(_.id == id)) {
+                res.foreach { r =>
+                  if (r.v.length == arr.length) {
+                    var d = 0.0
+                    var i = 0
+                    while (i < arr.length) { d += r.v(i).toDouble * arr(i); i += 1 }
+                    val cos = d / (r.nrm * nrm)
+                    if (cos >= CosThrD)
+                      out += CosHit(math.min(r.id, id), math.max(r.id, id),
+                        math.floor(cos * 1e4 + 0.5) / 1e4)
+                  }
+                }
+                res = res :+ VecResT(id, arr, nrm, ts.getTime)
+              }
+            }
+          }
+          if (res.isEmpty) state.remove()
+          else {
+            state.update(VecBucketStateT(res))
+            state.setTimeoutTimestamp(math.max(res.map(_.ts).max + ttlMs, wm + 1L))
+          }
+          out.result().iterator
+        })
   }
 
   /** (vec_id, embedding) stream → exact-cosine near-dup hits. */

@@ -509,6 +509,46 @@ class StreamingSpec extends AnyFunSuite {
     q.stop()
   }
 
+  test("TTL'd embedding near-dup stream evicts aged-out vectors, same contract as the n-gram twin") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import streaming.EmbedDedupStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ts(min: Int) = new java.sql.Timestamp(1700000000000L + min * 60000L)
+    def vec(seed: Int): Seq[Float] = {
+      val rnd = new scala.util.Random(seed)
+      Seq.fill(64)(rnd.nextGaussian().toFloat)
+    }
+    val (base, d5, u1, u2) = (vec(1), vec(5), vec(90), vec(91))
+    val mem = MemoryStream[(Long, Seq[Float], java.sql.Timestamp)]
+    val q = EmbedDedupStream.neardupStreamTtl(mem.toDS(), java.time.Duration.ofHours(1))
+      .writeStream.format("memory").queryName("embed_ttl_out")
+      .outputMode("append").start()
+    def hits = spark.table("embed_ttl_out").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def stateRows = q.recentProgress.filter(_.stateOperators.nonEmpty)
+      .last.stateOperators.head.numRowsTotal
+    mem.addData((1L, base, ts(0)), (2L, base, ts(0)), (5L, d5, ts(0)))
+    q.processAllAvailable()
+    assert(hits == Set((1L, 2L)))
+    mem.addData((90L, u1, ts(120))); q.processAllAvailable()
+    mem.addData((91L, u2, ts(121))); q.processAllAvailable()
+    mem.addData((3L, base, ts(125))); q.processAllAvailable()
+    assert(hits == Set((1L, 2L)), "aged-out vectors must stop matching")
+    mem.addData((4L, base, ts(126))); q.processAllAvailable()
+    assert(hits == Set((1L, 2L), (3L, 4L)))
+    // state plateaus at alive vectors' (band, key) buckets
+    def keys(v: Seq[Float]) =
+      operators.Dedup.ndBandKeys(operators.Dedup.ndPlanes, v.toArray)
+        .zipWithIndex.map { case (k, b) => (b, k) }.toSet
+    val alive = keys(base) ++ keys(u1) ++ keys(u2)
+    val ever = alive ++ keys(d5)
+    assert(ever.size > alive.size, "loner shares all buckets: vacuous")
+    assert(stateRows == alive.size.toLong,
+      s"state rows $stateRows != alive bucket keys ${alive.size}")
+    q.stop()
+  }
+
   test("parquet sink with checkpoint round-trips the enriched stream") {
     val out = java.nio.file.Files.createTempDirectory("graft-sink").toString
     val ckpt = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
