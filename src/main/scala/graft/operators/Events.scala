@@ -159,8 +159,10 @@ object Events {
        WHERE event_type LIKE '%purchase%' OR event_type LIKE '%return%' OR $isReturnSql
        ORDER BY user_id, event_id"""
 
-  /** Gap-based sessionization (30 min) — lag + cumulative flag. */
-  def q23(s: SparkSession, dir: String): DataFrame = {
+  /** Event-level session assignment shared by q23 (session stats) and
+    * q84 (session-interval overlap join): each event tagged with its
+    * user's running session_seq (30-min gap rule). */
+  private def sessionized(s: SparkSession, dir: String): DataFrame = {
     val ord = Window.partitionBy("user_id").orderBy("ts", "event_id")
     val cum = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     Tables(s, dir, "events")
@@ -168,6 +170,11 @@ object Events {
       .withColumn("gap", col("us") - lag("us", 1).over(ord))
       .withColumn("is_new", when(col("gap").isNull || col("gap") > 1800L * 1000000L, 1).otherwise(0))
       .withColumn("session_seq", sum("is_new").over(cum))
+  }
+
+  /** Gap-based sessionization (30 min) — lag + cumulative flag. */
+  def q23(s: SparkSession, dir: String): DataFrame =
+    sessionized(s, dir)
       .groupBy("user_id", "session_seq")
       .agg(
         count(lit(1)).as("n_events"),
@@ -175,17 +182,21 @@ object Events {
         max("ts").as("session_end"),
         (max("us") - min("us")).as("duration_us"))
       .orderBy("user_id", "session_seq")
-  }
 
-  private val q23Sql =
-    """WITH o AS (
+  /** Shared sessionization CTEs (`o`, `s`) — the oracle counterpart
+    * of [[sessionized]], reused verbatim by q23 and q84. */
+  private val sessCte =
+    """o AS (
          SELECT user_id, event_id, ts, epoch_us(ts::TIMESTAMP) AS us,
                 CASE WHEN lag(epoch_us(ts::TIMESTAMP)) OVER w IS NULL
                        OR epoch_us(ts::TIMESTAMP) - lag(epoch_us(ts::TIMESTAMP)) OVER w > 1800000000
                      THEN 1 ELSE 0 END AS is_new
          FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
        s AS (SELECT *, CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
-             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq FROM o)
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq FROM o)"""
+
+  private val q23Sql =
+    s"""WITH $sessCte
        SELECT user_id, session_seq, count(*) AS n_events,
               min(ts) AS session_start, max(ts) AS session_end,
               max(us)-min(us) AS duration_us
@@ -393,6 +404,75 @@ object Events {
       .orderBy("event_type", "rank")
   }
 
+  /** q84 bucket grid: 1 hour in micros. Sessions are gap-bounded and
+    * short, so a session touches 1-2 grid cells; the grid is the
+    * interval-join analog of LSH banding — candidates come from an
+    * equi-join on the cell, never a global inequality comparison. */
+  private val OverlapGridUs = 3600L * 1000000L
+
+  /** Session-interval OVERLAP join — the RANGE JOIN Spark's API
+    * lacks: for every session, the number of OTHER sessions (any
+    * user) concurrent with it in time. The naive form is a non-equi
+    * self-join (`s1.start <= s2.end AND s2.start <= s1.end`), which
+    * Spark can only plan as a BroadcastNestedLoopJoin / cartesian —
+    * O(n²) comparisons and illegal here by PlanGuardSpec. Instead:
+    *
+    *  1. explode each interval onto a fixed time grid (bounded
+    *     fan-out: interval length / grid, 1-2 cells for gap-bounded
+    *     sessions);
+    *  2. equi-join on the cell — shuffle-partitioned, AQE-skew-
+    *     tolerant, with shuffle_merge pinned because the join is
+    *     match-MULTIPLIED within a cell (the q54 lesson: broadcast
+    *     would serialize the explosion into the probe side's few
+    *     partitions);
+    *  3. verify exact overlap on the candidates (cheap integer
+    *     compares) and keep the pair ONLY at its first shared cell —
+    *     `cell == (max(starts) div grid)`, which both sides provably
+    *     emit (floor is monotone, so the minimal shared cell is
+    *     exactly that) — a pair straddling k shared cells counts
+    *     once with NO pair-distinct shuffle;
+    *  4. count partners per session, left-joined back so
+    *     zero-overlap sessions keep their row.
+    *
+    * At 100 TB the grid is the tuning knob: cells sized so a cell's
+    * candidate block b² stays shuffle-partition-sized — identical
+    * reasoning to the dedup DF-cap. */
+  def q84(s: SparkSession, dir: String): DataFrame = {
+    val sess = sessionized(s, dir)
+      .groupBy("user_id", "session_seq")
+      .agg(min("us").as("start_us"), max("us").as("end_us"))
+    val b = sess.select(col("user_id"), col("session_seq"), col("start_us"), col("end_us"),
+      explode(expr(s"sequence(start_us div $OverlapGridUs, end_us div $OverlapGridUs)")).as("cell"))
+    val pairs = b.as("a").hint("shuffle_merge")
+      .join(b.as("c").hint("shuffle_merge"),
+        col("a.cell") === col("c.cell") &&
+          !(col("a.user_id") <=> col("c.user_id") &&
+            col("a.session_seq") === col("c.session_seq")) &&
+          col("a.start_us") <= col("c.end_us") && col("c.start_us") <= col("a.end_us") &&
+          col("a.cell") === expr(s"greatest(a.start_us, c.start_us) div $OverlapGridUs"))
+      .select(col("a.user_id").as("user_id"), col("a.session_seq").as("session_seq"))
+    val counts = pairs.groupBy("user_id", "session_seq")
+      .agg(count(lit(1)).as("n_concurrent"))
+    sess.join(counts, Seq("user_id", "session_seq"), "left")
+      .select(col("user_id"), col("session_seq"),
+        coalesce(col("n_concurrent"), lit(0L)).as("n_concurrent"))
+      .orderBy("user_id", "session_seq")
+  }
+
+  /** Oracle is the NAIVE non-equi interval join (DuckDB plans it as
+    * an IEJoin) — the grid rewrite must reproduce it row-for-row. */
+  private val q84Sql =
+    s"""WITH $sessCte,
+       sess AS (SELECT user_id, session_seq, min(us) AS start_us, max(us) AS end_us
+                FROM s GROUP BY 1, 2)
+       SELECT s1.user_id, s1.session_seq,
+              CAST(count(s2.session_seq) AS BIGINT) AS n_concurrent
+       FROM sess s1 LEFT JOIN sess s2
+         ON NOT (s1.user_id IS NOT DISTINCT FROM s2.user_id
+                 AND s1.session_seq = s2.session_seq)
+        AND s1.start_us <= s2.end_us AND s2.start_us <= s1.end_us
+       GROUP BY 1, 2 ORDER BY 1, 2"""
+
   val qs: Seq[Q] = Seq(
     Q("q20_hourly_revenue", q20, Some(q20Sql)),
     Q("q21_enrich_events", q21, Some(q21Sql)),
@@ -403,5 +483,6 @@ object Events {
     Q("q26_anomaly_hours", q26, Some(q26Sql)),
     Q("q27_top_spenders", q27, Some(q27Sql)),
     Q("q28_order_asof", q28, Some(q28Sql)),
-    Q("q76_heavy_hitters", q76, None))
+    Q("q76_heavy_hitters", q76, None),
+    Q("q84_session_overlap", q84, Some(q84Sql)))
 }

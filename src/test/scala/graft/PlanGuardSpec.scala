@@ -13,9 +13,11 @@ class PlanGuardSpec extends AnyFunSuite {
   private def plan(name: String): String =
     SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
 
-  test("near-dup and ANN candidate generation never plans a cartesian or nested-loop join") {
+  test("near-dup, ANN, and interval-join candidate generation never plans a cartesian or nested-loop join") {
+    // q84 is the range-join case: the naive non-equi form IS a BNLJ,
+    // and the grid rewrite must keep it an equi-join on the cell
     for (q <- Seq("q41_ngram_jaccard", "q42_minhash_lsh", "q43_simhash",
-        "q44_embedding_neardup", "q51_knn_lsh", "q54_knn_graph")) {
+        "q44_embedding_neardup", "q51_knn_lsh", "q54_knn_graph", "q84_session_overlap")) {
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q plans a cartesian product")
       assert(!p.contains("BroadcastNestedLoopJoin"), s"$q plans a nested-loop join")
