@@ -438,9 +438,14 @@ object Events {
     * candidate block b² stays shuffle-partition-sized — identical
     * reasoning to the dedup DF-cap. */
   def q84(s: SparkSession, dir: String): DataFrame = {
+    // barrier (4 longs per session): the grid explode and the final
+    // left join both consume this frame, and without it the event
+    // scan + two sessionization windows execute twice (q79 pattern —
+    // tiny checkpoint, expensive subtree; measured 1.51→1.34 s)
     val sess = sessionized(s, dir)
       .groupBy("user_id", "session_seq")
       .agg(min("us").as("start_us"), max("us").as("end_us"))
+      .localCheckpoint(false)
     val b = sess.select(col("user_id"), col("session_seq"), col("start_us"), col("end_us"),
       explode(expr(s"sequence(start_us div $OverlapGridUs, end_us div $OverlapGridUs)")).as("cell"))
     val pairs = b.as("a").hint("shuffle_merge")
