@@ -458,7 +458,12 @@ object Events {
       .select(col("a.user_id").as("user_id"), col("a.session_seq").as("session_seq"))
     val counts = pairs.groupBy("user_id", "session_seq")
       .agg(count(lit(1)).as("n_concurrent"))
-    sess.join(counts, Seq("user_id", "session_seq"), "left")
+      .withColumnRenamed("user_id", "cu").withColumnRenamed("session_seq", "cs")
+    // null-SAFE restore join: the pair join and the oracle both treat
+    // a NULL-user session as a real session (IS NOT DISTINCT FROM);
+    // a Seq-keyed join would drop its counts to 0 on null != null
+    sess.join(counts,
+        col("user_id") <=> col("cu") && col("session_seq") === col("cs"), "left")
       .select(col("user_id"), col("session_seq"),
         coalesce(col("n_concurrent"), lit(0L)).as("n_concurrent"))
       .orderBy("user_id", "session_seq")

@@ -9,13 +9,14 @@ import scala.util.hashing.MurmurHash3
 
 /** One admitted document in a band bucket: id + its sorted distinct
   * shingle hashes (so arriving docs verify exact Jaccard online). */
-case class DocSig(id: Long, sh: Array[Long])
+sealed trait DocLike { def id: Long; def sh: Array[Long] }
+case class DocSig(id: Long, sh: Array[Long]) extends DocLike
 case class BucketState(docs: Seq[DocSig])
 case class DupHit(d1: Long, d2: Long, jaccard: Double)
 
 /** TTL'd resident: admission event-time (epoch ms) rides along so
   * stale residents can be evicted against the stream's watermark. */
-case class DocSigT(id: Long, sh: Array[Long], ts: Long)
+case class DocSigT(id: Long, sh: Array[Long], ts: Long) extends DocLike
 case class BucketStateT(docs: Seq[DocSigT])
 
 /** Online near-duplicate detection — dedup-before-ingest for a
@@ -106,6 +107,18 @@ object DedupStream {
     else c.toDouble / (a.length + b.length - c)
   }
 
+  /** Exact-Jaccard hits of one arrival against a bucket's residents —
+    * shared by both stream variants so the threshold, rounding, and
+    * pair orientation cannot drift between them. */
+  private def hitsAgainst(res: Seq[DocLike], id: Long, sh: Array[Long]): Seq[DupHit] =
+    res.flatMap { r =>
+      val j = jaccard(r.sh, sh)
+      if (j >= JaccThr)
+        Some(DupHit(math.min(r.id, id), math.max(r.id, id),
+          math.floor(j * 1e6 + 0.5) / 1e6))
+      else None
+    }
+
   /** File-source stream of the documents table; `filesPerTrigger`
     * > 0 paces ingestion (one history increment per micro-batch). */
   def source(spark: SparkSession, dir: String, filesPerTrigger: Int = 0): DataFrame = {
@@ -152,12 +165,7 @@ object DedupStream {
           if (!state.hasTimedOut) {
             rows.toSeq.sortBy(_._2).foreach { case (_, id, sh, ts) =>
               if (docs0.size < BucketCap && !docs0.exists(_.id == id)) {
-                docs0.foreach { res =>
-                  val j = jaccard(res.sh, sh)
-                  if (j >= JaccThr)
-                    out += DupHit(math.min(res.id, id), math.max(res.id, id),
-                      math.floor(j * 1e6 + 0.5) / 1e6)
-                }
+                out ++= hitsAgainst(docs0, id, sh)
                 docs0 = docs0 :+ DocSigT(id, sh, ts.getTime)
               }
             }
@@ -189,12 +197,7 @@ object DedupStream {
           val out = Seq.newBuilder[DupHit]
           rows.toSeq.sortBy(_._2).foreach { case (_, id, sh) =>
             if (docs0.size < BucketCap && !docs0.exists(_.id == id)) {
-              docs0.foreach { res =>
-                val j = jaccard(res.sh, sh)
-                if (j >= JaccThr)
-                  out += DupHit(math.min(res.id, id), math.max(res.id, id),
-                    math.floor(j * 1e6 + 0.5) / 1e6)
-              }
+              out ++= hitsAgainst(docs0, id, sh)
               docs0 = docs0 :+ DocSig(id, sh)
             }
           }

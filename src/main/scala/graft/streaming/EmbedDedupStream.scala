@@ -8,12 +8,13 @@ import graft.operators.Dedup
 
 /** One admitted vector in a (band, bucket): id + raw floats + L2
   * norm, so arrivals verify EXACT cosine online. */
-case class VecRes(id: Long, v: Array[Float], nrm: Double)
+sealed trait VecLike { def id: Long; def v: Array[Float]; def nrm: Double }
+case class VecRes(id: Long, v: Array[Float], nrm: Double) extends VecLike
 case class VecBucketState(docs: Seq[VecRes])
 case class CosHit(id1: Long, id2: Long, cosine: Double)
 
 /** TTL'd resident: admission event-time (epoch ms) rides along. */
-case class VecResT(id: Long, v: Array[Float], nrm: Double, ts: Long)
+case class VecResT(id: Long, v: Array[Float], nrm: Double, ts: Long) extends VecLike
 case class VecBucketStateT(docs: Seq[VecResT])
 
 /** Online embedding near-duplicate detection — the streaming twin of
@@ -41,6 +42,43 @@ object EmbedDedupStream {
   private[graft] val BucketCap = 1024
   private val CosThrD = Dedup.CosThr.toDouble
 
+  /** (band, key, id, raw floats, L2 norm) rows of one vector — the
+    * ONE banding + norm computation both stream variants build on
+    * (norm = sqrt of the sequential float-widened self-dot, the
+    * batch l2norm arithmetic). */
+  private def banded(planes: Array[Array[Double]], id: Long, v: Seq[Float])
+      : Seq[(Int, Long, Long, Array[Float], Double)] = {
+    val arr = v.toArray
+    var n2 = 0.0
+    var i = 0
+    while (i < arr.length) { n2 += arr(i).toDouble * arr(i); i += 1 }
+    val nrm = math.sqrt(n2)
+    Dedup.ndBandKeys(planes, arr).zipWithIndex.map { case (k, band) =>
+      (band, k, id, arr, nrm)
+    }.toSeq
+  }
+
+  /** Exact-cosine hits of one arrival against a bucket's residents —
+    * shared by both variants so the batch-parity arithmetic (the
+    * codegen'd DotProduct's sequential accumulation, NULL-mirror on
+    * length mismatch, r4 rounding, threshold constant) cannot drift
+    * between them. */
+  private def hitsAgainst(res: Seq[VecLike], id: Long, arr: Array[Float],
+      nrm: Double): Seq[CosHit] =
+    res.flatMap { r =>
+      if (r.v.length != arr.length) None // batch DotProduct yields NULL
+      else {
+        var d = 0.0
+        var i = 0
+        while (i < arr.length) { d += r.v(i).toDouble * arr(i); i += 1 }
+        val cos = d / (r.nrm * nrm)
+        if (cos >= CosThrD)
+          Some(CosHit(math.min(r.id, id), math.max(r.id, id),
+            math.floor(cos * 1e4 + 0.5) / 1e4))
+        else None
+      }
+    }
+
   /** File-source stream of the embeddings table. */
   def source(spark: SparkSession, dir: String, filesPerTrigger: Int = 0): DataFrame = {
     val schema = StructType(Seq(
@@ -66,13 +104,8 @@ object EmbedDedupStream {
     val ttlMs = ttl.toMillis
     vecs
       .flatMap { case (id, v, ts) =>
-        val arr = v.toArray
-        var n2 = 0.0
-        var i = 0
-        while (i < arr.length) { n2 += arr(i).toDouble * arr(i); i += 1 }
-        val nrm = math.sqrt(n2)
-        Dedup.ndBandKeys(planes, arr).zipWithIndex.map { case (k, band) =>
-          (band, k, id, arr, nrm, ts)
+        banded(planes, id, v).map { case (band, k, i2, arr, nrm) =>
+          (band, k, i2, arr, nrm, ts)
         }
       }
       .withWatermark("_6", "0 seconds")
@@ -88,17 +121,7 @@ object EmbedDedupStream {
           if (!state.hasTimedOut) {
             rows.toSeq.sortBy(_._3).foreach { case (_, _, id, arr, nrm, ts) =>
               if (res.size < BucketCap && !res.exists(_.id == id)) {
-                res.foreach { r =>
-                  if (r.v.length == arr.length) {
-                    var d = 0.0
-                    var i = 0
-                    while (i < arr.length) { d += r.v(i).toDouble * arr(i); i += 1 }
-                    val cos = d / (r.nrm * nrm)
-                    if (cos >= CosThrD)
-                      out += CosHit(math.min(r.id, id), math.max(r.id, id),
-                        math.floor(cos * 1e4 + 0.5) / 1e4)
-                  }
-                }
+                out ++= hitsAgainst(res, id, arr, nrm)
                 res = res :+ VecResT(id, arr, nrm, ts.getTime)
               }
             }
@@ -117,16 +140,7 @@ object EmbedDedupStream {
     import vecs.sparkSession.implicits._
     val planes = Dedup.ndPlanes
     vecs
-      .flatMap { case (id, v) =>
-        val arr = v.toArray
-        var n2 = 0.0
-        var i = 0
-        while (i < arr.length) { n2 += arr(i).toDouble * arr(i); i += 1 }
-        val nrm = math.sqrt(n2)
-        Dedup.ndBandKeys(planes, arr).zipWithIndex.map { case (k, band) =>
-          (band, k, id, arr, nrm)
-        }
-      }
+      .flatMap { case (id, v) => banded(planes, id, v) }
       .groupByKey { case (band, k, _, _, _) => (band, k) }
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
         (_: (Int, Long), rows: Iterator[(Int, Long, Long, Array[Float], Double)],
@@ -135,19 +149,7 @@ object EmbedDedupStream {
           val out = Seq.newBuilder[CosHit]
           rows.toSeq.sortBy(_._3).foreach { case (_, _, id, arr, nrm) =>
             if (res.size < BucketCap && !res.exists(_.id == id)) {
-              res.foreach { r =>
-                // mismatched lengths: batch DotProduct yields NULL and
-                // the row drops from the filter — mirror that
-                if (r.v.length == arr.length) {
-                  var d = 0.0
-                  var i = 0
-                  while (i < arr.length) { d += r.v(i).toDouble * arr(i); i += 1 }
-                  val cos = d / (r.nrm * nrm)
-                  if (cos >= CosThrD)
-                    out += CosHit(math.min(r.id, id), math.max(r.id, id),
-                      math.floor(cos * 1e4 + 0.5) / 1e4)
-                }
-              }
+              out ++= hitsAgainst(res, id, arr, nrm)
               res = res :+ VecRes(id, arr, nrm)
             }
           }
