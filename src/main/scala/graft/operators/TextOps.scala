@@ -490,6 +490,45 @@ object TextOps {
          ${ops.R6("sum(n_occurrences) OVER (ORDER BY n_occurrences DESC, token ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)*1.0 / total_tokens")} AS cum_share
        FROM top, tot ORDER BY vocab_rank"""
 
+  /** Text normalization — the cleanup pass every corpus pipeline runs
+    * BEFORE dedup/quality (mojibake-control stripping, whitespace
+    * canonicalization, case folding), so byte-trivial variants of
+    * the same content hash identically downstream. Three rules,
+    * deliberately ordered so the regexes stay in the Java∩RE2
+    * portable subset (no `\s`, whose definition differs between the
+    * engines — the control pass reduces all whitespace to literal
+    * spaces first):
+    *   1. control bytes [\x00-\x1f\x7f] (incl. tab/newline/VT) → ' '
+    *   2. runs of spaces → one space; trim ends
+    *   3. ASCII case fold (`lower`; the corpus contract is ASCII —
+    *      both engines agree there, locale rules never engage)
+    * Map-only at any scale: one projection, no shuffle except the
+    * trailing order-stabilizing sort. */
+  private[graft] def normalizeCol(c: Column): Column =
+    lower(trim(regexp_replace(regexp_replace(c, "[\\x00-\\x1f\\x7f]", " "), " +", " ")))
+
+  def q85(s: SparkSession, dir: String): DataFrame = {
+    val cleaned = normalizeCol(col("text"))
+    Tables(s, dir, "documents")
+      .select(col("doc_id"),
+        cleaned.as("text_norm"),
+        length(col("text")).cast("long").as("n_before"),
+        length(cleaned).cast("long").as("n_after"),
+        (cleaned =!= col("text")).as("changed"))
+      .orderBy("doc_id")
+  }
+
+  private val q85Sql =
+    """WITH n AS (SELECT doc_id, text,
+         lower(trim(regexp_replace(
+           regexp_replace(text, '[\x00-\x1f\x7f]', ' ', 'g'), ' +', ' ', 'g'))) AS text_norm
+       FROM documents)
+       SELECT doc_id, text_norm,
+              CAST(length(text) AS BIGINT) AS n_before,
+              CAST(length(text_norm) AS BIGINT) AS n_after,
+              text_norm <> text AS changed
+       FROM n ORDER BY doc_id"""
+
   val qs: Seq[Q] = Seq(
     Q("q60_text_quality", q60, Some(q60Sql)),
     Q("q61_lang_id", q61, Some(q61Sql)),
@@ -499,5 +538,6 @@ object TextOps {
     Q("q71_repetition", q71, Some(q71Sql)),
     Q("q78_bm25", q78, Some(q78Sql)),
     Q("q79_corpus_card", q79, Some(q79Sql)),
-    Q("q80_vocab", q80, Some(q80Sql)))
+    Q("q80_vocab", q80, Some(q80Sql)),
+    Q("q85_normalize_text", q85, Some(q85Sql)))
 }

@@ -122,7 +122,7 @@ class PlanGuardSpec extends AnyFunSuite {
     // q66 is a pure per-row projection: its only exchanges are the
     // documents rebalance (round-robin) and the output orderBy
     for (q <- Seq("q66_train_split", "q64_pii_scrub",
-        "q71_repetition", "q73_media_features")) {
+        "q71_repetition", "q73_media_features", "q85_normalize_text")) {
       val p = plan(q)
       val exchanges = "Exchange (hashpartitioning|SinglePartition)".r.findAllIn(p).size
       assert(exchanges == 0, s"$q shuffles data it should only map: $p")

@@ -85,4 +85,23 @@ class TextOpsSpec extends AnyFunSuite {
     assert(out(4L).getBoolean(3) && out(4L).getString(4) == "perfectly clean prose with no identifiers")
     assert(out(5L).getBoolean(3) && out(5L).getString(4) == "")
   }
+
+  test("q85 normalization handles control chars, whitespace runs, and case on edge inputs") {
+    // the natural corpus is already clean (changed is vacuously false
+    // there), so the rules are pinned on synthetic edges here
+    import spark.implicits._
+    val df = Seq(
+      "Tab\there\nand\r\nCRLF",
+      "  leading   runs\u000Band VT  ",
+      "\u0000nul\u007Fdel",
+      "already clean",
+      "").toDF("text")
+    val got = df.select(operators.TextOps.normalizeCol(col("text")).as("n"))
+      .collect().map(_.getString(0))
+    assert(got(0) == "tab here and crlf")
+    assert(got(1) == "leading runs and vt")
+    assert(got(2) == "nul del")
+    assert(got(3) == "already clean")
+    assert(got(4) == "")
+  }
 }
