@@ -22,7 +22,7 @@ object Dedup {
 
   /** Near-dup Jaccard threshold, shared by q41/q42/q65 and their
     * oracle SQL so engine and oracle can never drift apart. */
-  private[operators] val JaccThr = "0.6"
+  private[graft] val JaccThr = "0.6"
 
   /** Whitespace tokens, empties removed (exact parity with DuckDB's
     * list_filter(string_split(...))). */
@@ -52,7 +52,7 @@ object Dedup {
     * consumer. The materialization is the index itself (linear,
     * partitioned): the standard cache-the-index trade at any scale.
     */
-  private def cappedShingles(s: SparkSession, dir: String): DataFrame = {
+  private[operators] def cappedShingles(s: SparkSession, dir: String): DataFrame = {
     val sh = shingled(s, dir)
     val hot = sh.groupBy("s").agg(count(lit(1)).as("df"))
       .filter(col("df") > DfCap).select("s")

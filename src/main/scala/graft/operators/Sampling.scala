@@ -27,11 +27,11 @@ object Sampling {
   private[operators] val RankSql = "('0x' || substr(md5(text), 1, 8))::BIGINT"
 
   /** Content bucket in [0, 1000), same pair modulo 1000. */
-  private val BucketExpr = s"$RankExpr % 1000"
-  private val BucketSql = s"$RankSql % 1000"
+  private[operators] val BucketExpr = s"$RankExpr % 1000"
+  private[operators] val BucketSql = s"$RankSql % 1000"
 
   /** train/val/test fractions in thousandths: 80/10/10. */
-  private val TrainLt = 800
+  private[operators] val TrainLt = 800
   private val ValLt = 900
 
   /** Deterministic content-keyed train/val/test split. Keying on the
@@ -680,6 +680,61 @@ object Sampling {
          FROM documents)
        WHERE rank <= $SampleK ORDER BY lang, rank"""
 
+  /** Fuzzy (near-duplicate) eval-set decontamination — q69's sibling
+    * for PARAPHRASED contamination: an eval doc rewritten with a few
+    * token edits shares almost no exact 8-grams (q69 misses it) but
+    * keeps high 3-gram-shingle Jaccard. Flags every TRAIN-split doc
+    * whose Jaccard against ANY val/test doc ≥ the near-dup threshold,
+    * via the q41 inverted index restricted to CROSS-side pairs — the
+    * asymmetric train×eval join is strictly cheaper than q41's
+    * self-join, and the same 100 TB guards apply (DF-cap against hot
+    * shingles, candidate-only verification, no doc×doc). Thresholds
+    * and the shingle definition are the ONE set of constants shared
+    * with q41/q65, so SamplingSpec can assert this output equals the
+    * cross-split restriction of q41's pair set exactly. */
+  def q86(s: SparkSession, dir: String): DataFrame = {
+    val side = Tables(s, dir, "documents")
+      .select(col("doc_id"), (expr(BucketExpr) < TrainLt).as("is_train"))
+    val sh = Dedup.cappedShingles(s, dir).join(side, "doc_id")
+    val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val tr = sh.filter(col("is_train")).select(col("doc_id").as("d"), col("s"))
+    val ev = sh.filter(!col("is_train")).select(col("doc_id").as("e"), col("s"))
+    val pr = tr.join(ev, "s").groupBy("d", "e").agg(count(lit(1)).as("c"))
+      .join(sz.withColumnRenamed("doc_id", "d").withColumnRenamed("n", "n1"), "d")
+      .join(sz.withColumnRenamed("doc_id", "e").withColumnRenamed("n", "n2"), "e")
+      .withColumn("jacc", col("c") * lit(1.0) / (col("n1") + col("n2") - col("c")))
+      .filter(col("jacc") >= Dedup.JaccThr.toDouble)
+    val m = pr.groupBy("d").agg(count(lit(1)).as("n_eval_neardups"), max("jacc").as("mx"))
+    side.filter(col("is_train")).select("doc_id")
+      .join(m.withColumnRenamed("d", "doc_id"), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_eval_neardups"), lit(0L)).as("n_eval_neardups"),
+        ops.r6(coalesce(col("mx"), lit(0.0))).as("max_jaccard"),
+        col("mx").isNotNull.as("contaminated"))
+      .orderBy("doc_id")
+  }
+
+  private val q86Sql =
+    s"""WITH ${Dedup.shingleCte},
+       sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+       side AS (SELECT doc_id, $BucketSql < $TrainLt AS is_train FROM documents),
+       pr AS (SELECT a.doc_id d, b.doc_id e, count(*) c
+              FROM sh a JOIN side sa ON a.doc_id = sa.doc_id AND sa.is_train
+                   JOIN sh b ON a.s = b.s
+                   JOIN side sb ON b.doc_id = sb.doc_id AND NOT sb.is_train
+              GROUP BY 1, 2),
+       j AS (SELECT d, c*1.0/(n1.n + n2.n - c) AS jacc
+             FROM pr JOIN sz n1 ON d = n1.doc_id JOIN sz n2 ON e = n2.doc_id),
+       m AS (SELECT d, count(*) AS n_ev, max(jacc) AS mx FROM j
+             WHERE jacc >= ${Dedup.JaccThr} GROUP BY d)
+       SELECT t.doc_id,
+              coalesce(n_ev, 0) AS n_eval_neardups,
+              ${ops.R6("coalesce(mx, 0.0)")} AS max_jaccard,
+              n_ev IS NOT NULL AS contaminated
+       FROM (SELECT doc_id FROM side WHERE is_train) t
+       LEFT JOIN m ON t.doc_id = m.d
+       ORDER BY doc_id"""
+
   val qs: Seq[Q] = Seq(
     Q("q66_train_split", q66, Some(q66Sql)),
     Q("q67_stratified_sample", q67, Some(q67Sql)),
@@ -691,5 +746,6 @@ object Sampling {
     Q("q74_pack_sequences", q74, Some(q74Sql)),
     Q("q75_assemble", q75, Some(q75Sql)),
     Q("q82_chunk_overlap", q82, Some(q82Sql)),
-    Q("q83_sample_per_stratum", q83, Some(q83Sql)))
+    Q("q83_sample_per_stratum", q83, Some(q83Sql)),
+    Q("q86_fuzzy_decontaminate", q86, Some(q86Sql)))
 }

@@ -17,7 +17,8 @@ class PlanGuardSpec extends AnyFunSuite {
     // q84 is the range-join case: the naive non-equi form IS a BNLJ,
     // and the grid rewrite must keep it an equi-join on the cell
     for (q <- Seq("q41_ngram_jaccard", "q42_minhash_lsh", "q43_simhash",
-        "q44_embedding_neardup", "q51_knn_lsh", "q54_knn_graph", "q84_session_overlap")) {
+        "q44_embedding_neardup", "q51_knn_lsh", "q54_knn_graph", "q84_session_overlap",
+        "q86_fuzzy_decontaminate")) {
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q plans a cartesian product")
       assert(!p.contains("BroadcastNestedLoopJoin"), s"$q plans a nested-loop join")

@@ -137,6 +137,34 @@ class SamplingSpec extends AnyFunSuite {
     assert(extraFlags <= math.max(2L, cleanDocs / 20), s"$extraFlags false flags")
   }
 
+  test("q86 fuzzy decontamination equals the cross-split restriction of q41's pair set") {
+    val fuzzy = operators.Sampling.q86(spark, sf).collect()
+    // same train universe as q69
+    val trainDocs = operators.Sampling.q69(spark, sf)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(fuzzy.map(_.getLong(0)).toSet == trainDocs)
+    // q41 (same shingles, same threshold) restricted to pairs that
+    // straddle the split must yield EXACTLY the contaminated set
+    val pairs = operators.Dedup.q41(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val isTrain = operators.Sampling.q66(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getString(2) == "train")).toMap
+    val expected = pairs.flatMap { case (a, b) =>
+      (if (isTrain(a) && !isTrain(b)) Seq(a) else Nil) ++
+        (if (isTrain(b) && !isTrain(a)) Seq(b) else Nil)
+    }.toSet
+    assert(expected.nonEmpty, "no cross-split near-dup at this SF: vacuous")
+    val got = fuzzy.filter(_.getBoolean(3)).map(_.getLong(0)).toSet
+    assert(got == expected, s"extra=${got -- expected} missing=${expected -- got}")
+    // clean rows carry the zero sentinel, flagged rows a valid score
+    fuzzy.foreach { r =>
+      if (r.getBoolean(3))
+        assert(r.getDouble(2) >= operators.Dedup.JaccThr.toDouble - 1e-9 &&
+          r.getDouble(2) <= 1.0 && r.getLong(1) >= 1L)
+      else assert(r.getDouble(2) == 0.0 && r.getLong(1) == 0L)
+    }
+  }
+
   test("q72 matches a brute-force token-budget recomputation") {
     def bucket(text: String): Long = {
       val md = java.security.MessageDigest.getInstance("MD5")
