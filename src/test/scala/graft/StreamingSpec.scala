@@ -549,6 +549,37 @@ class StreamingSpec extends AnyFunSuite {
     q.stop()
   }
 
+  test("multi-sink fan-out: both sinks equal the batch result; batch replay is idempotent") {
+    import streaming.EnrichStream
+    val d1 = java.nio.file.Files.createTempDirectory("graft-sink1").toString
+    val d2 = java.nio.file.Files.createTempDirectory("graft-sink2").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-msckpt").toString
+    val q = EnrichStream.multiSink(EnrichStream.enriched(spark, sf), ckpt, d1, d2)
+    q.processAllAvailable(); q.stop()
+    val batch = operators.Events.q21(spark, sf)
+    for (d <- Seq(d1, d2)) {
+      val written = spark.read.parquet(d).drop("batch_id")
+      assert(written.count() == batch.count(), s"sink $d row count")
+      assert(written.exceptAll(batch).count() == 0, s"sink $d content")
+    }
+    // at-least-once replay: re-writing the SAME batch ids must leave
+    // both sinks unchanged (dynamic overwrite of the batch partition,
+    // not an append of duplicates)
+    // partition-column values parse back as int — cast to the long id
+    val batchIds = spark.read.parquet(d1)
+      .select(col("batch_id").cast("long")).distinct()
+      .collect().map(_.getLong(0)).sorted
+    batchIds.foreach { id =>
+      val replay = spark.read.parquet(d1).filter(col("batch_id") === id).drop("batch_id")
+      EnrichStream.writeBatch(replay, id, Seq(d1, d2))
+    }
+    for (d <- Seq(d1, d2)) {
+      val after = spark.read.parquet(d).drop("batch_id")
+      assert(after.count() == batch.count(), s"sink $d duplicated on replay")
+      assert(after.exceptAll(batch).count() == 0)
+    }
+  }
+
   test("parquet sink with checkpoint round-trips the enriched stream") {
     val out = java.nio.file.Files.createTempDirectory("graft-sink").toString
     val ckpt = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
