@@ -529,6 +529,65 @@ object TextOps {
               text_norm <> text AS changed
        FROM n ORDER BY doc_id"""
 
+  /** Top merge-pair count for q87 and its noise floor. */
+  private val MergeK = 100
+  private val MergeMinCount = 5
+
+  /** BPE-seed merge statistics — the first step of tokenizer
+    * training: corpus-wide adjacent-token pair counts (the merge
+    * candidates) with a lift score against independent unigram
+    * rates. Canonical wordcount shapes throughout: in-select
+    * positioned explode of the bigram array (the q69 form — no
+    * Generate recompile), map-side-combined hash groupBys on
+    * high-cardinality token keys, totals derived from the aggregates
+    * (sum of pair counts / unigram counts — no second corpus pass),
+    * TakeOrderedAndProject top-K on a strict (count desc, pair)
+    * order. No logs in the lift: PMI's log is monotone in the
+    * rational ratio, so ranking needs the ratio only — exact integer
+    * counts through one double formula spelled identically in both
+    * engines, never cross-engine libm. */
+  def q87(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(s, dir, "documents").withColumn("tkc", expr(tk))
+    val bigramExpr =
+      """CASE WHEN size(tkc) >= 2
+         THEN transform(sequence(1, size(tkc)-1),
+              i -> struct(element_at(tkc,i) AS t1, element_at(tkc,i+1) AS t2))
+         ELSE array() END"""
+    val bc = docs.select(explode(expr(bigramExpr)).as("p"))
+      .select(col("p.t1").as("t1"), col("p.t2").as("t2"))
+      .groupBy("t1", "t2").agg(count(lit(1)).as("pair_count"))
+    val uni = docs.select(explode(expr(tk)).as("t"))
+      .groupBy("t").agg(count(lit(1)).as("cu"))
+    val tot = bc.agg(sum("pair_count").as("nbi"))
+      .crossJoin(uni.agg(sum("cu").as("nuni")))
+    bc.filter(col("pair_count") >= MergeMinCount)
+      .join(uni.select(col("t").as("t1"), col("cu").as("cu1")), "t1")
+      .join(uni.select(col("t").as("t2"), col("cu").as("cu2")), "t2")
+      .crossJoin(broadcast(tot))
+      .select(col("t1"), col("t2"), col("pair_count"),
+        ops.r6((col("pair_count") * lit(1.0) / col("nbi")) *
+          (col("nuni") * lit(1.0) / col("cu1")) *
+          (col("nuni") * lit(1.0) / col("cu2"))).as("lift"))
+      .orderBy(col("pair_count").desc, col("t1"), col("t2"))
+      .limit(MergeK)
+  }
+
+  private val q87Sql =
+    s"""WITH t AS (SELECT list_filter(string_split(text,' '), x -> x<>'') AS tkc
+         FROM documents),
+       bi AS (SELECT tkc[i] AS t1, tkc[i+1] AS t2
+              FROM t, UNNEST(range(1, len(tkc))) AS r(i)),
+       bc AS (SELECT t1, t2, count(*) AS pair_count FROM bi GROUP BY 1, 2),
+       un AS (SELECT u AS t, count(*) AS cu
+              FROM (SELECT unnest(tkc) AS u FROM t) GROUP BY 1),
+       tot AS (SELECT (SELECT sum(pair_count) FROM bc) AS nbi,
+                      (SELECT sum(cu) FROM un) AS nuni)
+       SELECT t1, t2, pair_count,
+              ${ops.R6("(pair_count*1.0/nbi) * (nuni*1.0/u1.cu) * (nuni*1.0/u2.cu)")} AS lift
+       FROM bc JOIN un u1 ON t1 = u1.t JOIN un u2 ON t2 = u2.t, tot
+       WHERE pair_count >= $MergeMinCount
+       ORDER BY pair_count DESC, t1, t2 LIMIT $MergeK"""
+
   val qs: Seq[Q] = Seq(
     Q("q60_text_quality", q60, Some(q60Sql)),
     Q("q61_lang_id", q61, Some(q61Sql)),
@@ -539,5 +598,6 @@ object TextOps {
     Q("q78_bm25", q78, Some(q78Sql)),
     Q("q79_corpus_card", q79, Some(q79Sql)),
     Q("q80_vocab", q80, Some(q80Sql)),
-    Q("q85_normalize_text", q85, Some(q85Sql)))
+    Q("q85_normalize_text", q85, Some(q85Sql)),
+    Q("q87_merge_pairs", q87, Some(q87Sql)))
 }
