@@ -12,7 +12,7 @@ object SparkEntry {
   def all: Seq[Q] =
     operators.Relational.qs ++ operators.Events.qs ++ operators.MlOps.qs ++
       operators.Dedup.qs ++ operators.Similarity.qs ++ operators.TextOps.qs ++
-      operators.Sampling.qs ++ operators.Multimodal.qs
+      operators.Sampling.qs ++ operators.Multimodal.qs ++ operators.Tokenizer.qs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

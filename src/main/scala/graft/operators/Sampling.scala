@@ -735,6 +735,61 @@ object Sampling {
        LEFT JOIN m ON t.doc_id = m.d
        ORDER BY doc_id"""
 
+  /** Quality-weighted importance resampling — keep each document
+    * with probability equal to its q60 quality score, the standard
+    * "down-weight the junk instead of hard-filtering it" curation
+    * move (soft quality filtering a la CCNet/Gopher pipelines).
+    * Deterministic: the coin is the content-hash bucket (the same
+    * [[BucketExpr]] every split/sample decision here keys on), so
+    * reruns and duplicates decide identically.
+    *
+    * The keep test is PURE INTEGER. quality = min(n,100)/100 ·
+    * (n−s)/n (q60's formula, n = tokens, s = stopwords) and the coin
+    * is bucket/1000, so `bucket/1000 < quality` cross-multiplies to
+    *   bucket · 100 · n  <  1000 · min(n,100) · (n−s)
+    * — three BIGINT products, no double anywhere, no ulp class
+    * (CLAUDE.md). n=0 degenerates to 0<0 = drop, so the expression
+    * is total without q60's nonzero-token assumption.
+    *
+    * Scale: map-only per-row projection + one map-side-combined
+    * 5-row aggregate — at 100 TB this is a single scan with nothing
+    * shuffled but per-language partial counters. */
+  def q88(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables(s, dir, "documents")
+      .withColumn("tkq", expr(Dedup.tokensExpr))
+      .withColumn("n", expr("CAST(size(tkq) AS BIGINT)"))
+      .withColumn("ns", expr(
+        s"CAST(size(filter(tkq, x -> array_contains(array(${TextOps.stopEn.map(w => s"'$w'").mkString(", ")}), x))) AS BIGINT)"))
+      .withColumn("bucket", expr(BucketExpr))
+      .withColumn("kept",
+        col("bucket") * lit(100L) * col("n") <
+          lit(1000L) * least(col("n"), lit(100L)) * (col("n") - col("ns")))
+    d.groupBy("lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+        ops.r6(sum(when(col("kept"), 1L).otherwise(0L)) * lit(1.0) / count(lit(1)))
+          .as("keep_rate"),
+        sum(when(col("kept"), col("n")).otherwise(0L)).as("kept_tokens"))
+      .orderBy("lang")
+  }
+
+  private val q88Sql =
+    s"""WITH d AS (SELECT lang,
+         CAST(len(tkq) AS BIGINT) AS n,
+         CAST(len(list_filter(tkq, x -> list_contains([${TextOps.stopEn.map(w => s"'$w'").mkString(", ")}], x))) AS BIGINT) AS ns,
+         bucket
+       FROM (SELECT lang, list_filter(string_split(text,' '), x -> x<>'') AS tkq,
+                    $BucketSql AS bucket FROM documents)),
+       k AS (SELECT lang, n,
+               bucket * 100 * n < 1000 * least(n, 100) * (n - ns) AS kept
+             FROM d)
+       SELECT lang, count(*) AS n_docs,
+              CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+              ${ops.R6("sum(CASE WHEN kept THEN 1 ELSE 0 END)*1.0 / count(*)")} AS keep_rate,
+              CAST(sum(CASE WHEN kept THEN n ELSE 0 END) AS BIGINT) AS kept_tokens
+       FROM k GROUP BY lang ORDER BY lang"""
+
   val qs: Seq[Q] = Seq(
     Q("q66_train_split", q66, Some(q66Sql)),
     Q("q67_stratified_sample", q67, Some(q67Sql)),
@@ -747,5 +802,6 @@ object Sampling {
     Q("q75_assemble", q75, Some(q75Sql)),
     Q("q82_chunk_overlap", q82, Some(q82Sql)),
     Q("q83_sample_per_stratum", q83, Some(q83Sql)),
-    Q("q86_fuzzy_decontaminate", q86, Some(q86Sql)))
+    Q("q86_fuzzy_decontaminate", q86, Some(q86Sql)),
+    Q("q88_importance_sample", q88, Some(q88Sql)))
 }

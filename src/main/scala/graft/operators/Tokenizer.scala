@@ -1,0 +1,142 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Distributed BPE tokenizer training (SURVEY §2.F) — the iterative
+  * step q87's merge-pair statistics seed: repeatedly merge the
+  * corpus-wide most frequent adjacent symbol pair, exactly the
+  * byte-pair-encoding loop of Sennrich et al. 2016 and the trainers
+  * behind GPT/Llama vocabularies.
+  *
+  * Scale design: BPE training NEVER iterates over the corpus. The
+  * one corpus-sized pass builds the WORD HISTOGRAM (distinct word →
+  * count); every merge round then runs on that vocabulary frame,
+  * whose size is corpus-sublinear (~10⁷ distinct words at 100 TB vs
+  * ~10¹³ tokens) and SHRINKS nothing but per-word symbol arrays.
+  * Each round is: a vocab-sized flatMap to adjacent weighted pairs,
+  * one map-side-combined groupBy, a 1-row TakeOrdered for the arg-max
+  * (driver-bounded: exactly one row per round crosses to the driver),
+  * and a vocab-sized map applying the merge left-to-right
+  * non-overlapping. The iteration frame is localCheckpointed every
+  * round (lineage would otherwise replay all prior merge maps from
+  * the scan each round — the CLAUDE.md iterative-loop rule) and
+  * repartitioned once to a data-sized partition count, not the
+  * session's shuffle default.
+  *
+  * Determinism: the arg-max tie-break is total — (count DESC, left
+  * ASC, right ASC) — so the merge sequence is a pure function of the
+  * histogram; TokenizerSpec replays the identical algorithm
+  * single-threaded on the collected histogram and asserts the merge
+  * table matches row-for-row. No oracle SQL: the loop is inherently
+  * iterative (a recursive CTE re-deriving arg-max + merge per level
+  * is not expressible in portable SQL), so this is a rows-only
+  * operator with an exact-counterpart spec, like q42/q51.
+  */
+object Tokenizer {
+
+  /** Merge rounds to train and the minimum pair frequency worth
+    * merging (below it the loop stops early). */
+  private[graft] val BpeMerges = 16
+  private[graft] val BpeMinPair = 2L
+
+  /** One BPE merge applied left-to-right, non-overlapping: the
+    * classic single-pass semantics where a symbol produced by this
+    * round's merge does not re-merge with its right neighbour until
+    * a later round. */
+  private[graft] def mergePass(syms: Seq[String], l: String, r: String): Seq[String] = {
+    val out = collection.mutable.ArrayBuffer.empty[String]
+    var i = 0
+    val n = syms.length
+    while (i < n) {
+      if (i + 1 < n && syms(i) == l && syms(i + 1) == r) { out += (l + r); i += 2 }
+      else { out += syms(i); i += 1 }
+    }
+    out.toSeq
+  }
+
+  /** The same trainer run single-threaded on an in-memory histogram —
+    * the spec's exact reference. Returns (rank, left, right, merged,
+    * pair_count). */
+  private[graft] def localBpe(hist: Seq[(String, Long)], rounds: Int): Seq[(Int, String, String, String, Long)] = {
+    var words = hist.map { case (w, c) => (w.split("").toSeq, c) }
+    val out = collection.mutable.ArrayBuffer.empty[(Int, String, String, String, Long)]
+    var rank = 1
+    var done = false
+    while (rank <= rounds && !done) {
+      val counts = collection.mutable.HashMap.empty[(String, String), Long]
+      words.foreach { case (syms, c) =>
+        var i = 0
+        while (i + 1 < syms.length) {
+          val k = (syms(i), syms(i + 1))
+          counts(k) = counts.getOrElse(k, 0L) + c
+          i += 1
+        }
+      }
+      val best = counts.toSeq.sortBy { case ((l, r), c) => (-c, l, r) }.headOption
+      best match {
+        case Some(((l, r), c)) if c >= BpeMinPair =>
+          out += ((rank, l, r, l + r, c))
+          words = words.map { case (syms, wc) => (mergePass(syms, l, r), wc) }
+          rank += 1
+        case _ => done = true
+      }
+    }
+    out.toSeq
+  }
+
+  def q89(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // One corpus pass: word histogram. Explode the tokens expression
+    // directly (the q69 form — a withColumn-computed array under
+    // explode regenerates its Generate codegen per execution).
+    val hist = Tables(s, dir, "documents")
+      .select(explode(expr(Dedup.tokensExpr)).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("wc"))
+    // Iteration frame: (symbol array, weight). Sized to the vocab —
+    // 8 partitions hold any plausible histogram at bench SFs; on a
+    // cluster this would be max(vocabRows / 1M, parallelism).
+    var words: Dataset[(Seq[String], Long)] = hist
+      .select(split(col("w"), "").as("syms"), col("wc"))
+      .as[(Seq[String], Long)]
+      .repartition(8)
+      .localCheckpoint()
+    val merges = collection.mutable.ArrayBuffer.empty[(Int, String, String, String, Long)]
+    var rank = 1
+    var done = false
+    while (rank <= BpeMerges && !done) {
+      // Weighted adjacent-pair counts over the vocab; arg-max with a
+      // total tie-break. Exactly ONE row returns to the driver.
+      val top = words
+        .flatMap { case (syms, wc) =>
+          if (syms.length < 2) Iterator.empty
+          else syms.iterator.zip(syms.iterator.drop(1)).map { case (a, b) => (a, b, wc) }
+        }
+        .toDF("l", "r", "wc")
+        .groupBy("l", "r").agg(sum("wc").as("c"))
+        .orderBy(col("c").desc, col("l"), col("r"))
+        .limit(1)
+        .collect()
+      top.headOption.map(t => (t.getString(0), t.getString(1), t.getLong(2))) match {
+        case Some((l, r, c)) if c >= BpeMinPair =>
+          merges += ((rank, l, r, l + r, c))
+          // New frame = one map over the old; checkpoint truncates
+          // the lineage so round k never replays rounds 1..k-1, and
+          // the old checkpoint's blocks are dropped eagerly.
+          val prev = words
+          words = words.map { case (syms, wc) => (mergePass(syms, l, r), wc) }
+            .localCheckpoint()
+          prev.unpersist()
+          rank += 1
+        case _ => done = true
+      }
+    }
+    words.unpersist()
+    merges.toSeq.toDF("rank", "left", "right", "merged", "pair_count")
+      .orderBy("rank")
+  }
+
+  val qs: Seq[Q] = Seq(
+    Q("q89_bpe_train", q89, None))
+}
