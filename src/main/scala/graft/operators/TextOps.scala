@@ -588,6 +588,62 @@ object TextOps {
        WHERE pair_count >= $MergeMinCount
        ORDER BY pair_count DESC, t1, t2 LIMIT $MergeK"""
 
+  /** Keywords per document and the integer score scale. */
+  private val KwK = 3
+  private val KwScale = 1000000L
+
+  /** Per-document TF-IDF keyword extraction: the top-[[KwK]] terms
+    * by rarity-weighted frequency — the standard corpus-exploration /
+    * topic-labelling pass over a training corpus.
+    *
+    * The score is EXACT INTEGER: score = (tf · N · 10⁶) div df, a
+    * monotone transform of tf·(N/df) (df ≤ N keeps the quotient ≥
+    * tf·10⁶, so resolution loss from the integer division is ≤ 1 part
+    * in 10⁶ per unit tf) with ties broken by term ASC — a total order
+    * both engines compute bit-identically, keeping this in the
+    * oracle-hash gate where a double idf (log or ratio) would sit in
+    * the CLAUDE.md ulp class. Bound: tf·N·10⁶ < 2⁶³ holds through
+    * every bench SF (tf ≤ 10³, N ≤ 10⁶ → 10¹⁵); a 10¹⁰-doc corpus
+    * would drop the scale to 10³ or rank on the double, where
+    * cross-engine exactness is no longer a constraint.
+    *
+    * Scale shape: tf is one map-side-combined groupBy on (doc,term);
+    * df derives from tf (already distinct per pair — no second
+    * corpus pass, no countDistinct); N is a broadcast scalar; the
+    * per-doc top-3 is a row_number window partitioned by doc_id —
+    * millions of partitions, the shape Window parallelizes well
+    * (the TopKAgg rule targets FEW-group windows). */
+  def q90(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(s, dir, "documents")
+    val tf = docs.select(col("doc_id"), explode(expr(tk)).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(col("score").desc, col("term"))
+    tf.join(df, "term")
+      .crossJoin(broadcast(n))
+      .withColumn("score", expr(s"tf * n_docs * ${KwScale}L div df"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= KwK)
+      .select(col("doc_id"), col("rank"), col("term"), col("tf"), col("df"), col("score"))
+      .orderBy("doc_id", "rank")
+  }
+
+  private val q90Sql =
+    s"""WITH tf AS (SELECT doc_id, unnest(list_filter(string_split(text,' '), x -> x<>'')) AS term
+                    FROM documents),
+       tfc AS (SELECT doc_id, term, count(*) AS tf FROM tf GROUP BY 1, 2),
+       dfc AS (SELECT term, count(*) AS df FROM tfc GROUP BY 1),
+       n AS (SELECT count(*) AS n_docs FROM documents),
+       sc AS (SELECT doc_id, term, tf, df, tf * n_docs * $KwScale // df AS score
+              FROM tfc JOIN dfc USING (term), n),
+       rk AS (SELECT *, CAST(row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS INT) AS rank
+              FROM sc)
+       SELECT doc_id, rank, term, CAST(tf AS BIGINT) AS tf,
+              CAST(df AS BIGINT) AS df, CAST(score AS BIGINT) AS score
+       FROM rk WHERE rank <= $KwK ORDER BY doc_id, rank"""
+
   val qs: Seq[Q] = Seq(
     Q("q60_text_quality", q60, Some(q60Sql)),
     Q("q61_lang_id", q61, Some(q61Sql)),
@@ -599,5 +655,6 @@ object TextOps {
     Q("q79_corpus_card", q79, Some(q79Sql)),
     Q("q80_vocab", q80, Some(q80Sql)),
     Q("q85_normalize_text", q85, Some(q85Sql)),
-    Q("q87_merge_pairs", q87, Some(q87Sql)))
+    Q("q87_merge_pairs", q87, Some(q87Sql)),
+    Q("q90_keywords", q90, Some(q90Sql)))
 }
