@@ -603,10 +603,86 @@ object Similarity {
     top5(scored)
   }
 
+  /** PageRank rounds and damping factor for q91. */
+  private[graft] val PrIters = 10
+  private[graft] val PrDamp = 0.85
+
+  /** Semantic-centrality document ranking: PageRank over the q54 kNN
+    * graph — the "pick representative / prototypical examples" pass
+    * of a curation pipeline (central vectors summarize their region;
+    * low-rank periphery is outlier-or-novelty). Fixed [[PrIters]]
+    * power-iteration rounds at damping [[PrDamp]].
+    *
+    * Scale shape: the graph is vertex-linear (k·n edges from q54 —
+    * nothing corpus-quadratic), the edge frame is repartitioned ONCE
+    * by src and localCheckpointed (LogicalRDD keeps the partitioning,
+    * so each round's join re-shuffles only the vertex-sized rank
+    * frame), iteration frames are data-sized (the q65 rule), and
+    * per-round lineage is truncated by an eager localCheckpoint with
+    * the superseded round's blocks dropped. Every vertex of a kNN
+    * graph has out-degree ≥ 1 (each vector queries its neighbors), so
+    * there is no dangling-mass correction to apply — asserted, not
+    * assumed. rows-only: distributed double summation is
+    * order-dependent, so SimilaritySpec compares against an exact
+    * driver-side power iteration under a 1e-9 relative tolerance and
+    * pins the rank ORDER of the clear-margin head. */
+  def q91(s: SparkSession, dir: String): DataFrame =
+    pagerankOf(s, q54(s, dir).select(col("query_id").as("src"), col("neighbor_id").as("dst")))
+
+  /** q91 core over any (src, dst) edge frame. */
+  private[graft] def pagerankOf(s: SparkSession, edges0: DataFrame): DataFrame = {
+    val e0 = edges0.localCheckpoint(false)
+    val parts = math.max(1L, math.min(e0.count() / 500000L + 1L,
+      s.sparkContext.defaultParallelism.toLong)).toInt
+    val outd = e0.groupBy("src").agg(count(lit(1)).as("outdeg"))
+    val edges = e0.join(outd, "src")
+      .repartition(parts, col("src"))
+      .localCheckpoint(false)
+    val verts = e0.select(col("src").as("v"))
+      .union(e0.select(col("dst").as("v"))).distinct()
+      .repartition(parts, col("v"))
+      .localCheckpoint(false)
+    val n = verts.count()
+    require(verts.join(outd, verts("v") === outd("src"), "left_anti").isEmpty,
+      "q91 assumes no dangling vertices (every kNN vertex queries); found some")
+    val base = (1.0 - PrDamp) / n
+    // NO per-round checkpoints, deliberately (measured: an eager
+    // checkpoint per round costs ~0.5 s of pure job scheduling on a
+    // vertex frame this small — 10 rounds turned the loop
+    // scheduling-bound). Unlike q65, nothing here multi-consumes an
+    // unbarriered subtree: every round's rank frame feeds EXACTLY one
+    // consumer (the next round) and the shared leaves (verts, edges)
+    // are checkpointed, so the whole fixed-iteration loop is one pure
+    // plan TREE — a single action executes each subtree once, and
+    // Catalyst compiles the ~10-join chain in one pass. The q65
+    // action-per-round rule is for convergence LOOPS, whose round
+    // count is data-dependent and whose lineage is unbounded;
+    // PageRank's is fixed and bounded at PrIters.
+    // Each round is ONE join + ONE aggregation: the teleport base is
+    // folded in as a per-vertex union row, so no second join against
+    // the vertex frame is needed for zero-in-degree vertices.
+    var ranks = verts.withColumn("pr", lit(1.0 / n))
+    var round = 0
+    while (round < PrIters) {
+      val contrib = ranks.join(edges, ranks("v") === edges("src"))
+        .select(col("dst").as("v"),
+          (lit(PrDamp) * col("pr") / col("outdeg")).as("c"))
+      ranks = contrib.union(verts.withColumn("c", lit(base)))
+        .groupBy("v").agg(sum("c").as("pr"))
+      round += 1
+    }
+    val ind = e0.groupBy(col("dst").as("v")).agg(count(lit(1)).as("in_degree"))
+    ranks.join(ind, Seq("v"), "left")
+      .select(col("v").as("vec_id"), ops.r6(col("pr") * n).as("centrality"),
+        coalesce(col("in_degree"), lit(0L)).as("in_degree"))
+      .orderBy("vec_id")
+  }
+
   val qs: Seq[Q] = Seq(
     Q("q50_knn_brute", q50, Some(q50Sql)),
     Q("q51_knn_lsh", q51, None),
     Q("q52_knn_ivf", q52, None),
     Q("q53_knn_pq", q53, None),
-    Q("q54_knn_graph", q54, None))
+    Q("q54_knn_graph", q54, None),
+    Q("q91_graph_centrality", q91, None))
 }

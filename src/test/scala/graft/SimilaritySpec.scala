@@ -113,6 +113,56 @@ class SimilaritySpec extends AnyFunSuite {
       s"fixed-B recall $fixed more than 0.05 below default-mode $defaultGraphRecall")
   }
 
+  test("q91 pagerank equals an exact driver-side power iteration") {
+    import operators.Similarity.{PrDamp, PrIters}
+    val edges = operators.Similarity.q54(spark, sf)
+      .select(col("query_id").as("src"), col("neighbor_id").as("dst"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // exact reference: same fixed-iteration scheme, no dangling
+    // correction (q91 asserts the graph has none)
+    val verts = (edges.map(_._1) ++ edges.map(_._2)).distinct.sorted
+    val n = verts.length
+    val outdeg = edges.groupBy(_._1).map { case (s0, es) => s0 -> es.length.toLong }
+    val inEdges = edges.groupBy(_._2)
+    var pr = verts.map(v => v -> 1.0 / n).toMap
+    for (_ <- 1 to PrIters) {
+      pr = verts.map { v =>
+        val c = inEdges.getOrElse(v, Array.empty[(Long, Long)])
+          .map { case (u, _) => pr(u) / outdeg(u) }.sum
+        v -> ((1.0 - PrDamp) / n + PrDamp * c)
+      }.toMap
+    }
+    val got = operators.Similarity.q91(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSeq
+    assert(got.map(_._1) == verts.toSeq, "vertex set or order differs")
+    // q91 emits r6-rounded centrality; distributed double summation
+    // is additionally order-dependent. Tolerance = one r6 quantum
+    // (drift can flip the floor at a boundary) — far tighter than any
+    // structural error.
+    def r6(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
+    got.foreach { case (v, c, ind) =>
+      val want = r6(pr(v) * n)
+      assert(math.abs(c - want) <= 1.01e-6,
+        s"vertex $v centrality $c vs exact $want")
+      assert(ind == inEdges.get(v).map(_.length.toLong).getOrElse(0L))
+    }
+    // the clear-margin head must agree in ORDER, not just value
+    val wantHead = verts.sortBy(v => (-r6(pr(v) * n), v)).take(10).toSeq
+    val gotHead = got.sortBy { case (v, c, _) => (-c, v) }.take(10).map(_._1)
+    assert(gotHead == wantHead, "top-10 centrality order diverges")
+  }
+
+  test("q91 mass conserves and centrality averages to one") {
+    val got = operators.Similarity.q91(spark, sf).collect()
+    val n = got.length
+    val total = got.map(_.getDouble(1)).sum
+    // Σ pr = 1 exactly in exact arithmetic when no vertex dangles;
+    // normalized centrality therefore averages to 1 (r6 rounding and
+    // float drift bound the residual)
+    assert(math.abs(total / n - 1.0) < 1e-4, s"mean centrality ${total / n}")
+    assert(got.forall(_.getDouble(1) > 0.0), "PageRank is strictly positive")
+  }
+
   test("q52 IVF ANN achieves high recall@5 against brute force") {
     val exact = operators.Similarity.q50(spark, sf).select("query_id", "neighbor_id")
     val approx = operators.Similarity.q52(spark, sf)
