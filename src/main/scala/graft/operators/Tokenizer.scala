@@ -137,6 +137,59 @@ object Tokenizer {
       .orderBy("rank")
   }
 
+  /** Encode a word with a trained merge list: the merges apply in
+    * RANK ORDER, each as one left-to-right non-overlapping pass —
+    * the exact inverse-of-training application order BPE encoders
+    * use. Returns the subword count. */
+  private[graft] def encodeLen(word: String, merges: Seq[(String, String)]): Int = {
+    var syms: Seq[String] = word.split("").toSeq
+    merges.foreach { case (l, r) => syms = mergePass(syms, l, r) }
+    syms.length
+  }
+
+  /** BPE corpus encoding statistics — the apply side of q89: encode
+    * every document with the trained merge table and report, per
+    * language, the compression (chars per BPE token) and fertility
+    * (BPE tokens per word) an LLM pipeline sizes its token budgets
+    * with.
+    *
+    * Scale shape: the merge table is CONSTANT-sized (16 rows —
+    * driver-collected by contract, like q50's query set) and the
+    * encoder runs once per DISTINCT word, not per occurrence: the
+    * corpus pass produces (lang, word) counts, the vocab-sized
+    * distinct-word frame maps through the encoder, and a vocab-sized
+    * equi-join prices every occurrence — at 100 TB the expensive
+    * per-string loop touches ~10⁷ words, not ~10¹³ tokens. All
+    * aggregates are exact integers; the two ratios divide once at
+    * the end (no oracle: the merge table feeding the encoder is the
+    * iterative q89 output; TokenizerSpec recomputes everything
+    * single-threaded and compares exactly). */
+  def q92(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val merges = q89(s, dir).collect().map(r => (r.getString(1), r.getString(2))).toSeq
+    val bc = s.sparkContext.broadcast(merges)
+    val lw = Tables(s, dir, "documents")
+      .select(col("lang"), explode(expr(Dedup.tokensExpr)).as("w"))
+      .groupBy("lang", "w").agg(count(lit(1)).as("occ"))
+    val priced = lw.select(col("w")).distinct()
+      .as[String]
+      .map(w => (w, w.length.toLong, encodeLen(w, bc.value).toLong))
+      .toDF("w", "n_chars", "n_bpe")
+    lw.join(priced, "w")
+      .groupBy("lang")
+      .agg(
+        countDistinct(col("w")).as("n_distinct_words"),
+        sum("occ").as("total_words"),
+        sum(col("occ") * col("n_chars")).as("total_chars"),
+        sum(col("occ") * col("n_bpe")).as("total_bpe_tokens"),
+        ops.r6(sum(col("occ") * col("n_chars")) * lit(1.0) /
+          sum(col("occ") * col("n_bpe"))).as("chars_per_token"),
+        ops.r6(sum(col("occ") * col("n_bpe")) * lit(1.0) /
+          sum("occ")).as("fertility"))
+      .orderBy("lang")
+  }
+
   val qs: Seq[Q] = Seq(
-    Q("q89_bpe_train", q89, None))
+    Q("q89_bpe_train", q89, None),
+    Q("q92_bpe_encode", q92, None))
 }

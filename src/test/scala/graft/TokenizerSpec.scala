@@ -39,6 +39,35 @@ class TokenizerSpec extends AnyFunSuite {
     assert(multi, "no merge built on a previous merge in 16 rounds")
   }
 
+  test("q92 encoding stats equal an exact single-threaded recompute") {
+    import org.apache.spark.sql.Row
+    val merges = operators.Tokenizer.localBpe(histogram(), operators.Tokenizer.BpeMerges)
+      .map(m => (m._2, m._3))
+    val lw = Tables(spark, sf, "documents")
+      .select(col("lang"), explode(expr(operators.Dedup.tokensExpr)).as("w"))
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    val want = lw.groupBy(_._1).map { case (lang, ws) =>
+      val occ = ws.groupBy(_._2).map { case (w, g) => w -> g.length.toLong }
+      val dw = occ.size.toLong
+      val tw = occ.values.sum
+      val tc = occ.map { case (w, c) => c * w.length }.sum
+      val tb = occ.map { case (w, c) => c * operators.Tokenizer.encodeLen(w, merges) }.sum
+      def r6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+      lang -> (dw, tw, tc, tb, r6(tc * 1.0 / tb), r6(tb * 1.0 / tw))
+    }
+    val got = operators.Tokenizer.q92(spark, sf).collect()
+    assert(got.map(_.getString(0)).toSeq == want.keys.toSeq.sorted)
+    got.foreach { case Row(lang: String, dw: Long, tw: Long, tc: Long, tb: Long,
+        cpt: Double, fert: Double) =>
+      assert((dw, tw, tc, tb, cpt, fert) == want(lang), s"lang $lang diverges")
+    }
+    // BPE must actually compress: fewer tokens than chars, more than words
+    got.foreach { r =>
+      assert(r.getLong(4) < r.getLong(3), "BPE tokens should undercut chars")
+      assert(r.getLong(4) >= r.getLong(2), "BPE tokens can never undercut words")
+    }
+  }
+
   test("mergePass applies left-to-right non-overlapping semantics") {
     import operators.Tokenizer.mergePass
     assert(mergePass(Seq("a", "a", "a"), "a", "a") == Seq("aa", "a"))
