@@ -754,16 +754,30 @@ object Sampling {
     * Scale: map-only per-row projection + one map-side-combined
     * 5-row aggregate — at 100 TB this is a single scan with nothing
     * shuffled but per-language partial counters. */
-  def q88(s: SparkSession, dir: String): DataFrame = {
-    val d = Tables(s, dir, "documents")
+  /** The shared per-row assignment core: split (q66's buckets) and
+    * importance-keep (q88's integer test) from the content hash —
+    * ALSO the streaming ingest twin (`streaming.AssignStream`), so
+    * batch/stream parity is the same expression tree by
+    * construction. Input needs (doc_id, text, lang). */
+  private[graft] def assignCols(docs: DataFrame): DataFrame =
+    docs
       .withColumn("tkq", expr(Dedup.tokensExpr))
       .withColumn("n", expr("CAST(size(tkq) AS BIGINT)"))
       .withColumn("ns", expr(
         s"CAST(size(filter(tkq, x -> array_contains(array(${TextOps.stopEn.map(w => s"'$w'").mkString(", ")}), x))) AS BIGINT)"))
       .withColumn("bucket", expr(BucketExpr))
+      .withColumn("split",
+        when(col("bucket") < TrainLt, "train")
+          .when(col("bucket") < ValLt, "val")
+          .otherwise("test"))
       .withColumn("kept",
         col("bucket") * lit(100L) * col("n") <
           lit(1000L) * least(col("n"), lit(100L)) * (col("n") - col("ns")))
+      .select(col("doc_id"), col("lang"), col("n"), col("bucket"),
+        col("split"), col("kept"))
+
+  def q88(s: SparkSession, dir: String): DataFrame = {
+    val d = assignCols(Tables(s, dir, "documents"))
     d.groupBy("lang")
       .agg(
         count(lit(1)).as("n_docs"),

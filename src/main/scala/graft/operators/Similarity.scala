@@ -678,11 +678,51 @@ object Similarity {
       .orderBy("vec_id")
   }
 
+  /** Triplet / hard-negative mining over the kNN graph — the
+    * embedding-training data op: for every vector, its hardest
+    * positive (nearest same-label neighbor) and hardest negative
+    * (nearest different-label neighbor), plus the triplet margin.
+    * A negative margin marks a violating triplet — exactly the pairs
+    * contrastive fine-tuning wants in a batch.
+    *
+    * Scale shape: composes q54 (vertex-linear candidate edges, never
+    * n²) with one label equi-join per endpoint and a per-query
+    * argmax via struct max_by aggregates — no window, no extra
+    * shuffle beyond the neighbor-label hop. Deterministic: ties
+    * break on (cosine DESC, neighbor_id ASC) through an exact struct
+    * ordering. rows-only (the candidate set is the ANN graph's);
+    * SimilaritySpec recomputes from the same graph + labels and
+    * compares exactly. */
+  def q94(s: SparkSession, dir: String): DataFrame = {
+    val labels = Tables(s, dir, "embeddings").select(col("vec_id"), col("label"))
+    val g = q54(s, dir)
+      .join(labels.withColumnRenamed("vec_id", "query_id")
+        .withColumnRenamed("label", "q_label"), "query_id")
+      .join(labels.withColumnRenamed("vec_id", "neighbor_id")
+        .withColumnRenamed("label", "n_label"), "neighbor_id")
+    // argmax by (cosine DESC, neighbor_id ASC): max of
+    // struct(cosine, -neighbor_id, neighbor_id) — struct ordering is
+    // lexicographic and exact on (double, long)
+    def best(cond: Column) = max(when(cond,
+      struct(col("cosine"), (-col("neighbor_id")).as("nid"), col("neighbor_id"))))
+    g.groupBy("query_id", "q_label")
+      .agg(
+        best(col("n_label") === col("q_label")).as("pos"),
+        best(col("n_label") =!= col("q_label")).as("neg"))
+      .select(col("query_id"), col("q_label").as("label"),
+        col("pos.neighbor_id").as("pos_id"), col("pos.cosine").as("pos_cosine"),
+        col("neg.neighbor_id").as("neg_id"), col("neg.cosine").as("neg_cosine"),
+        ops.r6(col("pos.cosine") - col("neg.cosine")).as("margin"),
+        (col("pos.cosine") < col("neg.cosine")).as("violating"))
+      .orderBy("query_id")
+  }
+
   val qs: Seq[Q] = Seq(
     Q("q50_knn_brute", q50, Some(q50Sql)),
     Q("q51_knn_lsh", q51, None),
     Q("q52_knn_ivf", q52, None),
     Q("q53_knn_pq", q53, None),
     Q("q54_knn_graph", q54, None),
-    Q("q91_graph_centrality", q91, None))
+    Q("q91_graph_centrality", q91, None),
+    Q("q94_triplet_mining", q94, None))
 }

@@ -644,6 +644,59 @@ object TextOps {
               CAST(df AS BIGINT) AS df, CAST(score AS BIGINT) AS score
        FROM rk WHERE rank <= $KwK ORDER BY doc_id, rank"""
 
+  /** Docs per vocabulary-growth bucket. */
+  private val VocabBucket = 1000L
+
+  /** Vocabulary-growth (Heaps-law) curve: cumulative distinct-word
+    * count as the corpus grows in doc_id order, per [[VocabBucket]]
+    * docs — the "how fast does the vocab still grow" signal that
+    * sizes tokenizer vocabularies and flags crawl saturation.
+    *
+    * The naive form is a running countDistinct — not distributable.
+    * The rewrite: a word's FIRST OCCURRENCE (min doc_id per word) is
+    * the only row that grows the vocab, so the curve is a running SUM
+    * of per-bucket first-occurrence counts. That's one map-side-
+    * combined groupBy on word (the q80 wordcount shape), a bucket
+    * aggregate, and a window over the BUCKET frame only — n/1000
+    * rows, 1000× smaller than the corpus; the corpus itself is never
+    * windowed (q72's boundary-bucket argument). All-integer
+    * arithmetic end to end. */
+  def q93(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(s, dir, "documents")
+    val firsts = docs.select(col("doc_id"), explode(expr(s"array_distinct($tk)")).as("w"))
+      .groupBy("w").agg(min("doc_id").as("first_doc"))
+      .groupBy(expr(s"first_doc div $VocabBucket").as("bucket"))
+      .agg(count(lit(1)).as("new_words"))
+    val toks = docs
+      .groupBy(expr(s"doc_id div $VocabBucket").as("bucket"))
+      .agg(count(lit(1)).as("n_docs"), sum(expr(s"size($tk)")).as("n_tokens"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy("bucket")
+    toks.join(firsts, Seq("bucket"), "left")
+      .select(col("bucket"), col("n_docs"), col("n_tokens"),
+        coalesce(col("new_words"), lit(0L)).as("new_words"))
+      .withColumn("cum_tokens", sum("n_tokens").over(w))
+      .withColumn("cum_vocab", sum("new_words").over(w))
+      .orderBy("bucket")
+  }
+
+  private val q93Sql =
+    s"""WITH tk AS (SELECT doc_id, list_filter(string_split(text,' '), x -> x<>'') AS tk
+         FROM documents),
+       fw AS (SELECT w, min(doc_id) AS first_doc
+              FROM (SELECT doc_id, unnest(list_distinct(tk)) AS w FROM tk) GROUP BY 1),
+       nb AS (SELECT first_doc // $VocabBucket AS bucket, count(*) AS new_words
+              FROM fw GROUP BY 1),
+       tb AS (SELECT doc_id // $VocabBucket AS bucket, count(*) AS n_docs,
+                     sum(len(tk)) AS n_tokens
+              FROM tk GROUP BY 1)
+       SELECT bucket, n_docs,
+              CAST(n_tokens AS BIGINT) AS n_tokens,
+              CAST(coalesce(new_words, 0) AS BIGINT) AS new_words,
+              CAST(sum(n_tokens) OVER (ORDER BY bucket) AS BIGINT) AS cum_tokens,
+              CAST(sum(coalesce(new_words, 0)) OVER (ORDER BY bucket) AS BIGINT) AS cum_vocab
+       FROM tb LEFT JOIN nb USING (bucket)
+       ORDER BY bucket"""
+
   val qs: Seq[Q] = Seq(
     Q("q60_text_quality", q60, Some(q60Sql)),
     Q("q61_lang_id", q61, Some(q61Sql)),
@@ -656,5 +709,6 @@ object TextOps {
     Q("q80_vocab", q80, Some(q80Sql)),
     Q("q85_normalize_text", q85, Some(q85Sql)),
     Q("q87_merge_pairs", q87, Some(q87Sql)),
-    Q("q90_keywords", q90, Some(q90Sql)))
+    Q("q90_keywords", q90, Some(q90Sql)),
+    Q("q93_vocab_growth", q93, Some(q93Sql)))
 }

@@ -119,6 +119,56 @@ class PlanGuardSpec extends AnyFunSuite {
     assert(p83.contains("ObjectHashAggregate"), s"q83 lost the bounded top-k aggregate: $p83")
   }
 
+  test("importance sampling shuffles nothing but 5-row language partials") {
+    // q88's keep test is a per-row integer filter; the only exchange
+    // is the partial→final hop of the tiny language aggregate
+    val p = plan("q88_importance_sample")
+    val ex = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(ex <= 1, s"q88 plans $ex hash exchanges — the keep test leaked a shuffle: $p")
+    assert(!p.contains("Exchange SinglePartition"), s"q88 collapses to one partition: $p")
+    assert(!p.contains("Window"), s"q88 plans a window: $p")
+  }
+
+  test("keyword extraction joins on term and ranks per doc, never cartesian or global") {
+    val p = plan("q90_keywords")
+    assert(!p.contains("CartesianProduct"), "q90 plans a cartesian product")
+    // the 1-row doc-count side must come in as a broadcast, not a
+    // shuffled join
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"q90 shuffles the 1-row corpus count: $p")
+    // the per-doc rank window is the many-partition shape — fine —
+    // and the ONE legitimate single-partition exchange is the 1-row
+    // corpus-count aggregate feeding the broadcast; a second one
+    // means the scored stream itself collapsed
+    val singles = "Exchange SinglePartition".r.findAllIn(p).size
+    assert(singles <= 1, s"q90 plans $singles single-partition exchanges: $p")
+  }
+
+  test("pagerank rounds join on keys over checkpointed leaves, never cartesian") {
+    val p = plan("q91_graph_centrality")
+    assert(!p.contains("CartesianProduct"), "q91 plans a cartesian product")
+    assert(!p.contains("BroadcastNestedLoopJoin"), "q91 plans a nested-loop join")
+    // all leaves of the iteration are checkpointed RDDs; a FileScan
+    // in the loop plan means the q54 subtree re-executes per round
+    assert(!p.contains("FileScan"), s"q91 re-reads parquet inside the iteration plan: $p")
+  }
+
+  test("vocab growth windows only the bucket frame; triplet mining aggregates, never windows") {
+    // q93: the ONE single-partition exchange is the n/1000-row bucket
+    // frame's running sum — the corpus itself must reach it only
+    // through hash aggregates
+    val p93 = plan("q93_vocab_growth")
+    val singles = "Exchange SinglePartition".r.findAllIn(p93).size
+    assert(singles <= 1, s"q93 plans $singles single-partition exchanges: $p93")
+    assert(!p93.contains("CartesianProduct"), "q93 plans a cartesian product")
+    // q94: per-query argmax is a struct-max AGGREGATE — a window here
+    // would re-shuffle the scored edges a second time
+    val p94 = plan("q94_triplet_mining")
+    assert(!p94.contains("Window"), s"q94 ranks through a window operator: $p94")
+    assert(!p94.contains("CartesianProduct"), "q94 plans a cartesian product")
+    assert(!p94.contains("BroadcastNestedLoopJoin"), "q94 plans a nested-loop join")
+  }
+
   test("map-only operators plan no data exchange beyond the rebalance and final sort") {
     // q66 is a pure per-row projection: its only exchanges are the
     // documents rebalance (round-robin) and the output orderBy

@@ -163,6 +163,48 @@ class SimilaritySpec extends AnyFunSuite {
     assert(got.forall(_.getDouble(1) > 0.0), "PageRank is strictly positive")
   }
 
+  test("q94 triplet mining equals an exact recompute from the same graph + labels") {
+    val labels = Tables(spark, sf, "embeddings").select("vec_id", "label")
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val g = operators.Similarity.q54(spark, sf)
+      .select("query_id", "neighbor_id", "cosine")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    def bestOf(es: Seq[(Long, Double)]): Option[(Long, Double)] =
+      es.sortBy { case (id, c) => (-c, id) }.headOption
+    val want = g.groupBy(_._1).map { case (q, es) =>
+      val ql = labels(q)
+      val pos = bestOf(es.toSeq.collect { case (_, n, c) if labels(n) == ql => (n, c) })
+      val neg = bestOf(es.toSeq.collect { case (_, n, c) if labels(n) != ql => (n, c) })
+      q -> (ql, pos, neg)
+    }
+    val got = operators.Similarity.q94(spark, sf).collect()
+    assert(got.length == want.size)
+    got.foreach { r =>
+      val q = r.getLong(0)
+      val (ql, pos, neg) = want(q)
+      assert(r.getInt(1) == ql)
+      def side(idIdx: Int, cosIdx: Int, w: Option[(Long, Double)]): Unit = w match {
+        case Some((id, c)) =>
+          assert(!r.isNullAt(idIdx) && r.getLong(idIdx) == id && r.getDouble(cosIdx) == c,
+            s"query $q side at $idIdx: got ${r.get(idIdx)}/${r.get(cosIdx)} want $id/$c")
+        case None => assert(r.isNullAt(idIdx), s"query $q expected null side at $idIdx")
+      }
+      side(2, 3, pos)
+      side(4, 5, neg)
+      (pos, neg) match {
+        case (Some((_, pc)), Some((_, nc))) =>
+          val m = math.floor((pc - nc) * 1e6 + 0.5) / 1e6
+          assert(r.getDouble(6) == m && r.getBoolean(7) == (pc < nc))
+        case _ => // a missing side must leave margin/violating null
+          assert(r.isNullAt(6) && r.isNullAt(7), s"query $q: margin on a one-sided triplet")
+      }
+    }
+    // the corpus must actually yield some violating triplets and some
+    // clean ones, else the operator tests nothing
+    val v = got.count(r => !r.isNullAt(7) && r.getBoolean(7))
+    assert(v > 0 && v < got.length, s"degenerate margin distribution: $v/${got.length}")
+  }
+
   test("q52 IVF ANN achieves high recall@5 against brute force") {
     val exact = operators.Similarity.q50(spark, sf).select("query_id", "neighbor_id")
     val approx = operators.Similarity.q52(spark, sf)

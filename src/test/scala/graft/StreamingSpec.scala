@@ -206,6 +206,37 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming ingest assignment is bit-identical to batch split + importance keep") {
+    import spark.implicits._
+    // batch truth: the shared assignment core over the whole corpus
+    val batch = operators.Sampling.assignCols(Tables(spark, sf, "documents"))
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(3), r.getString(4), r.getBoolean(5))))
+      .toMap
+    val dir = java.nio.file.Files.createTempDirectory("graft-assign").toString
+    val base = Tables(spark, sf, "documents").select("doc_id", "text", "lang")
+    val mid = batch.keySet.toSeq.sorted.apply(batch.size / 2)
+    base.filter(col("doc_id") < mid).coalesce(1).write.mode("append").parquet(dir)
+    base.filter(col("doc_id") >= mid).coalesce(1).write.mode("append").parquet(dir)
+    val q = streaming.AssignStream.assign(
+        spark.readStream.schema(base.schema)
+          .option("maxFilesPerTrigger", 1).parquet(dir))
+      .writeStream.format("memory").queryName("assign_out")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    val batches = q.recentProgress.count(_.numInputRows > 0)
+    q.stop()
+    assert(batches >= 2, s"replay collapsed into $batches batch(es)")
+    val got = spark.table("assign_out").collect()
+    assert(got.length == batch.size)
+    got.foreach { r =>
+      val (lang, bucket, split, kept) = batch(r.getLong(0))
+      assert(r.getString(1) == lang && r.getLong(3) == bucket &&
+        r.getString(4) == split && r.getBoolean(5) == kept,
+        s"doc ${r.getLong(0)} assignment diverges from batch")
+    }
+  }
+
   test("streaming heavy hitters satisfy the Misra-Gries envelope vs exact counts") {
     val k = operators.Events.HhK
     val q = streaming.EnrichStream.heavyHitterStream(
