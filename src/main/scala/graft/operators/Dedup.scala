@@ -469,6 +469,51 @@ object Dedup {
       .orderBy("vec_id")
   }
 
+  /** Cross-source duplication matrix — which ingestion sources
+    * duplicate which: for every unordered source pair, how many
+    * DISTINCT texts appear in both (the crawl-overlap report that
+    * decides which source to drop or down-weight before paying for
+    * dedup at 100 TB), plus each source's internal exact-dup count on
+    * the diagonal.
+    *
+    * Scale shape: one md5 projection, one (hash, source) distinct
+    * (map-side combined — the shuffle carries distinct pairs), then a
+    * self-equi-join ON THE HASH whose fan-out is bounded by #sources
+    * per hash (≤ 5 here, never corpus-sized) into a #source²-row
+    * aggregate. All integers. */
+  def q95(s: SparkSession, dir: String): DataFrame = {
+    val hs = Tables(s, dir, "documents")
+      .select(md5(col("text").cast("binary")).as("h"), col("source"))
+    val hsd = hs.distinct()
+    val pairs = hsd.as("a").join(hsd.as("b"),
+        col("a.h") === col("b.h") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("s1"), col("b.source").as("s2"))
+      .agg(count(lit(1)).as("shared_texts"))
+    val diag = hs.groupBy(col("source"), col("h"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("source").as("s1"))
+      .agg(sum(col("c") - lit(1L)).as("shared_texts"))
+      .select(col("s1"), col("s1").as("s2"), col("shared_texts"))
+    pairs.union(diag)
+      .filter(col("shared_texts") > 0)
+      .orderBy("s1", "s2")
+  }
+
+  private val q95Sql =
+    """WITH hs AS (SELECT md5(text) AS h, source FROM documents),
+       hsd AS (SELECT DISTINCT h, source FROM hs),
+       pairs AS (SELECT a.source AS s1, b.source AS s2, count(*) AS shared_texts
+                 FROM hsd a JOIN hsd b ON a.h = b.h AND a.source < b.source
+                 GROUP BY 1, 2),
+       diag AS (SELECT source AS s1, source AS s2,
+                       CAST(sum(c - 1) AS BIGINT) AS shared_texts
+                FROM (SELECT source, h, count(*) AS c FROM hs GROUP BY 1, 2)
+                GROUP BY 1, 2)
+       SELECT s1, s2, CAST(shared_texts AS BIGINT) AS shared_texts
+       FROM (SELECT * FROM pairs UNION ALL SELECT * FROM diag)
+       WHERE shared_texts > 0
+       ORDER BY s1, s2"""
+
   val qs: Seq[Q] = Seq(
     Q("q40_exact_dedup", q40, Some(q40Sql)),
     Q("q41_ngram_jaccard", q41, Some(q41Sql)),
@@ -476,5 +521,6 @@ object Dedup {
     Q("q43_simhash", q43, None),
     Q("q44_embedding_neardup", q44, Some(q44Sql)),
     Q("q45_semantic_dedup", q45, None),
-    Q("q65_neardup_clusters", q65, Some(q65Sql)))
+    Q("q65_neardup_clusters", q65, Some(q65Sql)),
+    Q("q95_source_overlap", q95, Some(q95Sql)))
 }
