@@ -22,16 +22,16 @@ object Sampling {
     * exact as a double): the ONE cross-engine md5→BIGINT pair, from
     * which the mod-1000 bucket below derives. Spark `conv` and
     * DuckDB's hex-literal cast parse the identical substring. */
-  private[operators] val RankExpr =
+  private[graft] val RankExpr =
     "CAST(conv(substring(md5(CAST(text AS BINARY)), 1, 8), 16, 10) AS BIGINT)"
   private[operators] val RankSql = "('0x' || substr(md5(text), 1, 8))::BIGINT"
 
   /** Content bucket in [0, 1000), same pair modulo 1000. */
-  private[operators] val BucketExpr = s"$RankExpr % 1000"
+  private[graft] val BucketExpr = s"$RankExpr % 1000"
   private[operators] val BucketSql = s"$RankSql % 1000"
 
   /** train/val/test fractions in thousandths: 80/10/10. */
-  private[operators] val TrainLt = 800
+  private[graft] val TrainLt = 800
   private val ValLt = 900
 
   /** Deterministic content-keyed train/val/test split. Keying on the

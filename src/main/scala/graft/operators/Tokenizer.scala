@@ -189,7 +189,71 @@ object Tokenizer {
       .orderBy("lang")
   }
 
+  /** Bigram-LM perplexity scoring — the CCNet-style LM quality
+    * filter: train an add-one-smoothed bigram model on the TRAIN
+    * split (content-keyed q66 buckets, so the score never peeks at
+    * its own document), then score every val/test document by its
+    * average negative log-likelihood per bigram. High avg-NLL marks
+    * gibberish / boilerplate; the keep flag thresholds it.
+    *
+    * p(w₂|w₁) = (c(w₁,w₂)+1) / (c(w₁)+V) — total for OOV too
+    * (0+1)/(0+V). Scale shape: the LM is two map-side-combined count
+    * aggregates over the train split (distinct-bigram-sized, corpus-
+    * sublinear — a production run would train on a sample, which is
+    * one filter on the same content buckets); scoring is an explode
+    * + two LEFT equi-joins on the count tables + one per-doc agg.
+    * Nothing quadratic, nothing collected. Docs are then bucketed
+    * head/middle/tail by avg-NLL TERCILES — CCNet's actual scheme (a
+    * fixed threshold is meaningless across corpora; this synthetic
+    * one sits entirely in [3.27, 3.65]) — via the exact distributed
+    * ntile (q30's primitive; deterministic (avg_nll, doc_id)
+    * ordering). rows-only: ln is libm — cross-engine last-ulp
+    * territory (the q19 rule) — so the spec recomputes
+    * single-threaded under tolerance and pins the exact integer
+    * columns and the tercile labels. */
+  def q96(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(s, dir, "documents")
+      .withColumn("bucket", expr(Sampling.BucketExpr))
+    val train = docs.filter(col("bucket") < Sampling.TrainLt)
+    val eval = docs.filter(col("bucket") >= Sampling.TrainLt)
+    def bigrams(d: DataFrame) = d
+      .withColumn("tkc", expr(Dedup.tokensExpr))
+      .select(col("doc_id"), explode(expr(
+        """CASE WHEN size(tkc) >= 2
+           THEN transform(sequence(1, size(tkc)-1),
+                i -> struct(element_at(tkc,i) AS w1, element_at(tkc,i+1) AS w2))
+           ELSE array() END""")).as("b"))
+      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val tb = bigrams(train)
+    val big = tb.groupBy("w1", "w2").agg(count(lit(1)).as("cb"))
+    val uni = train.select(explode(expr(Dedup.tokensExpr)).as("w1"))
+      .groupBy("w1").agg(count(lit(1)).as("cu"))
+    val v = uni.agg(countDistinct(col("w1")).as("vocab"))
+    val scored = bigrams(eval)
+      .join(big, Seq("w1", "w2"), "left")
+      .join(uni, Seq("w1"), "left")
+      .crossJoin(broadcast(v))
+      .select(col("doc_id"),
+        (-log((coalesce(col("cb"), lit(0L)) + lit(1.0)) /
+          (coalesce(col("cu"), lit(0L)) + col("vocab")))).as("nll"),
+        when(col("cb").isNull, 0L).otherwise(1L).as("seen"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum("seen").as("n_seen"),
+        ops.r6(sum("nll") / count(lit(1))).as("avg_nll"))
+    val terciled = ops.globalNtile(scored, 3, "ppl_tercile",
+      col("avg_nll"), col("doc_id"))
+    terciled
+      .withColumn("ppl_bucket",
+        when(col("ppl_tercile") === 1, "head")
+          .when(col("ppl_tercile") === 2, "middle")
+          .otherwise("tail"))
+      .drop("ppl_tercile")
+      .orderBy("doc_id")
+  }
+
   val qs: Seq[Q] = Seq(
     Q("q89_bpe_train", q89, None),
-    Q("q92_bpe_encode", q92, None))
+    Q("q92_bpe_encode", q92, None),
+    Q("q96_lm_score", q96, None))
 }

@@ -68,6 +68,61 @@ class TokenizerSpec extends AnyFunSuite {
     }
   }
 
+  test("q96 LM scores equal an exact single-threaded recompute") {
+    val rows = Tables(spark, sf, "documents")
+      .withColumn("bucket", expr(operators.Sampling.BucketExpr))
+      .withColumn("tkc", expr(operators.Dedup.tokensExpr))
+      .select("doc_id", "bucket", "tkc")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getSeq[String](2)))
+    val train = rows.filter(_._2 < 800).map(_._3)
+    val evalD = rows.filter(_._2 >= 800).map(t => (t._1, t._3))
+    val cb = collection.mutable.HashMap.empty[(String, String), Long]
+    val cu = collection.mutable.HashMap.empty[String, Long]
+    train.foreach { tk =>
+      tk.foreach(w => cu(w) = cu.getOrElse(w, 0L) + 1)
+      tk.iterator.zip(tk.iterator.drop(1)).foreach { p =>
+        cb(p) = cb.getOrElse(p, 0L) + 1
+      }
+    }
+    val v = cu.size.toLong
+    def r6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    val want: Map[Long, (Long, Long, Double)] =
+      evalD.filter(_._2.length >= 2).map { case (id, tk) =>
+        val bs = tk.iterator.zip(tk.iterator.drop(1)).toSeq
+        val nlls = bs.map { case (w1, w2) =>
+          -math.log((cb.getOrElse((w1, w2), 0L) + 1.0) / (cu.getOrElse(w1, 0L) + v))
+        }
+        id -> ((bs.length.toLong, bs.count(p => cb.contains(p)).toLong,
+          r6(nlls.sum / bs.length)))
+      }.toMap
+    val got = operators.Tokenizer.q96(spark, sf).collect()
+    assert(got.length == want.size, s"${got.length} scored docs vs ${want.size}")
+    got.foreach { r =>
+      val (nb, ns, nll) = want(r.getLong(0))
+      assert(r.getLong(1) == nb && r.getLong(2) == ns, s"doc ${r.getLong(0)} counts")
+      assert(math.abs(r.getDouble(3) - nll) <= 1.01e-6,
+        s"doc ${r.getLong(0)} avg_nll ${r.getDouble(3)} vs $nll")
+    }
+    // CCNet terciles: recompute head/middle/tail from the reference
+    // scores with the identical (avg_nll, doc_id) total order and the
+    // identical balanced-ntile cut (first n%3 buckets get the extra)
+    val orderedIds = want.toSeq.sortBy { case (id, (_, _, nll)) => (nll, id) }.map(_._1)
+    val n = orderedIds.length
+    val base = n / 3; val extra = n % 3
+    val wantBucket = orderedIds.zipWithIndex.map { case (id, i) =>
+      val t = if (i < extra * (base + 1)) i / (base + 1)
+      else extra + (i - extra * (base + 1)) / base
+      id -> Seq("head", "middle", "tail")(t)
+    }.toMap
+    got.foreach { r =>
+      assert(r.getString(4) == wantBucket(r.getLong(0)),
+        s"doc ${r.getLong(0)} tercile ${r.getString(4)} vs ${wantBucket(r.getLong(0))}")
+    }
+    // all three buckets must be populated (the whole point of the op)
+    assert(got.map(_.getString(4)).distinct.sorted.toSeq == Seq("head", "middle", "tail").sorted)
+  }
+
   test("mergePass applies left-to-right non-overlapping semantics") {
     import operators.Tokenizer.mergePass
     assert(mergePass(Seq("a", "a", "a"), "a", "a") == Seq("aa", "a"))
