@@ -804,6 +804,54 @@ object Sampling {
               CAST(sum(CASE WHEN kept THEN n ELSE 0 END) AS BIGINT) AS kept_tokens
        FROM k GROUP BY lang ORDER BY lang"""
 
+  /** Document NOVELTY scoring — the curation-priority signal: what
+    * fraction of a document's distinct 8-grams occur for the FIRST
+    * time (by doc_id ingestion order) in that document. Novelty ~1 =
+    * genuinely new content; ~0 = recombination of already-ingested
+    * text (boilerplate, quotes, template spam) — the soft, ranked
+    * complement of q81's hard repeated-span cut.
+    *
+    * Same first-occurrence rewrite as q93 one level down (grams, not
+    * words): min(doc_id) per gram is one wordcount-shaped groupBy;
+    * crediting it back is an equi-join on the gram. Linear in corpus
+    * grams, never doc×doc; all-integer counts with one final r6
+    * ratio spelled identically in both engines. Docs with <8 tokens
+    * have no grams: n_grams=0, novelty NULL (kept, not dropped — the
+    * report is per-document). */
+  def q97(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(s, dir, "documents")
+      .withColumn("tk", expr(Dedup.tokensExpr))
+    val dg = docs.select(col("doc_id"), explode(expr(gramExpr)).as("g"))
+    val firsts = dg.groupBy("g").agg(min("doc_id").as("first_doc"))
+    val per = dg.join(firsts, "g")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L)).as("n_novel"))
+    docs.select("doc_id")
+      .join(per, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_novel"), lit(0L)).as("n_novel"),
+        ops.r6(col("n_novel") * lit(1.0) / col("n_grams")).as("novelty"))
+      .orderBy("doc_id")
+  }
+
+  private val q97Sql =
+    s"""WITH t AS (SELECT doc_id, list_filter(string_split(text,' '), x -> x<>'') AS tk
+         FROM documents),
+       dg AS (SELECT DISTINCT doc_id, $gramSql AS g
+              FROM t, UNNEST(range(1, len(tk)-${GramN - 2})) AS r(i)),
+       fw AS (SELECT g, min(doc_id) AS first_doc FROM dg GROUP BY 1),
+       per AS (SELECT doc_id, count(*) AS n_grams,
+                      sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END) AS n_novel
+               FROM dg JOIN fw USING (g) GROUP BY 1)
+       SELECT t.doc_id,
+              CAST(coalesce(n_grams, 0) AS BIGINT) AS n_grams,
+              CAST(coalesce(n_novel, 0) AS BIGINT) AS n_novel,
+              ${ops.R6("coalesce(n_novel, 0)*1.0 / n_grams")} AS novelty
+       FROM t LEFT JOIN per ON t.doc_id = per.doc_id
+       ORDER BY t.doc_id"""
+
   val qs: Seq[Q] = Seq(
     Q("q66_train_split", q66, Some(q66Sql)),
     Q("q67_stratified_sample", q67, Some(q67Sql)),
@@ -817,5 +865,6 @@ object Sampling {
     Q("q82_chunk_overlap", q82, Some(q82Sql)),
     Q("q83_sample_per_stratum", q83, Some(q83Sql)),
     Q("q86_fuzzy_decontaminate", q86, Some(q86Sql)),
-    Q("q88_importance_sample", q88, Some(q88Sql)))
+    Q("q88_importance_sample", q88, Some(q88Sql)),
+    Q("q97_novelty", q97, Some(q97Sql)))
 }
