@@ -429,7 +429,7 @@ object Similarity {
     * extreme-scale knob where per-vector probe volume stays nprobe·B
     * regardless of corpus growth (see [[q54]]'s Scaladoc; the recall
     * equivalence of the two modes is spec-tested at sf0.001). */
-  private[operators] def ivfCellsOf(s: SparkSession, e0: DataFrame,
+  private[graft] def ivfCellsOf(s: SparkSession, e0: DataFrame,
       cellSize: Option[Int] = None): (DataFrame, Array[Array[Double]]) = {
     import s.implicits._
     val iters = 3
@@ -717,6 +717,38 @@ object Similarity {
       .orderBy("query_id")
   }
 
+  /** Quota per semantic cell for q98. */
+  private[graft] val DivK = 10
+
+  /** Semantic-DIVERSITY sampling — q83's embedding-space sibling:
+    * instead of K docs per LANGUAGE, keep K vectors per k-means cell
+    * of embedding space, so the sample covers every semantic region
+    * instead of mirroring the corpus's topic skew (the "diverse
+    * subset" selection step of curation pipelines, SemDeDup's
+    * sampling complement).
+    *
+    * Reuses the shared IVF cell fit (q45/q52/q54) and ranks within a
+    * cell by the md5 hash of the vec_id — deterministic pseudorandom
+    * order, so reruns and re-partitioning pick the same sample and no
+    * id-ordering bias leaks in. Per-cell top-K through the k-bounded
+    * TopK aggregate (map-side partials; never a #cells-partition
+    * window). rows-only (cells are k-means-dependent);
+    * SimilaritySpec recomputes the selection exactly from the same
+    * cell assignment. */
+  def q98(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TopK
+    val (cells, _) = ivfCellsOf(s, Tables(s, dir, "embeddings"), None)
+    cells
+      .select(col("cid"), col("vec_id"),
+        expr("CAST(conv(substring(md5(CAST(CAST(vec_id AS STRING) AS BINARY)), 1, 8), 16, 10) AS BIGINT)").as("h"))
+      .groupBy("cid")
+      .agg(TopK.topk(DivK)(-col("h").cast("double"), col("vec_id")).as("top"))
+      .select(col("cid"), posexplode(col("top")))
+      .select(col("cid"), (col("pos") + 1).as("rank"), col("col.id").as("vec_id"),
+        (-col("col.score")).cast("long").as("h"))
+      .orderBy("cid", "rank")
+  }
+
   val qs: Seq[Q] = Seq(
     Q("q50_knn_brute", q50, Some(q50Sql)),
     Q("q51_knn_lsh", q51, None),
@@ -724,5 +756,6 @@ object Similarity {
     Q("q53_knn_pq", q53, None),
     Q("q54_knn_graph", q54, None),
     Q("q91_graph_centrality", q91, None),
-    Q("q94_triplet_mining", q94, None))
+    Q("q94_triplet_mining", q94, None),
+    Q("q98_diversity_sample", q98, None))
 }

@@ -205,6 +205,28 @@ class SimilaritySpec extends AnyFunSuite {
     assert(v > 0 && v < got.length, s"degenerate margin distribution: $v/${got.length}")
   }
 
+  test("q98 diversity sample equals an exact per-cell selection from the same cells") {
+    val (cells, _) = operators.Similarity.ivfCellsOf(
+      spark, Tables(spark, sf, "embeddings"), None)
+    val assign = cells.select("cid", "vec_id").collect()
+      .map(r => (r.getInt(0), r.getLong(1)))
+    def h(id: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(8), 16)
+    }
+    val want = assign.groupBy(_._1).toSeq.flatMap { case (cid, vs) =>
+      vs.map(_._2).toSeq.sortBy(v => (h(v), v)).take(operators.Similarity.DivK)
+        .zipWithIndex.map { case (v, i) => (cid, i + 1, v, h(v)) }
+    }.toSet
+    val got = operators.Similarity.q98(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got == want, s"selection diverges: ${got.diff(want).take(5)} vs ${want.diff(got).take(5)}")
+    // every cell is represented (the point of diversity sampling)
+    assert(got.map(_._1) == assign.map(_._1).toSet)
+  }
+
   test("q52 IVF ANN achieves high recall@5 against brute force") {
     val exact = operators.Similarity.q50(spark, sf).select("query_id", "neighbor_id")
     val approx = operators.Similarity.q52(spark, sf)
