@@ -237,6 +237,53 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming novelty undercounts batch q97 only by Bloom false positives") {
+    // batch truth (exact first-occurrence novelty, doc_id order)
+    val exact = operators.Sampling.q97(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val dir = java.nio.file.Files.createTempDirectory("graft-novelty").toString
+    val base = Tables(spark, sf, "documents").select("doc_id", "text")
+    val mid = exact.keySet.toSeq.sorted.apply(exact.size / 2)
+    // files must arrive in doc_id order for stream/batch parity
+    base.filter(col("doc_id") < mid).coalesce(1).write.mode("append").parquet(dir + "/b0")
+    base.filter(col("doc_id") >= mid).coalesce(1).write.mode("append").parquet(dir + "/b1")
+    val got = collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.Row]
+    val scorer = new streaming.NoveltyStream.Scorer(spark)
+    for (b <- Seq("b0", "b1"))
+      got ++= scorer.scoreBatch(spark.read.parquet(dir + "/" + b))
+    val byDoc = got.map(r => r.getLong(0) -> r).toMap
+    assert(byDoc.size == exact.count(_._2._1 > 0L), "every grammed doc scored once")
+    var undercount = 0L
+    var totalGrams = 0L
+    byDoc.foreach { case (id, r) =>
+      val (ng, novel) = exact(id)
+      assert(r.getLong(1) == ng, s"doc $id gram count")
+      val est = r.getLong(2)
+      assert(est <= novel, s"doc $id overcounts novelty: $est > $novel")
+      assert(r.getDouble(3) == math.floor((est * 1.0 / ng) * 1e6 + 0.5) / 1e6)
+      undercount += novel - est
+      totalGrams += ng
+    }
+    // one-sided Bloom error budget: E[FP] = totalGrams * fpp; allow 50x
+    val budget = math.max(5L, (totalGrams * streaming.NoveltyStream.NoveltyFpp * 50).toLong)
+    assert(undercount <= budget, s"undercount $undercount exceeds Bloom budget $budget")
+  }
+
+  test("streaming novelty via the foreachBatch guard matches the scorer driven directly") {
+    import org.apache.spark.sql.Row
+    val dir = java.nio.file.Files.createTempDirectory("graft-novelty2").toString
+    val base = Tables(spark, sf, "documents").select("doc_id", "text")
+    base.coalesce(1).write.mode("append").parquet(dir)
+    val sunk = collection.mutable.ArrayBuffer.empty[Row]
+    val q = streaming.NoveltyStream.guard(
+      spark.readStream.schema(base.schema).parquet(dir),
+      rows => sunk.synchronized { sunk ++= rows })
+    q.processAllAvailable(); q.stop()
+    val direct = new streaming.NoveltyStream.Scorer(spark)
+      .scoreBatch(spark.read.parquet(dir))
+    assert(sunk.toSet == direct.toSet, "guard wiring diverges from the scorer")
+  }
+
   test("streaming heavy hitters satisfy the Misra-Gries envelope vs exact counts") {
     val k = operators.Events.HhK
     val q = streaming.EnrichStream.heavyHitterStream(
