@@ -13,7 +13,7 @@ object TextOps {
 
   private val tk = Dedup.tokensExpr
 
-  private[operators] val stopEn = Seq("the", "a", "of", "and", "to", "in", "is", "for")
+  private[graft] val stopEn = Seq("the", "a", "of", "and", "to", "in", "is", "for")
   private val stopEs = Seq("el", "la", "de", "y", "en", "que", "los", "del")
   private val stopDe = Seq("der", "die", "und", "das", "von", "mit", "ist", "den")
   private val stopFr = Seq("le", "la", "de", "et", "les", "des", "un", "une")

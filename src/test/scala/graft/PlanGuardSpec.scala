@@ -169,6 +169,24 @@ class PlanGuardSpec extends AnyFunSuite {
     assert(!p94.contains("BroadcastNestedLoopJoin"), "q94 plans a nested-loop join")
   }
 
+  test("LM scoring, novelty, and diversity sampling keep their aggregate shapes") {
+    // q96: LM tables join via equi-keys; the 1-row vocab count rides
+    // a broadcast — nothing may plan cartesian
+    val p96 = plan("q96_lm_score")
+    assert(!p96.contains("CartesianProduct"), "q96 plans a cartesian product")
+    // q97: two wordcount-shaped groupBys + an equi-join; no cartesian,
+    // no single-partition collapse beyond the output sort
+    val p97 = plan("q97_novelty")
+    assert(!p97.contains("CartesianProduct"), "q97 plans a cartesian product")
+    assert(!p97.contains("BroadcastNestedLoopJoin"), "q97 plans a nested-loop join")
+    assert(!p97.contains("Exchange SinglePartition"), s"q97 collapses to one partition: $p97")
+    // q98: per-cell ranking through the bounded TopK aggregate, never
+    // a #cells-partition window
+    val p98 = plan("q98_diversity_sample")
+    assert(!p98.contains("Window"), s"q98 ranks through a window operator: $p98")
+    assert(p98.contains("ObjectHashAggregate"), s"q98 lost the bounded top-k aggregate: $p98")
+  }
+
   test("map-only operators plan no data exchange beyond the rebalance and final sort") {
     // q66 is a pure per-row projection: its only exchanges are the
     // documents rebalance (round-robin) and the output orderBy

@@ -284,6 +284,28 @@ class StreamingSpec extends AnyFunSuite {
     assert(sunk.toSet == direct.toSet, "guard wiring diverges from the scorer")
   }
 
+  test("live corpus card converges to the batch card on the same documents") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-card").toString
+    val base = Tables(spark, sf, "documents").select("doc_id", "text", "lang")
+    val mid = base.agg(expr("percentile(doc_id, 0.5)")).collect()(0).getDouble(0).toLong
+    base.filter(col("doc_id") < mid).coalesce(1).write.mode("append").parquet(dir)
+    base.filter(col("doc_id") >= mid).coalesce(1).write.mode("append").parquet(dir)
+    val q = streaming.CardStream.card(
+        spark.readStream.schema(base.schema)
+          .option("maxFilesPerTrigger", 1).parquet(dir))
+      .writeStream.format("memory").queryName("card_out")
+      .outputMode("complete").start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("card_out").collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))))
+      .toMap
+    val want = streaming.CardStream.card(base).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))))
+      .toMap
+    assert(got == want, s"live card diverges from batch: $got vs $want")
+    assert(want.values.map(_._1).sum == base.count())
+  }
+
   test("streaming heavy hitters satisfy the Misra-Gries envelope vs exact counts") {
     val k = operators.Events.HhK
     val q = streaming.EnrichStream.heavyHitterStream(
