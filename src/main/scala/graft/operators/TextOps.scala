@@ -697,6 +697,49 @@ object TextOps {
        FROM tb LEFT JOIN nb USING (bucket)
        ORDER BY bucket"""
 
+  /** Deflate parameters for q99 — FIXED so the ratio is a pure
+    * function of the bytes: level 6, default strategy, one stream. */
+  private[graft] val ZLevel = 6
+
+  /** Compress a byte array with the q99 contract; returns the
+    * compressed length. Deterministic for fixed input/level. */
+  private[graft] def deflateLen(bytes: Array[Byte]): Long = {
+    val d = new java.util.zip.Deflater(ZLevel)
+    d.setInput(bytes); d.finish()
+    val buf = new Array[Byte](8192)
+    var total = 0L
+    while (!d.finished()) total += d.deflate(buf)
+    d.end()
+    total
+  }
+
+  /** Compression-ratio quality signal (the Gopher/RefinedWeb
+    * heuristic): highly repetitive or templated text deflates far
+    * below natural prose, so compressed/raw is a cheap, vocabulary-
+    * free repetitiveness score — the byte-level complement of q71's
+    * token-ratio filter. Map-only `mapPartitions` (one Deflater per
+    * partition batch, no shuffle — at 100 TB this is a single pass);
+    * deterministic: fixed level/strategy makes the compressed length
+    * a pure function of the bytes. rows-only (no SQL engine exposes
+    * deflate); the spec recomputes with the identical JVM call. */
+  def q99(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables(s, dir, "documents")
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        it.map { case (id, text) =>
+          val raw = text.getBytes("UTF-8")
+          val comp = deflateLen(raw)
+          (id, raw.length.toLong, comp)
+        }
+      }
+      .toDF("doc_id", "n_bytes", "n_compressed")
+      .select(col("doc_id"), col("n_bytes"), col("n_compressed"),
+        ops.r6(col("n_compressed") * lit(1.0) / col("n_bytes")).as("ratio"))
+      .orderBy("doc_id")
+  }
+
   val qs: Seq[Q] = Seq(
     Q("q60_text_quality", q60, Some(q60Sql)),
     Q("q61_lang_id", q61, Some(q61Sql)),
@@ -710,5 +753,6 @@ object TextOps {
     Q("q85_normalize_text", q85, Some(q85Sql)),
     Q("q87_merge_pairs", q87, Some(q87Sql)),
     Q("q90_keywords", q90, Some(q90Sql)),
-    Q("q93_vocab_growth", q93, Some(q93Sql)))
+    Q("q93_vocab_growth", q93, Some(q93Sql)),
+    Q("q99_compression_ratio", q99, None))
 }

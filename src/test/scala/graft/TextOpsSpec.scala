@@ -6,6 +6,41 @@ import org.apache.spark.sql.functions._
 class TextOpsSpec extends AnyFunSuite {
   import TestSpark.{spark, sf}
 
+  test("q99 compression ratio equals a per-doc JVM deflate recompute") {
+    val texts = Tables(spark, sf, "documents").select("doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val got = operators.TextOps.q99(spark, sf).collect()
+    assert(got.length == texts.size)
+    got.foreach { r =>
+      val raw = texts(r.getLong(0)).getBytes("UTF-8")
+      val comp = operators.TextOps.deflateLen(raw)
+      assert(r.getLong(1) == raw.length.toLong, s"doc ${r.getLong(0)} byte count")
+      assert(r.getLong(2) == comp, s"doc ${r.getLong(0)} compressed length")
+      assert(r.getDouble(3) ==
+        math.floor((comp * 1.0 / raw.length) * 1e6 + 0.5) / 1e6)
+    }
+    // natural prose should deflate but not vanish; a constant-ratio
+    // corpus would mean the signal is degenerate
+    val ratios = got.map(_.getDouble(3))
+    assert(ratios.forall(x => x > 0.0 && x < 1.5))
+    assert(ratios.distinct.length > 10, "compression ratios are degenerate")
+  }
+
+  test("q99 separates repetitive text from prose") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the " * 500),                                   // pure repetition
+      (2L, (1 to 400).map(i => s"w${i * 7919 % 9973}").mkString(" ")) // high-entropy
+    ).toDF("doc_id", "text")
+    val rows = docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .map { case (id, t) =>
+        val raw = t.getBytes("UTF-8")
+        (id, operators.TextOps.deflateLen(raw) * 1.0 / raw.length)
+      }.collect().toMap
+    assert(rows(1L) < 0.05, s"repetition ratio ${rows(1L)}")
+    assert(rows(2L) > 4 * rows(1L), s"prose ${rows(2L)} vs repetition ${rows(1L)}")
+  }
+
   test("every text query returns rows at sf0.001") {
     operators.TextOps.qs.foreach { q =>
       assert(q.fn(spark, sf).count() > 0, s"${q.name} returned no rows")
