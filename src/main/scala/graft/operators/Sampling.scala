@@ -852,6 +852,49 @@ object Sampling {
        FROM t LEFT JOIN per ON t.doc_id = per.doc_id
        ORDER BY t.doc_id"""
 
+  /** Temperature-sampled language mixture weights (the mBERT/XLM
+    * exponentiated-share scheme): sampled share ∝ (token share)^α
+    * flattens the language distribution so low-resource languages
+    * up-sample; the report gives each language's natural share,
+    * sampled share, and the implied up/down-sampling factor.
+    *
+    * α = 0.5, DELIBERATELY: sqrt is the one power both engines
+    * compute IEEE-correctly-rounded, and flooring it to an integer
+    * (exact for n < 2⁵², and exactly representable at perfect
+    * squares) keeps every aggregate in the integer domain — Σ√ as a
+    * sum of BIGINTs, not the order-dependent double sum CLAUDE.md
+    * retired. Each share then divides exact integers ONCE. One
+    * 5-row aggregate over per-row token counts: map-only + a tiny
+    * broadcast total at any scale. */
+  def q100(s: SparkSession, dir: String): DataFrame = {
+    val lt = Tables(s, dir, "documents")
+      .withColumn("n", expr(s"CAST(size(${Dedup.tokensExpr}) AS BIGINT)"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"), sum("n").as("n_tokens"))
+      .withColumn("isq", expr("CAST(floor(sqrt(n_tokens)) AS BIGINT)"))
+    val tot = lt.agg(sum("n_tokens").as("tt"), sum("isq").as("ts"))
+    lt.crossJoin(broadcast(tot))
+      .select(col("lang"), col("n_docs"), col("n_tokens"),
+        ops.r6(col("n_tokens") * lit(1.0) / col("tt")).as("natural_share"),
+        ops.r6(col("isq") * lit(1.0) / col("ts")).as("sampled_share"),
+        ops.r6((col("isq") * lit(1.0) / col("ts")) /
+          (col("n_tokens") * lit(1.0) / col("tt"))).as("upsample_factor"))
+      .orderBy("lang")
+  }
+
+  private val q100Sql =
+    s"""WITH lt AS (SELECT lang, count(*) AS n_docs,
+         sum(len(list_filter(string_split(text,' '), x -> x<>''))) AS n_tokens
+       FROM documents GROUP BY 1),
+       l2 AS (SELECT lang, n_docs, n_tokens,
+                     CAST(floor(sqrt(n_tokens)) AS BIGINT) AS isq FROM lt),
+       tot AS (SELECT sum(n_tokens) AS tt, sum(isq) AS ts FROM l2)
+       SELECT lang, n_docs, CAST(n_tokens AS BIGINT) AS n_tokens,
+              ${ops.R6("n_tokens*1.0 / tt")} AS natural_share,
+              ${ops.R6("isq*1.0 / ts")} AS sampled_share,
+              ${ops.R6("(isq*1.0 / ts) / (n_tokens*1.0 / tt)")} AS upsample_factor
+       FROM l2, tot ORDER BY lang"""
+
   val qs: Seq[Q] = Seq(
     Q("q66_train_split", q66, Some(q66Sql)),
     Q("q67_stratified_sample", q67, Some(q67Sql)),
@@ -866,5 +909,6 @@ object Sampling {
     Q("q83_sample_per_stratum", q83, Some(q83Sql)),
     Q("q86_fuzzy_decontaminate", q86, Some(q86Sql)),
     Q("q88_importance_sample", q88, Some(q88Sql)),
-    Q("q97_novelty", q97, Some(q97Sql)))
+    Q("q97_novelty", q97, Some(q97Sql)),
+    Q("q100_mix_weights", q100, Some(q100Sql)))
 }
