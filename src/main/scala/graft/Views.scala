@@ -21,12 +21,16 @@ object Views {
   val tableNames: Seq[String] = Seq("region", "nation", "customer", "supplier",
     "part", "orders", "lineitem", "events", "documents", "embeddings")
 
-  /** Operators whose fn runs driver-side jobs at plan construction. */
+  /** Operators whose fn runs driver-side jobs at plan construction
+    * (iterative loops, collected histograms/signatures, sketch
+    * builds, ML fits). */
   val eagerOperators: Set[String] = Set("q65_neardup_clusters", "q68_corpus_keep",
     "q75_assemble", "q89_bpe_train", "q91_graph_centrality", "q92_bpe_encode",
     "q96_lm_score", "q30_rfm_segments", "q33_kmeans_rfm", "q34_als_recs",
     "q35_kmeans_anomaly", "q45_semantic_dedup", "q52_knn_ivf", "q53_knn_pq",
-    "q54_knn_graph", "q94_triplet_mining", "q98_diversity_sample")
+    "q54_knn_graph", "q94_triplet_mining", "q98_diversity_sample",
+    "q50_knn_brute", "q51_knn_lsh", "q72_mix_budget", "q74_pack_sequences",
+    "q77_bloom_decontaminate")
 
   /** Register the raw tables and the named operators (default: every
     * LAZY operator) as temp views on this session. */

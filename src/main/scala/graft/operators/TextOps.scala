@@ -701,16 +701,23 @@ object TextOps {
     * function of the bytes: level 6, default strategy, one stream. */
   private[graft] val ZLevel = 6
 
-  /** Compress a byte array with the q99 contract; returns the
-    * compressed length. Deterministic for fixed input/level. */
-  private[graft] def deflateLen(bytes: Array[Byte]): Long = {
-    val d = new java.util.zip.Deflater(ZLevel)
+  /** Compress a byte array with the q99 contract on a CALLER-OWNED
+    * (resettable) Deflater; returns the compressed length.
+    * Deterministic for fixed input/level, and `reset()` restores the
+    * exact initial stream state, so reuse cannot change the result. */
+  private[graft] def deflateLenWith(d: java.util.zip.Deflater, bytes: Array[Byte]): Long = {
+    d.reset()
     d.setInput(bytes); d.finish()
     val buf = new Array[Byte](8192)
     var total = 0L
     while (!d.finished()) total += d.deflate(buf)
-    d.end()
     total
+  }
+
+  /** One-shot form for specs/small callers. */
+  private[graft] def deflateLen(bytes: Array[Byte]): Long = {
+    val d = new java.util.zip.Deflater(ZLevel)
+    try deflateLenWith(d, bytes) finally d.end()
   }
 
   /** Compression-ratio quality signal (the Gopher/RefinedWeb
@@ -728,10 +735,16 @@ object TextOps {
       .select(col("doc_id"), col("text"))
       .as[(Long, String)]
       .mapPartitions { it =>
+        // ONE native Deflater per partition, reset per row — per-doc
+        // construction would pay a JNI zlib-state alloc per row;
+        // released at task completion (the iterator may not be drained
+        // on task failure, so end() can't ride the last element)
+        val d = new java.util.zip.Deflater(ZLevel)
+        Option(org.apache.spark.TaskContext.get())
+          .foreach(_.addTaskCompletionListener[Unit](_ => d.end()))
         it.map { case (id, text) =>
           val raw = text.getBytes("UTF-8")
-          val comp = deflateLen(raw)
-          (id, raw.length.toLong, comp)
+          (id, raw.length.toLong, deflateLenWith(d, raw))
         }
       }
       .toDF("doc_id", "n_bytes", "n_compressed")

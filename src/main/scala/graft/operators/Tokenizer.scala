@@ -56,12 +56,31 @@ object Tokenizer {
     out.toSeq
   }
 
+  /** Unsigned UTF-8 byte ordering — Spark's binary string collation,
+    * which the distributed arg-max tie-break sorts by. The local
+    * reference MUST use the same order: Java String ordering (UTF-16
+    * code units) diverges for supplementary-plane characters, and a
+    * count tie broken differently would fork the merge sequence. */
+  private[graft] def utf8Lt(a: String, b: String): Boolean = {
+    val x = a.getBytes("UTF-8"); val y = b.getBytes("UTF-8")
+    val n = math.min(x.length, y.length)
+    var i = 0
+    while (i < n) {
+      val c = (x(i) & 0xff) - (y(i) & 0xff)
+      if (c != 0) return c < 0
+      i += 1
+    }
+    x.length < y.length
+  }
+
   /** The same trainer run single-threaded on an in-memory histogram —
     * the spec's exact reference. Returns (rank, left, right, merged,
     * pair_count). */
   private[graft] def localBpe(hist: Seq[(String, Long)], rounds: Int): Seq[(Int, String, String, String, Long)] = {
     var words = hist.map { case (w, c) => (w.split("").toSeq, c) }
     val out = collection.mutable.ArrayBuffer.empty[(Int, String, String, String, Long)]
+    implicit val byUtf8: Ordering[String] = (a: String, b: String) =>
+      if (utf8Lt(a, b)) -1 else if (utf8Lt(b, a)) 1 else 0
     var rank = 1
     var done = false
     while (rank <= rounds && !done) {

@@ -72,15 +72,21 @@ object NoveltyStream {
         .collect()
       // absorb: partition-local sketches built with the SAME
       // (expected, fpp) as the state filter (stat.bloomFilter sizes
-      // its bits differently and refuses to merge), reduced into one
-      val batchBloom = dg.select("g").as[String].rdd
+      // its bits differently and refuses to merge), collected and
+      // merged driver-side — collect (unlike RDD.reduce) is total on
+      // an EMPTY batch (zero partitions), which a restart replay or
+      // an idle trigger can legitimately deliver
+      dg.select("g").as[String].rdd
         .mapPartitions { it =>
-          val f = BloomFilter.create(NoveltyExpected, NoveltyFpp)
-          it.foreach(f.putString)
-          Iterator.single(f)
+          if (it.isEmpty) Iterator.empty
+          else {
+            val f = BloomFilter.create(NoveltyExpected, NoveltyFpp)
+            it.foreach(f.putString)
+            Iterator.single(f)
+          }
         }
-        .reduce { (a, b) => a.mergeInPlace(b); a }
-      seen.mergeInPlace(batchBloom)
+        .collect()
+        .foreach(seen.mergeInPlace)
       dg.unpersist()
       out
     }
