@@ -29,7 +29,7 @@ object Views {
     "q96_lm_score", "q30_rfm_segments", "q33_kmeans_rfm", "q34_als_recs",
     "q35_kmeans_anomaly", "q45_semantic_dedup", "q52_knn_ivf", "q53_knn_pq",
     "q54_knn_graph", "q94_triplet_mining", "q98_diversity_sample",
-    "q50_knn_brute", "q51_knn_lsh", "q72_mix_budget", "q74_pack_sequences",
+    "q51_knn_lsh", "q72_mix_budget", "q74_pack_sequences",
     "q77_bloom_decontaminate")
 
   /** Register the raw tables and the named operators (default: every
