@@ -123,6 +123,24 @@ class TokenizerSpec extends AnyFunSuite {
     assert(got.map(_.getString(4)).distinct.sorted.toSeq == Seq("head", "middle", "tail").sorted)
   }
 
+  test("mergePass invariants hold over random symbol streams") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val sym = Gen.oneOf("a", "b", "c", "ab", "ba")
+    val seqs = Gen.listOf(sym)
+    val prop = Prop.forAll(seqs, sym, sym) { (xs: List[String], l: String, r: String) =>
+      val out = operators.Tokenizer.mergePass(xs, l, r)
+      // concatenation preserved; greedy left-to-right removal leaves
+      // no (l, r) adjacency (a merged token lr can never equal l — r
+      // is nonempty — nor r, so no new adjacency forms); idempotent
+      out.mkString == xs.mkString &&
+        !out.iterator.zip(out.iterator.drop(1))
+          .exists { case (x, y) => x == l && y == r } &&
+        operators.Tokenizer.mergePass(out, l, r) == out
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(300), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("mergePass applies left-to-right non-overlapping semantics") {
     import operators.Tokenizer.mergePass
     assert(mergePass(Seq("a", "a", "a"), "a", "a") == Seq("aa", "a"))
