@@ -514,6 +514,58 @@ object Dedup {
        WHERE shared_texts > 0
        ORDER BY s1, s2"""
 
+  /** Lexical-vs-semantic near-dup AGREEMENT — the calibration report
+    * that justifies running both detector families at 100 TB: pairs
+    * flagged by the 3-gram Jaccard detector (q41), by the embedding
+    * cosine detector (q44), or by both. The two detectors see
+    * different rewrites — token edits break shingles but not
+    * meaning; translation/paraphrase breaks both differently — so
+    * 'both' measures redundancy and each '_only' bucket measures
+    * what dropping that detector would silently miss.
+    *
+    * Exploits the corpus contract doc_id ≡ vec_id (1:1 text ↔
+    * embedding). Composition of two verified operators + one
+    * pair-keyed full-outer join and a 3-row aggregate — both inputs
+    * are their existing linear pipelines. Oracle = the two oracle
+    * CTE texts composed, so the gate re-proves both detectors AND
+    * the join. */
+  def q101(s: SparkSession, dir: String): DataFrame = {
+    val lex = q41(s, dir).select(col("d1"), col("d2"), lit(true).as("lex"))
+    val sem = q44(s, dir)
+      .select(col("id1").as("d1"), col("id2").as("d2"), lit(true).as("sem"))
+    lex.join(sem, Seq("d1", "d2"), "full_outer")
+      .select(
+        when(col("lex").isNotNull && col("sem").isNotNull, "both")
+          .when(col("lex").isNotNull, "lexical_only")
+          .otherwise("semantic_only").as("category"))
+      .groupBy("category").agg(count(lit(1)).as("n_pairs"))
+      .orderBy("category")
+  }
+
+  private val q101Sql = {
+    val cos = """list_inner_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
+       (sqrt(list_inner_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
+        sqrt(list_inner_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[])))"""
+    s"""WITH $shingleCte,
+       sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+       pairs AS (SELECT a.doc_id d1, b.doc_id d2, count(*) c
+                 FROM sh a JOIN sh b ON a.s=b.s AND a.doc_id < b.doc_id GROUP BY 1,2),
+       lex AS (SELECT d1, d2 FROM pairs
+               JOIN sz n1 ON d1=n1.doc_id JOIN sz n2 ON d2=n2.doc_id
+               WHERE c*1.0/(n1.n + n2.n - c) >= $JaccThr),
+       sem AS (SELECT a.vec_id AS d1, b.vec_id AS d2
+               FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+               WHERE $cos >= $CosThr),
+       u AS (SELECT coalesce(l.d1, s.d1) AS d1, coalesce(l.d2, s.d2) AS d2,
+                    l.d1 IS NOT NULL AS in_lex, s.d1 IS NOT NULL AS in_sem
+             FROM lex l FULL OUTER JOIN sem s ON l.d1 = s.d1 AND l.d2 = s.d2)
+       SELECT CASE WHEN in_lex AND in_sem THEN 'both'
+                   WHEN in_lex THEN 'lexical_only'
+                   ELSE 'semantic_only' END AS category,
+              count(*) AS n_pairs
+       FROM u GROUP BY 1 ORDER BY 1"""
+  }
+
   val qs: Seq[Q] = Seq(
     Q("q40_exact_dedup", q40, Some(q40Sql)),
     Q("q41_ngram_jaccard", q41, Some(q41Sql)),
@@ -522,5 +574,6 @@ object Dedup {
     Q("q44_embedding_neardup", q44, Some(q44Sql)),
     Q("q45_semantic_dedup", q45, None),
     Q("q65_neardup_clusters", q65, Some(q65Sql)),
-    Q("q95_source_overlap", q95, Some(q95Sql)))
+    Q("q95_source_overlap", q95, Some(q95Sql)),
+    Q("q101_dedup_agreement", q101, Some(q101Sql)))
 }
