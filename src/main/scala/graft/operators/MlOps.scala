@@ -303,11 +303,64 @@ object MlOps {
       .orderBy("o_custkey", "rank")
   }
 
+  /** Trained TEXT CLASSIFIER — classifier-based corpus filtering, the
+    * GPT-3/CCNet-pipeline move: train a linear model on hashed
+    * bag-of-words features and score every document. The target here
+    * is the q68 quality gate (q60's rounded quality_score ≥ 0.4) —
+    * the rule→classifier DISTILLATION pattern real pipelines use to
+    * bootstrap a filter from heuristics, and the one label this
+    * corpus makes honestly learnable (the synthetic `lang`/`source`
+    * columns are assigned independently of content — a
+    * content-feature model on them can only learn chance, measured
+    * 0.54). Swapping the label column for a curated-vs-crawl
+    * provenance flag gives the GPT-3 variant unchanged.
+    *
+    * Leakage discipline: trained ONLY on q66's content-keyed train
+    * buckets — byte-identical duplicates of a holdout doc can never
+    * reach training (the same rule the corpus split itself uses), so
+    * holdout accuracy is honest.
+    *
+    * Scale shape: HashingTF(2^15) keeps features sparse and the
+    * coefficient vector a fixed ~256 KB broadcast regardless of
+    * corpus size; training is MLlib LBFGS (distributed gradient
+    * treeAggregate over the train split); scoring is map-only with
+    * the broadcast model — no shuffle in the whole scoring pass.
+    * Cross-partition FP gradient accumulation makes the last
+    * coefficient ulps partitioning-dependent → rows-only; the spec
+    * pins holdout accuracy ≥ 0.9 against the rule label and
+    * prediction/probability internal consistency. */
+  def q105(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.ml.classification.LogisticRegression
+    import org.apache.spark.ml.feature.HashingTF
+    import org.apache.spark.ml.functions.vector_to_array
+    val label = TextOps.q60(s, dir)
+      .select(col("doc_id"),
+        (col("quality_score") >= Sampling.QualityThr.toDouble).as("is_keep"))
+    val docs = Tables(s, dir, "documents")
+      .withColumn("bucket", expr(Sampling.BucketExpr))
+      .withColumn("tk", expr(Dedup.tokensExpr))
+      .join(label, "doc_id")
+      .withColumn("label", when(col("is_keep"), 1.0).otherwise(0.0))
+    val feat = new HashingTF().setInputCol("tk").setOutputCol("features")
+      .setNumFeatures(1 << 15).transform(docs)
+    val model = new LogisticRegression().setMaxIter(20).setRegParam(1e-4)
+      .setFeaturesCol("features").setLabelCol("label")
+      .fit(feat.filter(col("bucket") < Sampling.TrainLt))
+    model.transform(feat)
+      .select(col("doc_id"),
+        (col("bucket") >= Sampling.TrainLt).as("holdout"),
+        col("is_keep"),
+        ops.r6(vector_to_array(col("probability")).getItem(1)).as("p_keep"),
+        (col("prediction") === 1.0).as("predicted_keep"))
+      .orderBy("doc_id")
+  }
+
   val qs: Seq[Q] = Seq(
     Q("q30_rfm_segments", q30, Some(q30Sql)),
     Q("q31_product_recs", q31, Some(q31Sql)),
     Q("q32_anomaly_users", q32, Some(q32Sql)),
     Q("q33_kmeans_rfm", q33, None),
     Q("q34_als_recs", q34, None),
-    Q("q35_kmeans_anomaly", q35, None))
+    Q("q35_kmeans_anomaly", q35, None),
+    Q("q105_text_classifier", q105, None))
 }

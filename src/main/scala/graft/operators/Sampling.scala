@@ -88,7 +88,7 @@ object Sampling {
 
   /** Quality floor for q68, applied to q60's ROUNDED quality_score in
     * both engines so boundary behavior cannot drift. */
-  private val QualityThr = "0.4"
+  private[operators] val QualityThr = "0.4"
 
   /** The composed training-set materialization — the pipeline a
     * corpus actually runs before training, as ONE operator:
@@ -550,6 +550,81 @@ object Sampling {
          CAST(cb % $SeqLen AS BIGINT) AS bin_offset
        FROM c ORDER BY doc_id"""
 
+  /** PACKING-EFFICIENCY report over q74's layout: how many document
+    * SEGMENTS each SeqLen-token training sequence contains (attention
+    * fragmentation — every boundary is a cross-doc attention mask in
+    * the packed batch), as a histogram over bins, plus the single
+    * tail-padding count. The engineering content is counting WITHOUT
+    * materializing bins: a bin's segment count is
+    * `starts_in_bin + 1 − has_start_at_offset_0` (the carry-in doc is
+    * one extra segment unless a doc starts exactly at the boundary),
+    * and bins NO doc starts in are fully covered by one straddling
+    * doc — segments = 1 — so their count is the closed form
+    * `total_bins − bins_with_starts`, never a generate_series: at
+    * 100 TB there are ~2·10¹⁰ bins and the report never enumerates
+    * them. Zero-token docs occupy no positions and are excluded from
+    * starts. All-integer; shares divide once per output row.
+    *
+    * Scale shape: q74's prefix-sum core, one bin_id groupBy (bounded
+    * by #docs), then arithmetic on one-row aggregates broadcast into
+    * a ≤ #distinct-segment-count-row result. */
+  def q102(s: SparkSession, dir: String): DataFrame = {
+    val packed = packCore(s,
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), expr(BucketExpr).as("bucket"),
+          expr(s"size(${Dedup.tokensExpr})").cast("long").as("n_tokens")))
+      .filter(col("n_tokens") > 0)
+    val starts = packed.groupBy("bin_id").agg(
+      count(lit(1)).as("starts"),
+      max(when(col("bin_offset") === 0, 1).otherwise(0)).as("has0"))
+    val tot = packed.agg(sum("n_tokens").as("tt"))
+      .select(expr(s"(tt + ${SeqLen - 1}) div $SeqLen").as("total_bins"),
+        expr(s"($SeqLen - tt % $SeqLen) % $SeqLen").as("pad_tokens"))
+    val nStart = starts.agg(count(lit(1)).as("n_start_bins"))
+    val hist = starts
+      .select((col("starts") + 1 - col("has0")).as("n_segments"))
+      .groupBy("n_segments").agg(count(lit(1)).as("nb"))
+      .unionByName(broadcast(tot).crossJoin(broadcast(nStart))
+        .select(lit(1L).as("n_segments"),
+          (col("total_bins") - col("n_start_bins")).as("nb")))
+      .groupBy("n_segments").agg(sum("nb").as("n_bins"))
+      .filter(col("n_bins") > 0)
+    hist.crossJoin(broadcast(tot))
+      .select(col("n_segments"), col("n_bins"), col("total_bins"), col("pad_tokens"),
+        ops.r6(col("n_bins") * lit(1.0) / col("total_bins")).as("bin_share"))
+      .orderBy("n_segments")
+  }
+
+  /** Oracle: the naive global-window packing (q74's oracle) composed
+    * with the same closed-form segment arithmetic. */
+  private val q102Sql =
+    s"""WITH d AS (SELECT doc_id, $BucketSql AS bucket,
+                     len(list_filter(string_split(text,' '), x -> x<>'')) AS n_tokens
+                   FROM documents),
+       c AS (SELECT doc_id, n_tokens,
+               coalesce(sum(n_tokens) OVER (ORDER BY bucket, doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+             FROM d),
+       p AS (SELECT n_tokens, cb // $SeqLen AS bin_id, cb % $SeqLen AS bin_offset
+             FROM c WHERE n_tokens > 0),
+       t AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS tt FROM p),
+       tb AS (SELECT (tt + ${SeqLen - 1}) // $SeqLen AS total_bins,
+                     ($SeqLen - tt % $SeqLen) % $SeqLen AS pad_tokens FROM t),
+       st AS (SELECT bin_id, count(*) AS starts,
+                     max(CASE WHEN bin_offset = 0 THEN 1 ELSE 0 END) AS has0
+              FROM p GROUP BY 1),
+       sb AS (SELECT count(*) AS n_start_bins FROM st),
+       h0 AS (SELECT starts + 1 - has0 AS n_segments, count(*) AS nb FROM st GROUP BY 1
+              UNION ALL
+              SELECT 1, total_bins - n_start_bins FROM tb, sb),
+       h AS (SELECT n_segments, CAST(sum(nb) AS BIGINT) AS n_bins FROM h0 GROUP BY 1
+             HAVING sum(nb) > 0)
+       SELECT CAST(n_segments AS BIGINT) AS n_segments, n_bins,
+              CAST(total_bins AS BIGINT) AS total_bins,
+              CAST(pad_tokens AS BIGINT) AS pad_tokens,
+              ${ops.R6("n_bins*1.0 / total_bins")} AS bin_share
+       FROM h, tb ORDER BY n_segments"""
+
   /** THE end-to-end training-set materialization — what a user of
     * this library actually ships: q68's gate (PII-clean ∧ dedup
     * canonical ∧ quality) restricted to the train split, q72's
@@ -904,6 +979,7 @@ object Sampling {
     Q("q81_repeated_spans", q81, Some(q81Sql)),
     Q("q72_mix_budget", q72, Some(q72Sql)),
     Q("q74_pack_sequences", q74, Some(q74Sql)),
+    Q("q102_pack_efficiency", q102, Some(q102Sql)),
     Q("q75_assemble", q75, Some(q75Sql)),
     Q("q82_chunk_overlap", q82, Some(q82Sql)),
     Q("q83_sample_per_stratum", q83, Some(q83Sql)),

@@ -753,6 +753,168 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Per-language log2 token-length HISTOGRAM — the sequence-length
+    * distribution report that sets truncation/packing policy (how
+    * much of the corpus a 512-token window covers, where the long
+    * tail starts). Bucketing is pure integer: bucket = number of
+    * binary digits of n_tokens (`length(bin(n))` here, `len(bin(n))`
+    * in DuckDB — both render a BIGINT without leading zeros), so
+    * bucket b holds n in [2^(b-1), 2^b-1] with no libm log2 anywhere
+    * (a power-of-two boundary doc could flip a bucket on a rounded
+    * log). Scale shape: one map-side-combined groupBy on (lang,
+    * bucket) — ≤ ~64 buckets per language — then windows over the
+    * BUCKET frame only; the corpus is never windowed. Shares divide
+    * longs exactly once per output row. */
+  def q103(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byLang = Window.partitionBy("lang")
+    val cum = Window.partitionBy("lang").orderBy("len_bucket")
+    Tables(s, dir, "documents")
+      .select(col("lang"), expr(s"size($tk)").cast("long").as("n"))
+      .groupBy(col("lang"),
+        when(col("n") > 0, length(bin(col("n")))).otherwise(lit(0)).cast("int").as("len_bucket"))
+      .agg(count(lit(1)).as("n_docs"), sum("n").as("n_tokens"))
+      .withColumn("lo", expr("CASE WHEN len_bucket > 0 THEN shiftleft(CAST(1 AS BIGINT), len_bucket - 1) ELSE CAST(0 AS BIGINT) END"))
+      .withColumn("hi", expr("CASE WHEN len_bucket > 0 THEN shiftleft(CAST(1 AS BIGINT), len_bucket) - 1 ELSE CAST(0 AS BIGINT) END"))
+      .withColumn("doc_share", ops.r6(col("n_docs") * lit(1.0) / sum("n_docs").over(byLang)))
+      .withColumn("tok_share", ops.r6(col("n_tokens") * lit(1.0) / sum("n_tokens").over(byLang)))
+      .withColumn("cum_doc_share",
+        ops.r6(sum("n_docs").over(cum) * lit(1.0) / sum("n_docs").over(byLang)))
+      .select("lang", "len_bucket", "lo", "hi", "n_docs", "n_tokens",
+        "doc_share", "tok_share", "cum_doc_share")
+      .orderBy("lang", "len_bucket")
+  }
+
+  private val q103Sql =
+    s"""WITH d AS (SELECT lang, len(list_filter(string_split(text,' '), x -> x<>'')) AS n
+         FROM documents),
+       b AS (SELECT lang, CASE WHEN n > 0 THEN len(bin(n)) ELSE 0 END AS len_bucket,
+                    count(*) AS n_docs, CAST(sum(n) AS BIGINT) AS n_tokens
+             FROM d GROUP BY 1, 2)
+       SELECT lang, len_bucket,
+         CASE WHEN len_bucket > 0 THEN (1::BIGINT << (len_bucket - 1)) ELSE 0::BIGINT END AS lo,
+         CASE WHEN len_bucket > 0 THEN (1::BIGINT << len_bucket) - 1 ELSE 0::BIGINT END AS hi,
+         n_docs, n_tokens,
+         ${ops.R6("n_docs*1.0 / sum(n_docs) OVER (PARTITION BY lang)")} AS doc_share,
+         ${ops.R6("n_tokens*1.0 / sum(n_tokens) OVER (PARTITION BY lang)")} AS tok_share,
+         ${ops.R6("sum(n_docs) OVER (PARTITION BY lang ORDER BY len_bucket)*1.0 / sum(n_docs) OVER (PARTITION BY lang)")} AS cum_doc_share
+       FROM b ORDER BY lang, len_bucket"""
+
+  /** n-gram widths for the diversity spectrum. */
+  private[graft] val DivNs = Seq(1, 2, 3, 4)
+
+  /** One flattened array of (n, gram) structs for every n in
+    * [[DivNs]] — ONE corpus pass and ONE Generate for all four
+    * widths, instead of a union of four scans. Space-joined grams are
+    * unambiguous: tokens cannot contain spaces. */
+  private val divGramExpr = {
+    val gs = DivNs.map { n =>
+      s"""CASE WHEN size(tk) >= $n
+          THEN transform(sequence(1, size(tk) - ${n - 1}),
+               i -> named_struct('n', $n, 'g', concat_ws(' ', slice(tk, i, $n))))
+          ELSE array() END"""
+    }.mkString(",\n          ")
+    s"flatten(array($gs))"
+  }
+
+  /** n-gram DIVERSITY spectrum per language: distinct/total gram
+    * ratio at widths 1-4 — the corpus-level templating/generated-text
+    * signal (natural prose keeps growing new 3- and 4-grams; template
+    * expansions and model-generated text collapse the ratio long
+    * before the unigram vocabulary saturates). Complements q71
+    * (within-doc repetition) and q97 (per-doc novelty): this is the
+    * per-LANGUAGE corpus fingerprint.
+    *
+    * Scale shape: one explode of the fused (n, gram) array (4 widths,
+    * one pass), then a (lang, n)-keyed count + two-level
+    * countDistinct — the shuffle carries each partition's distinct
+    * grams once (the q80 wordcount argument); nothing is windowed,
+    * nothing collects. */
+  def q104(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "documents")
+      .withColumn("tk", expr(tk))
+      .select(col("lang"), explode(expr(divGramExpr)).as("x"))
+      .select(col("lang"), col("x.n").as("n"), col("x.g").as("g"))
+      .groupBy("lang", "n")
+      .agg(count(lit(1)).as("total_grams"), countDistinct("g").as("distinct_grams"))
+      .select(col("lang"), col("n"), col("total_grams"), col("distinct_grams"),
+        ops.r6(col("distinct_grams") * lit(1.0) / col("total_grams")).as("distinct_ratio"))
+      .orderBy("lang", "n")
+
+  private val q104Sql =
+    s"""WITH t AS (SELECT lang, list_filter(string_split(text,' '), x -> x<>'') AS tk
+         FROM documents),
+       g AS (SELECT lang, n, array_to_string(list_slice(tk, i, i+n-1), ' ') AS g
+             FROM t, UNNEST([${DivNs.mkString(", ")}]) AS nn(n),
+                  UNNEST(range(1, len(tk)-n+2)) AS r(i))
+       SELECT lang, n, count(*) AS total_grams, count(DISTINCT g) AS distinct_grams,
+              ${ops.R6("count(DISTINCT g)*1.0 / count(*)")} AS distinct_ratio
+       FROM g GROUP BY 1, 2 ORDER BY 1, 2"""
+
+  /** Per-source DISTRIBUTION-SHIFT report: total-variation distance
+    * between each source's unigram distribution and the whole
+    * corpus — the "is this crawl the same kind of text" signal that
+    * decides whether a new source needs its own mixture weight
+    * (q100) or quality re-calibration. TV = ½ Σ_w |p_s(w) − p(w)|.
+    *
+    * Exactness: the sum runs over INTEGER cross-products —
+    * |c_sw·N − c_w·N_s| as decimal(38,0) (DuckDB HUGEINT; a long
+    * product overflows at ~10¹³-token corpora) — and words ABSENT
+    * from a source contribute N_s·(N − Σ_present c_w) in closed form,
+    * so the vocab never needs densifying. One double conversion at
+    * the end (decimal→double and HUGEINT→double are both correctly
+    * rounded — the q32 probe), one IEEE divide, r6.
+    *
+    * Scale shape: one wordcount groupBy on (source, word) —
+    * localCheckpointed: it feeds three consumers (corpus totals,
+    * source totals, the join) and re-executing the corpus explode
+    * twice costs more than materializing the vocab-sized frame — then
+    * a word-keyed equi-join against the corpus totals (vocab-sized,
+    * never corpus-sized) with #sources-row broadcasts. */
+  def q106(s: SparkSession, dir: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val wc = Tables(s, dir, "documents")
+      .select(col("source"), explode(expr(tk)).as("w"))
+      .groupBy("source", "w").agg(count(lit(1)).as("c_sw"))
+      .localCheckpoint(false)
+    val cw = wc.groupBy("w").agg(sum("c_sw").as("c_w"))
+    val ns = wc.groupBy("source")
+      .agg(sum("c_sw").as("n_s"), count(lit(1)).as("n_words"))
+    val tot = ns.agg(sum("n_s").as("n_tot"))
+    wc.join(cw, "w")
+      .join(broadcast(ns), "source")
+      .crossJoin(broadcast(tot))
+      .groupBy("source", "n_words", "n_s", "n_tot")
+      .agg(
+        sum(abs(col("c_sw").cast(dec) * col("n_tot").cast(dec)
+          - col("c_w").cast(dec) * col("n_s").cast(dec))).as("term1"),
+        sum("c_w").as("covered"))
+      .select(col("source"), col("n_words"), col("n_s").as("n_tokens"),
+        ops.r6((col("term1")
+            + col("n_s").cast(dec) * (col("n_tot") - col("covered")).cast(dec))
+            .cast("double")
+          / (lit(2.0) * col("n_s") * col("n_tot"))).as("tv_dist"))
+      .orderBy("source")
+  }
+
+  private val q106Sql =
+    s"""WITH w AS (SELECT source, unnest(list_filter(string_split(text,' '), x -> x<>'')) AS w
+         FROM documents),
+       wc AS (SELECT source, w, count(*) AS c_sw FROM w GROUP BY 1, 2),
+       cw AS (SELECT w, CAST(sum(c_sw) AS BIGINT) AS c_w FROM wc GROUP BY 1),
+       ns AS (SELECT source, CAST(sum(c_sw) AS BIGINT) AS n_s, count(*) AS n_words
+              FROM wc GROUP BY 1),
+       t AS (SELECT CAST(sum(n_s) AS BIGINT) AS n_tot FROM ns),
+       j AS (SELECT wc.source,
+               abs(c_sw::HUGEINT * n_tot - c_w::HUGEINT * n_s) AS dterm, c_w
+             FROM wc JOIN cw USING (w) JOIN ns ON wc.source = ns.source, t),
+       a AS (SELECT source, sum(dterm) AS term1, CAST(sum(c_w) AS BIGINT) AS covered
+             FROM j GROUP BY 1)
+       SELECT a.source, n_words, n_s AS n_tokens,
+         ${ops.R6("(term1 + n_s::HUGEINT * (n_tot - covered))::DOUBLE / (2.0 * n_s * n_tot)")} AS tv_dist
+       FROM a JOIN ns ON a.source = ns.source, t
+       ORDER BY a.source"""
+
   val qs: Seq[Q] = Seq(
     Q("q60_text_quality", q60, Some(q60Sql)),
     Q("q61_lang_id", q61, Some(q61Sql)),
@@ -767,5 +929,8 @@ object TextOps {
     Q("q87_merge_pairs", q87, Some(q87Sql)),
     Q("q90_keywords", q90, Some(q90Sql)),
     Q("q93_vocab_growth", q93, Some(q93Sql)),
-    Q("q99_compression_ratio", q99, None))
+    Q("q99_compression_ratio", q99, None),
+    Q("q103_length_histogram", q103, Some(q103Sql)),
+    Q("q104_ngram_diversity", q104, Some(q104Sql)),
+    Q("q106_source_shift", q106, Some(q106Sql)))
 }

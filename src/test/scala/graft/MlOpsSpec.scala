@@ -79,6 +79,31 @@ class MlOpsSpec extends AnyFunSuite {
     assert(joined.filter(col("cluster") =!= col("c33")).count() == 0)
   }
 
+  test("q105 classifier covers every doc, is internally consistent, and learns the gate on holdout") {
+    val df = operators.MlOps.q105(spark, sf).cache()
+    try {
+      val docs = Tables(spark, sf, "documents")
+      assert(df.count() == docs.count())
+      // probability is a probability, and the decision IS the 0.5 cut
+      assert(df.filter(col("p_keep") < 0 || col("p_keep") > 1).count() == 0)
+      assert(df.filter(col("predicted_keep") =!= (col("p_keep") > 0.5)).count() == 0)
+      // the label column restates q60's gate exactly
+      val gate = operators.TextOps.q60(spark, sf)
+        .select(col("doc_id"), (col("quality_score") >= 0.4).as("g"))
+      assert(df.join(gate, "doc_id").filter(col("is_keep") =!= col("g")).count() == 0)
+      // both classes actually occur (else accuracy is vacuous)
+      assert(df.filter(col("is_keep")).count() > 0)
+      assert(df.filter(!col("is_keep")).count() > 0)
+      // holdout = the content-keyed val/test buckets, trained-on docs excluded
+      val hold = df.filter(col("holdout"))
+      val n = hold.count()
+      assert(n > 0, "no holdout docs")
+      val correct = hold.filter(col("predicted_keep") === col("is_keep")).count()
+      assert(correct * 10 >= n * 9,
+        s"holdout accuracy ${correct.toDouble / n} below 0.9")
+    } finally df.unpersist()
+  }
+
   test("q34 ALS gives each customer 5 ranked recs with descending scores") {
     val df = operators.MlOps.q34(spark, sf)
     assert(df.groupBy("o_custkey").count().filter(col("count") =!= 5).count() == 0)
