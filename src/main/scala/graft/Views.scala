@@ -30,7 +30,7 @@ object Views {
     "q35_kmeans_anomaly", "q45_semantic_dedup", "q52_knn_ivf", "q53_knn_pq",
     "q54_knn_graph", "q94_triplet_mining", "q98_diversity_sample",
     "q51_knn_lsh", "q72_mix_budget", "q74_pack_sequences",
-    "q77_bloom_decontaminate")
+    "q77_bloom_decontaminate", "q102_pack_efficiency", "q105_text_classifier")
 
   /** Register the raw tables and the named operators (default: every
     * LAZY operator) as temp views on this session. */

@@ -566,6 +566,56 @@ object Dedup {
        FROM u GROUP BY 1 ORDER BY 1"""
   }
 
+  /** Docs per saturation-curve bucket. */
+  private val DupBucket = 1000L
+
+  /** DUP-RATE saturation curve: exact-duplicate fraction per
+    * [[DupBucket]]-doc ingestion bucket (doc_id order) plus the
+    * running cumulative rate — the crawl-saturation signal from the
+    * duplication angle, the exact-dup complement of q93's
+    * vocabulary-growth curve (a crawl nearing exhaustion shows vocab
+    * growth flattening AND dup rate climbing). A doc is a dup iff an
+    * earlier doc (smaller doc_id) has the same md5 — q40's group
+    * rule — computed via the first-occurrence rewrite: min doc_id
+    * per hash, one hash-keyed groupBy + equi-join (both bounded by
+    * distinct texts), then a bucket aggregate and a window over the
+    * n/1000-row BUCKET frame only; the corpus is never windowed.
+    * All-integer until the two r6 rates. */
+  def q109(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables(s, dir, "documents")
+      .select(col("doc_id"), md5(col("text").cast("binary")).as("h"))
+    val firsts = d.groupBy("h").agg(min("doc_id").as("first_id"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy("bucket")
+    d.join(firsts, "h")
+      .groupBy(expr(s"doc_id div $DupBucket").as("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("doc_id") > col("first_id"), 1L).otherwise(0L)).as("n_dup"))
+      .withColumn("cum_docs", sum("n_docs").over(w))
+      .withColumn("cum_dup", sum("n_dup").over(w))
+      .select(col("bucket"), col("n_docs"), col("n_dup"),
+        ops.r6(col("n_dup") * lit(1.0) / col("n_docs")).as("dup_rate"),
+        col("cum_docs"), col("cum_dup"),
+        ops.r6(col("cum_dup") * lit(1.0) / col("cum_docs")).as("cum_dup_rate"))
+      .orderBy("bucket")
+  }
+
+  private val q109Sql =
+    s"""WITH d AS (SELECT doc_id, md5(text) AS h FROM documents),
+       f AS (SELECT h, min(doc_id) AS first_id FROM d GROUP BY 1),
+       b AS (SELECT doc_id // $DupBucket AS bucket, count(*) AS n_docs,
+               sum(CASE WHEN doc_id > first_id THEN 1 ELSE 0 END) AS n_dup
+             FROM d JOIN f USING (h) GROUP BY 1),
+       c AS (SELECT bucket, n_docs,
+               CAST(n_dup AS BIGINT) AS n_dup,
+               CAST(sum(n_docs) OVER (ORDER BY bucket) AS BIGINT) AS cum_docs,
+               CAST(sum(n_dup) OVER (ORDER BY bucket) AS BIGINT) AS cum_dup
+             FROM b)
+       SELECT bucket, n_docs, n_dup,
+              ${ops.R6("n_dup*1.0 / n_docs")} AS dup_rate,
+              cum_docs, cum_dup,
+              ${ops.R6("cum_dup*1.0 / cum_docs")} AS cum_dup_rate
+       FROM c ORDER BY bucket"""
+
   val qs: Seq[Q] = Seq(
     Q("q40_exact_dedup", q40, Some(q40Sql)),
     Q("q41_ngram_jaccard", q41, Some(q41Sql)),
@@ -575,5 +625,6 @@ object Dedup {
     Q("q45_semantic_dedup", q45, None),
     Q("q65_neardup_clusters", q65, Some(q65Sql)),
     Q("q95_source_overlap", q95, Some(q95Sql)),
-    Q("q101_dedup_agreement", q101, Some(q101Sql)))
+    Q("q101_dedup_agreement", q101, Some(q101Sql)),
+    Q("q109_dup_rate_curve", q109, Some(q109Sql)))
 }

@@ -749,6 +749,73 @@ object Similarity {
       .orderBy("cid", "rank")
   }
 
+  /** Embedding-table VALIDATION core (shared with the spec, which
+    * drives it with synthesized corrupt rows — the live table is
+    * clean, like the multimodal header corpus): one corpus pass to
+    * the per-flag counts, with the EXPECTED dimension inferred as the
+    * modal vector length (ties → smallest). NaN/±Inf detection via
+    * explicit element filters — never a NaN-through-max comparison,
+    * whose ordering semantics differ per engine; all-zero spelled
+    * `no element ≠ 0.0` so a NaN element disqualifies in both
+    * engines (NaN = 0 is false in Spark and DuckDB). */
+  private[graft] def validateEmbeddings(e: DataFrame): DataFrame = {
+    val dims = e.filter(col("embedding").isNotNull)
+      .groupBy(size(col("embedding")).as("d")).agg(count(lit(1)).as("c"))
+    val expected = dims.orderBy(col("c").desc, col("d").asc).limit(1)
+      .select(col("d").cast("long").as("exp_dim"))
+    val nullV = col("embedding").isNull
+    val nan = !nullV && expr("size(filter(embedding, x -> isnan(x))) > 0")
+    val inf = !nullV && expr(
+      "size(filter(embedding, x -> abs(x) = CAST('Infinity' AS FLOAT))) > 0")
+    val wrongDim = !nullV && size(col("embedding")).cast("long") =!= col("exp_dim")
+    val zero = !nullV && size(col("embedding")) > 0 &&
+      expr("size(filter(embedding, x -> NOT (x = CAST(0.0 AS FLOAT)))) = 0")
+    def cnt(c: Column) = sum(when(c, 1L).otherwise(0L))
+    e.crossJoin(broadcast(expected))
+      .agg(
+        first("exp_dim").as("exp_dim"),
+        count(lit(1)).as("n_vecs"),
+        cnt(nullV).as("n_null"),
+        cnt(wrongDim).as("n_wrong_dim"),
+        cnt(nan).as("n_nan"),
+        cnt(inf).as("n_inf"),
+        cnt(zero).as("n_zero"),
+        cnt(!nullV && !wrongDim && !nan && !inf && !zero).as("n_valid"))
+  }
+
+  /** Embedding intake VALIDATION report — the gate an ANN/dedup
+    * pipeline runs before indexing 100 TB of vectors: null rows,
+    * dimension drift against the modal dimension, NaN/±Inf elements,
+    * all-zero vectors (unnormalizable — they break cosine), and the
+    * clean count. One map-only pass + a ≤#distinct-dims-row modal
+    * aggregate; nothing shuffles the vectors themselves. */
+  def q107(s: SparkSession, dir: String): DataFrame =
+    validateEmbeddings(Tables(s, dir, "embeddings"))
+
+  private val q107Sql =
+    s"""WITH e AS (SELECT embedding FROM embeddings),
+       dm AS (SELECT len(embedding) AS d, count(*) AS c FROM e
+              WHERE embedding IS NOT NULL GROUP BY 1),
+       x AS (SELECT CAST(d AS BIGINT) AS exp_dim FROM dm ORDER BY c DESC, d ASC LIMIT 1),
+       f AS (SELECT
+               embedding IS NULL AS is_null,
+               embedding IS NOT NULL AND len(list_filter(embedding, y -> isnan(y))) > 0 AS has_nan,
+               embedding IS NOT NULL AND len(list_filter(embedding, y -> abs(y) = 'Infinity'::FLOAT)) > 0 AS has_inf,
+               embedding IS NOT NULL AND CAST(len(embedding) AS BIGINT) <> exp_dim AS wrong_dim,
+               embedding IS NOT NULL AND len(embedding) > 0
+                 AND len(list_filter(embedding, y -> NOT (y = 0.0::FLOAT))) = 0 AS all_zero
+             FROM e, x)
+       SELECT (SELECT exp_dim FROM x) AS exp_dim,
+         count(*) AS n_vecs,
+         CAST(sum(CASE WHEN is_null THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+         CAST(sum(CASE WHEN wrong_dim THEN 1 ELSE 0 END) AS BIGINT) AS n_wrong_dim,
+         CAST(sum(CASE WHEN has_nan THEN 1 ELSE 0 END) AS BIGINT) AS n_nan,
+         CAST(sum(CASE WHEN has_inf THEN 1 ELSE 0 END) AS BIGINT) AS n_inf,
+         CAST(sum(CASE WHEN all_zero THEN 1 ELSE 0 END) AS BIGINT) AS n_zero,
+         CAST(sum(CASE WHEN NOT is_null AND NOT wrong_dim AND NOT has_nan
+                        AND NOT has_inf AND NOT all_zero THEN 1 ELSE 0 END) AS BIGINT) AS n_valid
+       FROM f"""
+
   val qs: Seq[Q] = Seq(
     Q("q50_knn_brute", q50, Some(q50Sql)),
     Q("q51_knn_lsh", q51, None),
@@ -757,5 +824,6 @@ object Similarity {
     Q("q54_knn_graph", q54, None),
     Q("q91_graph_centrality", q91, None),
     Q("q94_triplet_mining", q94, None),
-    Q("q98_diversity_sample", q98, None))
+    Q("q98_diversity_sample", q98, None),
+    Q("q107_embedding_validate", q107, Some(q107Sql)))
 }

@@ -915,6 +915,68 @@ object TextOps {
        FROM a JOIN ns ON a.source = ns.source, t
        ORDER BY a.source"""
 
+  /** Document intake VALIDATION core (shared with the spec, which
+    * drives it with synthesized corrupt rows — the live table is
+    * clean): one map-only corpus pass to per-flag counts. The
+    * control-byte class reuses q85's portable `[\\x00-\\x1f\\x7f]`
+    * spelling (Java∩RE2 — no `\s`, whose definition differs
+    * cross-engine). `n_dup_id` is the one corpus-level check
+    * (count − distinct ids); `n_clean` composes the ROW-LOCAL checks
+    * only — id uniqueness is reported, not folded per-row (a per-row
+    * dup flag would need an id-keyed shuffle; the summary doesn't). */
+  private[graft] def validateDocs(d: DataFrame): DataFrame = {
+    val nullId = col("doc_id").isNull
+    val nullText = col("text").isNull
+    val emptyText = !nullText && col("text") === ""
+    val wsOnly = !nullText && col("text") =!= "" && trim(col("text")) === ""
+    val charsMismatch = !nullText && col("n_chars").isNotNull &&
+      col("n_chars") =!= length(col("text"))
+    val ctrl = !nullText && col("text").rlike("[\\x00-\\x1f\\x7f]")
+    val nullLang = col("lang").isNull
+    def cnt(c: Column) = sum(when(c, 1L).otherwise(0L))
+    d.agg(
+      count(lit(1)).as("n_docs"),
+      cnt(nullId).as("n_null_id"),
+      (count(col("doc_id")) - countDistinct(col("doc_id"))).as("n_dup_id"),
+      cnt(nullText).as("n_null_text"),
+      cnt(emptyText).as("n_empty_text"),
+      cnt(wsOnly).as("n_ws_only"),
+      cnt(charsMismatch).as("n_chars_mismatch"),
+      cnt(ctrl).as("n_ctrl_chars"),
+      cnt(nullLang).as("n_null_lang"),
+      cnt(!nullId && !nullText && !emptyText && !wsOnly && !charsMismatch &&
+        !ctrl && !nullLang).as("n_clean"))
+  }
+
+  /** Document intake VALIDATION report — the schema/content gate a
+    * pipeline runs on every new crawl before paying for dedup or
+    * quality scoring: null/duplicate ids, null/empty/whitespace-only
+    * text, declared-vs-actual length mismatch, embedded control
+    * bytes, missing language tags, and the clean count. Map-only
+    * pass + one exact-distinct aggregate; at 100 TB this is a single
+    * scan. */
+  def q108(s: SparkSession, dir: String): DataFrame =
+    validateDocs(Tables(s, dir, "documents"))
+
+  private val q108Sql =
+    s"""SELECT count(*) AS n_docs,
+       CAST(sum(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_id,
+       CAST(count(doc_id) - count(DISTINCT doc_id) AS BIGINT) AS n_dup_id,
+       CAST(sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_text,
+       CAST(sum(CASE WHEN text = '' THEN 1 ELSE 0 END) AS BIGINT) AS n_empty_text,
+       CAST(sum(CASE WHEN text <> '' AND trim(text) = '' THEN 1 ELSE 0 END) AS BIGINT) AS n_ws_only,
+       CAST(sum(CASE WHEN text IS NOT NULL AND n_chars IS NOT NULL
+                      AND n_chars <> len(text) THEN 1 ELSE 0 END) AS BIGINT) AS n_chars_mismatch,
+       CAST(sum(CASE WHEN text IS NOT NULL
+                      AND regexp_matches(text, '[\\x00-\\x1f\\x7f]') THEN 1 ELSE 0 END) AS BIGINT) AS n_ctrl_chars,
+       CAST(sum(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_lang,
+       CAST(sum(CASE WHEN doc_id IS NOT NULL AND text IS NOT NULL AND text <> ''
+                      AND NOT (text <> '' AND trim(text) = '')
+                      AND NOT (n_chars IS NOT NULL AND n_chars <> len(text))
+                      AND NOT regexp_matches(text, '[\\x00-\\x1f\\x7f]')
+                      AND lang IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_clean
+       FROM documents"""
+
   val qs: Seq[Q] = Seq(
     Q("q60_text_quality", q60, Some(q60Sql)),
     Q("q61_lang_id", q61, Some(q61Sql)),
@@ -932,5 +994,6 @@ object TextOps {
     Q("q99_compression_ratio", q99, None),
     Q("q103_length_histogram", q103, Some(q103Sql)),
     Q("q104_ngram_diversity", q104, Some(q104Sql)),
-    Q("q106_source_shift", q106, Some(q106Sql)))
+    Q("q106_source_shift", q106, Some(q106Sql)),
+    Q("q108_intake_validate", q108, Some(q108Sql)))
 }

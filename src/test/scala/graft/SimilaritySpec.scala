@@ -239,4 +239,39 @@ class SimilaritySpec extends AnyFunSuite {
     assert(approx.groupBy("query_id").count().filter(col("count") > 5).count() == 0)
     assert(approx.filter(col("query_id") === col("neighbor_id")).count() == 0)
   }
+
+  test("q107 live table is fully valid; core flags every synthesized corruption exactly once") {
+    val live = operators.Similarity.q107(spark, sf).collect()(0)
+    assert(live.getAs[Long]("exp_dim") == 64L)
+    assert(live.getAs[Long]("n_valid") == live.getAs[Long]("n_vecs"))
+    Seq("n_null", "n_wrong_dim", "n_nan", "n_inf", "n_zero")
+      .foreach(c => assert(live.getAs[Long](c) == 0L, s"live $c nonzero"))
+
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("vec_id", LongType), StructField("embedding", ArrayType(FloatType))))
+    val rows = Seq(
+      org.apache.spark.sql.Row(1L, Seq(1.0f, 2.0f, 3.0f)),            // valid
+      org.apache.spark.sql.Row(2L, Seq(0.5f, -0.5f, 0.25f)),          // valid
+      org.apache.spark.sql.Row(3L, null),                              // null vector
+      org.apache.spark.sql.Row(4L, Seq(1.0f, 2.0f)),                   // wrong dim
+      org.apache.spark.sql.Row(5L, Seq(Float.NaN, 1.0f, 1.0f)),        // NaN
+      org.apache.spark.sql.Row(6L, Seq(Float.PositiveInfinity, 0f, 0f)), // +Inf
+      org.apache.spark.sql.Row(7L, Seq(Float.NegativeInfinity, 0f, 0f)), // -Inf
+      org.apache.spark.sql.Row(8L, Seq(0.0f, 0.0f, 0.0f)),             // all-zero
+      org.apache.spark.sql.Row(9L, Seq(0.0f, -0.0f, 0.0f)))            // all-zero w/ -0.0
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.map(r =>
+        org.apache.spark.sql.Row(r.get(0),
+          Option(r.get(1)).map(_.asInstanceOf[Seq[Float]]).orNull)), 2), schema)
+    val v = operators.Similarity.validateEmbeddings(df).collect()(0)
+    assert(v.getAs[Long]("exp_dim") == 3L) // modal dim among non-null vectors
+    assert(v.getAs[Long]("n_vecs") == 9L)
+    assert(v.getAs[Long]("n_null") == 1L)
+    assert(v.getAs[Long]("n_wrong_dim") == 1L)
+    assert(v.getAs[Long]("n_nan") == 1L)
+    assert(v.getAs[Long]("n_inf") == 2L)
+    assert(v.getAs[Long]("n_zero") == 2L)
+    assert(v.getAs[Long]("n_valid") == 2L)
+  }
 }

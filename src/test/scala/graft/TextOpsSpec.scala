@@ -139,4 +139,43 @@ class TextOpsSpec extends AnyFunSuite {
     assert(got(3) == "already clean")
     assert(got(4) == "")
   }
+
+  test("q108 live table is fully clean; core flags every synthesized corruption exactly once") {
+    val live = operators.TextOps.q108(spark, sf).collect()(0)
+    assert(live.getAs[Long]("n_clean") == live.getAs[Long]("n_docs"))
+    Seq("n_null_id", "n_dup_id", "n_null_text", "n_empty_text", "n_ws_only",
+      "n_chars_mismatch", "n_ctrl_chars", "n_null_lang")
+      .foreach(c => assert(live.getAs[Long](c) == 0L, s"live $c nonzero"))
+
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType), StructField("n_chars", LongType)))
+    def r(id: java.lang.Long, t: String, l: String, n: java.lang.Long) =
+      org.apache.spark.sql.Row(id, t, l, n)
+    val rows = Seq(
+      r(1L, "good doc", "en", 8L),             // clean
+      r(2L, "also fine", "fr", 9L),            // clean
+      r(null, "no id", "en", 5L),              // null id
+      r(3L, "dup id a", "en", 8L),             // dup id pair...
+      r(3L, "dup id b", "en", 8L),             // ...both rows clean row-locally
+      r(4L, null, "en", 0L),                   // null text
+      r(5L, "", "en", 0L),                     // empty text
+      r(6L, "   ", "en", 3L),                  // whitespace-only
+      r(7L, "short", "en", 99L),               // n_chars mismatch
+      r(8L, "has\u0007bell", "en", 8L),    // control byte (8 chars incl. BEL)
+      r(9L, "no lang", null, 7L))              // null lang
+    val df = spark.createDataFrame(spark.sparkContext.parallelize(rows, 2), schema)
+    val v = operators.TextOps.validateDocs(df).collect()(0)
+    assert(v.getAs[Long]("n_docs") == 11L)
+    assert(v.getAs[Long]("n_null_id") == 1L)
+    assert(v.getAs[Long]("n_dup_id") == 1L)  // 10 non-null ids, 9 distinct
+    assert(v.getAs[Long]("n_null_text") == 1L)
+    assert(v.getAs[Long]("n_empty_text") == 1L)
+    assert(v.getAs[Long]("n_ws_only") == 1L)
+    assert(v.getAs[Long]("n_chars_mismatch") == 1L)
+    assert(v.getAs[Long]("n_ctrl_chars") == 1L)
+    assert(v.getAs[Long]("n_null_lang") == 1L)
+    assert(v.getAs[Long]("n_clean") == 4L)   // ids 1, 2, and the two dup-id rows
+  }
 }
