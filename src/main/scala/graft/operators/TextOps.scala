@@ -924,28 +924,43 @@ object TextOps {
     * (count − distinct ids); `n_clean` composes the ROW-LOCAL checks
     * only — id uniqueness is reported, not folded per-row (a per-row
     * dup flag would need an id-keyed shuffle; the summary doesn't). */
-  private[graft] def validateDocs(d: DataFrame): DataFrame = {
-    val nullId = col("doc_id").isNull
-    val nullText = col("text").isNull
-    val emptyText = !nullText && col("text") === ""
-    val wsOnly = !nullText && col("text") =!= "" && trim(col("text")) === ""
-    val charsMismatch = !nullText && col("n_chars").isNotNull &&
+  /** Row-local intake flags, shared between batch q108 and the
+    * streaming twin ([[graft.streaming.ValidateStream]]) — parity by
+    * shared expression tree, the CardStream/AssignStream pattern. */
+  private[graft] object intakeFlags {
+    val nullId: Column = col("doc_id").isNull
+    val nullText: Column = col("text").isNull
+    val emptyText: Column = !nullText && col("text") === ""
+    val wsOnly: Column = !nullText && col("text") =!= "" && trim(col("text")) === ""
+    val charsMismatch: Column = !nullText && col("n_chars").isNotNull &&
       col("n_chars") =!= length(col("text"))
-    val ctrl = !nullText && col("text").rlike("[\\x00-\\x1f\\x7f]")
-    val nullLang = col("lang").isNull
-    def cnt(c: Column) = sum(when(c, 1L).otherwise(0L))
-    d.agg(
+    val ctrl: Column = !nullText && col("text").rlike("[\\x00-\\x1f\\x7f]")
+    val nullLang: Column = col("lang").isNull
+    val clean: Column = !nullId && !nullText && !emptyText && !wsOnly &&
+      !charsMismatch && !ctrl && !nullLang
+    def cnt(c: Column): Column = sum(when(c, 1L).otherwise(0L))
+    /** The row-local count columns (everything but the corpus-level
+      * distinct-id check, which streams can't incrementalize). */
+    def aggs: Seq[Column] = Seq(
       count(lit(1)).as("n_docs"),
       cnt(nullId).as("n_null_id"),
-      (count(col("doc_id")) - countDistinct(col("doc_id"))).as("n_dup_id"),
       cnt(nullText).as("n_null_text"),
       cnt(emptyText).as("n_empty_text"),
       cnt(wsOnly).as("n_ws_only"),
       cnt(charsMismatch).as("n_chars_mismatch"),
       cnt(ctrl).as("n_ctrl_chars"),
       cnt(nullLang).as("n_null_lang"),
-      cnt(!nullId && !nullText && !emptyText && !wsOnly && !charsMismatch &&
-        !ctrl && !nullLang).as("n_clean"))
+      cnt(clean).as("n_clean"))
+  }
+
+  private[graft] def validateDocs(d: DataFrame): DataFrame = {
+    val cols = intakeFlags.aggs :+
+      (count(col("doc_id")) - countDistinct(col("doc_id"))).as("n_dup_id")
+    d.agg(cols.head, cols.tail: _*)
+      .select(col("n_docs"), col("n_null_id"), col("n_dup_id"),
+        col("n_null_text"), col("n_empty_text"), col("n_ws_only"),
+        col("n_chars_mismatch"), col("n_ctrl_chars"), col("n_null_lang"),
+        col("n_clean"))
   }
 
   /** Document intake VALIDATION report — the schema/content gate a

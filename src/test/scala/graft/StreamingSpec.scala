@@ -306,6 +306,44 @@ class StreamingSpec extends AnyFunSuite {
     assert(want.values.map(_._1).sum == base.count())
   }
 
+  test("live intake validation converges to the batch row-local counts, corruption included") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-val").toString
+    val live = Tables(spark, sf, "documents")
+      .select("doc_id", "text", "lang", "n_chars")
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType), StructField("n_chars", LongType)))
+    val corrupt = spark.createDataFrame(spark.sparkContext.parallelize(Seq(
+      org.apache.spark.sql.Row(900001L, "", "en", 0L),
+      org.apache.spark.sql.Row(900002L, "   ", "en", 3L),
+      org.apache.spark.sql.Row(900003L, "bad\u0007byte", "en", 8L),
+      org.apache.spark.sql.Row(900004L, "len lies", "en", 42L),
+      org.apache.spark.sql.Row(900005L, "no lang", null, 7L),
+      org.apache.spark.sql.Row(null, "no id", "en", 5L)), 1), schema)
+    val all = live.unionByName(corrupt)
+    // two landing batches: clean corpus first, then the corrupt tail
+    live.coalesce(1).write.mode("append").parquet(dir)
+    corrupt.coalesce(1).write.mode("append").parquet(dir)
+    val q = streaming.ValidateStream.validate(
+        spark.readStream.schema(live.schema)
+          .option("maxFilesPerTrigger", 1).parquet(dir))
+      .writeStream.format("memory").queryName("val_out")
+      .outputMode("complete").start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("val_out").collect()(0)
+    val want = streaming.ValidateStream.validate(all).collect()(0)
+    assert(got == want, s"live validation diverges: $got vs $want")
+    // the injected corruption is visible: one of each flag, none clean
+    assert(got.getAs[Long]("n_empty_text") == 1L)
+    assert(got.getAs[Long]("n_ws_only") == 1L)
+    assert(got.getAs[Long]("n_ctrl_chars") == 1L)
+    assert(got.getAs[Long]("n_chars_mismatch") == 1L)
+    assert(got.getAs[Long]("n_null_lang") == 1L)
+    assert(got.getAs[Long]("n_null_id") == 1L)
+    assert(got.getAs[Long]("n_clean") == live.count())
+  }
+
   test("streaming heavy hitters satisfy the Misra-Gries envelope vs exact counts") {
     val k = operators.Events.HhK
     val q = streaming.EnrichStream.heavyHitterStream(
