@@ -616,6 +616,44 @@ object Dedup {
               ${ops.R6("cum_dup*1.0 / cum_docs")} AS cum_dup_rate
        FROM c ORDER BY bucket"""
 
+  /** MinHash permutations for the source-similarity sketch. */
+  private[graft] val MhPerms = 128
+
+  /** Sketch core over a (source, h) element frame — shared with the
+    * spec, which drives it with known-overlap synthetic sets. The
+    * #sources² pair join is a nested-loop over the #sources-row
+    * SIGNATURE frame (20 rows here) — bounded by construction, never
+    * data-sized; the corpus itself only flows through the mergeable
+    * signature aggregate. */
+  private[graft] def sourceSimCore(elems: DataFrame): DataFrame = {
+    val sigs = elems.groupBy("source")
+      .agg(graft.functions.MinHashSig.minhashSig(MhPerms)(col("h")).as("sig"))
+    val a = sigs.select(col("source").as("source_a"), col("sig").as("sig_a"))
+    val b = sigs.select(col("source").as("source_b"), col("sig").as("sig_b"))
+    a.join(b, col("source_a") < col("source_b"))
+      .select(col("source_a"), col("source_b"),
+        ops.r6(expr(
+          s"aggregate(zip_with(sig_a, sig_b, (x, y) -> IF(x = y, 1, 0)), 0, (acc, v) -> acc + v) * 1.0D / $MhPerms"))
+          .as("est_jaccard"))
+      .orderBy("source_a", "source_b")
+  }
+
+  /** Source-pair similarity ESTIMATE via mergeable MinHash
+    * signatures — the SKETCH path of q95's exact overlap matrix, and
+    * the set-similarity member of the sketch family (q14 HLL / q19
+    * GK / q76 Misra-Gries): when the exact matrix's hash-keyed
+    * self-join is too hot (thousands of crawl snapshots, repeated
+    * re-audits), each source reduces to 128 longs map-side and every
+    * pairwise Jaccard reads off the signatures — the corpus is
+    * touched ONCE, and adding a new crawl never rescans the old
+    * ones (signatures merge). Estimator: agreeing-slot fraction,
+    * s.e. sqrt(J(1-J)/128) ≈ 0.044 worst case. Hash-dependent →
+    * rows-only; the spec pins the estimate against exact Jaccard on
+    * known-overlap sets and signature invariance to partitioning. */
+  def q110(s: SparkSession, dir: String): DataFrame =
+    sourceSimCore(Tables(s, dir, "documents")
+      .select(col("source"), xxhash64(col("text")).as("h")))
+
   val qs: Seq[Q] = Seq(
     Q("q40_exact_dedup", q40, Some(q40Sql)),
     Q("q41_ngram_jaccard", q41, Some(q41Sql)),
@@ -626,5 +664,6 @@ object Dedup {
     Q("q65_neardup_clusters", q65, Some(q65Sql)),
     Q("q95_source_overlap", q95, Some(q95Sql)),
     Q("q101_dedup_agreement", q101, Some(q101Sql)),
-    Q("q109_dup_rate_curve", q109, Some(q109Sql)))
+    Q("q109_dup_rate_curve", q109, Some(q109Sql)),
+    Q("q110_source_similarity", q110, None))
 }

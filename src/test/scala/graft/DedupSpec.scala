@@ -159,4 +159,41 @@ class DedupSpec extends AnyFunSuite {
     (0 until 200).foreach(i => assert(kept.contains(i.toLong), s"base $i wrongly dropped"))
     (200 until 240).foreach(i => assert(!kept.contains(i.toLong), s"planted dup $i missed"))
   }
+
+  test("q110 estimates known-overlap Jaccard within the 128-perm envelope, invariant to partitioning") {
+    import spark.implicits._
+    // A = 0..999, B = 500..1499 (J = 1/3), C = A exactly (J = 1);
+    // duplicates injected into A must not move any estimate (set semantics)
+    val a = (0L until 1000L).map(("sA", _))
+    val b = (500L until 1500L).map(("sB", _))
+    val c = (0L until 1000L).map(("sC", _))
+    val rows = a ++ b ++ c ++ a.take(250) // repeated elements
+    val est = operators.Dedup.sourceSimCore(rows.toDF("source", "h"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    assert(est.size == 3)
+    assert(est(("sA", "sC")) == 1.0, "identical sets must agree on every slot")
+    assert(math.abs(est(("sA", "sB")) - 1.0 / 3.0) <= 0.15, s"A-B ${est(("sA", "sB"))}")
+    assert(math.abs(est(("sB", "sC")) - 1.0 / 3.0) <= 0.15, s"B-C ${est(("sB", "sC"))}")
+    // merge-tree invariance: min is order-independent, so the estimate
+    // must be bit-identical under any partitioning
+    val est7 = operators.Dedup.sourceSimCore(rows.toDF("source", "h").repartition(7))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    assert(est7 == est, "estimate depends on partitioning")
+  }
+
+  test("q110 live corpus estimates track exact per-pair Jaccard") {
+    val est = operators.Dedup.q110(spark, sf)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    val nSources = Tables(spark, sf, "documents").select("source").distinct().count().toInt
+    assert(est.size == nSources * (nSources - 1) / 2)
+    assert(est.values.forall(v => v >= 0.0 && v <= 1.0))
+    // exact distinct-text Jaccard per source pair (the q95 ground truth)
+    val sets = Tables(spark, sf, "documents").select("source", "text").collect()
+      .groupBy(_.getString(0)).view.mapValues(_.map(_.getString(1)).toSet).toMap
+    est.foreach { case ((sa, sb), e) =>
+      val (x, y) = (sets(sa), sets(sb))
+      val exact = x.intersect(y).size.toDouble / x.union(y).size
+      assert(math.abs(e - exact) <= 0.15, s"$sa-$sb est $e vs exact $exact")
+    }
+  }
 }

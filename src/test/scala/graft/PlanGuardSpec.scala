@@ -187,6 +187,25 @@ class PlanGuardSpec extends AnyFunSuite {
     assert(p98.contains("ObjectHashAggregate"), s"q98 lost the bounded top-k aggregate: $p98")
   }
 
+  test("corpus reports join on keys, never a data-sized cartesian; q104 fuses all widths into one Generate") {
+    // q102/q103/q106/q109: the only non-equi joins allowed are the
+    // one-row broadcast (BroadcastNestedLoopJoin over a 1-row agg is
+    // the crossJoin(broadcast(...)) idiom, bounded by construction)
+    for (q <- Seq("q103_length_histogram", "q104_ngram_diversity",
+        "q106_source_shift", "q109_dup_rate_curve")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q plans a cartesian product")
+    }
+    // one corpus pass for all four gram widths: a second Generate
+    // would mean the fused (n, gram) explode regressed to per-width scans
+    val gen = "\\bGenerate\\b".r.findAllIn(plan("q104_ngram_diversity")).length
+    assert(gen == 1, s"q104 plans $gen Generate nodes, expected 1")
+    // validation summaries: no cartesian, and q107's flags are one pass
+    for (q <- Seq("q107_embedding_validate", "q108_intake_validate")) {
+      assert(!plan(q).contains("CartesianProduct"), s"$q plans a cartesian product")
+    }
+  }
+
   test("map-only operators plan no data exchange beyond the rebalance and final sort") {
     // q66 is a pure per-row projection: its only exchanges are the
     // documents rebalance (round-robin) and the output orderBy
