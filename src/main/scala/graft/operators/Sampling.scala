@@ -970,6 +970,108 @@ object Sampling {
               ${ops.R6("(isq*1.0 / ts) / (n_tokens*1.0 / tt)")} AS upsample_factor
        FROM l2, tot ORDER BY lang"""
 
+  /** CDC window width (tokens) and boundary divisor (expected chunk
+    * length ≈ CdcD tokens past the window). ONE pair of constants,
+    * spelled into the oracle SQL. */
+  private[graft] val CdcW = 8
+  private[graft] val CdcD = 16
+
+  /** Modulus keeping the rolling fold inside BIGINT in both engines
+    * (DuckDB errors on 64-bit overflow where Spark wraps — the fold
+    * must never reach either). Prime, < 2^30, so (h*31 + t) stays
+    * < 2^35. */
+  private[graft] val CdcM = 1073741789L
+
+  /** CONTENT-DEFINED chunking (rolling-hash boundaries — the
+    * FastCDC/rsync idea on token streams): a chunk boundary falls
+    * after token i when the rolling hash of the last CdcW tokens is
+    * ≡ 0 mod CdcD. Unlike q82's fixed windows — where one inserted
+    * token shifts EVERY downstream chunk and re-chunking a lightly
+    * edited corpus invalidates everything — CDC boundaries are a
+    * function of local content only, so an edit perturbs at most the
+    * chunks touching it and every later chunk hash survives (the
+    * property the spec pins). This is the chunking a dedup store or
+    * RAG index wants: re-ingesting an edited document re-embeds only
+    * the edited chunks.
+    *
+    * Exactness: the per-token hash is q63's integer char sum; the
+    * window fold is (h·31 + t) mod [[CdcM]] — all BIGINT-bounded
+    * integer arithmetic, bit-identical cross-engine; chunk identity
+    * is md5 of the space-joined tokens. Map-only flatMap (explode of
+    * an in-select computed array — no shuffle, linear in corpus
+    * tokens × CdcW); at 100 TB this is one pass. */
+  def q111(s: SparkSession, dir: String): DataFrame =
+    cdcChunks(Tables(s, dir, "documents")).orderBy("doc_id", "chunk_id")
+
+  /** The chunker over any (doc_id, text) frame — shared with the
+    * spec, which pins the edit-locality property on synthetic edits. */
+  private[graft] def cdcChunks(docs: DataFrame): DataFrame = {
+    val th = // per-token integer hash (q63's inner sum)
+      """transform(tk, t ->
+           aggregate(transform(sequence(1, length(t)), j ->
+             CAST(j AS BIGINT) * ascii(substring(t, j, 1))), 0L, (a, x) -> a + x))"""
+    val ends =
+      s"""CASE WHEN size(tk) = 0 THEN array()
+          WHEN size(tk) < $CdcW THEN array(size(tk))
+          ELSE concat(
+            filter(transform(sequence($CdcW, size(tk)), i ->
+              IF(aggregate(slice(th, i - ${CdcW - 1}, $CdcW), 0L,
+                   (a, x) -> (a * 31L + x) % ${CdcM}L) % $CdcD = 0, i, -1)),
+              i -> i > 0),
+            IF(aggregate(slice(th, size(tk) - ${CdcW - 1}, $CdcW), 0L,
+                 (a, x) -> (a * 31L + x) % ${CdcM}L) % $CdcD = 0
+               AND size(tk) >= $CdcW,
+               array(), array(size(tk))))
+          END"""
+    docs
+      .withColumn("tk", expr(Dedup.tokensExpr))
+      .withColumn("th", expr(th))
+      .withColumn("ends", expr(ends))
+      .select(col("doc_id"), col("tk"),
+        posexplode(expr(
+          // slice(seq(1, max(size,1)), 1, size) is a type-stable empty
+          // guard: Spark's sequence(1, 0) counts DOWN ([1, 0]), so a
+          // zero-chunk doc must never reach it
+          """transform(slice(sequence(1, greatest(size(ends), 1)), 1, size(ends)),
+               k -> named_struct(
+                 'start', IF(k = 1, 1, element_at(ends, k - 1) + 1),
+                 'end', element_at(ends, k)))""")).as(Seq("pos", "c")))
+      .select(col("doc_id"), (col("pos") + 1).cast("long").as("chunk_id"),
+        col("c.start").cast("long").as("start_tok"),
+        (col("c.end") - col("c.start") + 1).cast("long").as("n_tokens"),
+        md5(expr("CAST(concat_ws(' ', slice(tk, c.start, c.end - c.start + 1)) AS BINARY)"))
+          .as("chunk_hash"))
+  }
+
+  private val q111Sql = {
+    val th =
+      """list_transform(tk, t ->
+           list_sum(list_transform(range(1, length(t)+1), j -> j * ascii(t[j]))))"""
+    def fold(sliceExpr: String) =
+      s"list_reduce(list_prepend(0::BIGINT, $sliceExpr), (a, x) -> (a * 31 + x) % $CdcM)"
+    s"""WITH d AS (SELECT doc_id, list_filter(string_split(text,' '), x -> x<>'') AS tk
+         FROM documents),
+       h AS (SELECT doc_id, tk, $th AS th FROM d),
+       e AS (SELECT doc_id, tk,
+               CASE WHEN len(tk) = 0 THEN []
+               WHEN len(tk) < $CdcW THEN [len(tk)]
+               ELSE list_concat(
+                 list_filter(list_transform(range($CdcW, len(tk)+1), i ->
+                   CASE WHEN ${fold(s"list_slice(th, i - ${CdcW - 1}, i)")} % $CdcD = 0
+                        THEN i ELSE -1 END), i -> i > 0),
+                 CASE WHEN ${fold(s"list_slice(th, len(tk) - ${CdcW - 1}, len(tk))")} % $CdcD = 0
+                      THEN [] ELSE [len(tk)] END)
+               END AS ends
+             FROM h)
+       SELECT doc_id, CAST(k AS BIGINT) AS chunk_id,
+         CAST(CASE WHEN k = 1 THEN 1 ELSE ends[k - 1] + 1 END AS BIGINT) AS start_tok,
+         CAST(ends[k] - (CASE WHEN k = 1 THEN 1 ELSE ends[k - 1] + 1 END) + 1 AS BIGINT) AS n_tokens,
+         md5(array_to_string(list_slice(tk,
+           CASE WHEN k = 1 THEN 1 ELSE ends[k - 1] + 1 END, ends[k]), ' ')) AS chunk_hash
+       FROM e, UNNEST(range(1, len(ends) + 1)) AS r(k)
+       ORDER BY doc_id, chunk_id"""
+  }
+
   val qs: Seq[Q] = Seq(
     Q("q66_train_split", q66, Some(q66Sql)),
     Q("q67_stratified_sample", q67, Some(q67Sql)),
@@ -980,6 +1082,7 @@ object Sampling {
     Q("q72_mix_budget", q72, Some(q72Sql)),
     Q("q74_pack_sequences", q74, Some(q74Sql)),
     Q("q102_pack_efficiency", q102, Some(q102Sql)),
+    Q("q111_cdc_chunk", q111, Some(q111Sql)),
     Q("q75_assemble", q75, Some(q75Sql)),
     Q("q82_chunk_overlap", q82, Some(q82Sql)),
     Q("q83_sample_per_stratum", q83, Some(q83Sql)),

@@ -286,4 +286,42 @@ class SamplingSpec extends AnyFunSuite {
     // the sample is a subset of the corpus
     assert(sampled.join(docs.select("doc_id"), Seq("doc_id"), "left_anti").count() == 0)
   }
+
+  test("q111 chunks tile each document exactly; CDC edits stay local where fixed chunking shifts everything") {
+    import spark.implicits._
+    val live = operators.Sampling.q111(spark, sf).cache()
+    try {
+      // chunks tile: starts/lengths reconstruct 1..n_tokens with no gaps
+      val bad = live.groupBy("doc_id")
+        .agg(min("start_tok").as("s0"), sum("n_tokens").as("cov"),
+          max(col("start_tok") + col("n_tokens") - 1).as("last"))
+        .filter(col("s0") =!= 1 || col("cov") =!= col("last"))
+      assert(bad.count() == 0, "chunks do not tile the token stream")
+      val docs = Tables(spark, sf, "documents").count()
+      assert(live.select("doc_id").distinct().count() == docs)
+    } finally live.unpersist()
+
+    // edit-locality: insert one token at the front of a long doc;
+    // every chunk hash past the perturbed window must survive.
+    val base = (1 to 200).map(i => s"w${i * 7919 % 9973}").mkString(" ")
+    val edited = "inserted " + base
+    val two = Seq((1L, base), (2L, edited)).toDF("doc_id", "text")
+    val chunks = operators.Sampling.cdcChunks(two).collect()
+      .groupBy(_.getLong(0)).view
+      .mapValues(_.sortBy(_.getLong(1)).map(_.getString(4)).toSeq).toMap
+    val (orig, mod) = (chunks(1L), chunks(2L))
+    // all original chunks except (at most) the first survive verbatim
+    val surviving = orig.toSet.intersect(mod.toSet)
+    assert(orig.size >= 4, s"doc too short to exercise chunking: ${orig.size} chunks")
+    assert(orig.toSet.size - surviving.size <= 1,
+      s"CDC edit perturbed ${orig.toSet.size - surviving.size} chunks, expected <= 1")
+    // contrast: fixed-window chunking (q82's scheme) shares (almost)
+    // nothing after a one-token shift — that is WHY CDC exists
+    def fixed(text: String): Seq[String] = {
+      val tk = text.split(" ").filter(_.nonEmpty)
+      tk.grouped(16).map(_.mkString(" ")).toSeq
+    }
+    val fShared = fixed(base).toSet.intersect(fixed(edited).toSet)
+    assert(fShared.size <= 1, s"fixed chunking unexpectedly stable: ${fShared.size}")
+  }
 }
