@@ -350,7 +350,11 @@ object MlOps {
       .select(col("doc_id"),
         (col("bucket") >= Sampling.TrainLt).as("holdout"),
         col("is_keep"),
-        ops.r6(vector_to_array(col("probability")).getItem(1)).as("p_keep"),
+        // raw probability, not r6-rounded: rows-only (no oracle to
+        // match), and rounding would open a (0.5, 0.5+5e-7) window
+        // where the 0.5-threshold decision disagrees with the rounded
+        // score — the spec pins predicted_keep == (p_keep > 0.5) exactly
+        vector_to_array(col("probability")).getItem(1).as("p_keep"),
         (col("prediction") === 1.0).as("predicted_keep"))
       .orderBy("doc_id")
   }

@@ -771,7 +771,13 @@ object Similarity {
     val zero = !nullV && size(col("embedding")) > 0 &&
       expr("size(filter(embedding, x -> NOT (x = CAST(0.0 AS FLOAT)))) = 0")
     def cnt(c: Column) = sum(when(c, 1L).otherwise(0L))
-    e.crossJoin(broadcast(expected))
+    // LEFT join on true, not a crossJoin: when EVERY embedding is null
+    // the modal frame is empty and a cross join would annihilate the
+    // report (n_vecs = 0 for a fully corrupt table — the exact state a
+    // validator must shout about). Left-on-true keeps every row with a
+    // null exp_dim; wrong_dim is then null → counts 0, and n_valid's
+    // null-row guard already excludes every row.
+    e.join(broadcast(expected), lit(true), "left")
       .agg(
         first("exp_dim").as("exp_dim"),
         count(lit(1)).as("n_vecs"),
@@ -804,7 +810,7 @@ object Similarity {
                embedding IS NOT NULL AND CAST(len(embedding) AS BIGINT) <> exp_dim AS wrong_dim,
                embedding IS NOT NULL AND len(embedding) > 0
                  AND len(list_filter(embedding, y -> NOT (y = 0.0::FLOAT))) = 0 AS all_zero
-             FROM e, x)
+             FROM e LEFT JOIN x ON true)
        SELECT (SELECT exp_dim FROM x) AS exp_dim,
          count(*) AS n_vecs,
          CAST(sum(CASE WHEN is_null THEN 1 ELSE 0 END) AS BIGINT) AS n_null,

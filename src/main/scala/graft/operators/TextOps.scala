@@ -504,8 +504,15 @@ object TextOps {
     *      both engines agree there, locale rules never engage)
     * Map-only at any scale: one projection, no shuffle except the
     * trailing order-stabilizing sort. */
+  /** The control-byte character class — ONE constant for every Spark
+    * flag and oracle SQL that mentions it (q85 normalization, q108
+    * intake validation), per the shared-literal rule. Same class,
+    * Java-escaped vs DuckDB-literal spelling. */
+  private[graft] val CtrlClass = "[\\x00-\\x1f\\x7f]"
+  private[operators] val CtrlClassSql = """[\x00-\x1f\x7f]"""
+
   private[graft] def normalizeCol(c: Column): Column =
-    lower(trim(regexp_replace(regexp_replace(c, "[\\x00-\\x1f\\x7f]", " "), " +", " ")))
+    lower(trim(regexp_replace(regexp_replace(c, CtrlClass, " "), " +", " ")))
 
   def q85(s: SparkSession, dir: String): DataFrame = {
     val cleaned = normalizeCol(col("text"))
@@ -519,9 +526,9 @@ object TextOps {
   }
 
   private val q85Sql =
-    """WITH n AS (SELECT doc_id, text,
+    s"""WITH n AS (SELECT doc_id, text,
          lower(trim(regexp_replace(
-           regexp_replace(text, '[\x00-\x1f\x7f]', ' ', 'g'), ' +', ' ', 'g'))) AS text_norm
+           regexp_replace(text, '$CtrlClassSql', ' ', 'g'), ' +', ' ', 'g'))) AS text_norm
        FROM documents)
        SELECT doc_id, text_norm,
               CAST(length(text) AS BIGINT) AS n_before,
@@ -918,8 +925,8 @@ object TextOps {
   /** Document intake VALIDATION core (shared with the spec, which
     * drives it with synthesized corrupt rows — the live table is
     * clean): one map-only corpus pass to per-flag counts. The
-    * control-byte class reuses q85's portable `[\\x00-\\x1f\\x7f]`
-    * spelling (Java∩RE2 — no `\s`, whose definition differs
+    * control-byte class is the shared [[CtrlClass]] constant (q85's
+    * portable Java∩RE2 spelling — no `\s`, whose definition differs
     * cross-engine). `n_dup_id` is the one corpus-level check
     * (count − distinct ids); `n_clean` composes the ROW-LOCAL checks
     * only — id uniqueness is reported, not folded per-row (a per-row
@@ -934,7 +941,7 @@ object TextOps {
     val wsOnly: Column = !nullText && col("text") =!= "" && trim(col("text")) === ""
     val charsMismatch: Column = !nullText && col("n_chars").isNotNull &&
       col("n_chars") =!= length(col("text"))
-    val ctrl: Column = !nullText && col("text").rlike("[\\x00-\\x1f\\x7f]")
+    val ctrl: Column = !nullText && col("text").rlike(CtrlClass)
     val nullLang: Column = col("lang").isNull
     val clean: Column = !nullId && !nullText && !emptyText && !wsOnly &&
       !charsMismatch && !ctrl && !nullLang
@@ -983,12 +990,12 @@ object TextOps {
        CAST(sum(CASE WHEN text IS NOT NULL AND n_chars IS NOT NULL
                       AND n_chars <> len(text) THEN 1 ELSE 0 END) AS BIGINT) AS n_chars_mismatch,
        CAST(sum(CASE WHEN text IS NOT NULL
-                      AND regexp_matches(text, '[\\x00-\\x1f\\x7f]') THEN 1 ELSE 0 END) AS BIGINT) AS n_ctrl_chars,
+                      AND regexp_matches(text, '$CtrlClassSql') THEN 1 ELSE 0 END) AS BIGINT) AS n_ctrl_chars,
        CAST(sum(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_lang,
        CAST(sum(CASE WHEN doc_id IS NOT NULL AND text IS NOT NULL AND text <> ''
                       AND NOT (text <> '' AND trim(text) = '')
                       AND NOT (n_chars IS NOT NULL AND n_chars <> len(text))
-                      AND NOT regexp_matches(text, '[\\x00-\\x1f\\x7f]')
+                      AND NOT regexp_matches(text, '$CtrlClassSql')
                       AND lang IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_clean
        FROM documents"""
 

@@ -273,5 +273,17 @@ class SimilaritySpec extends AnyFunSuite {
     assert(v.getAs[Long]("n_inf") == 2L)
     assert(v.getAs[Long]("n_zero") == 2L)
     assert(v.getAs[Long]("n_valid") == 2L)
+
+    // the catastrophe case: EVERY embedding null (a failed upstream
+    // write). The report must shout n_null = N, not collapse to an
+    // empty-looking table because no modal dimension exists.
+    val allNull = spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        (1L to 5L).map(i => org.apache.spark.sql.Row(i, null)), 2), schema)
+    val nv = operators.Similarity.validateEmbeddings(allNull).collect()(0)
+    assert(nv.getAs[Long]("n_vecs") == 5L)
+    assert(nv.getAs[Long]("n_null") == 5L)
+    assert(nv.getAs[Long]("n_valid") == 0L)
+    assert(nv.isNullAt(nv.fieldIndex("exp_dim")))
   }
 }
