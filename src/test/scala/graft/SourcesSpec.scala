@@ -1,6 +1,6 @@
 package graft
 
-import graft.sources.Sources
+import graft.sources.{AnnIndex, Sources}
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -92,5 +92,30 @@ class SourcesSpec extends AnyFunSuite {
     assert(scan.contains("PartitionFilters") && scan.contains("event_type"))
     val expected = ev.filter(col("event_type") === "purchase").count()
     assert(pruned.count() == expected)
+  }
+
+  test("persisted ANN index: disk probe equals q52 exactly and prunes to the probed cells") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-annidx").toString
+    val cents = AnnIndex.write(spark, sf, dir)
+    // layout: one hive directory per OCCUPIED cell (an empty Lloyd
+    // cell keeps its centroid but writes no residents)
+    val cellDirs = new java.io.File(dir).listFiles().count(_.getName.startsWith("cid="))
+    val occupied = Sources.readParquet(spark, dir).select("cid").distinct().count()
+    assert(cellDirs.toLong == occupied && cellDirs > 1 && cellDirs <= cents.length,
+      s"$cellDirs cell directories, $occupied occupied cells, ${cents.length} centroids")
+    val queries = Tables(spark, sf, "embeddings")
+      .filter(col("vec_id") < 20).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+    val fromDisk = AnnIndex.probe(spark, dir, cents, queries, nprobe = 4, k = 5)
+    // the scan must carry a cid PARTITION filter (the probe reads only
+    // probed directories — the pruning that makes this an index)...
+    val scan = fromDisk.queryExecution.executedPlan.collectLeaves()
+      .map(_.toString).find(_.contains("parquet")).get
+    assert(scan.contains("PartitionFilters") && scan.contains("cid"),
+      "probe scan lost its cid partition filter")
+    // ...and the probed result is ROW-FOR-ROW the in-memory q52
+    val q52 = operators.Similarity.q52(spark, sf)
+    assert(fromDisk.exceptAll(q52).count() == 0 && q52.exceptAll(fromDisk).count() == 0,
+      "disk probe diverges from the in-memory operator")
   }
 }
