@@ -37,13 +37,35 @@ object AnnIndex {
     cents
   }
 
+  /** FILTERED (hybrid) probe: top-k among index residents satisfying
+    * a metadata predicate — "nearest neighbors WHERE label = 3", the
+    * filtered-vector-search shape serving stacks need. The predicate
+    * is applied pre-scoring INSIDE the pruned scan (`meta` joined on
+    * vec_id before the cosine, so Catalyst pushes its filters into
+    * the scan/join, never post-ranking — post-filtering top-k would
+    * silently return < k or biased results). Recall caveat is the
+    * standard one: probing nprobe cells of the FILTERED corpus may
+    * need a larger nprobe when the predicate is very selective; the
+    * spec measures recall vs the exact filtered brute force. */
+  def probeWhere(s: SparkSession, path: String, cents: Array[Array[Double]],
+      queries: Array[(Long, Array[Float])], nprobe: Int, k: Int,
+      meta: DataFrame, predicate: org.apache.spark.sql.Column): DataFrame =
+    rank(s,
+      scored(s, path, cents, queries, nprobe)
+        .join(meta.filter(predicate).select("vec_id"), "vec_id"), k)
+
   /** Probe the persisted index: top-k exact-cosine neighbors per
     * query among the nprobe nearest cells' residents. `queries` is
     * driver-bounded by contract (the q50/q52 query rule). */
   def probe(s: SparkSession, path: String, cents: Array[Array[Double]],
-      queries: Array[(Long, Array[Float])], nprobe: Int, k: Int): DataFrame = {
+      queries: Array[(Long, Array[Float])], nprobe: Int, k: Int): DataFrame =
+    rank(s, scored(s, path, cents, queries, nprobe), k)
+
+  /** Shared probe core: partition-pruned scan joined to the
+    * broadcast query/cell pairs, exact cosine per candidate. */
+  private def scored(s: SparkSession, path: String, cents: Array[Array[Double]],
+      queries: Array[(Long, Array[Float])], nprobe: Int): DataFrame = {
     import s.implicits._
-    import graft.functions.TopK
     import graft.functions.VectorOps.dotp
     val cn2 = cents.map(c => c.map(x => x * x).sum)
     val probes = queries.sortBy(_._1).flatMap { case (qid, qv) =>
@@ -66,6 +88,12 @@ object AnnIndex {
       .filter(col("vec_id") =!= col("query_id"))
       .withColumn("cosine",
         graft.operators.ops.r6(dotp(col("qe"), col("ed")) / (col("qn") * col("nrm"))))
+  }
+
+  /** Bounded TopK ranking of a scored candidate frame. */
+  private def rank(s: SparkSession, cand: DataFrame, k: Int): DataFrame = {
+    import graft.functions.TopK
+    cand
       .groupBy("query_id")
       .agg(TopK.topk(k)(col("cosine"), col("vec_id")).as("top"))
       .select(col("query_id"), posexplode(col("top")))

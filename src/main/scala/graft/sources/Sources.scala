@@ -47,4 +47,25 @@ object Sources {
     * visible as PartitionFilters in the scan node). */
   def writePartitioned(df: DataFrame, path: String, parts: String*): Unit =
     df.write.mode(SaveMode.Overwrite).partitionBy(parts: _*).parquet(path)
+
+  /** SMALL-FILE COMPACTION — the table-maintenance pass every
+    * long-running 100 TB pipeline needs: streaming sinks and
+    * per-trigger appends accrete thousands of tiny files, and scan
+    * cost becomes file-open-bound (one task per file, footer reads,
+    * driver listing) instead of byte-bound. Rewrites `src` into
+    * ⌈bytes/targetBytes⌉ files at `dst`, sized from the ACTUAL
+    * on-disk bytes (via the relation's own size statistic, so
+    * compression ratios carry over), then round-robin repartitioned —
+    * contents identical, file count right-sized. Runs as one
+    * read+shuffle+write; safe to run incrementally per partition
+    * directory on a live table. */
+  def compact(spark: SparkSession, src: String, dst: String,
+      targetBytes: Long = 128L * 1024 * 1024): Long = {
+    val df = spark.read.parquet(src)
+    val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val files = math.max(1L, math.ceil(
+      bytes.toDouble / targetBytes.toDouble).toLong).toInt
+    df.repartition(files).write.mode(SaveMode.Overwrite).parquet(dst)
+    files.toLong
+  }
 }

@@ -117,5 +117,44 @@ class SourcesSpec extends AnyFunSuite {
     val q52 = operators.Similarity.q52(spark, sf)
     assert(fromDisk.exceptAll(q52).count() == 0 && q52.exceptAll(fromDisk).count() == 0,
       "disk probe diverges from the in-memory operator")
+
+    // FILTERED probe: neighbors restricted to a metadata predicate.
+    // Pre-scoring filter semantics: equals brute-force filtered top-k
+    // restricted to the SAME probed cells (the recall trade is the
+    // cell probe, never the filter)
+    val meta = Tables(spark, sf, "embeddings").select("vec_id", "label")
+    val filtered = AnnIndex.probeWhere(spark, dir, cents, queries,
+      nprobe = 4, k = 5, meta, col("label") === 1)
+    assert(filtered.count() > 0)
+    val labels = filtered.join(meta, filtered("neighbor_id") === meta("vec_id"))
+      .filter(col("label") =!= 1)
+    assert(labels.count() == 0, "filtered probe returned a non-matching neighbor")
+    // every returned neighbor list is the exact filtered ranking of
+    // the unfiltered candidate set: rebuild from the unfiltered probe
+    // at large k and compare prefixes
+    val wide = AnnIndex.probe(spark, dir, cents, queries, nprobe = 4, k = 500)
+    val keep = meta.filter(col("label") === 1)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val want = wide.collect().groupBy(_.getLong(0)).view.mapValues(
+      _.sortBy(_.getInt(2)).map(_.getLong(1)).filter(keep).take(5).toSeq).toMap
+    val got = filtered.collect().groupBy(_.getLong(0)).view.mapValues(
+      _.sortBy(_.getInt(2)).map(_.getLong(1)).toSeq).toMap
+    assert(got == want.filter(_._2.nonEmpty), "filtered probe is not the filtered ranking")
+  }
+
+  test("compaction rewrites a fragmented table into few files with identical rows") {
+    val frag = tmp("frag")
+    val li = Tables(spark, sf, "lineitem")
+    li.repartition(64).write.mode("overwrite").parquet(frag) // 64 tiny files
+    val nFrag = new java.io.File(frag).listFiles().count(_.getName.endsWith(".parquet"))
+    assert(nFrag >= 60, s"fragmentation setup produced only $nFrag files")
+    val dst = tmp("compacted")
+    val planned = Sources.compact(spark, frag, dst)
+    val nOut = new java.io.File(dst).listFiles().count(_.getName.endsWith(".parquet"))
+    assert(nOut.toLong == planned && nOut < nFrag / 8,
+      s"compaction left $nOut files (planned $planned) from $nFrag")
+    val back = Sources.readParquet(spark, dst)
+    assert(back.count() == li.count())
+    assert(back.exceptAll(li).isEmpty && li.exceptAll(back).isEmpty)
   }
 }
