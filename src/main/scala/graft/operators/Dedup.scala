@@ -654,6 +654,54 @@ object Dedup {
     sourceSimCore(Tables(s, dir, "documents")
       .select(col("source"), xxhash64(col("text")).as("h")))
 
+  /** Overlap core over a (source, text) frame — shared with the
+    * spec, which drives it with known-cardinality synthetic sets.
+    * The pair join is a nested loop over the #sources-row SKETCH
+    * frame (bounded by construction, like [[sourceSimCore]]); the
+    * corpus flows only through the mergeable HLL aggregate. The
+    * sketch frame is localCheckpointed because both join sides
+    * consume it and exchange-reuse deduping the corpus-sized
+    * aggregate subtree is a heuristic, not a guarantee (q65
+    * lesson) — here the checkpoint is #sources rows against a
+    * full-corpus scan, the clear win side of the barrier
+    * trade-off. */
+  private[graft] def overlapEstCore(rows: DataFrame): DataFrame = {
+    val sk = rows.groupBy("source")
+      .agg(hll_sketch_agg(col("text")).as("sk"))
+      .withColumn("est_n", hll_sketch_estimate(col("sk")))
+      .localCheckpoint(false)
+    val a = sk.select(col("source").as("source_a"), col("sk").as("sk_a"),
+      col("est_n").as("est_a"))
+    val b = sk.select(col("source").as("source_b"), col("sk").as("sk_b"),
+      col("est_n").as("est_b"))
+    a.join(b, col("source_a") < col("source_b"))
+      .withColumn("est_union", hll_sketch_estimate(hll_union(col("sk_a"), col("sk_b"))))
+      .select(col("source_a"), col("source_b"), col("est_a"), col("est_b"),
+        col("est_union"),
+        greatest(lit(0L), col("est_a") + col("est_b") - col("est_union")).as("est_shared"))
+      .orderBy("source_a", "source_b")
+  }
+
+  /** Cross-source DISTINCT-overlap ESTIMATE via mergeable HLL
+    * sketches (Spark's native DataSketches HllSketch surface) — the
+    * sketch path of q95's exact duplication matrix, by
+    * inclusion–exclusion: |A∩B| = |A| + |B| − |A∪B|, every term an
+    * HLL estimate and the union computed by merging the two
+    * sketches WITHOUT rescanning either source. Where q110's
+    * MinHash signatures estimate Jaccard (a ratio), this estimates
+    * the absolute shared-distinct-text count — the two sketches
+    * together recover what q95 computes exactly with a hash-keyed
+    * self-join. At 100 TB: one corpus pass builds #sources sketches
+    * (map-side partial HLLs merge through one tiny shuffle); every
+    * pairwise estimate is sketch-local; a new crawl snapshot adds
+    * one sketch and never rescans the old ones. DataSketches HLL is
+    * exact in sparse mode (small sources) and ~1.6 % rel. s.e. at
+    * lgK 12 beyond; inclusion–exclusion amplifies that on small
+    * intersections — the spec pins both regimes. Sketch-dependent →
+    * rows-only; DedupSketchSpec checks against the exact overlap. */
+  def q113(s: SparkSession, dir: String): DataFrame =
+    overlapEstCore(Tables(s, dir, "documents").select(col("source"), col("text")))
+
   val qs: Seq[Q] = Seq(
     Q("q40_exact_dedup", q40, Some(q40Sql)),
     Q("q41_ngram_jaccard", q41, Some(q41Sql)),
@@ -665,5 +713,6 @@ object Dedup {
     Q("q95_source_overlap", q95, Some(q95Sql)),
     Q("q101_dedup_agreement", q101, Some(q101Sql)),
     Q("q109_dup_rate_curve", q109, Some(q109Sql)),
-    Q("q110_source_similarity", q110, None))
+    Q("q110_source_similarity", q110, None),
+    Q("q113_overlap_sketch", q113, None))
 }

@@ -483,6 +483,45 @@ object Events {
         AND s1.start_us <= s2.end_us AND s2.start_us <= s1.end_us
        GROUP BY 1, 2 ORDER BY 1, 2"""
 
+  /** USER-JOURNEY TRANSITION MATRIX (first-order Markov chain over
+    * event types): for each identified user, order events by
+    * (ts, event_id) and count consecutive (prev → next) type pairs;
+    * p is the row-normalized transition probability. The journey
+    * view the reference's API layer serves from processed_events —
+    * here one lag window partitioned by user_id (high-cardinality
+    * key, linear per user — the q22/q23 shape) feeding a
+    * #types²-row aggregate; the normalizing window runs over that
+    * tiny frame, never the events. Anonymous (NULL-user) events are
+    * excluded — interleaved strangers' events are not a journey.
+    *
+    * Cross-engine safety: counts are exact integers; p is ONE
+    * long/long IEEE divide (same both engines) under r6; ties
+    * within (user, ts) break on the unique event_id both sides. */
+  def q115(s: SparkSession, dir: String): DataFrame = {
+    val ord = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    Tables(s, dir, "events")
+      .filter(col("user_id").isNotNull)
+      .withColumn("prev_type", lag("event_type", 1).over(ord))
+      .filter(col("prev_type").isNotNull)
+      .groupBy(col("prev_type"), col("event_type").as("next_type"))
+      .agg(count(lit(1)).as("n_transitions"))
+      .withColumn("p", ops.r6(col("n_transitions") * lit(1.0) /
+        sum("n_transitions").over(Window.partitionBy("prev_type"))))
+      .orderBy("prev_type", "next_type")
+  }
+
+  private val q115Sql =
+    s"""WITH t AS (
+         SELECT lag(event_type) OVER (
+                  PARTITION BY user_id ORDER BY ts, event_id) AS prev_type,
+                event_type AS next_type
+         FROM events WHERE user_id IS NOT NULL),
+       g AS (SELECT prev_type, next_type, count(*) AS n_transitions
+             FROM t WHERE prev_type IS NOT NULL GROUP BY 1, 2)
+       SELECT prev_type, next_type, n_transitions,
+              ${ops.R6("n_transitions * 1.0 / sum(n_transitions) OVER (PARTITION BY prev_type)")} AS p
+       FROM g ORDER BY prev_type, next_type"""
+
   val qs: Seq[Q] = Seq(
     Q("q20_hourly_revenue", q20, Some(q20Sql)),
     Q("q21_enrich_events", q21, Some(q21Sql)),
@@ -494,5 +533,6 @@ object Events {
     Q("q27_top_spenders", q27, Some(q27Sql)),
     Q("q28_order_asof", q28, Some(q28Sql)),
     Q("q76_heavy_hitters", q76, None),
-    Q("q84_session_overlap", q84, Some(q84Sql)))
+    Q("q84_session_overlap", q84, Some(q84Sql)),
+    Q("q115_event_transitions", q115, Some(q115Sql)))
 }

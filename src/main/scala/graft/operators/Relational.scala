@@ -511,6 +511,57 @@ object Relational {
         percentile_approx(col("l_extendedprice"), lit(0.9), lit(10000)).as("p90_approx"))
       .orderBy("p_brand")
 
+  /** CDC LATEST-WINS APPLY over the orders snapshot
+    * ([[graft.sources.Sources.upsert]] is the engine; this query is
+    * its end-to-end face with a deterministic change feed derived
+    * from the table itself): the base snapshot is version 1; every
+    * 7th key gets a re-price (version 2, status → 'U', price + 1.0);
+    * every 13th key gets a DELETE tombstone at version 3 — on 7·13
+    * multiples the delete outranks the re-price, exercising the
+    * winner-then-tombstone order of operations. Merge keeps, per
+    * key, only the highest-version row and drops keys whose winner
+    * is a tombstone.
+    *
+    * Cross-engine safety: every surviving o_totalprice is either a
+    * parquet pass-through or one exact double `+ 1.0`
+    * (Column-API lit, q60 pattern); versions are integer literals.
+    * At 100 TB this is one map-side-partial groupBy on the snapshot
+    * key — see the upsert Scaladoc for why not a window. */
+  def q116(s: SparkSession, dir: String): DataFrame = {
+    def orders = Tables(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+    val base = orders
+      .withColumn("version", lit(1L)).withColumn("deleted", lit(false))
+    val reprice = orders.filter(col("o_orderkey") % 7 === 0)
+      .select(col("o_orderkey"), lit("U").as("o_orderstatus"),
+        (col("o_totalprice") + lit(1.0)).as("o_totalprice"),
+        lit(2L).as("version"), lit(false).as("deleted"))
+    val del = orders.filter(col("o_orderkey") % 13 === 0)
+      .select(col("o_orderkey"), lit(null).cast("string").as("o_orderstatus"),
+        lit(null).cast("double").as("o_totalprice"),
+        lit(3L).as("version"), lit(true).as("deleted"))
+    graft.sources.Sources.upsert(
+        base.unionByName(reprice).unionByName(del),
+        Seq("o_orderkey"), "version", Some("deleted"))
+      .orderBy("o_orderkey")
+  }
+
+  private val q116Sql =
+    """WITH u AS (
+         SELECT o_orderkey, o_orderstatus, o_totalprice,
+                1 AS version, false AS deleted FROM orders
+         UNION ALL
+         SELECT o_orderkey, 'U', o_totalprice + 1.0, 2, false
+         FROM orders WHERE o_orderkey % 7 = 0
+         UNION ALL
+         SELECT o_orderkey, NULL, NULL, 3, true
+         FROM orders WHERE o_orderkey % 13 = 0),
+       r AS (SELECT *, row_number() OVER (
+               PARTITION BY o_orderkey ORDER BY version DESC) AS rn FROM u)
+       SELECT o_orderkey, o_orderstatus, o_totalprice,
+              CAST(version AS BIGINT) AS version
+       FROM r WHERE rn = 1 AND NOT deleted ORDER BY o_orderkey"""
+
   val qs: Seq[Q] = Seq(
     Q("q01_pricing_summary", q01, Some(q01Sql)),
     Q("q02_revenue_by_nation", q02, Some(q02Sql)),
@@ -530,5 +581,6 @@ object Relational {
     Q("q16_return_classes", q16, Some(q16Sql)),
     Q("q17_pivot_revenue", q17, Some(q17Sql)),
     Q("q18_moving_revenue", q18, Some(q18Sql)),
-    Q("q19_approx_quantiles", q19, None))
+    Q("q19_approx_quantiles", q19, None),
+    Q("q116_cdc_apply", q116, Some(q116Sql)))
 }

@@ -822,6 +822,79 @@ object Similarity {
                         AND NOT has_inf AND NOT all_zero THEN 1 ELSE 0 END) AS BIGINT) AS n_valid
        FROM f"""
 
+  /** Expected rows per calibration group: pairs ≈ n·CalibB/2 — fixed
+    * group SIZE, so the sample stays LINEAR in the corpus as n grows
+    * (the group count scales, not the group). ONE constant, spelled
+    * into the oracle SQL via the ceil(n/CalibB) subquery. */
+  private[graft] val CalibB = 64
+
+  /** Cross-engine id hash (the [[Sampling.RankExpr]] pair, keyed on
+    * vec_id): Spark conv(md5) == DuckDB hex-literal cast. */
+  private val IdHashExpr =
+    "CAST(conv(substring(md5(CAST(CAST(vec_id AS STRING) AS BINARY)), 1, 8), 16, 10) AS BIGINT)"
+  private val IdHashSql = "('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8))::BIGINT"
+
+  /** Pairwise-cosine CALIBRATION histogram — the corpus-geometry
+    * report that justifies every similarity threshold in the suite
+    * (q44's CosThr, q45's cell radius, q51's "neighbor cosine ~0.3"
+    * measurement): the distribution of cos(a,b) over a deterministic
+    * linear-size sample of pairs, binned at 0.05.
+    *
+    * Sampling: each vector lands in group md5(vec_id) % ceil(n/B)
+    * (B=[[CalibB]]), pairs are within-group only — E[pairs] = n·B/2,
+    * LINEAR in n because the group size is fixed and the group count
+    * scales. The hash key makes the sample content-stable across
+    * reruns and re-partitioning (no rand()), and unbiased because
+    * vec_id carries no geometric information. At 100 TB the
+    * within-group self-join is an equi-join on the group key —
+    * match-multiplied, hence the shuffle_merge hint (q54 lesson) —
+    * and nothing corpus-sized is collected or broadcast (the 1-row
+    * count frame is the only crossJoin side, and an agg-without-keys
+    * frame is never empty, so the q107 annihilation caveat does not
+    * apply).
+    *
+    * Parity: the cosine is the exact arithmetic tree q44's oracle
+    * proved bit-identical cross-engine (sequential double dot,
+    * sqrt, one divide), so the floor(cos·20) bin boundary cannot
+    * fork; counts are integers; the share divide is one double op. */
+  def q114(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+    val gcnt = e.agg(ceil(count(lit(1)).cast("double") / lit(CalibB.toDouble)).as("g"))
+    val keyed = e.crossJoin(broadcast(gcnt))
+      .withColumn("grp", expr(IdHashExpr) % col("g"))
+      .withColumn("nrm", l2norm(col("embedding")))
+      .select(col("vec_id"), col("embedding"), col("grp"), col("nrm"))
+    val pairs = keyed.as("a").hint("shuffle_merge")
+      .join(keyed.as("b").hint("shuffle_merge"),
+        col("a.grp") === col("b.grp") && col("a.vec_id") < col("b.vec_id"))
+      .select((dotp(col("a.embedding"), col("b.embedding")) /
+        (col("a.nrm") * col("b.nrm"))).as("cos"))
+    pairs
+      .groupBy(floor(col("cos") * lit(20.0)).as("bin"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .withColumn("share",
+        ops.r6(col("n_pairs") * lit(1.0) / sum("n_pairs").over(Window.partitionBy())))
+      .select(col("bin"), (col("bin") / lit(20.0)).as("cos_lo"), col("n_pairs"), col("share"))
+      .orderBy("bin")
+  }
+
+  private val q114Sql = {
+    val cos = """list_inner_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
+       (sqrt(list_inner_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
+        sqrt(list_inner_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[])))"""
+    s"""WITH c AS (SELECT CAST(ceil(count(*) / ${CalibB}.0) AS BIGINT) AS g FROM embeddings),
+       e AS (SELECT vec_id, embedding, $IdHashSql % (SELECT g FROM c) AS grp
+             FROM embeddings),
+       p AS (SELECT $cos AS cos
+             FROM e a JOIN e b ON a.grp = b.grp AND a.vec_id < b.vec_id),
+       h AS (SELECT CAST(floor(cos * 20.0) AS BIGINT) AS bin, count(*) AS n_pairs
+             FROM p GROUP BY 1)
+       SELECT bin, bin / 20.0 AS cos_lo, n_pairs,
+         ${ops.R6("n_pairs * 1.0 / sum(n_pairs) OVER ()")} AS share
+       FROM h ORDER BY bin"""
+  }
+
   val qs: Seq[Q] = Seq(
     Q("q50_knn_brute", q50, Some(q50Sql)),
     Q("q51_knn_lsh", q51, None),
@@ -831,5 +904,6 @@ object Similarity {
     Q("q91_graph_centrality", q91, None),
     Q("q94_triplet_mining", q94, None),
     Q("q98_diversity_sample", q98, None),
-    Q("q107_embedding_validate", q107, Some(q107Sql)))
+    Q("q107_embedding_validate", q107, Some(q107Sql)),
+    Q("q114_cosine_calibration", q114, Some(q114Sql)))
 }

@@ -999,6 +999,67 @@ object TextOps {
                       AND lang IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_clean
        FROM documents"""
 
+  /** CountMin sketch shape: depth (independent hash rows) × width
+    * (cells per row). State is D·W cells regardless of vocabulary —
+    * the frequency analog of q14's HLL (distinct), q19's GK
+    * (quantiles), q76's Misra-Gries (top-k), q77's Bloom
+    * (membership), q110's MinHash (set similarity). */
+  private[graft] val CmsD = 4
+  private[graft] val CmsW = 8192
+
+  /** Probe rows reported by q112. */
+  private val CmsTopN = 30
+
+  /** The (d, cell) pair every CMS path derives from a token —
+    * xxhash64 seeded by the row index d, reduced mod width. ONE
+    * expression string shared by the sketch build and the probe so
+    * the two sides cannot drift. */
+  private[graft] val cmsCellsExpr =
+    s"transform(sequence(0, ${CmsD - 1}), d -> named_struct(" +
+      s"'d', d, 'cell', pmod(xxhash64(tok, d), ${CmsW})))"
+
+  /** CMS build: the full corpus token stream reduced to ≤ D·W
+    * (d, cell, n) rows by one groupBy — the map-side partial IS the
+    * partition-local sketch (a bounded hash table), the shuffle is
+    * the sketch merge. Declarative on purpose: no udaf buffer to
+    * encode, mergeable and partition-order-invariant because it is
+    * a counting aggregate. */
+  private[graft] def cmsSketch(tokens: DataFrame): DataFrame =
+    tokens
+      .select(explode(expr(cmsCellsExpr)).as("dc"))
+      .groupBy(col("dc.d").as("d"), col("dc.cell").as("cell"))
+      .agg(count(lit(1)).as("n"))
+
+  /** CountMin FREQUENCY-SKETCH calibration: the exact top-[[CmsTopN]]
+    * corpus tokens with their CMS estimates and overcounts — the
+    * audit that sizes D×W before trusting the sketch at scale.
+    * est ≥ exact always (CMS is one-sided); E[overcount] ≈ N/W per
+    * hash row, and the min over D rows drives it toward 0.
+    *
+    * Deployment shape at 100 TB: the corpus is touched ONCE by
+    * [[cmsSketch]] (bounded state, mergeable across days/shards —
+    * yesterday's sketch adds to today's by summing cells); probes
+    * come from a bounded candidate set (here the exact top-N audit
+    * frame, whose groupBy is itself vocabulary-bounded like q80's;
+    * in a pure-sketch deployment, q76's Misra-Gries candidates).
+    * Hash-dependent → rows-only; TextSketchSpec pins the one-sided
+    * bound, the overcount envelope, and partition invariance. */
+  def q112(s: SparkSession, dir: String): DataFrame = {
+    val tokens = Tables(s, dir, "documents")
+      .select(explode(expr(tk)).as("tok"))
+    val sketch = cmsSketch(tokens)
+    val probes = tokens.groupBy("tok").agg(count(lit(1)).as("exact_n"))
+      .orderBy(col("exact_n").desc, col("tok").asc).limit(CmsTopN)
+    val probeCells = probes
+      .select(col("tok"), col("exact_n"), explode(expr(cmsCellsExpr)).as("dc"))
+      .select(col("tok"), col("exact_n"), col("dc.d").as("d"), col("dc.cell").as("cell"))
+    sketch.join(broadcast(probeCells), Seq("d", "cell"))
+      .groupBy("tok", "exact_n")
+      .agg(min("n").as("est_n"))
+      .withColumn("overcount", col("est_n") - col("exact_n"))
+      .orderBy(col("exact_n").desc, col("tok").asc)
+  }
+
   val qs: Seq[Q] = Seq(
     Q("q60_text_quality", q60, Some(q60Sql)),
     Q("q61_lang_id", q61, Some(q61Sql)),
@@ -1017,5 +1078,6 @@ object TextOps {
     Q("q103_length_histogram", q103, Some(q103Sql)),
     Q("q104_ngram_diversity", q104, Some(q104Sql)),
     Q("q106_source_shift", q106, Some(q106Sql)),
-    Q("q108_intake_validate", q108, Some(q108Sql)))
+    Q("q108_intake_validate", q108, Some(q108Sql)),
+    Q("q112_freq_sketch", q112, None))
 }

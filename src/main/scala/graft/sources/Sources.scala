@@ -48,6 +48,33 @@ object Sources {
   def writePartitioned(df: DataFrame, path: String, parts: String*): Unit =
     df.write.mode(SaveMode.Overwrite).partitionBy(parts: _*).parquet(path)
 
+  /** LATEST-WINS CDC APPLY — the MERGE INTO of a lakehouse, without
+    * requiring a table format: `rows` is the union of a base
+    * snapshot and any number of change batches, every row carrying a
+    * `versionCol` (monotone per key — a CDC log sequence number;
+    * MUST be distinct within a key, ties are the caller's bug) and
+    * optionally a boolean tombstone column. Per key the
+    * highest-version row wins; a winning tombstone deletes the key.
+    *
+    * Shape chosen for 100 TB: `groupBy(key).agg(max_by(struct, v))`,
+    * NOT a row_number window — the aggregate runs map-side partials
+    * (each input partition reduces to its local winners before the
+    * shuffle), so a change batch that is 0.1 % of the snapshot moves
+    * ~one winner per key, while a window would sort entire
+    * partitions. One hash shuffle by key — the minimum any keyed
+    * merge needs; bucket the snapshot by key and even that collapses
+    * to a co-located merge (BucketingSpec pattern). */
+  def upsert(rows: DataFrame, keys: Seq[String], versionCol: String,
+      tombstoneCol: Option[String] = None): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val winner = rows.groupBy(keys.map(col): _*)
+      .agg(max_by(struct(rows.columns.map(col): _*), col(versionCol)).as("__w"))
+      .select(col("__w.*"))
+    val alive = tombstoneCol.fold(winner)(t =>
+      winner.filter(!coalesce(col(t), lit(false))).drop(t))
+    alive
+  }
+
   /** SMALL-FILE COMPACTION — the table-maintenance pass every
     * long-running 100 TB pipeline needs: streaming sinks and
     * per-trigger appends accrete thousands of tiny files, and scan

@@ -196,4 +196,43 @@ class DedupSpec extends AnyFunSuite {
       assert(math.abs(e - exact) <= 0.15, s"$sa-$sb est $e vs exact $exact")
     }
   }
+
+  test("q113 overlap estimates track the exact distinct-overlap matrix") {
+    val est = operators.Dedup.q113(spark, sf).cache()
+    val d = Tables(spark, sf, "documents").select(col("source"), col("text")).distinct()
+    val exact = d.groupBy("source").agg(count(lit(1)).as("n"))
+    // every source pair is present (the estimate exists even at zero overlap)
+    val nSrc = exact.count()
+    assert(est.count() == nSrc * (nSrc - 1) / 2)
+    // per-source cardinality estimates (sparse-mode HLL at this SF is near-exact)
+    val perSrc = est.select(col("source_a").as("source"), col("est_a").as("e"))
+      .union(est.select(col("source_b"), col("est_b"))).distinct().join(exact, "source")
+    assert(perSrc.filter(
+      abs(col("e") - col("n")) > greatest(lit(2.0), col("n") * 0.03)).count() == 0)
+    // pairwise shared-distinct estimates vs the exact text-equality join
+    val sh = d.as("a").join(d.as("b"),
+        col("a.text") === col("b.text") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
+      .agg(count(lit(1)).as("shared"))
+    val j = est.join(sh, Seq("source_a", "source_b"), "left").na.fill(0, Seq("shared"))
+    assert(j.filter(abs(col("est_shared") - col("shared")) >
+      greatest(lit(3.0), col("est_union") * 0.05)).count() == 0)
+    est.unpersist()
+  }
+
+  test("overlapEstCore recovers a known overlap beyond HLL sparse mode") {
+    import spark.implicits._
+    // 10k + 10k distinct with 3000 shared — past the lgK=12 sparse
+    // threshold, so this exercises the dense estimator and the
+    // inclusion–exclusion error amplification the Scaladoc documents
+    val rows = ((0 until 10000).map(i => ("A", s"doc-$i")) ++
+      (7000 until 17000).map(i => ("B", s"doc-$i"))).toDF("source", "text")
+    val out = operators.Dedup.overlapEstCore(rows).collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(math.abs(r.getAs[Long]("est_a") - 10000L) <= 300)
+    assert(math.abs(r.getAs[Long]("est_b") - 10000L) <= 300)
+    val estShared = r.getAs[Long]("est_shared")
+    assert(math.abs(estShared - 3000L) <= 1000, s"est_shared=$estShared vs 3000")
+  }
 }

@@ -198,4 +198,19 @@ class EventsSpec extends AnyFunSuite {
       if (id < 1000L) assert(est <= 20L, s"background key $id overestimated: $est")
     }
   }
+
+  test("q115 transition rows normalize to 1 and total transitions match a per-user recompute") {
+    val df = operators.Events.q115(spark, sf).cache()
+    assert(df.count() > 0)
+    // each prev_type row of the matrix is a probability distribution
+    val rowSums = df.groupBy("prev_type").agg(sum("p").as("sp")).collect()
+    rowSums.foreach(r =>
+      assert(math.abs(r.getDouble(1) - 1.0) < 1e-4, s"${r.getString(0)} sums to ${r.getDouble(1)}"))
+    // Σ transitions = Σ_users (n_events − 1) over identified users
+    val want = Tables(spark, sf, "events").filter(col("user_id").isNotNull)
+      .groupBy("user_id").agg(count(lit(1)).as("n"))
+      .agg(sum(col("n") - 1)).head.getLong(0)
+    assert(df.agg(sum("n_transitions")).head.getLong(0) == want)
+    df.unpersist()
+  }
 }

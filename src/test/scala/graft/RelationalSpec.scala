@@ -126,4 +126,23 @@ class RelationalSpec extends AnyFunSuite {
       .filter(col("rev_7d_avg") > col("mx") + 0.01 || col("rev_7d_avg") < col("mn") - 0.01)
     assert(bad.count() == 0, "moving average escaped its window bounds")
   }
+
+  test("q116 cdc apply: reprices win at v2, deletes vanish, untouched keys pass through") {
+    val out = operators.Relational.q116(spark, sf).cache()
+    val orders = Tables(spark, sf, "orders")
+    val nKeys = orders.count()
+    val nDel = orders.filter(col("o_orderkey") % 13 === 0).count()
+    assert(out.count() == nKeys - nDel)
+    assert(out.filter(col("o_orderkey") % 13 === 0).count() == 0)
+    // every surviving %7 key carries the reprice (version 2, status U, price +1.0)
+    val base = orders.select(col("o_orderkey"), col("o_totalprice").as("orig"))
+    val rep = out.filter(col("o_orderkey") % 7 === 0).join(base, "o_orderkey")
+    assert(rep.count() > 0)
+    assert(rep.filter(col("version") =!= 2L || col("o_orderstatus") =!= "U"
+      || col("o_totalprice") =!= col("orig") + lit(1.0)).count() == 0)
+    // untouched keys pass through at version 1 with the original price
+    val un = out.filter(col("o_orderkey") % 7 =!= 0).join(base, "o_orderkey")
+    assert(un.filter(col("version") =!= 1L || col("o_totalprice") =!= col("orig")).count() == 0)
+    out.unpersist()
+  }
 }

@@ -286,4 +286,23 @@ class SimilaritySpec extends AnyFunSuite {
     assert(nv.getAs[Long]("n_valid") == 0L)
     assert(nv.isNullAt(nv.fieldIndex("exp_dim")))
   }
+
+  test("q114 histogram is a distribution over a linear, equi-joined pair sample") {
+    val df = operators.Similarity.q114(spark, sf).cache()
+    assert(df.count() > 0)
+    assert(df.filter(col("bin") < -20 || col("bin") > 20).count() == 0)
+    val shares = df.agg(sum("share")).head.getDouble(0)
+    assert(math.abs(shares - 1.0) < 1e-3, s"shares sum to $shares")
+    // fixed group SIZE ⇒ the sample is linear in n: a loose Poisson
+    // envelope on n·B/2 expected pairs
+    val n = Tables(spark, sf, "embeddings").count()
+    val pairs = df.agg(sum("n_pairs")).head.getLong(0)
+    assert(pairs > 0 && pairs <= n * operators.Similarity.CalibB,
+      s"$pairs pairs from $n vectors")
+    df.unpersist()
+    // the self-join must stay an equi-join on the group key — the
+    // only nested-loop allowed is the 1-row count-frame crossJoin
+    val p = operators.Similarity.q114(spark, sf).queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), "q114 plans a cartesian product")
+  }
 }

@@ -157,4 +157,24 @@ class SourcesSpec extends AnyFunSuite {
     assert(back.count() == li.count())
     assert(back.exceptAll(li).isEmpty && li.exceptAll(back).isEmpty)
   }
+
+  test("upsert keeps the highest version per key and honors tombstones") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, "a", 1L, false),                                             // untouched
+      (2L, "b", 1L, false), (2L, "b2", 2L, false),                      // updated
+      (3L, "c", 1L, false), (3L, null, 2L, true),                       // deleted
+      (4L, "d", 1L, false), (4L, null, 2L, true), (4L, "d3", 3L, false), // resurrected
+      (5L, "e", 2L, true)                                               // born dead
+    ).toDF("k", "v", "version", "deleted")
+    val out = Sources.upsert(rows, Seq("k"), "version", Some("deleted"))
+    assert(out.columns.toSeq == Seq("k", "v", "version"))
+    val got = out.orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    assert(got == Seq((1L, "a", 1L), (2L, "b2", 2L), (4L, "d3", 3L)))
+    // without a tombstone column the winners simply survive, deleted and all
+    val all = Sources.upsert(rows, Seq("k"), "version")
+      .orderBy("k").collect().map(r => (r.getLong(0), r.getLong(2))).toSeq
+    assert(all == Seq((1L, 1L), (2L, 2L), (3L, 2L), (4L, 3L), (5L, 2L)))
+  }
 }

@@ -731,4 +731,42 @@ class StreamingSpec extends AnyFunSuite {
     assert(written.count() == batch.count())
     assert(written.exceptAll(batch).count() == 0)
   }
+
+  test("live frequency sketch lands on the batch cells; probes stay one-sided") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-freq").toString
+    val base = Tables(spark, sf, "documents").select("text")
+    val mid = Tables(spark, sf, "documents")
+      .agg(expr("percentile(doc_id, 0.5)")).collect()(0).getDouble(0).toLong
+    Tables(spark, sf, "documents").filter(col("doc_id") < mid)
+      .select("text").coalesce(1).write.mode("append").parquet(dir)
+    Tables(spark, sf, "documents").filter(col("doc_id") >= mid)
+      .select("text").coalesce(1).write.mode("append").parquet(dir)
+    val q = streaming.FreqStream.sketch(
+        spark.readStream.schema(base.schema)
+          .option("maxFilesPerTrigger", 1).parquet(dir))
+      .writeStream.format("memory").queryName("freq_out")
+      .outputMode("complete").start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("freq_out")
+    val want = streaming.FreqStream.sketch(base)
+    // a counting aggregate is merge-order-invariant: the live sketch
+    // IS the batch sketch, cell for cell
+    assert(got.exceptAll(want).count() == 0 && want.exceptAll(got).count() == 0)
+    // probing the live sketch for the exact top tokens never
+    // undercounts (the synthetic vocabulary is smaller than the
+    // limit at this SF, so pin against the probe frame's own count)
+    val exact = base.select(explode(expr(operators.Dedup.tokensExpr)).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("exact_n"))
+      .orderBy(col("exact_n").desc, col("tok").asc).limit(50).cache()
+    val nProbe = exact.count()
+    assert(nProbe > 0)
+    val est = streaming.FreqStream.probe(got, exact.select("tok"))
+    assert(est.count() == nProbe)
+    assert(est.join(exact, "tok").filter(col("est_n") < col("exact_n")).count() == 0)
+    // an empty sketch (sparse: zero rows) probes as 0, not a dropped row
+    val z = streaming.FreqStream.probe(
+      streaming.FreqStream.sketch(base.limit(0)), Seq("never-seen").toDF("tok"))
+    assert(z.collect().map(r => (r.getString(0), r.getLong(1))).toSeq == Seq(("never-seen", 0L)))
+  }
 }

@@ -178,4 +178,40 @@ class TextOpsSpec extends AnyFunSuite {
     assert(v.getAs[Long]("n_null_lang") == 1L)
     assert(v.getAs[Long]("n_clean") == 4L)   // ids 1, 2, and the two dup-id rows
   }
+
+  private def allToks =
+    Tables(spark, sf, "documents")
+      .select(explode(expr(operators.Dedup.tokensExpr)).as("tok"))
+
+  test("q112 CMS estimates are one-sided and inside the e/W envelope") {
+    val df = operators.TextOps.q112(spark, sf).cache()
+    assert(df.count() == 30)
+    // CMS never undercounts
+    assert(df.filter(col("est_n") < col("exact_n")).count() == 0)
+    // classic CountMin envelope: overcount ≤ εN with ε = e/W (holds
+    // w.p. 1-e^-D per probe; deterministic here given the fixed seed)
+    val n = allToks.count()
+    val bound = math.ceil(math.E * n / operators.TextOps.CmsW).toLong
+    assert(df.filter(col("overcount") > bound).count() == 0,
+      s"overcount exceeded εN = $bound")
+    df.unpersist()
+  }
+
+  test("CMS sketch is bounded, partition-invariant, and mergeable") {
+    val docs = Tables(spark, sf, "documents")
+    def toks(f: org.apache.spark.sql.DataFrame) =
+      f.select(explode(expr(operators.Dedup.tokensExpr)).as("tok"))
+    val full = operators.TextOps.cmsSketch(toks(docs)).cache()
+    assert(full.count() <= operators.TextOps.CmsD.toLong * operators.TextOps.CmsW)
+    // partitioning cannot change a counting aggregate
+    val repart = operators.TextOps.cmsSketch(toks(docs).repartition(13))
+    assert(repart.exceptAll(full).count() == 0 && full.exceptAll(repart).count() == 0)
+    // shard sketches merge by summing cells — the day-over-day
+    // mergeability claim, exercised as an even/odd doc split
+    val even = operators.TextOps.cmsSketch(toks(docs.filter(col("doc_id") % 2 === 0)))
+    val odd = operators.TextOps.cmsSketch(toks(docs.filter(col("doc_id") % 2 === 1)))
+    val merged = even.union(odd).groupBy("d", "cell").agg(sum("n").as("n"))
+    assert(merged.exceptAll(full).count() == 0 && full.exceptAll(merged).count() == 0)
+    full.unpersist()
+  }
 }
