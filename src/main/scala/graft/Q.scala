@@ -35,21 +35,27 @@ object Tables {
     if (df.rdd.getNumPartitions < target) df.repartition(target) else df
   }
 
-  /** events.parquet carries TIMESTAMP(NANOS) which Spark's parquet
-    * reader rejects; read nanos as long and rebuild a micros
-    * timestamp (integer DIV — nanos exceed 2^53 so float division
-    * would corrupt). Matches DuckDB's ts::TIMESTAMP truncation.
-    *
-    * The nanosAsLong flag is session-global, so setting it here as a
-    * plan-construction side effect would surprise a caller whose
-    * session already reads other parquet — GraftSession.tune owns the
-    * flag; this just refuses to mis-read silently without it.
+  /** events.parquet has shipped in two generations: TIMESTAMP(NANOS)
+    * (which Spark's reader surfaces as a raw long only under
+    * spark.sql.legacy.parquet.nanosAsLong — GraftSession sets it) and
+    * plain TIMESTAMP(MICROS) without timezone (read as TIMESTAMP_NTZ).
+    * Branch on the observed type and normalize both to TIMESTAMP
+    * (LTZ), the type every downstream consumer (unix_micros, windows,
+    * watermarks) expects: a long ts is nanos and is rebuilt with
+    * integer DIV (nanos exceed 2^53, float division would corrupt);
+    * an NTZ ts is cast — value-preserving because GraftSession pins
+    * the session timezone to UTC. Either way the result matches
+    * DuckDB's ts::TIMESTAMP value.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
-    require(spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").contains("true"),
-      "events.parquet is TIMESTAMP(NANOS): build the session via GraftSession.tune/local " +
-        "(sets spark.sql.legacy.parquet.nanosAsLong=true)")
-    spark.read.parquet(s"$dir/events.parquet")
-      .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts DIV 1000)"))
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    val df = spark.read.parquet(s"$dir/events.parquet")
+    df.schema("ts").dataType match {
+      case LongType =>
+        df.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts DIV 1000)"))
+      case TimestampNTZType =>
+        df.withColumn("ts", df("ts").cast(TimestampType))
+      case _ => df
+    }
   }
 }

@@ -38,7 +38,10 @@ case class AnomOut(event_type: String, hour_us: Long, n_events: Long,
   */
 object EnrichStream {
 
-  /** Raw schema of events.parquet under nanosAsLong. */
+  /** Event schema with ts as a raw long (nanos) — the contract for
+    * replaySource/timeCompressedReplay backlog dirs and the test
+    * fixtures; also the shape first-generation TIMESTAMP(NANOS)
+    * events.parquet read as under nanosAsLong. */
   val rawSchema: StructType = StructType(Seq(
     StructField("event_id", LongType),
     StructField("ts", LongType),
@@ -47,17 +50,26 @@ object EnrichStream {
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
-  /** File-source stream of events with micros timestamp rebuilt. */
+  /** File-source stream of events with micros timestamp rebuilt.
+    * The file stream needs its schema up front, and events.parquet
+    * has shipped as both TIMESTAMP(NANOS)-as-long and plain
+    * TIMESTAMP(MICROS) (see Tables.events) — probe the file's batch
+    * schema once and branch like the batch reader does. */
   def source(spark: SparkSession, dir: String): DataFrame = {
-    require(spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").contains("true"),
-      "events.parquet is TIMESTAMP(NANOS): build the session via GraftSession.tune/local")
+    val fileSchema = spark.read.parquet(s"$dir/events.parquet").schema
     // events.parquet is a single file; the file stream source wants a
     // directory, so stream the table dir filtered to that file.
-    spark.readStream
-      .schema(rawSchema)
+    val raw = spark.readStream
+      .schema(fileSchema)
       .option("pathGlobFilter", "events.parquet")
       .parquet(dir)
-      .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+    fileSchema("ts").dataType match {
+      case LongType => raw.withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+      // NTZ→LTZ cast is value-preserving under the session's UTC tz
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case _ => raw
+    }
   }
 
   /** Streaming enrichment — identical Columns to batch q21. */
