@@ -522,6 +522,157 @@ object Events {
               ${ops.R6("n_transitions * 1.0 / sum(n_transitions) OVER (PARTITION BY prev_type)")} AS p
        FROM g ORDER BY prev_type, next_type"""
 
+  /** Attribution lookback window (event-time micros). 3 days of the
+    * corpus's 30-day span keeps per-purchase touch fan-out bounded
+    * while leaving most purchases attributed. ONE constant shared by
+    * the Spark filter and the oracle SQL (CLAUDE.md rule). */
+  private val AttrLookbackUs = 3L * 24 * 3600 * 1000000L
+
+  /** MULTI-TOUCH ATTRIBUTION — the marketing-analytics face of the
+    * reference's event stream: every purchase distributes its value
+    * over the view/click touchpoints the same user produced in the
+    * [[AttrLookbackUs]] lookback, under the three standard models at
+    * once (linear, first-touch, last-touch); purchases with no
+    * touchpoint credit a 'direct' bucket in full.
+    *
+    * Cross-engine exactness: credit is INTEGER throughout — value →
+    * cents, linear split = (cents·10⁶) div n_touches (integer
+    * division, deterministic remainder loss < 1e-6 cents per touch;
+    * the conservation spec bounds it), first/last picked by
+    * row_number over the integer (ts_micros, event_id) total order.
+    * Doubles appear only in the final display divides, spelled
+    * identically in both engines.
+    *
+    * Scale shape: purchases ⋈ touches is an EQUI-join on user_id
+    * (high-cardinality key) with the time range as a post-filter —
+    * per-user fan-out is bounded by activity rate × lookback, so the
+    * match explosion is per-key-linear, not quadratic; no grid trick
+    * needed (contrast q84, which ranges over the whole table).
+    * Credit windows partition by purchase id — millions of tiny
+    * partitions, the shape Window parallelizes well. */
+  def q118(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(s, dir, "events")
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("pid"), col("user_id"),
+        unix_micros(col("ts")).as("pus"), ops.cents(col("value")).as("pcents"))
+    val t = ev.filter(col("event_type").isin("view", "click"))
+      .select(col("event_id").as("tid"), col("event_type").as("touch_type"),
+        col("user_id").as("t_user"), unix_micros(col("ts")).as("tus"))
+    val j = p.join(t,
+      col("user_id") === col("t_user") &&
+        col("tus") < col("pus") && col("tus") >= col("pus") - lit(AttrLookbackUs),
+      "left")
+    val byP = Window.partitionBy("pid")
+    val w = j
+      .withColumn("n", count(col("tid")).over(byP))
+      .withColumn("rnf", row_number().over(byP.orderBy(col("tus").asc, col("tid").asc)))
+      .withColumn("rnl", row_number().over(byP.orderBy(col("tus").desc, col("tid").desc)))
+    w.groupBy(coalesce(col("touch_type"), lit("direct")).as("touch_type"))
+      .agg(
+        count(lit(1)).as("n_pairs"),
+        ops.r2(sum(expr("CASE WHEN n = 0 THEN pcents * 1000000 ELSE (pcents * 1000000) div n END"))
+          / lit(1000000.0) / lit(100.0)).as("linear_revenue"),
+        ops.r2(sum(expr("CASE WHEN n = 0 OR rnf = 1 THEN pcents ELSE 0 END"))
+          / lit(100.0)).as("first_touch_revenue"),
+        ops.r2(sum(expr("CASE WHEN n = 0 OR rnl = 1 THEN pcents ELSE 0 END"))
+          / lit(100.0)).as("last_touch_revenue"))
+      .orderBy("touch_type")
+  }
+
+  private val q118Sql =
+    s"""WITH p AS (
+         SELECT event_id AS pid, user_id, epoch_us(ts) AS pus,
+                ${ops.Cents("value")} AS pcents
+         FROM events WHERE event_type = 'purchase'),
+       t AS (
+         SELECT event_id AS tid, event_type AS touch_type, user_id AS t_user,
+                epoch_us(ts) AS tus
+         FROM events WHERE event_type IN ('view', 'click')),
+       j AS (
+         SELECT p.pid, p.pcents, t.tid, t.touch_type, t.tus
+         FROM p LEFT JOIN t ON p.user_id = t.t_user
+           AND t.tus < p.pus AND t.tus >= p.pus - $AttrLookbackUs),
+       w AS (
+         SELECT *,
+                count(tid) OVER (PARTITION BY pid) AS n,
+                row_number() OVER (PARTITION BY pid ORDER BY tus ASC, tid ASC) AS rnf,
+                row_number() OVER (PARTITION BY pid ORDER BY tus DESC, tid DESC) AS rnl
+         FROM j)
+       SELECT coalesce(touch_type, 'direct') AS touch_type,
+              CAST(count(*) AS BIGINT) AS n_pairs,
+              ${ops.R2("CAST(sum(CASE WHEN n = 0 THEN pcents * 1000000 ELSE (pcents * 1000000) // n END) AS BIGINT) / 1000000.0 / 100.0")} AS linear_revenue,
+              ${ops.R2("CAST(sum(CASE WHEN n = 0 OR rnf = 1 THEN pcents ELSE 0 END) AS BIGINT) / 100.0")} AS first_touch_revenue,
+              ${ops.R2("CAST(sum(CASE WHEN n = 0 OR rnl = 1 THEN pcents ELSE 0 END) AS BIGINT) / 100.0")} AS last_touch_revenue
+       FROM w GROUP BY 1 ORDER BY 1"""
+
+  /** PER-SERIES TREND FORECAST: ordinary-least-squares fit of daily
+    * revenue per event type, with the next-day point forecast — the
+    * analytical member of the forecasting family (q06 is the
+    * filter+agg face; this fits an actual trend).
+    *
+    * Cross-engine exactness: the OLS moments (n, Σx, Σy, Σxy, Σx²)
+    * are EXACT INTEGERS — x is the day index, y the day's revenue in
+    * cents — so slope = (nΣxy − ΣxΣy)/(nΣx² − (Σx)²) is one double
+    * formula over exact longs (every intermediate < 2⁵³, the casts
+    * are exact; same IEEE tree both engines), the second-moment
+    * pattern q32 established. No per-row doubles are ever summed.
+    *
+    * Scale shape: two map-side-combined hash aggs (day×type, then
+    * type) — the moments ARE the partial aggregate, so this is the
+    * distributed-regression shape: no window, no sort, no collect;
+    * #series × 5 longs cross the final shuffle. */
+  def q119(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables(s, dir, "events")
+      .groupBy(col("event_type"),
+        datediff(to_date(col("ts")), to_date(lit("2024-01-01"))).cast("long").as("x"))
+      .agg(sum(ops.cents(col("value"))).as("y"))
+    val m = daily.groupBy("event_type").agg(
+      count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
+      sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"),
+      max("x").as("maxx"))
+    val num = m("n") * m("sxy") - m("sx") * m("sy")
+    val den = m("n") * m("sxx") - m("sx") * m("sx")
+    val slope = num.cast("double") / den.cast("double")
+    val intercept = (m("sy").cast("double") - slope * m("sx").cast("double")) / m("n").cast("double")
+    val forecast = intercept + slope * (m("maxx") + lit(1L)).cast("double")
+    m.select(col("event_type"), col("n").as("n_days"),
+        when(den === 0, lit(null).cast("double"))
+          .otherwise(ops.r4(slope / lit(100.0))).as("slope_rev_per_day"),
+        when(den === 0, lit(null).cast("double"))
+          .otherwise(ops.r2(intercept / lit(100.0))).as("level_rev"),
+        when(den === 0, lit(null).cast("double"))
+          .otherwise(ops.r2(forecast / lit(100.0))).as("forecast_next_rev"))
+      .orderBy("event_type")
+  }
+
+  private val q119Sql =
+    s"""WITH daily AS (
+         SELECT event_type,
+                CAST(date_diff('day', DATE '2024-01-01', ts::DATE) AS BIGINT) AS x,
+                CAST(sum(${ops.Cents("value")}) AS BIGINT) AS y
+         FROM events GROUP BY 1, 2),
+       m AS (
+         SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+                CAST(sum(x*y) AS BIGINT) AS sxy, CAST(sum(x*x) AS BIGINT) AS sxx,
+                max(x) AS maxx
+         FROM daily GROUP BY 1),
+       f AS (
+         SELECT event_type, n, n*sxx - sx*sx AS den,
+                CAST(n*sxy - sx*sy AS DOUBLE) / CAST(n*sxx - sx*sx AS DOUBLE) AS slope,
+                sx, sy, maxx
+         FROM m),
+       g AS (
+         SELECT event_type, n, den, slope,
+                (CAST(sy AS DOUBLE) - slope * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE) AS intercept,
+                maxx
+         FROM f)
+       SELECT event_type, n AS n_days,
+              CASE WHEN den = 0 THEN NULL ELSE ${ops.R4("slope / 100.0")} END AS slope_rev_per_day,
+              CASE WHEN den = 0 THEN NULL ELSE ${ops.R2("intercept / 100.0")} END AS level_rev,
+              CASE WHEN den = 0 THEN NULL ELSE ${ops.R2("(intercept + slope * CAST(maxx + 1 AS DOUBLE)) / 100.0")} END AS forecast_next_rev
+       FROM g ORDER BY event_type"""
+
   val qs: Seq[Q] = Seq(
     Q("q20_hourly_revenue", q20, Some(q20Sql)),
     Q("q21_enrich_events", q21, Some(q21Sql)),
@@ -534,5 +685,7 @@ object Events {
     Q("q28_order_asof", q28, Some(q28Sql)),
     Q("q76_heavy_hitters", q76, None),
     Q("q84_session_overlap", q84, Some(q84Sql)),
-    Q("q115_event_transitions", q115, Some(q115Sql)))
+    Q("q115_event_transitions", q115, Some(q115Sql)),
+    Q("q118_attribution", q118, Some(q118Sql)),
+    Q("q119_trend_forecast", q119, Some(q119Sql)))
 }

@@ -527,7 +527,17 @@ object Relational {
     * (Column-API lit, q60 pattern); versions are integer literals.
     * At 100 TB this is one map-side-partial groupBy on the snapshot
     * key — see the upsert Scaladoc for why not a window. */
-  def q116(s: SparkSession, dir: String): DataFrame = {
+  def q116(s: SparkSession, dir: String): DataFrame =
+    graft.sources.Sources.upsert(
+        changeFeed(s, dir),
+        Seq("o_orderkey"), "version", Some("deleted"))
+      .orderBy("o_orderkey")
+
+  /** The deterministic change feed q116/q117 share: base snapshot at
+    * version 1, re-price (version 2) on 7-multiples, DELETE tombstone
+    * (version 3) on 13-multiples — 7·13 multiples exercise the
+    * winner-then-tombstone order. [[FeedSql]] is its oracle spelling. */
+  private def changeFeed(s: SparkSession, dir: String): DataFrame = {
     def orders = Tables(s, dir, "orders")
       .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
     val base = orders
@@ -540,27 +550,66 @@ object Relational {
       .select(col("o_orderkey"), lit(null).cast("string").as("o_orderstatus"),
         lit(null).cast("double").as("o_totalprice"),
         lit(3L).as("version"), lit(true).as("deleted"))
-    graft.sources.Sources.upsert(
-        base.unionByName(reprice).unionByName(del),
-        Seq("o_orderkey"), "version", Some("deleted"))
-      .orderBy("o_orderkey")
+    base.unionByName(reprice).unionByName(del)
   }
 
-  private val q116Sql =
-    """WITH u AS (
-         SELECT o_orderkey, o_orderstatus, o_totalprice,
+  private val FeedSql =
+    """SELECT o_orderkey, o_orderstatus, o_totalprice,
                 1 AS version, false AS deleted FROM orders
          UNION ALL
          SELECT o_orderkey, 'U', o_totalprice + 1.0, 2, false
          FROM orders WHERE o_orderkey % 7 = 0
          UNION ALL
          SELECT o_orderkey, NULL, NULL, 3, true
-         FROM orders WHERE o_orderkey % 13 = 0),
+         FROM orders WHERE o_orderkey % 13 = 0"""
+
+  private val q116Sql =
+    s"""WITH u AS ($FeedSql),
        r AS (SELECT *, row_number() OVER (
                PARTITION BY o_orderkey ORDER BY version DESC) AS rn FROM u)
        SELECT o_orderkey, o_orderstatus, o_totalprice,
               CAST(version AS BIGINT) AS version
        FROM r WHERE rn = 1 AND NOT deleted ORDER BY o_orderkey"""
+
+  /** SCD TYPE-2 DIMENSION HISTORY over the same change feed q116
+    * merges: instead of keeping only each key's winner, materialize
+    * every non-tombstone version as a validity interval —
+    * (valid_from, valid_to) in version space, valid_to = the NEXT
+    * feed row's version (tombstones included, so a delete CLOSES the
+    * last interval and the key has no current row — the standard
+    * warehouse history-table contract).
+    *
+    * Cross-engine safety: inherited from the feed (one exact `+ 1.0`,
+    * integer versions); the interval assignment is a lead() over the
+    * integer (key, version) total order — deterministic in both
+    * engines.
+    *
+    * Scale shape: ONE window partitioned by the snapshot key —
+    * millions of single-digit-row partitions, the high-cardinality
+    * shape Window parallelizes well; no global sort, no second pass.
+    * Contrast q116's groupBy/max_by: history needs every version, so
+    * the window (which keeps all rows) is the right tool where the
+    * upsert's map-side-combining agg was right for latest-wins. */
+  def q117(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_orderkey").orderBy("version")
+    changeFeed(s, dir)
+      .withColumn("valid_to", lead(col("version"), 1).over(w))
+      .filter(!col("deleted"))
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
+        col("version").as("valid_from"), col("valid_to"),
+        col("valid_to").isNull.as("is_current"))
+      .orderBy(col("o_orderkey"), col("valid_from"))
+  }
+
+  private val q117Sql =
+    s"""WITH u AS ($FeedSql),
+       v AS (SELECT *, lead(version) OVER (
+               PARTITION BY o_orderkey ORDER BY version) AS valid_to FROM u)
+       SELECT o_orderkey, o_orderstatus, o_totalprice,
+              CAST(version AS BIGINT) AS valid_from,
+              CAST(valid_to AS BIGINT) AS valid_to,
+              valid_to IS NULL AS is_current
+       FROM v WHERE NOT deleted ORDER BY o_orderkey, valid_from"""
 
   val qs: Seq[Q] = Seq(
     Q("q01_pricing_summary", q01, Some(q01Sql)),
@@ -582,5 +631,6 @@ object Relational {
     Q("q17_pivot_revenue", q17, Some(q17Sql)),
     Q("q18_moving_revenue", q18, Some(q18Sql)),
     Q("q19_approx_quantiles", q19, None),
-    Q("q116_cdc_apply", q116, Some(q116Sql)))
+    Q("q116_cdc_apply", q116, Some(q116Sql)),
+    Q("q117_scd2_history", q117, Some(q117Sql)))
 }

@@ -213,4 +213,56 @@ class EventsSpec extends AnyFunSuite {
     assert(df.agg(sum("n_transitions")).head.getLong(0) == want)
     df.unpersist()
   }
+
+  test("q118 attribution conserves purchase revenue under all three models") {
+    val df = operators.Events.q118(spark, sf).cache()
+    val types = df.select("touch_type").collect().map(_.getString(0)).toSet
+    assert(types.subsetOf(Set("view", "click", "direct")), s"unexpected buckets: $types")
+    val exact = Tables(spark, sf, "events")
+      .filter(col("event_type") === "purchase")
+      .agg(sum(operators.ops.cents(col("value")))).head.getLong(0) / 100.0
+    def total(c: String): Double = df.agg(sum(col(c))).head.getDouble(0)
+    // first/last assign each purchase exactly once; per-bucket r2
+    // display rounding bounds the drift at 0.005 per bucket
+    assert(math.abs(total("first_touch_revenue") - exact) < 0.05,
+      s"first-touch ${total("first_touch_revenue")} vs exact $exact")
+    assert(math.abs(total("last_touch_revenue") - exact) < 0.05,
+      s"last-touch ${total("last_touch_revenue")} vs exact $exact")
+    // linear splits lose < n_touches·1e-8 dollars per purchase to the
+    // integer division — one-sided, never over
+    val linear = total("linear_revenue")
+    assert(linear <= exact + 0.05 && linear > exact - 1.0,
+      s"linear $linear vs exact $exact")
+    df.unpersist()
+  }
+
+  test("q119 OLS fit equals a driver-side exact regression per series") {
+    val got = operators.Events.q119(spark, sf).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val daily = Tables(spark, sf, "events")
+      .groupBy(col("event_type"),
+        datediff(to_date(col("ts")), to_date(lit("2024-01-01"))).cast("long").as("x"))
+      .agg(sum(operators.ops.cents(col("value"))).as("y"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    def r4(x: Double) = math.floor(x * 10000.0 + 0.5) / 10000.0
+    def r2(x: Double) = math.floor(x * 100.0 + 0.5) / 100.0
+    daily.groupBy(_._1).foreach { case (tpe, rows) =>
+      val n = rows.length.toLong
+      val sx = rows.map(_._2).sum; val sy = rows.map(_._3).sum
+      val sxy = rows.map(r => r._2 * r._3).sum; val sxx = rows.map(r => r._2 * r._2).sum
+      val maxx = rows.map(_._2).max
+      val den = n * sxx - sx * sx
+      assert(den != 0, s"$tpe: degenerate x range in testdata")
+      val slope = (n * sxy - sx * sy).toDouble / den.toDouble
+      val intercept = (sy.toDouble - slope * sx.toDouble) / n.toDouble
+      val forecast = intercept + slope * (maxx + 1L).toDouble
+      val row = got(tpe)
+      assert(row.getLong(1) == n, s"$tpe n_days")
+      // identical integer moments through the identical double tree →
+      // bit-exact equality, not tolerance
+      assert(row.getDouble(2) == r4(slope / 100.0), s"$tpe slope")
+      assert(row.getDouble(3) == r2(intercept / 100.0), s"$tpe level")
+      assert(row.getDouble(4) == r2(forecast / 100.0), s"$tpe forecast")
+    }
+  }
 }

@@ -145,4 +145,24 @@ class RelationalSpec extends AnyFunSuite {
     assert(un.filter(col("version") =!= 1L || col("o_totalprice") =!= col("orig")).count() == 0)
     out.unpersist()
   }
+
+  test("q117 scd2 history: intervals chain, deletes close history, current rows equal q116 winners") {
+    val hist = operators.Relational.q117(spark, sf).cache()
+    // closed intervals are strictly forward in version space
+    assert(hist.filter(col("valid_to").isNotNull &&
+      col("valid_to") <= col("valid_from")).count() == 0)
+    // every order key has history (tombstones close, never erase, it)
+    val orders = Tables(spark, sf, "orders")
+    assert(hist.select("o_orderkey").distinct().count() == orders.count())
+    // at most one current row per key; none for tombstoned keys
+    val cur = hist.filter(col("is_current"))
+    assert(cur.groupBy("o_orderkey").count().filter(col("count") > 1).count() == 0)
+    assert(cur.filter(col("o_orderkey") % 13 === 0).count() == 0)
+    // the current rows ARE q116's latest-wins winners, key and version
+    val w116 = operators.Relational.q116(spark, sf)
+      .select(col("o_orderkey"), col("version"))
+    val w117 = cur.select(col("o_orderkey"), col("valid_from").as("version"))
+    assert(w116.exceptAll(w117).count() == 0 && w117.exceptAll(w116).count() == 0)
+    hist.unpersist()
+  }
 }
