@@ -187,7 +187,7 @@ object Events {
     * of [[sessionized]], reused verbatim by q23 and q84. */
   private val sessCte =
     """o AS (
-         SELECT user_id, event_id, ts, epoch_us(ts::TIMESTAMP) AS us,
+         SELECT user_id, event_id, ts, event_type, epoch_us(ts::TIMESTAMP) AS us,
                 CASE WHEN lag(epoch_us(ts::TIMESTAMP)) OVER w IS NULL
                        OR epoch_us(ts::TIMESTAMP) - lag(epoch_us(ts::TIMESTAMP)) OVER w > 1800000000
                      THEN 1 ELSE 0 END AS is_new
@@ -673,6 +673,115 @@ object Events {
               CASE WHEN den = 0 THEN NULL ELSE ${ops.R2("(intercept + slope * CAST(maxx + 1 AS DOUBLE)) / 100.0")} END AS forecast_next_rev
        FROM g ORDER BY event_type"""
 
+  /** Path cap and top-k for q120 — row-width and output bounds. */
+  private val PathLen = 8
+  private val PathK = 20
+
+  /** TOP SESSION PATHS — path analysis, the sequence-mining face of
+    * the funnel: each session's first [[PathLen]] event types joined
+    * into a journey string (view>click>purchase…), the [[PathK]] most
+    * common journeys reported. The cap bounds row width against
+    * pathological never-idle sessions (the q31 MaxBasket argument).
+    *
+    * Determinism: events order by the integer (ts, event_id) total
+    * order; the path strings are ASCII (type names + '>'), so the
+    * final (count DESC, path ASC) tie-break cannot hit the UTF-8 vs
+    * UTF-16 collation trap (Tokenizer.utf8Lt gotcha) — byte order
+    * and code-unit order agree on ASCII.
+    *
+    * Scale shape: sessionization + per-session assembly are
+    * user-partitioned linear windows (q23's shape); the path groupBy
+    * is one map-side-combined hash agg on a bounded-width string
+    * key; top-k is TakeOrdered, never a global sort. */
+  def q120(s: SparkSession, dir: String): DataFrame = {
+    val ord = Window.partitionBy("user_id", "session_seq").orderBy("ts", "event_id")
+    sessionized(s, dir)
+      .withColumn("rn", row_number().over(ord))
+      .filter(col("rn") <= PathLen)
+      .groupBy("user_id", "session_seq")
+      .agg(expr(
+        "array_join(transform(array_sort(collect_list(struct(rn, event_type))), x -> x.event_type), '>')")
+        .as("path"))
+      .groupBy("path").agg(count(lit(1)).as("n_sessions"))
+      .orderBy(col("n_sessions").desc, col("path"))
+      .limit(PathK)
+  }
+
+  private val q120Sql =
+    s"""WITH $sessCte,
+       r AS (SELECT user_id, session_seq, event_type,
+               row_number() OVER (PARTITION BY user_id, session_seq ORDER BY ts, event_id) AS rn
+             FROM s),
+       p AS (SELECT string_agg(event_type, '>' ORDER BY rn) AS path
+             FROM r WHERE rn <= $PathLen GROUP BY user_id, session_seq)
+       SELECT path, CAST(count(*) AS BIGINT) AS n_sessions
+       FROM p GROUP BY 1 ORDER BY n_sessions DESC, path LIMIT $PathK"""
+
+  /** GROWTH ACCOUNTING — the weekly active-user ledger every product
+    * analytics stack keeps (new / retained / resurrected / churned):
+    * each active (user, week) is classified by the user's previous
+    * active week (none → new, exactly last week → retained, older →
+    * resurrected); churned for week w = last week's actives minus
+    * this week's retained, defined only when w−1 was observed (a
+    * fully idle corpus week leaves it NULL rather than faking a 0).
+    *
+    * Everything is integer counts over exact calendar arithmetic —
+    * no doubles anywhere. Scale shape: distinct(user, week) is one
+    * map-side-combined agg; the classification lag partitions by the
+    * high-cardinality user key (linear); the churn lag runs over the
+    * #weeks-row summary frame — a deliberately tiny global window
+    * (q18/q115 precedent), never the events. */
+  def q122(s: SparkSession, dir: String): DataFrame = {
+    val uw = Tables(s, dir, "events")
+      .filter(col("user_id").isNotNull)
+      .select(col("user_id"), to_date(date_trunc("week", col("ts"))).as("week"))
+      .distinct()
+    val byUser = Window.partitionBy("user_id").orderBy("week")
+    val classified = uw
+      .withColumn("prev_week", lag("week", 1).over(byUser))
+      .withColumn("status",
+        when(col("prev_week").isNull, "new")
+          .when(datediff(col("week"), col("prev_week")) === 7, "retained")
+          .otherwise("resurrected"))
+    val weekly = classified.groupBy("week").agg(
+      count(lit(1)).as("n_active"),
+      sum(when(col("status") === "new", 1L).otherwise(0L)).as("n_new"),
+      sum(when(col("status") === "retained", 1L).otherwise(0L)).as("n_retained"),
+      sum(when(col("status") === "resurrected", 1L).otherwise(0L)).as("n_resurrected"))
+    val byWeek = Window.orderBy("week")
+    weekly
+      .withColumn("prev_active", lag("n_active", 1).over(byWeek))
+      .withColumn("prev_wk", lag("week", 1).over(byWeek))
+      .withColumn("n_churned",
+        when(col("prev_wk").isNotNull && datediff(col("week"), col("prev_wk")) === 7,
+          col("prev_active") - col("n_retained")).otherwise(lit(null).cast("long")))
+      .select("week", "n_active", "n_new", "n_retained", "n_resurrected", "n_churned")
+      .orderBy("week")
+  }
+
+  private val q122Sql =
+    """WITH uw AS (SELECT DISTINCT user_id, date_trunc('week', ts)::DATE AS week
+                   FROM events WHERE user_id IS NOT NULL),
+       c AS (SELECT user_id, week,
+               lag(week) OVER (PARTITION BY user_id ORDER BY week) AS prev_week
+             FROM uw),
+       cl AS (SELECT week,
+                CASE WHEN prev_week IS NULL THEN 'new'
+                     WHEN date_diff('day', prev_week, week) = 7 THEN 'retained'
+                     ELSE 'resurrected' END AS status
+              FROM c),
+       wk AS (SELECT week, CAST(count(*) AS BIGINT) AS n_active,
+                CAST(sum(CASE WHEN status='new' THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
+                CAST(sum(CASE WHEN status='retained' THEN 1 ELSE 0 END) AS BIGINT) AS n_retained,
+                CAST(sum(CASE WHEN status='resurrected' THEN 1 ELSE 0 END) AS BIGINT) AS n_resurrected
+              FROM cl GROUP BY 1)
+       SELECT week, n_active, n_new, n_retained, n_resurrected,
+              CASE WHEN lag(week) OVER (ORDER BY week) IS NOT NULL
+                    AND date_diff('day', lag(week) OVER (ORDER BY week), week) = 7
+                   THEN lag(n_active) OVER (ORDER BY week) - n_retained
+                   ELSE NULL END AS n_churned
+       FROM wk ORDER BY week"""
+
   val qs: Seq[Q] = Seq(
     Q("q20_hourly_revenue", q20, Some(q20Sql)),
     Q("q21_enrich_events", q21, Some(q21Sql)),
@@ -687,5 +796,7 @@ object Events {
     Q("q84_session_overlap", q84, Some(q84Sql)),
     Q("q115_event_transitions", q115, Some(q115Sql)),
     Q("q118_attribution", q118, Some(q118Sql)),
-    Q("q119_trend_forecast", q119, Some(q119Sql)))
+    Q("q119_trend_forecast", q119, Some(q119Sql)),
+    Q("q120_top_paths", q120, Some(q120Sql)),
+    Q("q122_growth_accounting", q122, Some(q122Sql)))
 }

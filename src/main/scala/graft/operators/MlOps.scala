@@ -152,6 +152,77 @@ object MlOps {
          FROM scored)
        WHERE rank <= 5 ORDER BY part_id, rank"""
 
+  /** Support floor and output cap for q121's rule mining. The floor
+    * is 2 (a pair must repeat at all): the synthetic baskets draw
+    * parts near-uniformly, so absolute co-occurrence stays flat as
+    * the part space scales with SF (measured: support≥5 pairs are 4 /
+    * 1 / 0 at the three SFs, support≥2 are ~2-4k at each). */
+  private val RuleMinSup = 2
+  private val RuleK = 100
+
+  /** ASSOCIATION RULES over order baskets — market-basket analysis,
+    * THE e-commerce mining op (q31's cosine ranks neighbors; this
+    * emits directed A→B rules with the standard support /
+    * confidence / lift triple). Baskets share q31's distinct +
+    * MaxBasket cap (same pair fan-out guard).
+    *
+    * Cross-engine exactness: all three metrics are INTEGERS —
+    * support is a count, confidence_ppm = support·10⁶ div n(A),
+    * lift_ppm = support·N·10⁶ div (n(A)·n(B)) (integer division;
+    * bounds: support·N·10⁶ ≤ 2.3×10¹⁶ < 2⁶³ at sf0.1, re-scale for a
+    * 10⁹-order corpus). The (support DESC, antecedent, consequent)
+    * cutoff is a total integer order — no double ever ranks.
+    *
+    * Scale shape: the pair join is equi on l_orderkey with fan-out
+    * capped at C(MaxBasket,2) per order (q31's argument); counts are
+    * map-side-combined; the one-row basket total is broadcast;
+    * top-[[RuleK]] is TakeOrdered. */
+  def q121(s: SparkSession, dir: String): DataFrame = {
+    val wCap = Window.partitionBy("l_orderkey").orderBy("l_partkey")
+    val b = Tables(s, dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+      .withColumn("_rn", row_number().over(wCap))
+      .filter(col("_rn") <= MaxBasket)
+      .drop("_rn")
+    val tot = b.agg(countDistinct("l_orderkey").as("n_orders"))
+    val cnt = b.groupBy("l_partkey").agg(count(lit(1)).as("n"))
+    val pairs = b.as("a").join(b.as("bb"),
+        col("a.l_orderkey") === col("bb.l_orderkey") && col("a.l_partkey") < col("bb.l_partkey"))
+      .groupBy(col("a.l_partkey").as("p1"), col("bb.l_partkey").as("p2"))
+      .agg(count(lit(1)).as("support"))
+      .filter(col("support") >= RuleMinSup)
+    val sym = pairs.select(col("p1").as("antecedent"), col("p2").as("consequent"), col("support"))
+      .union(pairs.select(col("p2"), col("p1"), col("support")))
+    sym
+      .join(cnt.select(col("l_partkey").as("antecedent"), col("n").as("na")), "antecedent")
+      .join(cnt.select(col("l_partkey").as("consequent"), col("n").as("nb")), "consequent")
+      .join(broadcast(tot), lit(true), "left")
+      .select(col("antecedent"), col("consequent"), col("support"),
+        expr("(support * 1000000) div na").as("confidence_ppm"),
+        expr("(support * n_orders * 1000000) div (na * nb)").as("lift_ppm"))
+      .orderBy(col("support").desc, col("antecedent"), col("consequent"))
+      .limit(RuleK)
+  }
+
+  private val q121Sql =
+    s"""WITH b0 AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+       b AS (SELECT l_orderkey, l_partkey FROM (
+         SELECT *, row_number() OVER (PARTITION BY l_orderkey ORDER BY l_partkey) AS rn FROM b0)
+         WHERE rn <= $MaxBasket),
+       tot AS (SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders FROM b),
+       cnt AS (SELECT l_partkey, CAST(count(*) AS BIGINT) AS n FROM b GROUP BY 1),
+       pair AS (SELECT a.l_partkey p1, b2.l_partkey p2, CAST(count(*) AS BIGINT) AS support
+                FROM b a JOIN b b2 ON a.l_orderkey = b2.l_orderkey AND a.l_partkey < b2.l_partkey
+                GROUP BY 1, 2 HAVING count(*) >= $RuleMinSup),
+       sym AS (SELECT p1 AS antecedent, p2 AS consequent, support FROM pair
+               UNION ALL SELECT p2, p1, support FROM pair)
+       SELECT antecedent, consequent, support,
+              (support * 1000000) // na.n AS confidence_ppm,
+              (support * n_orders * 1000000) // (na.n * nb.n) AS lift_ppm
+       FROM sym JOIN cnt na ON sym.antecedent = na.l_partkey
+                JOIN cnt nb ON sym.consequent = nb.l_partkey
+                LEFT JOIN tot ON true
+       ORDER BY support DESC, antecedent, consequent LIMIT $RuleK"""
+
   /** Per-customer spend outliers (z > 2 vs population). The z-score
     * is derived entirely from exact integer moments — per-customer
     * cents (long) and population Σc / Σc² (Σc² summed as
@@ -366,5 +437,6 @@ object MlOps {
     Q("q33_kmeans_rfm", q33, None),
     Q("q34_als_recs", q34, None),
     Q("q35_kmeans_anomaly", q35, None),
-    Q("q105_text_classifier", q105, None))
+    Q("q105_text_classifier", q105, None),
+    Q("q121_assoc_rules", q121, Some(q121Sql)))
 }

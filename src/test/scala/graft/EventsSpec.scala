@@ -265,4 +265,50 @@ class EventsSpec extends AnyFunSuite {
       assert(row.getDouble(4) == r2(forecast / 100.0), s"$tpe forecast")
     }
   }
+
+  test("q120 top paths equal a local sessionize-and-count reference") {
+    val got = operators.Events.q120(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    // local reference: sessionize by the same 30-min gap over the
+    // integer (ts, event_id) order, join the first 8 types
+    val ev = Tables(spark, sf, "events")
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"),
+        col("event_type"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val paths = ev.groupBy(_._1).toSeq.flatMap { case (_, rows) =>
+      val sorted = rows.sortBy(r => (r._3, r._2))
+      val sessions = scala.collection.mutable.ArrayBuffer[List[String]]()
+      var cur = List.empty[String]
+      var prevUs = Long.MinValue
+      sorted.foreach { r =>
+        if (cur.isEmpty || r._3 - prevUs > 1800L * 1000000L) {
+          if (cur.nonEmpty) sessions += cur.reverse
+          cur = List(r._4)
+        } else cur = r._4 :: cur
+        prevUs = r._3
+      }
+      if (cur.nonEmpty) sessions += cur.reverse
+      sessions.map(_.take(8).mkString(">"))
+    }
+    val want = paths.groupBy(identity).view.mapValues(_.size.toLong).toSeq
+      .sortBy { case (p, n) => (-n, p) }.take(20)
+    assert(got.toSeq == want, s"got ${got.toSeq}\nwant $want")
+  }
+
+  test("q122 growth accounting: identities hold and new users sum to the user base") {
+    val df = operators.Events.q122(spark, sf).cache()
+    // every active bucket decomposes exactly
+    assert(df.filter(col("n_active") =!=
+      col("n_new") + col("n_retained") + col("n_resurrected")).count() == 0)
+    // churn is defined for every week after an observed predecessor
+    // and never negative (retained <= previous actives)
+    val rows = df.orderBy("week").collect()
+    assert(rows.head.isNullAt(5), "first week cannot have churn")
+    assert(rows.tail.forall(r => r.isNullAt(5) || r.getLong(5) >= 0))
+    // every identified user is new exactly once
+    val users = Tables(spark, sf, "events").filter(col("user_id").isNotNull)
+      .select("user_id").distinct().count()
+    assert(df.agg(sum("n_new")).head.getLong(0) == users)
+    df.unpersist()
+  }
 }

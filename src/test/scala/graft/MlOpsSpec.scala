@@ -104,6 +104,28 @@ class MlOpsSpec extends AnyFunSuite {
     } finally df.unpersist()
   }
 
+  test("q121 association rules equal a local brute-force recompute") {
+    val got = operators.MlOps.q121(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val baskets = Tables(spark, sf, "lineitem")
+      .select("l_orderkey", "l_partkey").distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted.take(operators.MlOps.MaxBasket)).toMap
+    val nOrders = baskets.size.toLong
+    val cnt = baskets.values.flatten.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val pairs = scala.collection.mutable.Map[(Long, Long), Long]().withDefaultValue(0L)
+    baskets.values.foreach { ps =>
+      for (i <- ps.indices; j <- i + 1 until ps.length)
+        pairs((ps(i), ps(j))) += 1L
+    }
+    val rules = pairs.toSeq.filter(_._2 >= 2).flatMap { case ((a, b), c) =>
+      Seq((a, b, c), (b, a, c))
+    }.map { case (a, b, c) =>
+      (a, b, c, c * 1000000L / cnt(a), c * nOrders * 1000000L / (cnt(a) * cnt(b)))
+    }.sortBy { case (a, b, c, _, _) => (-c, a, b) }.take(100)
+    assert(got.toSeq == rules, s"first diff: ${got.toSeq.zip(rules).find(p => p._1 != p._2)}")
+  }
+
   test("q34 ALS gives each customer 5 ranked recs with descending scores") {
     val df = operators.MlOps.q34(spark, sf)
     assert(df.groupBy("o_custkey").count().filter(col("count") =!= 5).count() == 0)
