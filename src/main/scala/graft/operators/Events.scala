@@ -162,7 +162,7 @@ object Events {
   /** Event-level session assignment shared by q23 (session stats) and
     * q84 (session-interval overlap join): each event tagged with its
     * user's running session_seq (30-min gap rule). */
-  private def sessionized(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def sessionized(s: SparkSession, dir: String): DataFrame = {
     val ord = Window.partitionBy("user_id").orderBy("ts", "event_id")
     val cum = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     Tables(s, dir, "events")
@@ -674,7 +674,7 @@ object Events {
        FROM g ORDER BY event_type"""
 
   /** Path cap and top-k for q120 — row-width and output bounds. */
-  private val PathLen = 8
+  private[graft] val PathLen = 8
   private val PathK = 20
 
   /** TOP SESSION PATHS — path analysis, the sequence-mining face of
@@ -782,6 +782,76 @@ object Events {
                    ELSE NULL END AS n_churned
        FROM wk ORDER BY week"""
 
+  /** Step windows for q124 (event-time micros): click within 1 h of
+    * the first view, purchase within 24 h of that click. */
+  private val FunnelClickUs = 3600L * 1000000L
+  private val FunnelBuyUs = 24L * 3600L * 1000000L
+
+  /** TIME-WINDOWED FUNNEL — q24's realistic sibling: the ordered
+    * view→click→purchase funnel where each step must land inside a
+    * conversion window (click ≤ 1 h after the user's FIRST view,
+    * purchase ≤ 24 h after that qualifying click) — unbounded-order
+    * funnels (q24) overcount conversions that were actually separate
+    * visits. Anchors are firsts: the user's first view, the first
+    * qualifying click, the first qualifying purchase — deterministic
+    * integer minima, no doubles; conversion rates are ppm integer
+    * divisions.
+    *
+    * Scale shape: ONE shuffle by the high-cardinality user key —
+    * the three stage anchors are chained min-over-partition window
+    * expressions on the same partitioning (no joins, no re-shuffle;
+    * the plan stacks Window ops over one Exchange) — then a single
+    * global agg of per-user flags. */
+  def q124(s: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id")
+    val staged = Tables(s, dir, "events")
+      .filter(col("user_id").isNotNull)
+      .withColumn("us", unix_micros(col("ts")))
+      .withColumn("fv", min(when(col("event_type") === "view", col("us"))).over(byUser))
+      .withColumn("fc", min(when(col("event_type") === "click" &&
+        col("us") > col("fv") && col("us") <= col("fv") + FunnelClickUs, col("us"))).over(byUser))
+      .withColumn("fp", min(when(col("event_type") === "purchase" &&
+        col("us") > col("fc") && col("us") <= col("fc") + FunnelBuyUs, col("us"))).over(byUser))
+    staged.groupBy("user_id")
+      .agg(max("fv").as("fv"), max("fc").as("fc"), max("fp").as("fp"))
+      .agg(
+        count(lit(1)).as("n_users"),
+        count(col("fv")).as("n_viewed"),
+        count(col("fc")).as("n_clicked"),
+        count(col("fp")).as("n_purchased"))
+      .select(col("n_users"), col("n_viewed"), col("n_clicked"), col("n_purchased"),
+        expr("CASE WHEN n_viewed = 0 THEN NULL ELSE (n_clicked * 1000000) div n_viewed END")
+          .as("view_to_click_ppm"),
+        expr("CASE WHEN n_clicked = 0 THEN NULL ELSE (n_purchased * 1000000) div n_clicked END")
+          .as("click_to_purchase_ppm"))
+  }
+
+  private val q124Sql =
+    s"""WITH e AS (
+         SELECT user_id, event_type, epoch_us(ts) AS us
+         FROM events WHERE user_id IS NOT NULL),
+       v AS (SELECT *, min(CASE WHEN event_type = 'view' THEN us END)
+               OVER (PARTITION BY user_id) AS fv FROM e),
+       c AS (SELECT *, min(CASE WHEN event_type = 'click'
+                  AND us > fv AND us <= fv + $FunnelClickUs THEN us END)
+               OVER (PARTITION BY user_id) AS fc FROM v),
+       p AS (SELECT *, min(CASE WHEN event_type = 'purchase'
+                  AND us > fc AND us <= fc + $FunnelBuyUs THEN us END)
+               OVER (PARTITION BY user_id) AS fp FROM c),
+       u AS (SELECT user_id, max(fv) AS fv, max(fc) AS fc, max(fp) AS fp
+             FROM p GROUP BY 1),
+       t AS (SELECT CAST(count(*) AS BIGINT) AS n_users,
+                    CAST(count(fv) AS BIGINT) AS n_viewed,
+                    CAST(count(fc) AS BIGINT) AS n_clicked,
+                    CAST(count(fp) AS BIGINT) AS n_purchased
+             FROM u)
+       SELECT n_users, n_viewed, n_clicked, n_purchased,
+              CASE WHEN n_viewed = 0 THEN NULL
+                   ELSE (n_clicked * 1000000) // n_viewed END AS view_to_click_ppm,
+              CASE WHEN n_clicked = 0 THEN NULL
+                   ELSE (n_purchased * 1000000) // n_clicked END AS click_to_purchase_ppm
+       FROM t"""
+
   val qs: Seq[Q] = Seq(
     Q("q20_hourly_revenue", q20, Some(q20Sql)),
     Q("q21_enrich_events", q21, Some(q21Sql)),
@@ -798,5 +868,6 @@ object Events {
     Q("q118_attribution", q118, Some(q118Sql)),
     Q("q119_trend_forecast", q119, Some(q119Sql)),
     Q("q120_top_paths", q120, Some(q120Sql)),
-    Q("q122_growth_accounting", q122, Some(q122Sql)))
+    Q("q122_growth_accounting", q122, Some(q122Sql)),
+    Q("q124_funnel_windows", q124, Some(q124Sql)))
 }

@@ -611,6 +611,54 @@ object Relational {
               valid_to IS NULL AS is_current
        FROM v WHERE NOT deleted ORDER BY o_orderkey, valid_from"""
 
+  /** EXACT PER-GROUP PERCENTILES by integer-histogram selection —
+    * the exact companion of q19's GK sketch, and the member of the
+    * percentile family that CAN sit in the oracle hash gate: where
+    * interpolated percentiles differ cross-engine in final-ulp
+    * arithmetic (the q19 rows-only rationale), percentile_disc
+    * SELECTS an existing value at an integer rank — no interpolation,
+    * no double ever compared except one shared /100.0 display divide.
+    *
+    * The rewrite is the 100 TB story: a naive per-group sort ranks
+    * every fact row (full shuffle of the table into #groups ordered
+    * partitions); the histogram form groupBy-counts (brand, cents) —
+    * map-side combined, one bounded shuffle — then windows over the
+    * HISTOGRAM, whose size is the price DOMAIN (≤ ~10⁵ distinct cent
+    * values per brand), independent of corpus row count. p50/p90 =
+    * the smallest cents whose running count reaches ceil(p·n), spelled
+    * ceil-free as (n·P + 99) div 100 in both engines. */
+  def q123(s: SparkSession, dir: String): DataFrame = {
+    val hist = Tables(s, dir, "lineitem")
+      .join(broadcast(Tables(s, dir, "part").select("p_partkey", "p_brand")),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"), ops.cents(col("l_extendedprice")).as("cents"))
+      .agg(count(lit(1)).as("c"))
+    val byBrand = Window.partitionBy("p_brand")
+    hist
+      .withColumn("cum", sum("c").over(byBrand.orderBy("cents")))
+      .withColumn("n", sum("c").over(byBrand))
+      .groupBy("p_brand")
+      .agg(
+        max("n").as("n_rows"),
+        (min(when(col("cum") >= expr("(n*50 + 99) div 100"), col("cents"))) / lit(100.0)).as("p50"),
+        (min(when(col("cum") >= expr("(n*90 + 99) div 100"), col("cents"))) / lit(100.0)).as("p90"))
+      .orderBy("p_brand")
+  }
+
+  private val q123Sql =
+    s"""WITH h AS (
+         SELECT p_brand, ${ops.Cents("l_extendedprice")} AS cents, count(*) AS c
+         FROM lineitem JOIN part ON l_partkey = p_partkey GROUP BY 1, 2),
+       w AS (
+         SELECT p_brand, cents,
+                CAST(sum(c) OVER (PARTITION BY p_brand ORDER BY cents) AS BIGINT) AS cum,
+                CAST(sum(c) OVER (PARTITION BY p_brand) AS BIGINT) AS n
+         FROM h)
+       SELECT p_brand, CAST(max(n) AS BIGINT) AS n_rows,
+              min(CASE WHEN cum >= (n*50 + 99) // 100 THEN cents END) / 100.0 AS p50,
+              min(CASE WHEN cum >= (n*90 + 99) // 100 THEN cents END) / 100.0 AS p90
+       FROM w GROUP BY 1 ORDER BY 1"""
+
   val qs: Seq[Q] = Seq(
     Q("q01_pricing_summary", q01, Some(q01Sql)),
     Q("q02_revenue_by_nation", q02, Some(q02Sql)),
@@ -632,5 +680,6 @@ object Relational {
     Q("q18_moving_revenue", q18, Some(q18Sql)),
     Q("q19_approx_quantiles", q19, None),
     Q("q116_cdc_apply", q116, Some(q116Sql)),
-    Q("q117_scd2_history", q117, Some(q117Sql)))
+    Q("q117_scd2_history", q117, Some(q117Sql)),
+    Q("q123_exact_percentiles", q123, Some(q123Sql)))
 }

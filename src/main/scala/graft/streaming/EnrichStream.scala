@@ -290,6 +290,32 @@ object EnrichStream {
         col("session_window.end").as("session_end"),
         col("n_events"))
 
+  /** LIVE SESSION PATHS — batch q120's online face: per CLOSED
+    * session (same session_window/watermark semantics as
+    * [[sessionizedStream]]), the journey string of its first
+    * [[graft.operators.Events.PathLen]] event types, emitted exactly
+    * once in append mode.
+    *
+    * A stream cannot pre-rank its rows (no window before an agg), so
+    * the cap applies at emission: state per open session is the
+    * collected (us, event_id, type) structs — bounded by session
+    * activity under the 30-min gap rule, the same bound the count
+    * state in sessionizedStream already accepts; the deterministic
+    * order is restored by array_sort on the integer (us, event_id)
+    * prefix before slicing, exactly the batch assembly rule. */
+  def sessionPathStream(stream: DataFrame): DataFrame =
+    stream.withWatermark("ts", "1 hour")
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(
+        expr(s"""array_join(transform(
+                   slice(array_sort(collect_list(struct(unix_micros(ts) AS us, event_id, event_type))),
+                         1, ${graft.operators.Events.PathLen}),
+                   x -> x.event_type), '>')""").as("path"),
+        count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        col("session_window.start").as("session_start"),
+        col("path"), col("n_events"))
+
   /** STREAM-STREAM interval join: each purchase matched to the same
     * user's views in the trailing hour — the real-time form of the
     * view→purchase attribution the batch funnel (q24) computes after

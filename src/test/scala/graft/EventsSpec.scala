@@ -295,6 +295,33 @@ class EventsSpec extends AnyFunSuite {
     assert(got.toSeq == want, s"got ${got.toSeq}\nwant $want")
   }
 
+  test("q124 windowed funnel equals a local recompute and is bounded by q24's unbounded funnel") {
+    val row = operators.Events.q124(spark, sf).collect()(0)
+    // local reference with explicit first-anchor chaining
+    val ev = Tables(spark, sf, "events").filter(col("user_id").isNotNull)
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    var (nv, nc, np) = (0L, 0L, 0L)
+    val users = ev.groupBy(_._1)
+    users.foreach { case (_, rows) =>
+      val fv = rows.filter(_._2 == "view").map(_._3).minOption
+      val fc = fv.flatMap(v => rows.filter(r => r._2 == "click" && r._3 > v &&
+        r._3 <= v + 3600L * 1000000L).map(_._3).minOption)
+      val fp = fc.flatMap(c => rows.filter(r => r._2 == "purchase" && r._3 > c &&
+        r._3 <= c + 24L * 3600L * 1000000L).map(_._3).minOption)
+      if (fv.isDefined) nv += 1
+      if (fc.isDefined) nc += 1
+      if (fp.isDefined) np += 1
+    }
+    assert(row.getLong(0) == users.size.toLong)
+    assert((row.getLong(1), row.getLong(2), row.getLong(3)) == ((nv, nc, np)))
+    assert(row.getLong(4) == nc * 1000000L / nv)
+    // the time windows can only shrink each stage vs the unbounded q24
+    val q24 = operators.Events.q24(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(row.getLong(2) <= q24("2_click") && row.getLong(3) <= q24("3_purchase"))
+  }
+
   test("q122 growth accounting: identities hold and new users sum to the user base") {
     val df = operators.Events.q122(spark, sf).cache()
     // every active bucket decomposes exactly

@@ -165,4 +165,21 @@ class RelationalSpec extends AnyFunSuite {
     assert(w116.exceptAll(w117).count() == 0 && w117.exceptAll(w116).count() == 0)
     hist.unpersist()
   }
+
+  test("q123 exact percentiles equal a local sorted-selection recompute") {
+    val got = operators.Relational.q123(spark, sf).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    val vals = Tables(spark, sf, "lineitem")
+      .join(Tables(spark, sf, "part").select("p_partkey", "p_brand"),
+        col("l_partkey") === col("p_partkey"))
+      .select(col("p_brand"), operators.ops.cents(col("l_extendedprice")).as("cents"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val want = vals.groupBy(_._1).map { case (brand, rows) =>
+      val sorted = rows.map(_._2).sorted
+      val n = sorted.length.toLong
+      def disc(p: Long): Double = sorted(((n * p + 99L) / 100L).toInt - 1) / 100.0
+      brand -> ((n, disc(50), disc(90)))
+    }
+    assert(got == want, s"first diff: ${got.find(kv => want.get(kv._1) != Some(kv._2))}")
+  }
 }

@@ -476,6 +476,31 @@ class StreamingSpec extends AnyFunSuite {
     assert(missing.count() == 0, "a closed session was never emitted")
   }
 
+  test("live session paths match the batch journey assembly for every closed session") {
+    val q = streaming.EnrichStream.sessionPathStream(
+        streaming.EnrichStream.source(spark, sf))
+      .writeStream.format("memory").queryName("paths_out")
+      .outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("paths_out")
+    assert(streamed.count() > 0, "no session paths closed by the final watermark")
+    // batch twin: per-session journey by the identical assembly rule
+    val ord = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id", "session_seq").orderBy("ts", "event_id")
+    val batch = operators.Events.sessionized(spark, sf)
+      .withColumn("rn", row_number().over(ord))
+      .filter(col("rn") <= operators.Events.PathLen)
+      .groupBy("user_id", "session_seq")
+      .agg(min("ts").as("session_start"),
+        expr("array_join(transform(array_sort(collect_list(struct(rn, event_type))), x -> x.event_type), '>')")
+          .as("batch_path"))
+    val joined = streamed.join(batch, Seq("user_id", "session_start"), "left")
+    assert(joined.filter(col("batch_path").isNull).count() == 0,
+      "streamed a session batch does not know")
+    assert(joined.filter(col("path") =!= col("batch_path")).count() == 0,
+      "a streamed journey differs from its batch twin")
+  }
+
   test("stream-stream interval join matches the equivalent batch join exactly") {
     val q = streaming.EnrichStream.viewToPurchase(
         streaming.EnrichStream.source(spark, sf))
