@@ -95,4 +95,24 @@ object Sources {
     df.repartition(files).write.mode(SaveMode.Overwrite).parquet(dst)
     files.toLong
   }
+
+  /** SORTED (clustered) WRITE — the data-layout lever behind every
+    * "zone map" / min-max skip index: range-partition the rows by the
+    * cluster key and sort within each partition before writing, so
+    * each parquet file (and row group) covers a NARROW key range and
+    * its footer min/max statistics let a selective scan skip whole
+    * files without opening them. At 100 TB this is the difference
+    * between a point-range query touching a handful of files and
+    * touching every file in the table; it composes with
+    * writePartitioned (partition pruning first, stats skip within).
+    * `nFiles` sizes output explicitly (the compact() concern);
+    * repartitionByRange samples the key — layout, not content, may
+    * vary run to run, which is why the skip spec asserts bounds, not
+    * exact file assignments. */
+  def writeSorted(df: DataFrame, path: String, nFiles: Int, sortCols: String*): Unit = {
+    val cols = sortCols.map(df.col)
+    df.repartitionByRange(nFiles, cols: _*)
+      .sortWithinPartitions(cols: _*)
+      .write.mode(SaveMode.Overwrite).parquet(path)
+  }
 }

@@ -177,4 +177,41 @@ class SourcesSpec extends AnyFunSuite {
       .orderBy("k").collect().map(r => (r.getLong(0), r.getLong(2))).toSeq
     assert(all == Seq((1L, 1L), (2L, 2L), (3L, 2L), (4L, 3L), (5L, 2L)))
   }
+
+  /** Rows the scan node actually emitted (post row-group/page skip) —
+    * the observable that min/max statistics skipping worked. The
+    * filter-only plan has no exchange, so it is never adaptive and
+    * the scan leaf is directly in executedPlan. */
+  private def scanOutputRows(df: org.apache.spark.sql.DataFrame): Long = {
+    df.queryExecution.executedPlan.executeCollect()
+    val scan = df.queryExecution.executedPlan.collectLeaves().collectFirst {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }.getOrElse(fail("no FileSourceScanExec leaf"))
+    scan.metrics("numOutputRows").value
+  }
+
+  test("sorted write clusters key ranges so a selective scan skips most rows") {
+    val li = Tables(spark, sf, "lineitem")
+      .select("l_orderkey", "l_shipdate", "l_extendedprice")
+    val sorted = tmp("sorted"); val unsorted = tmp("unsorted")
+    // cluster by order key: a pushdown-supported type (timestamp_ntz
+    // predicates are not pushed to parquet as of Spark 4.1)
+    Sources.writeSorted(li, sorted, 8, "l_orderkey")
+    li.repartition(8).write.mode("overwrite").parquet(unsorted)
+    // a narrow key range — the point-range query against the cluster key
+    val lo = li.agg(min("l_orderkey")).collect()(0).getLong(0)
+    def probe(dir: String) =
+      spark.read.parquet(dir).filter(col("l_orderkey") <= lit(lo + 64L))
+    // identical answers from both layouts
+    val a = probe(sorted); val b = probe(unsorted)
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty && a.count() > 0)
+    // the sorted layout's footer stats confine the read to ~one file's
+    // row groups; round-robin spreads the key across every file so
+    // nothing skips. 4x is a deliberately loose floor — layout, not
+    // content, varies with repartitionByRange's sampling.
+    val sortedRows = scanOutputRows(probe(sorted))
+    val unsortedRows = scanOutputRows(probe(unsorted))
+    assert(sortedRows * 4 <= unsortedRows,
+      s"no skipping: sorted scan emitted $sortedRows vs unsorted $unsortedRows")
+  }
 }
