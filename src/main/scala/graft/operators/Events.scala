@@ -852,6 +852,63 @@ object Events {
                    ELSE (n_purchased * 1000000) // n_clicked END AS click_to_purchase_ppm
        FROM t"""
 
+  /** REPEAT-PURCHASE CADENCE — the retention KPI behind q25's cohort
+    * grid: per user, consecutive purchase gaps in whole days
+    * (integer micros div), then corpus-wide exact p50/p90 gap via
+    * q123's integer-histogram selection (domain = days, tiny), the
+    * repeat-user count, and the share of gaps within 7 days (ppm
+    * integer division). One row out; everything integer.
+    *
+    * Scale shape: the lag partitions by the high-cardinality user
+    * key; the selection windows run over the ≤ span-days histogram;
+    * the two one-row frames combine via LEFT JOIN ON true (q107
+    * lesson — an all-one-row join can never annihilate, and an empty
+    * gap set degrades to NULL percentiles, not zero rows). */
+  def q125(s: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy("us", "event_id")
+    val gaps = Tables(s, dir, "events")
+      .filter(col("event_type") === "purchase" && col("user_id").isNotNull)
+      .withColumn("us", unix_micros(col("ts")))
+      .withColumn("prev", lag("us", 1).over(byUser))
+      .filter(col("prev").isNotNull)
+      .withColumn("gap_days", expr("(us - prev) div 86400000000"))
+    val stats = gaps.agg(
+      count(lit(1)).as("n"),
+      countDistinct("user_id").as("n_repeat_users"),
+      sum(when(col("gap_days") <= 7, 1L).otherwise(0L)).as("w7"))
+    val cum = gaps.groupBy("gap_days").agg(count(lit(1)).as("c"))
+      .withColumn("cum", sum("c").over(Window.orderBy("gap_days")))
+    val sel = cum.join(broadcast(stats), lit(true), "left")
+      .agg(
+        min(when(col("cum") >= expr("(n*50 + 99) div 100"), col("gap_days"))).as("p50_gap_days"),
+        min(when(col("cum") >= expr("(n*90 + 99) div 100"), col("gap_days"))).as("p90_gap_days"))
+    stats.join(broadcast(sel), lit(true), "left")
+      .select(col("n").as("n_repeat_gaps"), col("n_repeat_users"),
+        col("p50_gap_days"), col("p90_gap_days"),
+        expr("CASE WHEN n = 0 THEN NULL ELSE (w7 * 1000000) div n END").as("within7_ppm"))
+  }
+
+  private val q125Sql =
+    """WITH p AS (
+         SELECT user_id, event_id, epoch_us(ts) AS us
+         FROM events WHERE event_type = 'purchase' AND user_id IS NOT NULL),
+       g AS (SELECT user_id,
+               (us - lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id)) // 86400000000 AS gap_days
+             FROM p),
+       g2 AS (SELECT * FROM g WHERE gap_days IS NOT NULL),
+       stats AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                        CAST(count(DISTINCT user_id) AS BIGINT) AS n_repeat_users,
+                        CAST(sum(CASE WHEN gap_days <= 7 THEN 1 ELSE 0 END) AS BIGINT) AS w7
+                 FROM g2),
+       h AS (SELECT gap_days, count(*) AS c FROM g2 GROUP BY 1),
+       cum AS (SELECT gap_days, CAST(sum(c) OVER (ORDER BY gap_days) AS BIGINT) AS cum FROM h),
+       sel AS (SELECT min(CASE WHEN cum >= (n*50 + 99) // 100 THEN gap_days END) AS p50_gap_days,
+                      min(CASE WHEN cum >= (n*90 + 99) // 100 THEN gap_days END) AS p90_gap_days
+               FROM cum LEFT JOIN stats ON true)
+       SELECT n AS n_repeat_gaps, n_repeat_users, p50_gap_days, p90_gap_days,
+              CASE WHEN n = 0 THEN NULL ELSE (w7 * 1000000) // n END AS within7_ppm
+       FROM stats LEFT JOIN sel ON true"""
+
   val qs: Seq[Q] = Seq(
     Q("q20_hourly_revenue", q20, Some(q20Sql)),
     Q("q21_enrich_events", q21, Some(q21Sql)),
@@ -869,5 +926,6 @@ object Events {
     Q("q119_trend_forecast", q119, Some(q119Sql)),
     Q("q120_top_paths", q120, Some(q120Sql)),
     Q("q122_growth_accounting", q122, Some(q122Sql)),
-    Q("q124_funnel_windows", q124, Some(q124Sql)))
+    Q("q124_funnel_windows", q124, Some(q124Sql)),
+    Q("q125_purchase_cadence", q125, Some(q125Sql)))
 }

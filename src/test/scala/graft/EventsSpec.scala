@@ -322,6 +322,23 @@ class EventsSpec extends AnyFunSuite {
     assert(row.getLong(2) <= q24("2_click") && row.getLong(3) <= q24("3_purchase"))
   }
 
+  test("q125 purchase cadence equals a local gap recompute") {
+    val row = operators.Events.q125(spark, sf).collect()(0)
+    val ev = Tables(spark, sf, "events")
+      .filter(col("event_type") === "purchase" && col("user_id").isNotNull)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val gaps = ev.groupBy(_._1).toSeq.flatMap { case (_, rows) =>
+      val us = rows.sortBy(r => (r._3, r._2)).map(_._3).toSeq
+      us.sliding(2).collect { case Seq(a, b) => (b - a) / 86400000000L }
+    }
+    assert(row.getLong(0) == gaps.length.toLong)
+    val sorted = gaps.sorted
+    def disc(p: Long): Long = sorted(((gaps.length.toLong * p + 99L) / 100L).toInt - 1)
+    assert(row.getLong(2) == disc(50) && row.getLong(3) == disc(90))
+    assert(row.getLong(4) == gaps.count(_ <= 7L).toLong * 1000000L / gaps.length)
+  }
+
   test("q122 growth accounting: identities hold and new users sum to the user base") {
     val df = operators.Events.q122(spark, sf).cache()
     // every active bucket decomposes exactly
