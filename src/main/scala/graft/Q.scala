@@ -47,15 +47,29 @@ object Tables {
     * the session timezone to UTC. Either way the result matches
     * DuckDB's ts::TIMESTAMP value.
     */
-  def events(spark: SparkSession, dir: String): DataFrame = {
+  def events(spark: SparkSession, dir: String): DataFrame =
+    normalizeEventsTs(spark.read.parquet(s"$dir/events.parquet"))
+
+  /** The ONE type-dispatch for the events ts column, shared by the
+    * batch reader above and the streaming source
+    * (EnrichStream.source) so the two paths can never drift. Fails
+    * fast instead of silently mis-reading: the NTZ branch requires
+    * the UTC session (a local-zone session would shift every event
+    * by the host offset), and an unrecognized physical type throws
+    * rather than passing through unnormalized. */
+  private[graft] def normalizeEventsTs(df: DataFrame): DataFrame = {
     import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
-    val df = spark.read.parquet(s"$dir/events.parquet")
     df.schema("ts").dataType match {
       case LongType =>
         df.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts DIV 1000)"))
       case TimestampNTZType =>
+        require(df.sparkSession.conf.get("spark.sql.session.timeZone", "") == "UTC",
+          "events ts is TIMESTAMP_NTZ: the NTZ->LTZ cast is value-preserving only under a " +
+            "UTC session timezone (build the session via GraftSession.tune/local)")
         df.withColumn("ts", df("ts").cast(TimestampType))
-      case _ => df
+      case TimestampType => df
+      case other => throw new IllegalArgumentException(
+        s"unexpected events ts physical type $other: extend Tables.normalizeEventsTs")
     }
   }
 }

@@ -621,10 +621,14 @@ object Events {
     * type) — the moments ARE the partial aggregate, so this is the
     * distributed-regression shape: no window, no sort, no collect;
     * #series × 5 longs cross the final shuffle. */
+  /** Day-index epoch for q119's OLS x axis — ONE constant shared by
+    * the Spark plan, the oracle SQL, and the regression spec. */
+  private[graft] val TrendEpoch = "2024-01-01"
+
   def q119(s: SparkSession, dir: String): DataFrame = {
     val daily = Tables(s, dir, "events")
       .groupBy(col("event_type"),
-        datediff(to_date(col("ts")), to_date(lit("2024-01-01"))).cast("long").as("x"))
+        datediff(to_date(col("ts")), to_date(lit(TrendEpoch))).cast("long").as("x"))
       .agg(sum(ops.cents(col("value"))).as("y"))
     val m = daily.groupBy("event_type").agg(
       count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
@@ -648,7 +652,7 @@ object Events {
   private val q119Sql =
     s"""WITH daily AS (
          SELECT event_type,
-                CAST(date_diff('day', DATE '2024-01-01', ts::DATE) AS BIGINT) AS x,
+                CAST(date_diff('day', DATE '$TrendEpoch', ts::DATE) AS BIGINT) AS x,
                 CAST(sum(${ops.Cents("value")}) AS BIGINT) AS y
          FROM events GROUP BY 1, 2),
        m AS (
@@ -864,6 +868,10 @@ object Events {
     * the two one-row frames combine via LEFT JOIN ON true (q107
     * lesson — an all-one-row join can never annihilate, and an empty
     * gap set degrades to NULL percentiles, not zero rows). */
+  /** Micros per day — ONE constant shared by q125's Spark expr, its
+    * oracle SQL, and the cadence spec. */
+  private[graft] val DayUs = 86400000000L
+
   def q125(s: SparkSession, dir: String): DataFrame = {
     val byUser = Window.partitionBy("user_id").orderBy("us", "event_id")
     val gaps = Tables(s, dir, "events")
@@ -871,7 +879,7 @@ object Events {
       .withColumn("us", unix_micros(col("ts")))
       .withColumn("prev", lag("us", 1).over(byUser))
       .filter(col("prev").isNotNull)
-      .withColumn("gap_days", expr("(us - prev) div 86400000000"))
+      .withColumn("gap_days", expr(s"(us - prev) div $DayUs"))
     val stats = gaps.agg(
       count(lit(1)).as("n"),
       countDistinct("user_id").as("n_repeat_users"),
@@ -889,11 +897,11 @@ object Events {
   }
 
   private val q125Sql =
-    """WITH p AS (
+    s"""WITH p AS (
          SELECT user_id, event_id, epoch_us(ts) AS us
          FROM events WHERE event_type = 'purchase' AND user_id IS NOT NULL),
        g AS (SELECT user_id,
-               (us - lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id)) // 86400000000 AS gap_days
+               (us - lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id)) // $DayUs AS gap_days
              FROM p),
        g2 AS (SELECT * FROM g WHERE gap_days IS NOT NULL),
        stats AS (SELECT CAST(count(*) AS BIGINT) AS n,

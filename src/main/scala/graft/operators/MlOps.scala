@@ -98,25 +98,45 @@ object MlOps {
   /** Core of q31 over any (l_orderkey, l_partkey) basket table —
     * exposed so MlOpsSpec can drive a synthetic mega-basket through
     * the cap. */
-  def recsFromBaskets(baskets: DataFrame): DataFrame = {
+  /** Distinct baskets capped to the MaxBasket lowest part ids — the
+    * pair-fan-out guard shared by q31 and q121 (and spelled once as
+    * [[BasketCteSql]] for their oracles).
+    *
+    * Multiple consumers (cnt + both pair-join sides) reference this
+    * frame. Deliberately NOT localCheckpointed: the subtree is
+    * deterministic (row_number over a total order — re-execution is
+    * a perf question only, unlike the seeded-range q65 case), and
+    * the barrier MEASURED +0.5 s at sf0.1 (3.0 vs 2.47 s best-of-3)
+    * because materializing the 600k-row frame costs more than the
+    * shared-lineage re-execution it avoids — the distinct's shuffle
+    * is reused across the consumers inside the one action. */
+  private def cappedBaskets(baskets: DataFrame): DataFrame = {
     val wCap = Window.partitionBy("l_orderkey").orderBy("l_partkey")
-    // Three consumers (cnt + both pair-join sides) reference this
-    // capped frame. Deliberately NOT localCheckpointed: the subtree
-    // is deterministic (row_number over a total order — re-execution
-    // is a perf question only, unlike the seeded-range q65 case),
-    // and the barrier MEASURED +0.5 s at sf0.1 (3.0 vs 2.47 s
-    // best-of-3) because materializing the 600k-row frame costs more
-    // than the shared-lineage re-execution it avoids — the distinct's
-    // shuffle is reused across the consumers inside the one action.
-    val b = baskets.distinct()
+    baskets.distinct()
       .withColumn("_rn", row_number().over(wCap))
       .filter(col("_rn") <= MaxBasket)
       .drop("_rn")
-    val cnt = b.groupBy("l_partkey").agg(count(lit(1)).as("n"))
-    val pairs = b.as("a").join(b.as("bb"),
+  }
+
+  /** Per-pair co-occurrence counts (p1 < p2) over capped baskets —
+    * the other half of the q31/q121 shared prefix. */
+  private def pairCounts(b: DataFrame): DataFrame =
+    b.as("a").join(b.as("bb"),
         col("a.l_orderkey") === col("bb.l_orderkey") && col("a.l_partkey") < col("bb.l_partkey"))
       .groupBy(col("a.l_partkey").as("p1"), col("bb.l_partkey").as("p2"))
       .agg(count(lit(1)).as("c"))
+
+  /** Oracle spelling of [[cappedBaskets]], shared by q31Sql/q121Sql. */
+  private val BasketCteSql =
+    s"""b0 AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+       b AS (SELECT l_orderkey, l_partkey FROM (
+         SELECT *, row_number() OVER (PARTITION BY l_orderkey ORDER BY l_partkey) AS rn FROM b0)
+         WHERE rn <= $MaxBasket)"""
+
+  def recsFromBaskets(baskets: DataFrame): DataFrame = {
+    val b = cappedBaskets(baskets)
+    val cnt = b.groupBy("l_partkey").agg(count(lit(1)).as("n"))
+    val pairs = pairCounts(b)
     val sym = pairs.select(col("p1").as("part_id"), col("p2").as("rec_id"), col("c"))
       .union(pairs.select(col("p2"), col("p1"), col("c")))
     val scored = sym
@@ -131,10 +151,7 @@ object MlOps {
   }
 
   private val q31Sql =
-    s"""WITH b0 AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
-       b AS (SELECT l_orderkey, l_partkey FROM (
-         SELECT *, row_number() OVER (PARTITION BY l_orderkey ORDER BY l_partkey) AS rn FROM b0)
-         WHERE rn <= $MaxBasket),
+    s"""WITH $BasketCteSql,
        cnt AS (SELECT l_partkey, count(*) AS n FROM b GROUP BY 1),
        pair AS (SELECT a.l_partkey p1, b2.l_partkey p2, count(*) c
                 FROM b a JOIN b b2 ON a.l_orderkey=b2.l_orderkey AND a.l_partkey < b2.l_partkey
@@ -178,17 +195,11 @@ object MlOps {
     * map-side-combined; the one-row basket total is broadcast;
     * top-[[RuleK]] is TakeOrdered. */
   def q121(s: SparkSession, dir: String): DataFrame = {
-    val wCap = Window.partitionBy("l_orderkey").orderBy("l_partkey")
-    val b = Tables(s, dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
-      .withColumn("_rn", row_number().over(wCap))
-      .filter(col("_rn") <= MaxBasket)
-      .drop("_rn")
+    val b = cappedBaskets(Tables(s, dir, "lineitem").select("l_orderkey", "l_partkey"))
     val tot = b.agg(countDistinct("l_orderkey").as("n_orders"))
     val cnt = b.groupBy("l_partkey").agg(count(lit(1)).as("n"))
-    val pairs = b.as("a").join(b.as("bb"),
-        col("a.l_orderkey") === col("bb.l_orderkey") && col("a.l_partkey") < col("bb.l_partkey"))
-      .groupBy(col("a.l_partkey").as("p1"), col("bb.l_partkey").as("p2"))
-      .agg(count(lit(1)).as("support"))
+    val pairs = pairCounts(b)
+      .withColumnRenamed("c", "support")
       .filter(col("support") >= RuleMinSup)
     val sym = pairs.select(col("p1").as("antecedent"), col("p2").as("consequent"), col("support"))
       .union(pairs.select(col("p2"), col("p1"), col("support")))
@@ -204,10 +215,7 @@ object MlOps {
   }
 
   private val q121Sql =
-    s"""WITH b0 AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
-       b AS (SELECT l_orderkey, l_partkey FROM (
-         SELECT *, row_number() OVER (PARTITION BY l_orderkey ORDER BY l_partkey) AS rn FROM b0)
-         WHERE rn <= $MaxBasket),
+    s"""WITH $BasketCteSql,
        tot AS (SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders FROM b),
        cnt AS (SELECT l_partkey, CAST(count(*) AS BIGINT) AS n FROM b GROUP BY 1),
        pair AS (SELECT a.l_partkey p1, b2.l_partkey p2, CAST(count(*) AS BIGINT) AS support

@@ -59,17 +59,13 @@ object EnrichStream {
     val fileSchema = spark.read.parquet(s"$dir/events.parquet").schema
     // events.parquet is a single file; the file stream source wants a
     // directory, so stream the table dir filtered to that file.
-    val raw = spark.readStream
-      .schema(fileSchema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
-    fileSchema("ts").dataType match {
-      case LongType => raw.withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
-      // NTZ→LTZ cast is value-preserving under the session's UTC tz
-      case org.apache.spark.sql.types.TimestampNTZType =>
-        raw.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
-      case _ => raw
-    }
+    // Normalization is the SAME dispatch as the batch reader
+    // (Tables.normalizeEventsTs) — one implementation, two modes.
+    graft.Tables.normalizeEventsTs(
+      spark.readStream
+        .schema(fileSchema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(dir))
   }
 
   /** Streaming enrichment — identical Columns to batch q21. */

@@ -241,7 +241,7 @@ class EventsSpec extends AnyFunSuite {
       .map(r => r.getString(0) -> r).toMap
     val daily = Tables(spark, sf, "events")
       .groupBy(col("event_type"),
-        datediff(to_date(col("ts")), to_date(lit("2024-01-01"))).cast("long").as("x"))
+        datediff(to_date(col("ts")), to_date(lit(operators.Events.TrendEpoch))).cast("long").as("x"))
       .agg(sum(operators.ops.cents(col("value"))).as("y"))
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
     def r4(x: Double) = math.floor(x * 10000.0 + 0.5) / 10000.0
@@ -330,7 +330,7 @@ class EventsSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     val gaps = ev.groupBy(_._1).toSeq.flatMap { case (_, rows) =>
       val us = rows.sortBy(r => (r._3, r._2)).map(_._3).toSeq
-      us.sliding(2).collect { case Seq(a, b) => (b - a) / 86400000000L }
+      us.sliding(2).collect { case Seq(a, b) => (b - a) / operators.Events.DayUs }
     }
     assert(row.getLong(0) == gaps.length.toLong)
     val sorted = gaps.sorted
