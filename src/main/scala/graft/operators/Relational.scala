@@ -659,6 +659,97 @@ object Relational {
               min(CASE WHEN cum >= (n*90 + 99) // 100 THEN cents END) / 100.0 AS p90
        FROM w GROUP BY 1 ORDER BY 1"""
 
+  /** REFERENTIAL-INTEGRITY AUDIT — the relational member of the
+    * validation family (q107/q108 validate document/embedding intake;
+    * this audits the star schema's FK edges): for every foreign-key
+    * edge, the row count, orphan count (no matching dimension row —
+    * a NULL key is an orphan by definition: it references nothing),
+    * and orphan rate in ppm (integer division). The live tables are
+    * clean, so all-zero orphans IS the expected result (like
+    * q107/q108, specs inject synthetic corruption to prove
+    * detection).
+    *
+    * Scale shape: ONE scan per fact table regardless of how many of
+    * its edges are audited — lineitem's three FK checks ride one
+    * pass with three left joins (part/supplier broadcast — true
+    * dimensions; orders joined by shuffle since at 100 TB it is
+    * fact-sized, never broadcast); all counts are map-side-combined
+    * aggregates; output is #edges rows. */
+  def q126(s: SparkSession, dir: String): DataFrame = {
+    def hit(df: DataFrame, key: String): DataFrame =
+      df.select(col(key).as("k")).distinct().withColumn("_hit", lit(1))
+    def row(name: String, checked: DataFrame, hitCol: String): DataFrame =
+      checked.agg(count(lit(1)).as("n_rows"),
+          sum(when(col(hitCol).isNull, 1L).otherwise(0L)).as("n_orphans"))
+        .select(lit(name).as("check_name"), col("n_rows"), col("n_orphans"),
+          expr("CASE WHEN n_rows = 0 THEN NULL ELSE (n_orphans * 1000000) div n_rows END")
+            .as("orphan_ppm"))
+    val li = Tables(s, dir, "lineitem").select("l_orderkey", "l_partkey", "l_suppkey")
+      .join(Tables(s, dir, "orders").select(col("o_orderkey"), lit(1).as("_ho")),
+        col("l_orderkey") === col("o_orderkey"), "left")
+      .join(broadcast(hit(Tables(s, dir, "part"), "p_partkey")
+        .select(col("k").as("pk"), col("_hit").as("_hp"))),
+        col("l_partkey") === col("pk"), "left")
+      .join(broadcast(hit(Tables(s, dir, "supplier"), "s_suppkey")
+        .select(col("k").as("sk"), col("_hit").as("_hs"))),
+        col("l_suppkey") === col("sk"), "left")
+    val ord = Tables(s, dir, "orders").select("o_custkey")
+      .join(hit(Tables(s, dir, "customer"), "c_custkey"),
+        col("o_custkey") === col("k"), "left")
+    val cust = Tables(s, dir, "customer").select("c_nationkey")
+      .join(broadcast(hit(Tables(s, dir, "nation"), "n_nationkey")),
+        col("c_nationkey") === col("k"), "left")
+    // lineitem's three edges ride ONE aggregate over the one scan,
+    // stacked to rows afterwards — three union branches over the
+    // same subtree would plan (up to) three scans
+    val liRows = li.agg(
+        count(lit(1)).as("n_rows"),
+        sum(when(col("_ho").isNull, 1L).otherwise(0L)).as("orph_o"),
+        sum(when(col("_hp").isNull, 1L).otherwise(0L)).as("orph_p"),
+        sum(when(col("_hs").isNull, 1L).otherwise(0L)).as("orph_s"))
+      .select(explode(expr(
+        """array(struct('lineitem_orderkey' AS check_name, n_rows, orph_o AS n_orphans),
+                 struct('lineitem_partkey' AS check_name, n_rows, orph_p AS n_orphans),
+                 struct('lineitem_suppkey' AS check_name, n_rows, orph_s AS n_orphans))""")).as("r"))
+      .select(col("r.check_name"), col("r.n_rows"), col("r.n_orphans"))
+      .withColumn("orphan_ppm",
+        expr("CASE WHEN n_rows = 0 THEN NULL ELSE (n_orphans * 1000000) div n_rows END"))
+    row("customer_nationkey", cust, "_hit")
+      .unionByName(liRows)
+      .unionByName(row("orders_custkey", ord, "_hit"))
+      .orderBy("check_name")
+  }
+
+  private val q126Sql =
+    """WITH li AS (
+         SELECT o.o_orderkey AS ho, p.p_partkey AS hp, s.s_suppkey AS hs
+         FROM lineitem l
+         LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+         LEFT JOIN part p ON l.l_partkey = p.p_partkey
+         LEFT JOIN supplier s ON l.l_suppkey = s.s_suppkey),
+       liagg AS (
+         SELECT CAST(count(*) AS BIGINT) AS n_rows,
+                CAST(sum(CASE WHEN ho IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS orph_o,
+                CAST(sum(CASE WHEN hp IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS orph_p,
+                CAST(sum(CASE WHEN hs IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS orph_s
+         FROM li),
+       edges AS (
+         SELECT 'lineitem_orderkey' AS check_name, n_rows, orph_o AS n_orphans FROM liagg
+         UNION ALL SELECT 'lineitem_partkey', n_rows, orph_p FROM liagg
+         UNION ALL SELECT 'lineitem_suppkey', n_rows, orph_s FROM liagg
+         UNION ALL
+         SELECT 'customer_nationkey', CAST(count(*) AS BIGINT),
+                CAST(sum(CASE WHEN n.n_nationkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         FROM customer c LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+         UNION ALL
+         SELECT 'orders_custkey', CAST(count(*) AS BIGINT),
+                CAST(sum(CASE WHEN cu.c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         FROM orders o LEFT JOIN customer cu ON o.o_custkey = cu.c_custkey)
+       SELECT check_name, n_rows, n_orphans,
+              CASE WHEN n_rows = 0 THEN NULL
+                   ELSE (n_orphans * 1000000) // n_rows END AS orphan_ppm
+       FROM edges ORDER BY check_name"""
+
   val qs: Seq[Q] = Seq(
     Q("q01_pricing_summary", q01, Some(q01Sql)),
     Q("q02_revenue_by_nation", q02, Some(q02Sql)),
@@ -681,5 +772,6 @@ object Relational {
     Q("q19_approx_quantiles", q19, None),
     Q("q116_cdc_apply", q116, Some(q116Sql)),
     Q("q117_scd2_history", q117, Some(q117Sql)),
-    Q("q123_exact_percentiles", q123, Some(q123Sql)))
+    Q("q123_exact_percentiles", q123, Some(q123Sql)),
+    Q("q126_fk_audit", q126, Some(q126Sql)))
 }
