@@ -788,8 +788,8 @@ object Events {
 
   /** Step windows for q124 (event-time micros): click within 1 h of
     * the first view, purchase within 24 h of that click. */
-  private val FunnelClickUs = 3600L * 1000000L
-  private val FunnelBuyUs = 24L * 3600L * 1000000L
+  private[graft] val FunnelClickUs = 3600L * 1000000L
+  private[graft] val FunnelBuyUs = 24L * 3600L * 1000000L
 
   /** TIME-WINDOWED FUNNEL — q24's realistic sibling: the ordered
     * view→click→purchase funnel where each step must land inside a

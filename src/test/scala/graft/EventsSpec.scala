@@ -306,9 +306,9 @@ class EventsSpec extends AnyFunSuite {
     users.foreach { case (_, rows) =>
       val fv = rows.filter(_._2 == "view").map(_._3).minOption
       val fc = fv.flatMap(v => rows.filter(r => r._2 == "click" && r._3 > v &&
-        r._3 <= v + 3600L * 1000000L).map(_._3).minOption)
+        r._3 <= v + operators.Events.FunnelClickUs).map(_._3).minOption)
       val fp = fc.flatMap(c => rows.filter(r => r._2 == "purchase" && r._3 > c &&
-        r._3 <= c + 24L * 3600L * 1000000L).map(_._3).minOption)
+        r._3 <= c + operators.Events.FunnelBuyUs).map(_._3).minOption)
       if (fv.isDefined) nv += 1
       if (fc.isDefined) nc += 1
       if (fp.isDefined) np += 1

@@ -32,6 +32,35 @@ class PlanGuardSpec extends AnyFunSuite {
     }
   }
 
+  test("attribution, rules, and fk audit join on keys, never a cartesian") {
+    // q118's touch join is equi on user_id with the range as a post
+    // filter; q121's pair join is equi on l_orderkey; q126's audits
+    // are equi FK joins. The one-row stat frames (q121 tot, q125
+    // sel/stats) legitimately combine via a broadcast nested-loop
+    // LEFT JOIN ON true — a cartesian of 1×1 frames, bounded by
+    // construction — so only CartesianProduct is banned there.
+    for (q <- Seq("q118_attribution", "q121_assoc_rules",
+        "q125_purchase_cadence", "q126_fk_audit")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q plans a cartesian product")
+    }
+    // and the corpus-sized joins must not be nested-loop at all
+    for (q <- Seq("q118_attribution")) {
+      val p = plan(q)
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$q plans a nested-loop join")
+    }
+  }
+
+  test("scd2 history and windowed funnel stay one-shuffle window plans") {
+    // both claim ONE key shuffle: no join operator may appear at all.
+    // (q124's closing global agg legitimately collapses its few
+    // partial-agg rows to one partition; the guard is on joins.)
+    for (q <- Seq("q117_scd2_history", "q124_funnel_windows")) {
+      val p = plan(q)
+      assert(!p.contains("Join"), s"$q plans a join it does not need")
+    }
+  }
+
   test("semantic dedup and decontamination join on keys, never a cartesian") {
     for (q <- Seq("q45_semantic_dedup", "q69_decontaminate")) {
       val p = plan(q)
