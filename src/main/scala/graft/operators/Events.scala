@@ -917,6 +917,43 @@ object Events {
               CASE WHEN n = 0 THEN NULL ELSE (w7 * 1000000) // n END AS within7_ppm
        FROM stats LEFT JOIN sel ON true"""
 
+  /** SEASONALITY PROFILE — the weekly-rhythm heatmap behind capacity
+    * planning and anomaly baselining (q26 scores hours against a
+    * global mean; this gives each event type its day-of-week × hour
+    * activity profile with an integer-ppm share of the type's
+    * total).
+    *
+    * Cross-engine care: day-of-week numbering differs per engine
+    * (Spark dayofweek is 1=Sunday; DuckDB dayofweek is 0=Sunday) —
+    * the ISO form is the one both can spell: Spark `weekday(ts)+1`
+    * == DuckDB `isodow(ts)` (1=Monday..7). Counts and shares are
+    * all integer.
+    *
+    * Scale shape: one map-side-combined groupBy to a ≤ #types·7·24
+    * frame; the share window runs over that tiny aggregate, never
+    * the events. */
+  def q127(s: SparkSession, dir: String): DataFrame = {
+    val cells = Tables(s, dir, "events")
+      .groupBy(col("event_type"),
+        expr("CAST(weekday(ts) + 1 AS BIGINT)").as("dow"),
+        expr("CAST(hour(ts) AS BIGINT)").as("hr"))
+      .agg(count(lit(1)).as("n_events"))
+    cells
+      .withColumn("share_ppm",
+        expr("(n_events * 1000000) div sum(n_events) OVER (PARTITION BY event_type)"))
+      .orderBy("event_type", "dow", "hr")
+  }
+
+  private val q127Sql =
+    """WITH cells AS (
+         SELECT event_type, CAST(isodow(ts) AS BIGINT) AS dow,
+                CAST(hour(ts) AS BIGINT) AS hr, count(*) AS n_events
+         FROM events GROUP BY 1, 2, 3)
+       SELECT event_type, dow, hr, CAST(n_events AS BIGINT) AS n_events,
+              CAST((n_events * 1000000) // sum(n_events) OVER (PARTITION BY event_type) AS BIGINT)
+                AS share_ppm
+       FROM cells ORDER BY event_type, dow, hr"""
+
   val qs: Seq[Q] = Seq(
     Q("q20_hourly_revenue", q20, Some(q20Sql)),
     Q("q21_enrich_events", q21, Some(q21Sql)),
@@ -935,5 +972,6 @@ object Events {
     Q("q120_top_paths", q120, Some(q120Sql)),
     Q("q122_growth_accounting", q122, Some(q122Sql)),
     Q("q124_funnel_windows", q124, Some(q124Sql)),
-    Q("q125_purchase_cadence", q125, Some(q125Sql)))
+    Q("q125_purchase_cadence", q125, Some(q125Sql)),
+    Q("q127_seasonality", q127, Some(q127Sql)))
 }

@@ -339,6 +339,22 @@ class EventsSpec extends AnyFunSuite {
     assert(row.getLong(4) == gaps.count(_ <= 7L).toLong * 1000000L / gaps.length)
   }
 
+  test("q127 seasonality cells partition each type's events; shares floor-sum to one million") {
+    val df = operators.Events.q127(spark, sf).cache()
+    assert(df.filter(col("dow") < 1 || col("dow") > 7 || col("hr") < 0 || col("hr") > 23).count() == 0)
+    val want = Tables(spark, sf, "events").groupBy("event_type").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    df.groupBy("event_type")
+      .agg(sum("n_events").as("n"), sum("share_ppm").as("sp"), count(lit(1)).as("cells"))
+      .collect().foreach { r =>
+        assert(r.getLong(1) == want(r.getString(0)), s"${r.getString(0)} cell counts drop events")
+        // each cell's floor loses < 1 ppm; cells <= 7*24
+        assert(r.getLong(2) <= 1000000L && r.getLong(2) > 1000000L - r.getLong(3),
+          s"${r.getString(0)} shares sum to ${r.getLong(2)}")
+      }
+    df.unpersist()
+  }
+
   test("q122 growth accounting: identities hold and new users sum to the user base") {
     val df = operators.Events.q122(spark, sf).cache()
     // every active bucket decomposes exactly
