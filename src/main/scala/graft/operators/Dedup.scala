@@ -18,7 +18,7 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
-  private val DfCap = 1000
+  private[graft] val DfCap = 1000
 
   /** Near-dup Jaccard threshold, shared by q41/q42/q65 and their
     * oracle SQL so engine and oracle can never drift apart. */

@@ -186,10 +186,10 @@ object Events {
   /** Shared sessionization CTEs (`o`, `s`) — the oracle counterpart
     * of [[sessionized]], reused verbatim by q23 and q84. */
   private val sessCte =
-    """o AS (
-         SELECT user_id, event_id, ts, event_type, epoch_us(ts::TIMESTAMP) AS us,
-                CASE WHEN lag(epoch_us(ts::TIMESTAMP)) OVER w IS NULL
-                       OR epoch_us(ts::TIMESTAMP) - lag(epoch_us(ts::TIMESTAMP)) OVER w > 1800000000
+    s"""o AS (
+         SELECT user_id, event_id, ts, event_type, ${ops.EpochUs("ts")} AS us,
+                CASE WHEN lag(${ops.EpochUs("ts")}) OVER w IS NULL
+                       OR ${ops.EpochUs("ts")} - lag(${ops.EpochUs("ts")}) OVER w > 1800000000
                      THEN 1 ELSE 0 END AS is_new
          FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
        s AS (SELECT *, CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
@@ -581,12 +581,12 @@ object Events {
 
   private val q118Sql =
     s"""WITH p AS (
-         SELECT event_id AS pid, user_id, epoch_us(ts) AS pus,
+         SELECT event_id AS pid, user_id, ${ops.EpochUs("ts")} AS pus,
                 ${ops.Cents("value")} AS pcents
          FROM events WHERE event_type = 'purchase'),
        t AS (
          SELECT event_id AS tid, event_type AS touch_type, user_id AS t_user,
-                epoch_us(ts) AS tus
+                ${ops.EpochUs("ts")} AS tus
          FROM events WHERE event_type IN ('view', 'click')),
        j AS (
          SELECT p.pid, p.pcents, t.tid, t.touch_type, t.tus
@@ -629,7 +629,11 @@ object Events {
     val daily = Tables(s, dir, "events")
       .groupBy(col("event_type"),
         datediff(to_date(col("ts")), to_date(lit(TrendEpoch))).cast("long").as("x"))
-      .agg(sum(ops.cents(col("value"))).as("y"))
+      // coalesce: a day whose every value is NULL must contribute y=0,
+      // not drop out of Σy/Σxy while staying in n/Σx/Σx² — all five
+      // moments have to cover the SAME day set or the fit is biased
+      // (and the oracle, spelled identically, would hide it).
+      .agg(coalesce(sum(ops.cents(col("value"))), lit(0L)).as("y"))
     val m = daily.groupBy("event_type").agg(
       count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
       sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"),
@@ -653,7 +657,7 @@ object Events {
     s"""WITH daily AS (
          SELECT event_type,
                 CAST(date_diff('day', DATE '$TrendEpoch', ts::DATE) AS BIGINT) AS x,
-                CAST(sum(${ops.Cents("value")}) AS BIGINT) AS y
+                CAST(coalesce(sum(${ops.Cents("value")}), 0) AS BIGINT) AS y
          FROM events GROUP BY 1, 2),
        m AS (
          SELECT event_type, CAST(count(*) AS BIGINT) AS n,
@@ -832,7 +836,7 @@ object Events {
 
   private val q124Sql =
     s"""WITH e AS (
-         SELECT user_id, event_type, epoch_us(ts) AS us
+         SELECT user_id, event_type, ${ops.EpochUs("ts")} AS us
          FROM events WHERE user_id IS NOT NULL),
        v AS (SELECT *, min(CASE WHEN event_type = 'view' THEN us END)
                OVER (PARTITION BY user_id) AS fv FROM e),
@@ -898,7 +902,7 @@ object Events {
 
   private val q125Sql =
     s"""WITH p AS (
-         SELECT user_id, event_id, epoch_us(ts) AS us
+         SELECT user_id, event_id, ${ops.EpochUs("ts")} AS us
          FROM events WHERE event_type = 'purchase' AND user_id IS NOT NULL),
        g AS (SELECT user_id,
                (us - lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id)) // $DayUs AS gap_days

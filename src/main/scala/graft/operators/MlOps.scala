@@ -209,7 +209,16 @@ object MlOps {
       .join(broadcast(tot), lit(true), "left")
       .select(col("antecedent"), col("consequent"), col("support"),
         expr("(support * 1000000) div na").as("confidence_ppm"),
-        expr("(support * n_orders * 1000000) div (na * nb)").as("lift_ppm"))
+        // Overflow guard: DuckDB raises on BIGINT overflow while Spark
+        // silently wraps — asymmetric failure modes past the documented
+        // support·N·10⁶ bound. assert_true makes Spark fail as loudly:
+        // n ≤ Max div 10⁶ div support ⟺ support·10⁶·n ≤ Max exactly
+        // (nested floor division composes), and the chained divides
+        // themselves cannot overflow. Returns NULL (never false) when
+        // in-bounds, so the value column is untouched.
+        expr("""CASE WHEN assert_true(n_orders <= 9223372036854775807 div 1000000 div support,
+                                      'q121 lift_ppm overflows BIGINT: rescale ppm for this corpus') IS NULL
+                THEN (support * n_orders * 1000000) div (na * nb) END""").as("lift_ppm"))
       .orderBy(col("support").desc, col("antecedent"), col("consequent"))
       .limit(RuleK)
   }

@@ -290,16 +290,27 @@ object TextOps {
       ((col("n_docs") - col(s"df$i") + lit(0.5)) / (col(s"df$i") + lit(0.5))) *
         (col(s"tf$i") * lit(2.2)) /
         (col(s"tf$i") + lit(1.2) * (lit(0.25) + lit(0.75) * (col("dl") / (col("sum_dl") / col("n_docs")))))
+    // The top-10 cutoff ranks on the ROUNDED micro-score as a BIGINT
+    // (score_u = floor(score·10⁶ + 0.5), doc_id tiebreak below it) —
+    // an integer total order, so the rank-10/11 boundary can never
+    // flip on an accumulated ulp of the raw double (the q09/q79 risk
+    // class). The output bm25 IS score_u/10⁶ (≡ r6(score)), so the
+    // ranking key adds zero risk beyond what the hash-compared output
+    // column already carries: if the rounding itself disagreed, the
+    // compare would fail regardless of rank order. The sign filter
+    // stays on the raw score (exact: a sum of nonnegative terms is
+    // positive iff any tf > 0).
     val scored = d.crossJoin(broadcast(stats))
       .withColumn("score", BmTerms.indices.map(contrib).reduceLeft(_ + _))
       .filter(col("score") > 0)
-      .orderBy(col("score").desc, col("doc_id"))
+      .withColumn("score_u", floor(col("score") * 1000000.0 + 0.5).cast("long"))
+      .orderBy(col("score_u").desc, col("doc_id"))
       .limit(BmTopK)
     scored.select(
       col("doc_id") +:
         BmTerms.zipWithIndex.map { case (t, i) => col(s"tf$i").cast("int").as(s"tf_$t") } :+
         col("dl").cast("int").as("n_tokens") :+
-        ops.r6(col("score")).as("bm25"): _*)
+        (col("score_u") / lit(1000000.0)).as("bm25"): _*)
       .orderBy(col("bm25").desc, col("doc_id"))
   }
 
@@ -325,12 +336,14 @@ object TextOps {
               FROM d),
        sc AS (SELECT doc_id, dl, ${BmTerms.indices.map(i => s"tf$i").mkString(", ")},
                 $score AS score
-              FROM d, st)
+              FROM d, st),
+       sc2 AS (SELECT *, CAST(floor(score*1000000.0 + 0.5) AS BIGINT) AS score_u
+               FROM sc WHERE score > 0)
        SELECT * FROM (
          SELECT doc_id, $tfOut, CAST(dl AS INT) AS n_tokens,
-           ${ops.R6("score")} AS bm25
-         FROM sc WHERE score > 0
-         ORDER BY score DESC, doc_id LIMIT $BmTopK)
+           score_u / 1000000.0 AS bm25
+         FROM sc2
+         ORDER BY score_u DESC, doc_id LIMIT $BmTopK)
        ORDER BY bm25 DESC, doc_id"""
   }
 

@@ -36,6 +36,15 @@ object ops {
   def sumMoney(c: Column): Column = sum(cents(c)) / 100.0
   def avgMoney4(c: Column): Column = r4(sum(cents(c)) / (lit(100.0) * count(lit(1))))
   def Cents(e: String): String = s"CAST(floor(($e)*100.0 + 0.5) AS BIGINT)"
+
+  /** Oracle-side event-time micros. The explicit `::TIMESTAMP` cast
+    * keeps the fragment generation-robust: on the TIMESTAMP(NANOS)
+    * testdata generation DuckDB reads TIMESTAMP_NS and a bare
+    * `epoch_us(ts)` would rely on implicit-cast truncation, while the
+    * cast pins micros precision before the epoch extraction (the
+    * defensive spelling sessCte established; shared here so every
+    * event-time oracle inherits it). */
+  def EpochUs(e: String): String = s"epoch_us(($e)::TIMESTAMP)"
   def SumMoney(e: String): String = s"sum(${Cents(e)})/100.0"
   def AvgMoney4(e: String): String = R4(s"sum(${Cents(e)}) / (100.0*count(*))")
 

@@ -242,7 +242,7 @@ class EventsSpec extends AnyFunSuite {
     val daily = Tables(spark, sf, "events")
       .groupBy(col("event_type"),
         datediff(to_date(col("ts")), to_date(lit(operators.Events.TrendEpoch))).cast("long").as("x"))
-      .agg(sum(operators.ops.cents(col("value"))).as("y"))
+      .agg(coalesce(sum(operators.ops.cents(col("value"))), lit(0L)).as("y"))
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
     def r4(x: Double) = math.floor(x * 10000.0 + 0.5) / 10000.0
     def r2(x: Double) = math.floor(x * 100.0 + 0.5) / 100.0

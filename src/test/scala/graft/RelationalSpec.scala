@@ -173,20 +173,21 @@ class RelationalSpec extends AnyFunSuite {
     assert(clean.forall(r => r.getLong(2) == 0L && r.getLong(3) == 0L),
       s"live tables reported orphans: ${clean.mkString(", ")}")
     // corrupted copy: drop every 10th order -> those lineitems orphan
-    val dir = java.nio.file.Files.createTempDirectory("graft-fk").toString
-    Seq("lineitem", "part", "supplier", "customer", "nation").foreach { t =>
-      Tables(spark, sf, t).write.mode("overwrite").parquet(s"$dir/$t.parquet")
+    TestSpark.withTmpDir("fk") { dir =>
+      Seq("lineitem", "part", "supplier", "customer", "nation").foreach { t =>
+        Tables(spark, sf, t).write.mode("overwrite").parquet(s"$dir/$t.parquet")
+      }
+      val orders = Tables(spark, sf, "orders")
+      orders.filter(col("o_orderkey") % 10 =!= 0)
+        .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+      val li = Tables(spark, sf, "lineitem")
+      val expectOrphans = li.filter(col("l_orderkey") % 10 === 0).count()
+      val corrupted = operators.Relational.q126(spark, dir).collect()
+        .map(r => r.getString(0) -> r.getLong(2)).toMap
+      assert(corrupted("lineitem_orderkey") == expectOrphans,
+        s"expected $expectOrphans orphans, got ${corrupted("lineitem_orderkey")}")
+      assert(corrupted("lineitem_partkey") == 0L && corrupted("orders_custkey") == 0L)
     }
-    val orders = Tables(spark, sf, "orders")
-    orders.filter(col("o_orderkey") % 10 =!= 0)
-      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
-    val li = Tables(spark, sf, "lineitem")
-    val expectOrphans = li.filter(col("l_orderkey") % 10 === 0).count()
-    val corrupted = operators.Relational.q126(spark, dir).collect()
-      .map(r => r.getString(0) -> r.getLong(2)).toMap
-    assert(corrupted("lineitem_orderkey") == expectOrphans,
-      s"expected $expectOrphans orphans, got ${corrupted("lineitem_orderkey")}")
-    assert(corrupted("lineitem_partkey") == 0L && corrupted("orders_custkey") == 0L)
   }
 
   test("q123 exact percentiles equal a local sorted-selection recompute") {
