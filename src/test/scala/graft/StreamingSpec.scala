@@ -860,6 +860,59 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming CDC upsert converges to batch q116, survives crash-replay, and keeps deletes won") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // the SAME deterministic change feed q116 merges in one shot,
+    // delivered as three CDC batches: snapshot, re-prices, deletes
+    val orders = Tables(spark, sf, "orders")
+      .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    type Chg = (Long, Option[String], Option[Double], Long, Boolean)
+    def rows(df: org.apache.spark.sql.DataFrame, v: Long, del: Boolean): Seq[Chg] =
+      df.collect().map(r => (r.getLong(0),
+        if (del) None else Some(r.getString(1)),
+        if (del) None else Some(r.getDouble(2)), v, del)).toSeq
+    val base = rows(orders, 1L, del = false)
+    val reprice = rows(orders.filter(col("o_orderkey") % 7 === 0)
+      .select(col("o_orderkey"), lit("U").as("o_orderstatus"),
+        (col("o_totalprice") + lit(1.0)).as("o_totalprice")), 2L, del = false)
+    val del = rows(orders.filter(col("o_orderkey") % 13 === 0), 3L, del = true)
+    TestSpark.withTmpDir("cdc-stream") { tmp =>
+      val table = s"$tmp/table"; val ckpt = s"$tmp/ckpt"
+      val mem = MemoryStream[(Long, Option[String], Option[Double], Long, Boolean)]
+      def changes = mem.toDF()
+        .toDF("o_orderkey", "o_orderstatus", "o_totalprice", "version", "deleted")
+      def start() = streaming.UpsertStream.start(
+        changes, table, ckpt, Seq("o_orderkey"), "version", buckets = 8)
+      def alive = streaming.UpsertStream.snapshot(spark, table, "deleted")
+      val q1 = start()
+      mem.addData(base); q1.processAllAvailable()
+      mem.addData(reprice); q1.processAllAvailable()
+      mem.addData(del); q1.processAllAvailable()
+      q1.stop()
+      val batch = operators.Relational.q116(spark, sf)
+      def assertParity(tag: String): Unit = {
+        assert(alive.count() == batch.count(), s"$tag: row count")
+        assert(alive.exceptAll(batch).count() == 0 &&
+          batch.exceptAll(alive).count() == 0, s"$tag: content")
+      }
+      assertParity("after three change batches")
+      // crash window: offsets say the delete batch ran, commits do not
+      // — the restart re-merges it; idempotent merge leaves the table
+      // bit-identical (no duplicate winners, no resurrected keys)
+      dropLatestCommit(ckpt)
+      val q2 = start(); q2.processAllAvailable()
+      assertParity("after crash-replay of the delete batch")
+      // at-least-once redelivery of OLD versions for deleted keys: the
+      // retained tombstones outrank them — deletes stay won (the
+      // merge-on-read property a drop-tombstones-on-write design lacks)
+      mem.addData(base.filter(_._1 % 13 == 0)); q2.processAllAvailable()
+      q2.stop()
+      assertParity("after redelivering version-1 rows of deleted keys")
+    }
+  }
+
   test("TTL'd near-dup stream survives a mid-stream crash: state and sink recover exactly") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
