@@ -13,14 +13,15 @@ object Dbg {
     val dir = args(0)
     val name = args(1)
     val runs = if (args.length > 2) args(2).toInt else 1
+    val minStage = sys.env.getOrElse("SPARK_GRAFT_STAGE_MIN", "1.0").toDouble
     val spark = GraftSession.local(Runtime.getRuntime.availableProcessors)
     spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
       override def onStageCompleted(
           sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
         val si = sc.stageInfo
         val dur = (si.completionTime.get - si.submissionTime.get) / 1000.0
-        if (dur > 1.0)
-          println(f"[stage] id=${si.stageId} tasks=${si.numTasks} time=$dur%.1fs")
+        if (dur > minStage)
+          println(f"[stage] id=${si.stageId} tasks=${si.numTasks} time=$dur%.2fs ${si.name.takeWhile(_ != '\n').take(60)}")
       }
     })
     val q = SparkEntry.all.find(_.name == name)

@@ -443,14 +443,16 @@ object Dedup {
     * recomputes every keep decision brute-force from the operator's
     * own cell assignment. */
   def q45(s: SparkSession, dir: String): DataFrame =
-    semanticDedup(s, graft.Tables(s, dir, "embeddings"), CosThr.toDouble)
+    semanticDedupCells(Similarity.ivfCells(s, dir)._1, CosThr.toDouble) // shared cached fit
 
-  private[graft] def semanticDedup(s: SparkSession, emb: DataFrame, thr: Double): DataFrame = {
+  private[graft] def semanticDedup(s: SparkSession, emb: DataFrame, thr: Double): DataFrame =
+    // three consumers in the core — materialize the cell assignment
+    // once so the Lloyd-fit scan isn't re-run per subtree
+    semanticDedupCells(Similarity.ivfCellsOf(s, emb)._1.localCheckpoint(false), thr)
+
+  /** q45 core over an already-materialized cell assignment. */
+  private def semanticDedupCells(cells: DataFrame, thr: Double): DataFrame = {
     import graft.functions.VectorOps.dotp
-    val (cells0, _) = Similarity.ivfCellsOf(s, emb)
-    // three consumers below — materialize the cell assignment once
-    // so the Lloyd-fit scan isn't re-run per subtree
-    val cells = cells0.localCheckpoint(false)
     val a = cells.select(col("vec_id").as("a"), explode(array(col("cid"), col("cid2"))).as("cell"),
       col("ed").as("ea"), col("nrm").as("na"))
     val b = cells.select(col("vec_id").as("b"), explode(array(col("cid"), col("cid2"))).as("cell"),
