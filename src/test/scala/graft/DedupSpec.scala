@@ -95,6 +95,43 @@ class DedupSpec extends AnyFunSuite {
     assert(got.exceptAll(exact).count() == 0, "q44 emitted a pair below threshold")
   }
 
+  test("q44 adaptive geometry recalls every operating-point twin on a bits>6 corpus") {
+    import spark.implicits._
+    // 5000 vectors forces the adaptive branch (bits=8 > base 6); the
+    // geometry contract is full recall at the REAL near-dup operating
+    // point (cosine >= 0.8), which the planted twins sit well above
+    val (bits, bands) = operators.Dedup.ndGeometry(5000L)
+    assert(bits > 6 && bands >= operators.Dedup.NdBands,
+      s"5000 vectors should select an adaptive geometry, got ($bits, $bands)")
+    assert(operators.Dedup.ndGeometry(2000L) == (6, operators.Dedup.NdBands),
+      "driver-SF corpora must keep the base fixed-seed geometry (oracle parity)")
+    TestSpark.withTmpDir("q44adapt") { dir =>
+      def gauss(seed: Long) = {
+        val r = new scala.util.Random(seed * 0x9e3779b97f4a7c15L + 3)
+        Array.fill(64)(r.nextGaussian())
+      }
+      val vecs = spark.range(5000L).repartition(8).map { jid =>
+        val id: Long = jid
+        val base = if (id % 100 == 1 && id > 0) id - 1 else id
+        val cent = gauss(1000 + base % 10) // twin shares its base's cluster
+        val noise = gauss(7000 + base)
+        val twin = if (id % 100 == 1 && id > 0) gauss(9000 + id).map(_ * 0.12)
+                   else new Array[Double](64)
+        (id, Array.tabulate(64)(i =>
+          (0.3 * cent(i) + 0.25 * noise(i) + twin(i)).toFloat).toSeq)
+      }.toDF("vec_id", "embedding")
+      vecs.write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+      val emb = vecs.collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+      val planted = (1L until 5000L by 100L).map(id => (id - 1, id))
+        .filter { case (a, b) => cos(emb(a), emb(b)) >= 0.8 }
+      assert(planted.size >= 40, s"only ${planted.size} twins landed above 0.8: vacuous")
+      val got = operators.Dedup.q44(spark, dir).select("id1", "id2").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val missed = planted.filterNot(got)
+      assert(missed.isEmpty, s"adaptive geometry missed operating-point twins: $missed")
+    }
+  }
+
   // same arithmetic as the codegen'd DotProduct: per-element float
   // widened to double, sequential double accumulation
   private def dot(x: Array[Float], y: Array[Float]): Double = {
