@@ -750,6 +750,181 @@ object Relational {
                    ELSE (n_orphans * 1000000) // n_rows END AS orphan_ppm
        FROM edges ORDER BY check_name"""
 
+  /** ABC (PARETO) ANALYSIS — per-brand catalog classification by
+    * cumulative revenue share (the merchandising view behind
+    * "popular products": A = parts covering the first 80 % of the
+    * brand's revenue, B = to 95 %, C = the tail), reported as class
+    * part-counts, revenue, and revenue share.
+    *
+    * Scale shape: the fact scan collapses to a PART-LEVEL aggregate
+    * first (map-side combined, one shuffle on the part key); the
+    * cumulative window then runs per brand over that
+    * dimension-sized frame — parts per brand, never fact rows. All
+    * classification arithmetic is exact integer cents (cum·100 ≤
+    * tot·80 — no share double ever drives a boundary); the one
+    * displayed share is a single double divide of two exact longs. */
+  def q128(s: SparkSession, dir: String): DataFrame = {
+    val partRev = Tables(s, dir, "lineitem")
+      .join(broadcast(Tables(s, dir, "part").select("p_partkey", "p_brand")),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy("p_brand", "p_partkey")
+      .agg(sum(ops.cents(disc(col("l_extendedprice"), col("l_discount")))).as("cents"))
+    val byBrand = Window.partitionBy("p_brand")
+    partRev
+      .withColumn("cum", sum("cents").over(byBrand.orderBy(col("cents").desc, col("p_partkey"))))
+      .withColumn("tot", sum("cents").over(byBrand))
+      .withColumn("abc_class",
+        when(col("cum") * 100 <= col("tot") * 80, "A")
+          .when(col("cum") * 100 <= col("tot") * 95, "B")
+          .otherwise("C"))
+      .groupBy("p_brand", "abc_class")
+      .agg(count(lit(1)).as("n_parts"),
+        sum("cents").as("cc"), max("tot").as("tot"))
+      .select(col("p_brand"), col("abc_class"), col("n_parts"),
+        (col("cc") / 100.0).as("class_revenue"),
+        ops.r6(col("cc").cast("double") / col("tot").cast("double")).as("share6"))
+      .orderBy("p_brand", "abc_class")
+  }
+
+  private val q128Sql =
+    s"""WITH pr AS (
+         SELECT p_brand, p_partkey,
+                sum(${ops.Cents("l_extendedprice*(1.0-l_discount)")}) AS cents
+         FROM lineitem JOIN part ON l_partkey = p_partkey GROUP BY 1, 2),
+       w AS (
+         SELECT p_brand, cents,
+                CAST(sum(cents) OVER (PARTITION BY p_brand
+                  ORDER BY cents DESC, p_partkey) AS BIGINT) AS cum,
+                CAST(sum(cents) OVER (PARTITION BY p_brand) AS BIGINT) AS tot
+         FROM pr),
+       c AS (
+         SELECT p_brand,
+                CASE WHEN cum*100 <= tot*80 THEN 'A'
+                     WHEN cum*100 <= tot*95 THEN 'B' ELSE 'C' END AS abc_class,
+                cents, tot FROM w)
+       SELECT p_brand, abc_class, count(*) AS n_parts,
+              CAST(sum(cents) AS BIGINT)/100.0 AS class_revenue,
+              ${ops.R6("CAST(sum(cents) AS DOUBLE)/CAST(max(tot) AS DOUBLE)")} AS share6
+       FROM c GROUP BY 1, 2 ORDER BY 1, 2"""
+
+  /** PRICE-DEMAND REGRESSION per brand — the cross-sectional price
+    * sensitivity read merchandising runs on a catalog: OLS of total
+    * quantity sold per part (demand) on the part's catalog price,
+    * within each brand. q119's distributed-regression shape applied
+    * across parts instead of days.
+    *
+    * Numerics (the q32/q119 integer-moment discipline): x = catalog
+    * price cents, y = demand quantity-cents — both exact integers; all
+    * five moments accumulate as decimals (DuckDB: HUGEINT), the
+    * numerator n·Σxy−Σx·Σy and denominator n·Σx²−(Σx)² are computed
+    * EXACTLY, and the slope is ONE double divide of the two exact
+    * values. An all-same-price brand (zero denominator) reports NULL
+    * — decided on the exact integer, not a double underflow.
+    *
+    * Scale shape: lineitem collapses to per-part demand first
+    * (map-side combined, shuffle on partkey ≈ the dimension size);
+    * the regression itself is a second map-side-combined aggregate
+    * emitting 5 numbers per brand. */
+  def q129(s: SparkSession, dir: String): DataFrame = {
+    val d = (c: Column) => c.cast("decimal(18,0)")
+    val perPart = Tables(s, dir, "lineitem")
+      .groupBy("l_partkey")
+      .agg(sum(ops.cents(col("l_quantity"))).as("qc"))
+      .join(broadcast(Tables(s, dir, "part")
+        .select(col("p_partkey"), col("p_brand"),
+          ops.cents(col("p_retailprice")).as("pc"))),
+        col("l_partkey") === col("p_partkey"))
+    perPart.groupBy("p_brand")
+      .agg(count(lit(1)).as("n_parts"),
+        sum(d(col("pc"))).as("sx"),
+        sum(d(col("qc"))).as("sy"),
+        sum(d(col("pc")) * d(col("qc"))).as("sxy"),
+        sum(d(col("pc")) * d(col("pc"))).as("sxx"))
+      .withColumn("num", d(col("n_parts")) * col("sxy") - col("sx") * col("sy"))
+      .withColumn("den", d(col("n_parts")) * col("sxx") - col("sx") * col("sx"))
+      .select(col("p_brand"), col("n_parts"),
+        ops.r4(col("sy").cast("double") / (lit(100.0) * col("n_parts").cast("double")))
+          .as("avg_demand"),
+        when(col("den") === 0, lit(null).cast("double"))
+          .otherwise(ops.r6(col("num").cast("double") / col("den").cast("double")))
+          .as("slope6"))
+      .orderBy("p_brand")
+  }
+
+  private val q129Sql =
+    s"""WITH pp AS (
+         SELECT l_partkey, sum(${ops.Cents("l_quantity")}) AS qc
+         FROM lineitem GROUP BY 1),
+       j AS (
+         SELECT p_brand, ${ops.Cents("p_retailprice")} AS pc, qc
+         FROM pp JOIN part ON l_partkey = p_partkey),
+       m AS (
+         SELECT p_brand, CAST(count(*) AS BIGINT) AS n_parts,
+                sum(pc) AS sx, sum(qc) AS sy,
+                sum(pc*qc) AS sxy, sum(pc*pc) AS sxx
+         FROM j GROUP BY 1)
+       SELECT p_brand, n_parts,
+              ${ops.R4("CAST(sy AS DOUBLE) / (100.0*CAST(n_parts AS DOUBLE))")} AS avg_demand,
+              CASE WHEN n_parts*sxx - sx*sx = 0 THEN NULL
+                   ELSE ${ops.R6("CAST(n_parts*sxy - sx*sy AS DOUBLE) / CAST(n_parts*sxx - sx*sx AS DOUBLE)")}
+              END AS slope6
+       FROM m ORDER BY 1"""
+
+  /** REVENUE CONCENTRATION (GINI) per market segment — the
+    * inequality KPI behind "top spenders": how concentrated is order
+    * revenue across a segment's customers. Exact sorted-rank
+    * formula G = 2·Σᵢ rankᵢ·xᵢ / (n·Σx) − (n+1)/n over per-customer
+    * revenue cents; with ties the rank-block sum is order-invariant,
+    * so the (cents, custkey) strict order makes the statistic exact
+    * and deterministic.
+    *
+    * Scale shape: the global-sort trap is the point — ranking a
+    * segment's customers with `row_number().over(partitionBy(seg))`
+    * funnels ~n/5 rows through one task. `ops.groupedGlobalRank`
+    * range-partitions on (segment, cents, custkey), ranks locally,
+    * and rebases with broadcast per-(partition, segment) offsets —
+    * both data-sized passes fully parallel (the globalNtile
+    * machinery, generalized per group). Σrank·x accumulates as
+    * decimal (rank·cents overflows a long at ~10¹⁰ customers);
+    * the final statistic is one double formula over exact sums. */
+  def q130(s: SparkSession, dir: String): DataFrame = {
+    val d = (c: Column) => c.cast("decimal(19,0)")
+    val per = Tables(s, dir, "orders")
+      .join(Tables(s, dir, "customer").select("c_custkey", "c_mktsegment"),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy("c_mktsegment", "o_custkey")
+      .agg(sum(ops.cents(col("o_totalprice"))).as("cents"))
+    ops.groupedGlobalRank(per, "c_mktsegment", "rnk", col("cents"), col("o_custkey"))
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_customers"),
+        sum("cents").as("t"),
+        sum(d(col("rnk")) * d(col("cents"))).as("sr"))
+      .select(col("c_mktsegment"), col("n_customers"),
+        (col("t") / 100.0).as("revenue"),
+        ops.r6(lit(2.0) * col("sr").cast("double")
+            / (col("n_customers").cast("double") * col("t").cast("double"))
+          - (col("n_customers").cast("double") + lit(1.0)) / col("n_customers").cast("double"))
+          .as("gini6"))
+      .orderBy("c_mktsegment")
+  }
+
+  private val q130Sql =
+    s"""WITH per AS (
+         SELECT c_mktsegment, o_custkey, sum(${ops.Cents("o_totalprice")}) AS cents
+         FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY 1, 2),
+       r AS (
+         SELECT c_mktsegment, CAST(cents AS BIGINT) AS cents,
+                row_number() OVER (PARTITION BY c_mktsegment
+                  ORDER BY cents, o_custkey) AS rnk
+         FROM per),
+       a AS (
+         SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_customers,
+                CAST(sum(cents) AS BIGINT) AS t, sum(rnk*cents) AS sr
+         FROM r GROUP BY 1)
+       SELECT c_mktsegment, n_customers, t/100.0 AS revenue,
+              ${ops.R6("2.0*CAST(sr AS DOUBLE) / (CAST(n_customers AS DOUBLE)*CAST(t AS DOUBLE)) - (CAST(n_customers AS DOUBLE)+1.0)/CAST(n_customers AS DOUBLE)")} AS gini6
+       FROM a ORDER BY 1"""
+
   val qs: Seq[Q] = Seq(
     Q("q01_pricing_summary", q01, Some(q01Sql)),
     Q("q02_revenue_by_nation", q02, Some(q02Sql)),
@@ -773,5 +948,8 @@ object Relational {
     Q("q116_cdc_apply", q116, Some(q116Sql)),
     Q("q117_scd2_history", q117, Some(q117Sql)),
     Q("q123_exact_percentiles", q123, Some(q123Sql)),
-    Q("q126_fk_audit", q126, Some(q126Sql)))
+    Q("q126_fk_audit", q126, Some(q126Sql)),
+    Q("q128_abc_analysis", q128, Some(q128Sql)),
+    Q("q129_price_demand", q129, Some(q129Sql)),
+    Q("q130_revenue_gini", q130, Some(q130Sql)))
 }

@@ -91,6 +91,39 @@ object ops {
     * materializes only the slim input projection; losing a block
     * fails the job (correct-or-fail, never silently wrong).
     */
+  /** Exact PER-GROUP global rank (dense 1..n_g within each group)
+    * without `row_number().over(Window.partitionBy(grp))` — which at
+    * scale funnels an entire group (e.g. one market segment's 10⁹
+    * customers) through one task. Same two-phase shape as
+    * [[globalNtile]]: range-partition on (grp, sort...) so each
+    * group's rows are globally ordered across contiguous partitions,
+    * rank locally per (partition, group), then add per-(partition,
+    * group) offsets computed over the tiny counts frame (≤ nPart +
+    * #groups rows — `grp` must be a bounded-cardinality dimension for
+    * the broadcast; high-cardinality keys don't need this machinery,
+    * a plain window already parallelizes on them). The ranged frame is
+    * localCheckpointed for the same reason as globalNtile: the offset
+    * table and the ranked rows must observe identical
+    * (seeded-per-execution) range boundaries. `sort` must be a strict
+    * total order within the group. */
+  def groupedGlobalRank(df: DataFrame, grp: String, out: String, sort: Column*): DataFrame = {
+    val nPart = df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    val ranged = df.repartitionByRange(nPart, (col(grp) +: sort): _*)
+      .withColumn("_pid", spark_partition_id())
+      .localCheckpoint(false)
+    val counts = ranged.groupBy(col("_pid"), col(grp)).agg(count(lit(1)).as("_cnt"))
+    val offs = counts
+      .withColumn("_off", coalesce(sum("_cnt").over(
+        Window.partitionBy(grp).orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("_pid"), col(grp), col("_off"))
+    ranged
+      .withColumn("_lrn", row_number().over(
+        Window.partitionBy(col("_pid"), col(grp)).orderBy(sort: _*)))
+      .join(broadcast(offs), Seq("_pid", grp))
+      .withColumn(out, col("_lrn").cast("long") + col("_off"))
+      .drop("_pid", "_lrn", "_off")
+  }
+
   def globalNtile(df: DataFrame, k: Int, out: String, sort: Column*): DataFrame = {
     val nPart = df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt
     val ranged = df.repartitionByRange(nPart, sort: _*)

@@ -30,4 +30,17 @@ class OpsSpec extends AnyFunSuite {
     assert(actual.count() == expected.count())
     assert(actual.exceptAll(expected).count() == 0)
   }
+
+  test("groupedGlobalRank matches the per-group window row_number exactly") {
+    val spend = Tables(spark, sf, "orders")
+      .select(col("o_orderpriority").as("g"), col("o_custkey"), col("o_totalprice"),
+        col("o_orderkey"))
+    val expected = spend.withColumn("r",
+      row_number().over(org.apache.spark.sql.expressions.Window
+        .partitionBy("g").orderBy(col("o_totalprice"), col("o_custkey"), col("o_orderkey"))))
+    val actual = ops.groupedGlobalRank(spend, "g", "r",
+      col("o_totalprice"), col("o_custkey"), col("o_orderkey"))
+    assert(actual.count() == expected.count())
+    assert(actual.exceptAll(expected.withColumn("r", col("r").cast("long"))).count() == 0)
+  }
 }

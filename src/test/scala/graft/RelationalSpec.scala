@@ -206,4 +206,78 @@ class RelationalSpec extends AnyFunSuite {
     }
     assert(got == want, s"first diff: ${got.find(kv => want.get(kv._1) != Some(kv._2))}")
   }
+
+  private def r6l(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
+
+  test("q128 abc classes equal a local pareto recompute") {
+    val got = operators.Relational.q128(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getDouble(3), r.getDouble(4)))).toMap
+    val partRev = Tables(spark, sf, "lineitem")
+      .join(Tables(spark, sf, "part").select("p_partkey", "p_brand"),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy("p_brand", "p_partkey")
+      .agg(sum(operators.ops.cents(
+        col("l_extendedprice") * (lit(1.0) - col("l_discount")))).as("cents"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val want = partRev.groupBy(_._1).flatMap { case (brand, rows) =>
+      val sorted = rows.map(t => (t._3, t._2)).sortBy(t => (-t._1, t._2))
+      val tot = sorted.map(_._1).sum
+      var cum = 0L
+      val classed = sorted.map { case (c, _) =>
+        cum += c
+        val cls = if (cum * 100 <= tot * 80) "A" else if (cum * 100 <= tot * 95) "B" else "C"
+        (cls, c)
+      }
+      classed.groupBy(_._1).map { case (cls, cs) =>
+        (brand, cls) -> ((cs.length.toLong, cs.map(_._2).sum / 100.0,
+          r6l(cs.map(_._2).sum.toDouble / tot.toDouble)))
+      }
+    }
+    assert(got == want, s"first diff: ${got.find(kv => want.get(kv._1) != Some(kv._2))}")
+  }
+
+  test("q129 slope equals an exact BigInt regression per brand") {
+    val got = operators.Relational.q129(spark, sf).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3))))).toMap
+    val rows = Tables(spark, sf, "lineitem")
+      .groupBy("l_partkey").agg(sum(operators.ops.cents(col("l_quantity"))).as("qc"))
+      .join(Tables(spark, sf, "part").select(col("p_partkey"), col("p_brand"),
+        operators.ops.cents(col("p_retailprice")).as("pc")),
+        col("l_partkey") === col("p_partkey"))
+      .select("p_brand", "pc", "qc")
+      .collect().map(r => (r.getString(0), BigInt(r.getLong(1)), BigInt(r.getLong(2))))
+    val want = rows.groupBy(_._1).map { case (brand, ps) =>
+      val n = BigInt(ps.length)
+      val sx = ps.map(_._2).sum; val sy = ps.map(_._3).sum
+      val sxy = ps.map(p => p._2 * p._3).sum; val sxx = ps.map(p => p._2 * p._2).sum
+      val (num, den) = (n * sxy - sx * sy, n * sxx - sx * sx)
+      val avg = math.floor(sy.toDouble / (100.0 * n.toDouble) * 1e4 + 0.5) / 1e4
+      brand -> ((ps.length.toLong, avg,
+        if (den == 0) None else Some(r6l(num.toDouble / den.toDouble))))
+    }
+    assert(got == want, s"first diff: ${got.find(kv => want.get(kv._1) != Some(kv._2))}")
+  }
+
+  test("q130 gini equals an exact local rank recompute and sits in [0,1)") {
+    val got = operators.Relational.q130(spark, sf).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    assert(got.values.forall(v => v._3 >= 0.0 && v._3 < 1.0))
+    val per = Tables(spark, sf, "orders")
+      .join(Tables(spark, sf, "customer").select("c_custkey", "c_mktsegment"),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy("c_mktsegment", "o_custkey")
+      .agg(sum(operators.ops.cents(col("o_totalprice"))).as("cents"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val want = per.groupBy(_._1).map { case (seg, cs) =>
+      val sorted = cs.map(t => (t._3, t._2)).sortBy(identity)
+      val n = sorted.length.toLong
+      val t = sorted.map(c => BigInt(c._1)).sum
+      val sr = sorted.zipWithIndex.map { case ((c, _), i) => BigInt(i + 1) * c }.sum
+      val g = 2.0 * sr.toDouble / (n.toDouble * t.toDouble) - (n.toDouble + 1.0) / n.toDouble
+      seg -> ((n, t.toDouble / 100.0, r6l(g)))
+    }
+    assert(got == want, s"first diff: ${got.find(kv => want.get(kv._1) != Some(kv._2))}")
+  }
 }
