@@ -24,6 +24,9 @@ object Dedup {
     * oracle SQL so engine and oracle can never drift apart. */
   private[graft] val JaccThr = "0.6"
 
+  /** Containment threshold for q132 (one constant, both sides). */
+  private[graft] val ContThr = "0.75"
+
   /** Whitespace tokens, empties removed (exact parity with DuckDB's
     * list_filter(string_split(...))). */
   val tokensExpr = "filter(split(text, ' '), x -> x != '')"
@@ -86,8 +89,11 @@ object Dedup {
        FROM documents WINDOW w AS (PARTITION BY md5(text))
        ORDER BY doc_id"""
 
-  /** Pair Jaccard over the capped shingle inverted index. */
-  private def jaccardPairs(s: SparkSession, dir: String): DataFrame = {
+  /** Shared-shingle pair counts over the capped inverted index:
+    * (d1 < d2, shared count c, set sizes n1/n2). The common core of
+    * q41 (Jaccard) and q132 (containment) — one inverted-index
+    * equi-join, never all-pairs. */
+  private def pairCounts(s: SparkSession, dir: String): DataFrame = {
     val sh = cappedShingles(s, dir)
     val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     sh.as("a").join(sh.as("b"),
@@ -96,9 +102,13 @@ object Dedup {
       .agg(count(lit(1)).as("c"))
       .join(sz.withColumnRenamed("doc_id", "d1").withColumnRenamed("n", "n1"), "d1")
       .join(sz.withColumnRenamed("doc_id", "d2").withColumnRenamed("n", "n2"), "d2")
+  }
+
+  /** Pair Jaccard over the capped shingle inverted index. */
+  private def jaccardPairs(s: SparkSession, dir: String): DataFrame =
+    pairCounts(s, dir)
       .select(col("d1"), col("d2"),
         (col("c") * lit(1.0) / (col("n1") + col("n2") - col("c"))).as("jacc_raw"))
-  }
 
   /** n-gram Jaccard near-dup pairs (inverted-index join, no O(n²)). */
   def q41(s: SparkSession, dir: String): DataFrame =
@@ -116,6 +126,48 @@ object Dedup {
        FROM pairs JOIN sz n1 ON d1=n1.doc_id JOIN sz n2 ON d2=n2.doc_id
        WHERE c*1.0/(n1.n + n2.n - c) >= $JaccThr
        ORDER BY d1, d2"""
+
+  /** N-GRAM CONTAINMENT — the asymmetric sibling of q41's Jaccard:
+    * containment(A→B) = |grams(A)∩grams(B)| / |grams(A)| catches a
+    * document CONTAINED in a larger one (quoted articles, boilerplate
+    * wrappers, excerpt pages) that symmetric Jaccard misses — a
+    * 200-word quote inside a 5000-word page has Jaccard ≈ 0.04 but
+    * containment ≈ 1.0. The standard second axis of text dedup
+    * (CCNet/Dolma-style pipelines run both).
+    *
+    * Same scale shape as q41: the one capped inverted-index
+    * equi-join produces each unordered pair's shared count once;
+    * BOTH directed containments then come from that single pair row
+    * (stacked with the q126 explode-structs idiom — no second join
+    * pass, no re-scan), filtered at the shared ContThr. */
+  def q132(s: SparkSession, dir: String): DataFrame =
+    pairCounts(s, dir)
+      .select(explode(array(
+        struct(col("d1").as("contained_id"), col("d2").as("container_id"),
+          col("c"), col("n1").as("nc")),
+        struct(col("d2").as("contained_id"), col("d1").as("container_id"),
+          col("c"), col("n2").as("nc")))).as("r"))
+      .select(col("r.contained_id"), col("r.container_id"),
+        (col("r.c") * lit(1.0) / col("r.nc")).as("cont_raw"))
+      .filter(col("cont_raw") >= ContThr.toDouble)
+      .select(col("contained_id"), col("container_id"),
+        ops.r6(col("cont_raw")).as("containment"))
+      .orderBy("contained_id", "container_id")
+
+  private val q132Sql =
+    s"""WITH $shingleCte,
+       sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+       pairs AS (SELECT a.doc_id d1, b.doc_id d2, count(*) c
+                 FROM sh a JOIN sh b ON a.s=b.s AND a.doc_id < b.doc_id GROUP BY 1,2),
+       dirs AS (
+         SELECT d1 AS contained_id, d2 AS container_id, c, n1.n AS nc
+         FROM pairs JOIN sz n1 ON d1 = n1.doc_id
+         UNION ALL
+         SELECT d2, d1, c, n2.n
+         FROM pairs JOIN sz n2 ON d2 = n2.doc_id)
+       SELECT contained_id, container_id, ${ops.R6("c*1.0/nc")} AS containment
+       FROM dirs WHERE c*1.0/nc >= $ContThr
+       ORDER BY contained_id, container_id"""
 
   /** MinHash(128) + LSH banding (32 bands × 4 rows) with exact
     * Jaccard verification on the candidate pairs only. Hash-seeded
@@ -759,5 +811,6 @@ object Dedup {
     Q("q101_dedup_agreement", q101, Some(q101Sql)),
     Q("q109_dup_rate_curve", q109, Some(q109Sql)),
     Q("q110_source_similarity", q110, None),
-    Q("q113_overlap_sketch", q113, None))
+    Q("q113_overlap_sketch", q113, None),
+    Q("q132_ngram_containment", q132, Some(q132Sql)))
 }

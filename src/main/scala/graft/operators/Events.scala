@@ -958,6 +958,55 @@ object Events {
                 AS share_ppm
        FROM cells ORDER BY event_type, dow, hr"""
 
+  /** ROLLING ACTIVE USERS — the DAU/WAU engagement curve (and the
+    * DAU/WAU "stickiness" ratio product teams track): for every
+    * observed day, the exact count of distinct users active in the
+    * trailing 7 days.
+    *
+    * The naive spelling is a windowed COUNT(DISTINCT) — which SQL
+    * window functions don't do, and which per-day self-joins turn
+    * into 7 fact scans. The scale shape here: collapse events to
+    * distinct (user, day) once (map-side partial dedup), EXPLODE each
+    * user-day onto the ≤7 window-end days it contributes to (bounded
+    * fan-out — the q84 grid idea in one dimension), and distinct
+    * again on (user, window-end) so a user active twice inside one
+    * window counts once. Two bounded dedup shuffles, no windows, no
+    * range join; the per-day counts are map-side combined. The
+    * explode sits directly on the expression (the q77 codegen
+    * lesson), and only observed days are reported (broadcast
+    * semi-join against the calendar-sized day list). */
+  def q131(s: SparkSession, dir: String): DataFrame = {
+    val ud = Tables(s, dir, "events")
+      .filter(col("user_id").isNotNull)
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+      .distinct()
+    val days = ud.select("day").distinct()
+    val wau = ud
+      .select(col("user_id"), explode(expr("sequence(day, date_add(day, 6))")).as("day"))
+      .distinct()
+      .join(broadcast(days), Seq("day"), "left_semi")
+      .groupBy("day").agg(count(lit(1)).as("wau7"))
+    ud.groupBy("day").agg(count(lit(1)).as("dau"))
+      .join(wau, "day")
+      .select(col("day"), col("dau"), col("wau7"),
+        ops.r6(col("dau").cast("double") / col("wau7").cast("double")).as("stickiness6"))
+      .orderBy("day")
+  }
+
+  private val q131Sql =
+    s"""WITH ud AS (
+         SELECT DISTINCT user_id, (ts::TIMESTAMP)::DATE AS day
+         FROM events WHERE user_id IS NOT NULL),
+       days AS (SELECT DISTINCT day FROM ud),
+       contrib AS (
+         SELECT DISTINCT u.user_id, d.day
+         FROM ud u JOIN days d ON d.day BETWEEN u.day AND u.day + 6),
+       wau AS (SELECT day, CAST(count(*) AS BIGINT) AS wau7 FROM contrib GROUP BY 1),
+       dau AS (SELECT day, CAST(count(*) AS BIGINT) AS dau FROM ud GROUP BY 1)
+       SELECT day, dau, wau7,
+              ${ops.R6("CAST(dau AS DOUBLE)/CAST(wau7 AS DOUBLE)")} AS stickiness6
+       FROM dau JOIN wau USING (day) ORDER BY day"""
+
   val qs: Seq[Q] = Seq(
     Q("q20_hourly_revenue", q20, Some(q20Sql)),
     Q("q21_enrich_events", q21, Some(q21Sql)),
@@ -977,5 +1026,6 @@ object Events {
     Q("q122_growth_accounting", q122, Some(q122Sql)),
     Q("q124_funnel_windows", q124, Some(q124Sql)),
     Q("q125_purchase_cadence", q125, Some(q125Sql)),
-    Q("q127_seasonality", q127, Some(q127Sql)))
+    Q("q127_seasonality", q127, Some(q127Sql)),
+    Q("q131_rolling_actives", q131, Some(q131Sql)))
 }

@@ -1072,6 +1072,57 @@ object Sampling {
        ORDER BY doc_id, chunk_id"""
   }
 
+  /** Curriculum shard count (one constant, both sides). */
+  private[graft] val CurrShards = 8
+
+  /** CURRICULUM SHARDING — the ordering step of curriculum training:
+    * the corpus is ranked globally by quality (easy/clean first) and
+    * cut into K equal-frequency difficulty shards, each summarized by
+    * doc count, token budget, and its quality band. Downstream a
+    * trainer consumes shard 1 → K.
+    *
+    * The global ordering is the scale trap: `ntile(K).over(orderBy)`
+    * is a single-partition window. `ops.globalNtile` range-partitions
+    * on (quality DESC, doc_id), ranks locally, and rebases from
+    * broadcast offsets — both data-sized passes parallel (the q130
+    * rank machinery, here in its ntile form). The quality sort key is
+    * an r4-rounded double (bit-identical cross-engine), and the
+    * per-shard mean re-integerizes it (floor(q·10⁴+0.5) → long sum,
+    * one divide) so no double accumulates in any order-dependent way. */
+  def q133(s: SparkSession, dir: String): DataFrame = {
+    val scored = TextOps.q60(s, dir).select("doc_id", "n_tokens", "quality_score")
+    ops.globalNtile(scored, CurrShards, "shard", col("quality_score").desc, col("doc_id"))
+      .withColumn("q4", expr("CAST(floor(quality_score*10000.0 + 0.5) AS BIGINT)"))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_tokens").as("n_tokens"),
+        min("quality_score").as("min_q"),
+        max("quality_score").as("max_q"),
+        ops.r4(sum("q4") / (lit(10000.0) * count(lit(1)))).as("avg_q4"))
+      .orderBy("shard")
+  }
+
+  private val q133Sql = {
+    val stopCount = TextOps.duckScore(TextOps.stopEn)
+    s"""WITH q AS (
+         SELECT doc_id, len(tk) AS n_tokens,
+                ${ops.R4(s"least(1.0, len(tk)/100.0) * (1.0 - $stopCount*1.0 / len(tk))")}
+                  AS quality_score
+         FROM (SELECT doc_id, list_filter(string_split(text,' '), x -> x<>'') AS tk
+               FROM documents)),
+       t AS (
+         SELECT n_tokens, quality_score,
+                CAST(ntile($CurrShards) OVER (ORDER BY quality_score DESC, doc_id) AS INT)
+                  AS shard,
+                CAST(floor(quality_score*10000.0 + 0.5) AS BIGINT) AS q4
+         FROM q)
+       SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+              CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+              min(quality_score) AS min_q, max(quality_score) AS max_q,
+              ${ops.R4("sum(q4)/(10000.0*count(*))")} AS avg_q4
+       FROM t GROUP BY 1 ORDER BY 1"""
+  }
+
   val qs: Seq[Q] = Seq(
     Q("q66_train_split", q66, Some(q66Sql)),
     Q("q67_stratified_sample", q67, Some(q67Sql)),
@@ -1089,5 +1140,6 @@ object Sampling {
     Q("q86_fuzzy_decontaminate", q86, Some(q86Sql)),
     Q("q88_importance_sample", q88, Some(q88Sql)),
     Q("q97_novelty", q97, Some(q97Sql)),
-    Q("q100_mix_weights", q100, Some(q100Sql)))
+    Q("q100_mix_weights", q100, Some(q100Sql)),
+    Q("q133_curriculum", q133, Some(q133Sql)))
 }

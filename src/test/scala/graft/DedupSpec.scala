@@ -272,4 +272,28 @@ class DedupSpec extends AnyFunSuite {
     val estShared = r.getAs[Long]("est_shared")
     assert(math.abs(estShared - 3000L) <= 1000, s"est_shared=$estShared vs 3000")
   }
+
+  test("q132 containment equals a brute-force local shingle recompute") {
+    val got = operators.Dedup.q132(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val texts = Tables(spark, sf, "documents").select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val sets = texts.map { case (id, t) =>
+      val tk = t.split(" ", -1).filter(_.nonEmpty)
+      id -> tk.sliding(3).filter(_.length == 3).map(_.mkString(" ")).toSet
+    }.toMap
+    val df = sets.values.flatten.groupBy(identity).map { case (g, xs) => g -> xs.size }
+    val capped = sets.map { case (id, ss) =>
+      id -> ss.filter(df(_) <= operators.Dedup.DfCap)
+    }
+    val want = (for {
+      (a, sa) <- capped.toSeq; (b, sb) <- capped.toSeq
+      if a != b && sa.nonEmpty
+      c = (sa & sb).size
+      cont = c.toDouble / sa.size
+      if cont >= operators.Dedup.ContThr.toDouble
+    } yield (a, b) -> (math.floor(cont * 1e6 + 0.5) / 1e6)).toMap
+    assert(got == want, s"sizes ${got.size} vs ${want.size}; " +
+      s"first diff: ${got.find(kv => want.get(kv._1) != Some(kv._2))}")
+  }
 }

@@ -371,4 +371,22 @@ class EventsSpec extends AnyFunSuite {
     assert(df.agg(sum("n_new")).head.getLong(0) == users)
     df.unpersist()
   }
+
+  test("q131 rolling actives equal a local trailing-7-day recompute") {
+    val got = operators.Events.q131(spark, sf).collect()
+      .map(r => r.getDate(0).toLocalDate -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    val ud = Tables(spark, sf, "events").filter(col("user_id").isNotNull)
+      .select(col("user_id"), to_date(col("ts")).as("day")).distinct().collect()
+      .map(r => (r.getLong(0), r.getDate(1).toLocalDate))
+    val want = ud.map(_._2).distinct.map { d =>
+      val dau = ud.count(_._2 == d).toLong
+      val wau = ud.filter { case (_, ad) =>
+        !ad.isAfter(d) && ad.isAfter(d.minusDays(7))
+      }.map(_._1).distinct.length.toLong
+      d -> ((dau, wau, math.floor(dau.toDouble / wau.toDouble * 1e6 + 0.5) / 1e6))
+    }.toMap
+    assert(got == want, s"first diff: ${got.find(kv => want.get(kv._1) != Some(kv._2))}")
+    // a user active on day d is in the window ending d: dau <= wau
+    assert(got.values.forall(v => v._1 <= v._2))
+  }
 }

@@ -324,4 +324,20 @@ class SamplingSpec extends AnyFunSuite {
     val fShared = fixed(base).toSet.intersect(fixed(edited).toSet)
     assert(fShared.size <= 1, s"fixed chunking unexpectedly stable: ${fShared.size}")
   }
+
+  test("q133 curriculum shards partition the corpus into equal quality-ordered bands") {
+    val rows = operators.Sampling.q133(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(3), r.getDouble(4)))
+    val nDocs = Tables(spark, sf, "documents").count()
+    assert(rows.map(_._1).toSeq == (1 to operators.Sampling.CurrShards))
+    assert(rows.map(_._2).sum == nDocs, "shards must partition the corpus")
+    // SQL-standard ntile: sizes differ by at most one, larger buckets first
+    val sizes = rows.map(_._2)
+    assert(sizes.max - sizes.min <= 1 && sizes.sorted.reverse.sameElements(sizes))
+    // curriculum order: shard k's worst quality is no better than shard k-1's,
+    // and bands only touch at ties (min of k >= max of k+1)
+    rows.sliding(2).foreach { case Array(hi, lo) =>
+      assert(hi._3 >= lo._4, s"shard ${hi._1} min_q ${hi._3} < shard ${lo._1} max_q ${lo._4}")
+    }
+  }
 }
