@@ -493,9 +493,12 @@ object Dedup {
       .orderBy("doc_id")
   }
 
-  private val q65Sql =
-    s"""WITH RECURSIVE $shingleCte,
-       sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+  /** The q65 connected-components chain as a reusable CTE fragment
+    * (expects `sh` from [[shingleCte]] in scope; final CTE `cl` =
+    * (doc_id, cluster_id)). Shared by q65Sql, Sampling's gate, and
+    * q134 so the cluster definition exists in ONE SQL text. */
+  private[operators] val clusterCte =
+    s"""sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
        pairs0 AS (SELECT a.doc_id d1, b.doc_id d2, count(*) c
                   FROM sh a JOIN sh b ON a.s=b.s AND a.doc_id < b.doc_id GROUP BY 1,2),
        p AS (SELECT d1, d2 FROM pairs0 JOIN sz n1 ON d1=n1.doc_id JOIN sz n2 ON d2=n2.doc_id
@@ -504,11 +507,62 @@ object Dedup {
        reach(a, b) AS (
          SELECT a, b FROM sym
          UNION
-         SELECT r.a, s2.b FROM reach r JOIN sym s2 ON r.b = s2.a
-       )
-       SELECT d.doc_id, least(d.doc_id, coalesce(min(r.b), d.doc_id)) AS cluster_id
-       FROM documents d LEFT JOIN reach r ON d.doc_id = r.a
-       GROUP BY d.doc_id ORDER BY doc_id"""
+         SELECT r.a, s2.b FROM reach r JOIN sym s2 ON r.b = s2.a),
+       cl AS (SELECT d.doc_id, least(d.doc_id, coalesce(min(r.b), d.doc_id)) AS cluster_id
+              FROM documents d LEFT JOIN reach r ON d.doc_id = r.a GROUP BY d.doc_id)"""
+
+  private val q65Sql =
+    s"""WITH RECURSIVE $shingleCte,
+       $clusterCte
+       SELECT doc_id, cluster_id FROM cl ORDER BY doc_id"""
+
+  /** DEDUP SURVIVOR-BIAS AUDIT — the governance check a dedup stage
+    * needs before its output is trusted: near-dup removal is NOT
+    * quality-neutral (boilerplate and templated pages are both
+    * low-quality and highly duplicated), so the kept corpus can
+    * drift in quality/length relative to what was dropped. Compares
+    * the kept (cluster canonical, q65's keep rule) vs dropped
+    * populations on count, token volume, and mean quality.
+    *
+    * Numerics: mean quality re-integerizes the r4 score (q133's
+    * floor(q·10⁴+0.5) long), mean length is one double divide of an
+    * exact sum — nothing accumulates as an order-dependent double.
+    * Scale shape: q65's component labels (edge-sized iteration) +
+    * q60's map-only scoring joined on doc_id, collapsed map-side to
+    * a 2-row report. */
+  def q134(s: SparkSession, dir: String): DataFrame = {
+    val status = q65(s, dir).select(col("doc_id"),
+      when(col("doc_id") === col("cluster_id"), "kept").otherwise("dropped").as("status"))
+    TextOps.q60(s, dir).select("doc_id", "n_tokens", "quality_score")
+      .join(status, "doc_id")
+      .withColumn("q4", expr("CAST(floor(quality_score*10000.0 + 0.5) AS BIGINT)"))
+      .groupBy("status")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_tokens").as("n_tokens"),
+        ops.r2(sum(col("n_tokens")).cast("double") / count(lit(1))).as("avg_tokens"),
+        ops.r4(sum("q4") / (lit(10000.0) * count(lit(1)))).as("avg_q4"))
+      .orderBy("status")
+  }
+
+  private val q134Sql = {
+    val stopCount = TextOps.duckScore(TextOps.stopEn)
+    s"""WITH RECURSIVE $shingleCte,
+       $clusterCte,
+       qual AS (SELECT doc_id, len(tk) AS n_tokens,
+                ${ops.R4(s"least(1.0, len(tk)/100.0) * (1.0 - $stopCount*1.0 / len(tk))")}
+                  AS quality_score
+                FROM t),
+       st AS (SELECT q.doc_id,
+                CASE WHEN c.cluster_id = q.doc_id THEN 'kept' ELSE 'dropped' END AS status,
+                q.n_tokens,
+                CAST(floor(q.quality_score*10000.0 + 0.5) AS BIGINT) AS q4
+              FROM qual q JOIN cl c ON q.doc_id = c.doc_id)
+       SELECT status, CAST(count(*) AS BIGINT) AS n_docs,
+              CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+              ${ops.R2("CAST(sum(n_tokens) AS DOUBLE)/count(*)")} AS avg_tokens,
+              ${ops.R4("sum(q4)/(10000.0*count(*))")} AS avg_q4
+       FROM st GROUP BY 1 ORDER BY 1"""
+  }
 
   /** SemDeDup (Abbas et al. 2023): semantic dedup that scales past
     * pairwise comparison by clustering FIRST — k = ⌈√n⌉ k-means
@@ -812,5 +866,6 @@ object Dedup {
     Q("q109_dup_rate_curve", q109, Some(q109Sql)),
     Q("q110_source_similarity", q110, None),
     Q("q113_overlap_sketch", q113, None),
-    Q("q132_ngram_containment", q132, Some(q132Sql)))
+    Q("q132_ngram_containment", q132, Some(q132Sql)),
+    Q("q134_dedup_bias", q134, Some(q134Sql)))
 }

@@ -135,18 +135,7 @@ object Sampling {
   private val gateCtes = {
     val stopCount = TextOps.duckScore(TextOps.stopEn)
     s"""${Dedup.shingleCte},
-       sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
-       pairs0 AS (SELECT a.doc_id d1, b.doc_id d2, count(*) c
-                  FROM sh a JOIN sh b ON a.s=b.s AND a.doc_id < b.doc_id GROUP BY 1,2),
-       p AS (SELECT d1, d2 FROM pairs0 JOIN sz n1 ON d1=n1.doc_id JOIN sz n2 ON d2=n2.doc_id
-             WHERE c*1.0/(n1.n + n2.n - c) >= ${Dedup.JaccThr}),
-       sym AS (SELECT d1 a, d2 b FROM p UNION ALL SELECT d2, d1 FROM p),
-       reach(a, b) AS (
-         SELECT a, b FROM sym
-         UNION
-         SELECT r.a, s2.b FROM reach r JOIN sym s2 ON r.b = s2.a),
-       cl AS (SELECT d.doc_id, least(d.doc_id, coalesce(min(r.b), d.doc_id)) AS cluster_id
-              FROM documents d LEFT JOIN reach r ON d.doc_id = r.a GROUP BY d.doc_id),
+       ${Dedup.clusterCte},
        ex AS (SELECT doc_id, doc_id = min(doc_id) OVER (PARTITION BY md5(text)) AS ex_keep
               FROM documents),
        qual AS (SELECT doc_id,

@@ -296,4 +296,29 @@ class DedupSpec extends AnyFunSuite {
     assert(got == want, s"sizes ${got.size} vs ${want.size}; " +
       s"first diff: ${got.find(kv => want.get(kv._1) != Some(kv._2))}")
   }
+
+  test("q134 survivor-bias audit equals an exact recompute from q65 + q60") {
+    val got = operators.Dedup.q134(spark, sf).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4))))
+      .toMap
+    assert(got.keySet == Set("kept", "dropped"),
+      "synthetic corpus must have both populations")
+    val keep = operators.Dedup.q65(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(0) == r.getLong(1))).toMap
+    val qual = operators.TextOps.q60(spark, sf)
+      .select("doc_id", "n_tokens", "quality_score").collect()
+      .map(r => (r.getLong(0), r.getInt(1).toLong,
+        math.floor(r.getDouble(2) * 1e4 + 0.5).toLong))
+    val want = qual.groupBy(q => if (keep(q._1)) "kept" else "dropped").map {
+      case (st, rows) =>
+        val n = rows.length.toLong
+        val tok = rows.map(_._2).sum
+        st -> ((n, tok,
+          math.floor(tok.toDouble / n * 1e2 + 0.5) / 1e2,
+          math.floor(rows.map(_._3).sum / (1e4 * n) * 1e4 + 0.5) / 1e4))
+    }
+    assert(got == want, s"first diff: ${got.find(kv => want.get(kv._1) != Some(kv._2))}")
+    // total docs conserved across the two populations
+    assert(got.values.map(_._1).sum == Tables(spark, sf, "documents").count())
+  }
 }
