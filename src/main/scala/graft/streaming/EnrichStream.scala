@@ -120,6 +120,47 @@ object EnrichStream {
       .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("product_key"))
       .agg(count(lit(1)).as("n_purchases"), sum("value").as("revenue"))
 
+  /** LIVE SEASONALITY PROFILE — batch q127's online face: the
+    * day-of-week × hour activity heatmap maintained as streaming
+    * aggregation state. Complete output mode is the right contract
+    * here because the state is structurally bounded at ≤ #types·168
+    * cells regardless of stream length (the same reason q127's batch
+    * share window is safe); every emission re-publishes the whole
+    * profile, which IS the product (a capacity-planning baseline).
+    * Shares are derived per emission by [[seasonShares]] — the
+    * normalizing window must not live in the streaming agg. */
+  def seasonStream(stream: DataFrame): DataFrame =
+    stream.groupBy(col("event_type"),
+        expr("CAST(weekday(ts) + 1 AS BIGINT)").as("dow"),
+        expr("CAST(hour(ts) AS BIGINT)").as("hr"))
+      .agg(count(lit(1)).as("n_events"))
+
+  /** Share derivation over a [[seasonStream]] emission (or any cell
+    * frame): identical arithmetic to batch q127, run per sink refresh
+    * over the ≤ #types·168-row snapshot. */
+  def seasonShares(cells: DataFrame): DataFrame =
+    cells
+      .withColumn("share_ppm",
+        expr("(n_events * 1000000) div sum(n_events) OVER (PARTITION BY event_type)"))
+      .orderBy("event_type", "dow", "hr")
+
+  /** LIVE ROLLING ACTIVE USERS — batch q131's online face at the
+    * sketch level: per sliding 7-day window (1-day slide), the
+    * distinct-user estimate via HLL++ (`approx_count_distinct`).
+    * Exact windowed distinct over an unbounded stream is not
+    * incrementalizable (the batch explode+dedup needs the full
+    * user-day set); the sketch is the standard online substitute —
+    * HLL registers merge by max, so the streaming estimate is
+    * IDENTICAL to the batch sketch on the same data (spec-asserted),
+    * and within the usual ~2 % envelope of exact. State: ≤ 7 open
+    * windows × one sketch each past the watermark horizon. */
+  def rollingActiveStream(stream: DataFrame): DataFrame =
+    stream
+      .filter(col("user_id").isNotNull)
+      .withWatermark("ts", "1 day")
+      .groupBy(window(col("ts"), "7 days", "1 day"))
+      .agg(approx_count_distinct("user_id").as("wau_est"))
+
   /** Batch-side ranking for [[popularProducts]] output (used per
     * micro-batch in foreachBatch, and by the parity spec): top-k
     * products per window by (purchases, revenue), ties to the lowest

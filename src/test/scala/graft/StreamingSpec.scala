@@ -75,6 +75,48 @@ class StreamingSpec extends AnyFunSuite {
     assert(expect.exceptAll(ranked).count() == 0)
   }
 
+  test("live seasonality profile equals batch q127 cell-for-cell") {
+    val q = streaming.EnrichStream.seasonStream(
+        streaming.EnrichStream.source(spark, sf))
+      .writeStream.format("memory").queryName("season_out")
+      .outputMode("complete").start()
+    q.processAllAvailable(); q.stop()
+    val streamed = streaming.EnrichStream.seasonShares(spark.table("season_out"))
+    val batch = operators.Events.q127(spark, sf)
+    assert(streamed.count() > 0)
+    assert(streamed.exceptAll(batch).count() == 0)
+    assert(batch.exceptAll(streamed).count() == 0)
+  }
+
+  test("live rolling actives equal the batch HLL sketch per window, near exact distinct") {
+    val q = streaming.EnrichStream.rollingActiveStream(
+        streaming.EnrichStream.source(spark, sf))
+      .writeStream.format("memory").queryName("wau_out")
+      .outputMode("complete").start()
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("wau_out")
+      .select(col("window.start").as("ws"), col("wau_est"))
+    val ev = Tables(spark, sf, "events").filter(col("user_id").isNotNull)
+    val batch = ev
+      .groupBy(window(col("ts"), "7 days", "1 day"))
+      .agg(approx_count_distinct("user_id").as("wau_est"))
+      .select(col("window.start").as("ws"), col("wau_est"))
+    // HLL registers merge by max: stream vs batch sketch is EXACT
+    assert(streamed.count() > 0)
+    assert(streamed.exceptAll(batch).count() == 0)
+    assert(batch.exceptAll(streamed).count() == 0)
+    // and the estimate tracks exact windowed distinct within 5%
+    val exact = ev
+      .select(col("user_id"), window(col("ts"), "7 days", "1 day").as("window"))
+      .select(col("user_id"), col("window.start").as("ws")).distinct()
+      .groupBy("ws").agg(count(lit(1)).as("exact"))
+    val joined = streamed.join(exact, "ws")
+    assert(joined.count() == exact.count())
+    assert(joined.filter(
+      abs(col("wau_est") - col("exact")) > greatest(lit(2.0), col("exact") * 0.05))
+      .count() == 0)
+  }
+
   test("streaming anomaly hours match a prefix-stats recomputation exactly") {
     val q = streaming.EnrichStream.anomalyStream(
         streaming.EnrichStream.typedSource(spark, sf))
