@@ -544,7 +544,10 @@ object Dedup {
       .orderBy("status")
   }
 
-  private val q134Sql = {
+  // lazy: evaluating this calls into TextOps, whose own initializer
+  // reads Dedup.tokensExpr — eager evaluation here would deadlock the
+  // two object <clinit>s when TextOps loads first (spec suites do)
+  private lazy val q134Sql = {
     val stopCount = TextOps.duckScore(TextOps.stopEn)
     s"""WITH RECURSIVE $shingleCte,
        $clusterCte,
@@ -563,6 +566,42 @@ object Dedup {
               ${ops.R4("sum(q4)/(10000.0*count(*))")} AS avg_q4
        FROM st GROUP BY 1 ORDER BY 1"""
   }
+
+  /** DUP-CLUSTER SIZE HISTOGRAM — the shape diagnostic for a dedup
+    * run: how many near-dup components exist at each size (size 1 =
+    * unique docs), with doc totals and the ppm of the corpus held in
+    * each size class. A healthy crawl is singleton-dominated with a
+    * thin tail; a boilerplate explosion shows up as mass in large
+    * sizes — this is the report that catches it before q65's keep
+    * rule silently drops a third of the corpus.
+    *
+    * Scale shape: q65's labels (edge-sized iteration) → cluster-size
+    * agg (map-side combined on cluster_id) → histogram agg over the
+    * CLUSTER frame (≤ corpus rows, output ≤ max-size rows); the ppm
+    * share needs the corpus total — a 1-row broadcast, left-join-true
+    * (q107 discipline). All integer arithmetic. */
+  def q136(s: SparkSession, dir: String): DataFrame = {
+    val sizes = q65(s, dir).groupBy("cluster_id").agg(count(lit(1)).as("cluster_size"))
+    val tot = sizes.agg(sum("cluster_size").as("n_total"))
+    sizes.groupBy("cluster_size").agg(count(lit(1)).as("n_clusters"))
+      .withColumn("n_docs", col("cluster_size") * col("n_clusters"))
+      .join(broadcast(tot), lit(true), "left")
+      .withColumn("doc_ppm", expr("(n_docs * 1000000) div n_total"))
+      .select("cluster_size", "n_clusters", "n_docs", "doc_ppm")
+      .orderBy("cluster_size")
+  }
+
+  private val q136Sql =
+    s"""WITH RECURSIVE $shingleCte,
+       $clusterCte,
+       cs AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS cluster_size
+              FROM cl GROUP BY 1),
+       tot AS (SELECT CAST(sum(cluster_size) AS BIGINT) AS n_total FROM cs),
+       h AS (SELECT cluster_size, CAST(count(*) AS BIGINT) AS n_clusters FROM cs GROUP BY 1)
+       SELECT cluster_size, n_clusters,
+              cluster_size * n_clusters AS n_docs,
+              (cluster_size * n_clusters * 1000000) // n_total AS doc_ppm
+       FROM h LEFT JOIN tot ON true ORDER BY cluster_size"""
 
   /** SemDeDup (Abbas et al. 2023): semantic dedup that scales past
     * pairwise comparison by clustering FIRST — k = ⌈√n⌉ k-means
@@ -853,7 +892,7 @@ object Dedup {
   def q113(s: SparkSession, dir: String): DataFrame =
     overlapEstCore(Tables(s, dir, "documents").select(col("source"), col("text")))
 
-  val qs: Seq[Q] = Seq(
+  lazy val qs: Seq[Q] = Seq(
     Q("q40_exact_dedup", q40, Some(q40Sql)),
     Q("q41_ngram_jaccard", q41, Some(q41Sql)),
     Q("q42_minhash_lsh", q42, None),
@@ -867,5 +906,6 @@ object Dedup {
     Q("q110_source_similarity", q110, None),
     Q("q113_overlap_sketch", q113, None),
     Q("q132_ngram_containment", q132, Some(q132Sql)),
-    Q("q134_dedup_bias", q134, Some(q134Sql)))
+    Q("q134_dedup_bias", q134, Some(q134Sql)),
+    Q("q136_cluster_sizes", q136, Some(q136Sql)))
 }

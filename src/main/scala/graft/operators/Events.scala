@@ -1007,6 +1007,67 @@ object Events {
               ${ops.R6("CAST(dau AS DOUBLE)/CAST(wau7 AS DOUBLE)")} AS stickiness6
        FROM dau JOIN wau USING (day) ORDER BY day"""
 
+  /** COHORT LTV TRIANGLE — the value companion of q25's retention
+    * grid (q25 counts who comes back; this tracks what they're
+    * worth): per (signup-cohort week × age week), purchase count,
+    * week revenue, and the cohort's CUMULATIVE LTV per user — the
+    * triangle a growth team reads payback periods off.
+    *
+    * Numerics: revenue accumulates as integer cents with NULL values
+    * coalesced to 0 BEFORE aggregation on both sides (the q119
+    * moment-coverage lesson); the cumulative sum is a long running
+    * sum; per-user LTV is one double formula over exact integers.
+    * Scale shape: the only user-sized work is the first-week agg and
+    * the purchases⋈cohort join on user_id (co-keyed); the triangle
+    * window runs over the ≤ weeks² aggregate, and cohort sizes ride
+    * a weeks-row broadcast. */
+  def q137(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(s, dir, "events").filter(col("user_id").isNotNull)
+    val first = ev.groupBy("user_id")
+      .agg(to_date(date_trunc("week", min(col("ts")))).as("cohort_week"))
+    val sizes = first.groupBy("cohort_week").agg(count(lit(1)).as("cohort_users"))
+    val buys = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), to_date(date_trunc("week", col("ts"))).as("week"),
+        coalesce(ops.cents(col("value")), lit(0L)).as("cents"))
+    val grid = buys.join(first, "user_id")
+      .select(col("cohort_week"),
+        expr("datediff(week, cohort_week) DIV 7").as("age_week"),
+        col("cents"))
+      .groupBy("cohort_week", "age_week")
+      .agg(count(lit(1)).as("n_purchases"), sum("cents").as("wc"))
+    grid
+      .withColumn("cum",
+        sum("wc").over(Window.partitionBy("cohort_week").orderBy("age_week")))
+      .join(broadcast(sizes), "cohort_week")
+      .select(col("cohort_week"), col("age_week"), col("n_purchases"),
+        (col("wc") / 100.0).as("revenue"),
+        ops.r4(col("cum").cast("double")
+          / (lit(100.0) * col("cohort_users").cast("double"))).as("cum_ltv_per_user"))
+      .orderBy("cohort_week", "age_week")
+  }
+
+  private val q137Sql =
+    s"""WITH e AS (SELECT user_id, ts::TIMESTAMP AS ts, event_type, value
+                   FROM events WHERE user_id IS NOT NULL),
+       f AS (SELECT user_id, date_trunc('week', min(ts))::DATE AS cohort_week
+             FROM e GROUP BY 1),
+       sz AS (SELECT cohort_week, CAST(count(*) AS BIGINT) AS cohort_users
+              FROM f GROUP BY 1),
+       b AS (SELECT user_id, date_trunc('week', ts)::DATE AS week,
+               coalesce(${ops.Cents("value")}, 0) AS cents
+             FROM e WHERE event_type = 'purchase'),
+       g AS (SELECT cohort_week, date_diff('day', cohort_week, week) // 7 AS age_week,
+               CAST(count(*) AS BIGINT) AS n_purchases, CAST(sum(cents) AS BIGINT) AS wc
+             FROM b JOIN f USING (user_id) GROUP BY 1, 2),
+       c AS (SELECT cohort_week, age_week, n_purchases, wc,
+               CAST(sum(wc) OVER (PARTITION BY cohort_week ORDER BY age_week) AS BIGINT) AS cum
+             FROM g)
+       SELECT cohort_week, CAST(age_week AS BIGINT) AS age_week, n_purchases,
+              wc/100.0 AS revenue,
+              ${ops.R4("CAST(cum AS DOUBLE)/(100.0*CAST(cohort_users AS DOUBLE))")}
+                AS cum_ltv_per_user
+       FROM c JOIN sz USING (cohort_week) ORDER BY 1, 2"""
+
   val qs: Seq[Q] = Seq(
     Q("q20_hourly_revenue", q20, Some(q20Sql)),
     Q("q21_enrich_events", q21, Some(q21Sql)),
@@ -1027,5 +1088,6 @@ object Events {
     Q("q124_funnel_windows", q124, Some(q124Sql)),
     Q("q125_purchase_cadence", q125, Some(q125Sql)),
     Q("q127_seasonality", q127, Some(q127Sql)),
-    Q("q131_rolling_actives", q131, Some(q131Sql)))
+    Q("q131_rolling_actives", q131, Some(q131Sql)),
+    Q("q137_cohort_ltv", q137, Some(q137Sql)))
 }

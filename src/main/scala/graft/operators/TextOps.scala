@@ -1073,6 +1073,76 @@ object TextOps {
       .orderBy(col("exact_n").desc, col("tok").asc)
   }
 
+  /** Collocation floor: bigrams below this corpus count are noise. */
+  private[graft] val CollMin = 5
+
+  /** COLLOCATION MINING — top bigrams by LIFT, the log-free PMI
+    * (PMI = log lift; log is libm-dependent cross-engine, lift is a
+    * pure ratio of exact integers, so THIS is the oracle-gateable
+    * spelling): lift(w1,w2) = P(w1 w2)/(P(w1)P(w2)) =
+    * c₁₂·N²/(M·c₁·c₂) over occurrence counts, with a CollMin count
+    * floor. High-lift bigrams are multiword expressions ("new york")
+    * — the collocation table a tokenizer/phrase-merge stage consumes.
+    *
+    * Numerics (the q78 lesson, applied from the start): the top-20
+    * cutoff ranks on floor(lift·10⁶+0.5) computed from exact integer
+    * operands — numerator and denominator accumulate as decimals
+    * (DuckDB HUGEINT), ONE double divide, integer rank key, (w1, w2)
+    * tiebreak below it. Scale shape: unigram + bigram counts are two
+    * map-side-combined aggs over exploded token streams (bigrams
+    * ≈ corpus tokens, the q80 vocab argument); corpus totals ride a
+    * 1-row broadcast; the count-floor prunes the candidate frame
+    * before the two vocab joins; top-20 via TakeOrdered. */
+  def q135(s: SparkSession, dir: String): DataFrame = {
+    val d = (c: Column) => c.cast("decimal(38,0)")
+    val t = Tables(s, dir, "documents").withColumn("tk", expr(tk))
+    val uni = t.select(explode(col("tk")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+    val tot = t.agg(
+      sum(expr("size(tk)")).as("n"),
+      sum(expr("greatest(size(tk) - 1, 0)")).as("m"))
+    val big = t.select(explode(expr(
+        """CASE WHEN size(tk) >= 2
+           THEN transform(sequence(1, size(tk)-1),
+                i -> struct(element_at(tk,i) AS w1, element_at(tk,i+1) AS w2))
+           ELSE array() END""")).as("b"))
+      .select(col("b.w1"), col("b.w2"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("n_pair"))
+      .filter(col("n_pair") >= CollMin)
+    big
+      .join(uni.select(col("w").as("w1"), col("c").as("c1")), "w1")
+      .join(uni.select(col("w").as("w2"), col("c").as("c2")), "w2")
+      .join(broadcast(tot), lit(true), "left")
+      .withColumn("lift_u", floor(
+        (d(col("n_pair")) * d(col("n")) * d(col("n"))).cast("double")
+          / (d(col("m")) * d(col("c1")) * d(col("c2"))).cast("double")
+          * 1000000.0 + 0.5).cast("long"))
+      .orderBy(col("lift_u").desc, col("w1"), col("w2"))
+      .limit(20)
+      .select(col("w1"), col("w2"), col("n_pair"),
+        (col("lift_u") / 1000000.0).as("lift6"))
+  }
+
+  private val q135Sql =
+    s"""WITH t AS (SELECT doc_id, list_filter(string_split(text,' '), x -> x<>'') AS tk
+                   FROM documents),
+       uni AS (SELECT u AS w, CAST(count(*) AS BIGINT) AS c
+               FROM t, UNNEST(tk) AS z(u) GROUP BY 1),
+       tot AS (SELECT CAST(sum(len(tk)) AS BIGINT) AS n,
+                      CAST(sum(greatest(len(tk) - 1, 0)) AS BIGINT) AS m FROM t),
+       big AS (SELECT tk[i] AS w1, tk[i+1] AS w2, CAST(count(*) AS BIGINT) AS n_pair
+               FROM t, UNNEST(range(1, len(tk))) AS r(i)
+               GROUP BY 1, 2 HAVING count(*) >= $CollMin),
+       sc AS (SELECT w1, w2, n_pair,
+                CAST(floor(
+                  CAST(n_pair::HUGEINT * n * n AS DOUBLE)
+                    / CAST(m::HUGEINT * u1.c * u2.c AS DOUBLE)
+                  * 1000000.0 + 0.5) AS BIGINT) AS lift_u
+              FROM big JOIN uni u1 ON w1 = u1.w JOIN uni u2 ON w2 = u2.w
+              LEFT JOIN tot ON true)
+       SELECT w1, w2, n_pair, lift_u/1000000.0 AS lift6
+       FROM sc ORDER BY lift_u DESC, w1, w2 LIMIT 20"""
+
   val qs: Seq[Q] = Seq(
     Q("q60_text_quality", q60, Some(q60Sql)),
     Q("q61_lang_id", q61, Some(q61Sql)),
@@ -1092,5 +1162,6 @@ object TextOps {
     Q("q104_ngram_diversity", q104, Some(q104Sql)),
     Q("q106_source_shift", q106, Some(q106Sql)),
     Q("q108_intake_validate", q108, Some(q108Sql)),
-    Q("q112_freq_sketch", q112, None))
+    Q("q112_freq_sketch", q112, None),
+    Q("q135_collocations", q135, Some(q135Sql)))
 }

@@ -321,4 +321,18 @@ class DedupSpec extends AnyFunSuite {
     // total docs conserved across the two populations
     assert(got.values.map(_._1).sum == Tables(spark, sf, "documents").count())
   }
+
+  test("q136 cluster-size histogram equals the q65 label recompute and conserves docs") {
+    val got = operators.Dedup.q136(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    val labels = operators.Dedup.q65(spark, sf).collect().map(_.getLong(1))
+    val nTotal = labels.length.toLong
+    val want = labels.groupBy(identity).values.map(_.length.toLong).toSeq
+      .groupBy(identity).map { case (size, cs) =>
+        val (nc, nd) = (cs.length.toLong, size * cs.length)
+        size -> ((nc, nd, nd * 1000000L / nTotal))
+      }
+    assert(got == want, s"first diff: ${got.find(kv => want.get(kv._1) != Some(kv._2))}")
+    assert(got.values.map(_._2).sum == nTotal)
+  }
 }

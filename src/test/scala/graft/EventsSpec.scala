@@ -389,4 +389,30 @@ class EventsSpec extends AnyFunSuite {
     // a user active on day d is in the window ending d: dau <= wau
     assert(got.values.forall(v => v._1 <= v._2))
   }
+
+  test("q137 cohort LTV triangle equals an exact local recompute") {
+    val got = operators.Events.q137(spark, sf).collect()
+      .map(r => (r.getDate(0).toLocalDate, r.getLong(1)) ->
+        ((r.getLong(2), r.getDouble(3), r.getDouble(4)))).toMap
+    val ev = Tables(spark, sf, "events").filter(col("user_id").isNotNull)
+      .select(col("user_id"), to_date(date_trunc("week", col("ts"))).as("week"),
+        col("event_type"), col("value")).collect()
+      .map(r => (r.getLong(0), r.getDate(1).toLocalDate, r.getString(2),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3))))
+    val cohort = ev.groupBy(_._1).map { case (u, rows) => u -> rows.map(_._2).min }
+    val sizes = cohort.values.groupBy(identity).map { case (w, xs) => w -> xs.size.toLong }
+    val cells = ev.filter(_._3 == "purchase").map { case (u, w, _, v) =>
+      val cw = cohort(u)
+      val age = java.time.temporal.ChronoUnit.DAYS.between(cw, w) / 7
+      ((cw, age), v.map(x => math.floor(x * 100.0 + 0.5).toLong).getOrElse(0L))
+    }.groupBy(_._1)
+    val want = cells.map { case ((cw, age), rows) =>
+      val wc = rows.map(_._2).sum
+      val cum = cells.collect { case ((c2, a2), rs) if c2 == cw && a2 <= age =>
+        rs.map(_._2).sum }.sum
+      (cw, age) -> ((rows.size.toLong, wc / 100.0,
+        math.floor(cum.toDouble / (100.0 * sizes(cw)) * 1e4 + 0.5) / 1e4))
+    }
+    assert(got == want, s"first diff: ${got.find(kv => want.get(kv._1) != Some(kv._2))}")
+  }
 }

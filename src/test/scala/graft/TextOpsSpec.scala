@@ -214,4 +214,25 @@ class TextOpsSpec extends AnyFunSuite {
     assert(merged.exceptAll(full).count() == 0 && full.exceptAll(merged).count() == 0)
     full.unpersist()
   }
+
+  test("q135 collocations equal an exact BigInt lift recompute, in rank order") {
+    val got = operators.TextOps.q135(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSeq
+    val toks = Tables(spark, sf, "documents").select("text").collect()
+      .map(_.getString(0).split(" ", -1).filter(_.nonEmpty).toSeq)
+    val uni = toks.flatten.groupBy(identity).map { case (w, xs) => w -> BigInt(xs.size) }
+    val n = BigInt(toks.map(_.size).sum)
+    val m = BigInt(toks.map(t => math.max(t.size - 1, 0)).sum)
+    val want = toks.flatMap(t => t.zip(t.drop(1)))
+      .groupBy(identity).collect { case ((w1, w2), xs) if xs.size >= operators.TextOps.CollMin =>
+        val cxy = BigInt(xs.size)
+        val liftU = math.floor(
+          (cxy * n * n).toDouble / (m * uni(w1) * uni(w2)).toDouble * 1e6 + 0.5).toLong
+        (w1, w2, xs.size.toLong, liftU)
+      }.toSeq
+      .sortBy { case (w1, w2, _, liftU) => (-liftU, w1, w2) }
+      .take(20)
+      .map { case (w1, w2, c, liftU) => (w1, w2, c, liftU / 1000000.0) }
+    assert(got == want, s"got ${got.take(3)}... want ${want.take(3)}...")
+  }
 }
