@@ -567,6 +567,86 @@ object Dedup {
        FROM st GROUP BY 1 ORDER BY 1"""
   }
 
+  /** q138's batch split: doc_id % NewDen == NewMod is "today's
+    * crawl increment" (deterministic, SF-stable, both sides). */
+  private[graft] val NewDen = 10
+  private[graft] val NewMod = 7
+
+  /** INCREMENTAL DEDUP — the production ingest shape: a NEW batch of
+    * documents arrives against an EXISTING corpus, and each new doc
+    * must be admitted or rejected WITHOUT recomputing old×old pairs
+    * (the daily-crawl contract; q41 is the full-corpus backfill).
+    * Verdicts per new doc: `dup_of_corpus` (an existing partner at
+    * Jaccard ≥ thr — reject), `dup_in_batch` (a LOWER-id new partner
+    * — keep first of the group, q45's deterministic keep rule), or
+    * `novel`; the reported partner is the minimum qualifying id with
+    * its exact Jaccard.
+    *
+    * Scale shape: only the NEW side's shingles probe the inverted
+    * index — the candidate join is |new shingles| × bounded fan-out
+    * (DfCap), not corpus²; per-doc set sizes come from the one shared
+    * index. Partner selection is min/min_by with FILTER (one agg, no
+    * self-rejoin); novel docs enter by left join from the new-doc
+    * list. In production the old index is the persisted artifact
+    * (Sources-style parquet) — here both sides derive from one
+    * checkpointed index scan. */
+  def q138(s: SparkSession, dir: String): DataFrame = {
+    val sh = cappedShingles(s, dir)
+    val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val isNew = (c: Column) => pmod(c, lit(NewDen)) === NewMod
+    val pairs = sh.filter(isNew(col("doc_id"))).as("a")
+      .join(sh.as("b"),
+        col("a.s") === col("b.s") && col("a.doc_id") =!= col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("a"), col("b.doc_id").as("b"))
+      .agg(count(lit(1)).as("c"))
+      .join(sz.withColumnRenamed("doc_id", "a").withColumnRenamed("n", "na"), "a")
+      .join(sz.withColumnRenamed("doc_id", "b").withColumnRenamed("n", "nb"), "b")
+      .withColumn("jr", col("c") * lit(1.0) / (col("na") + col("nb") - col("c")))
+      .filter(col("jr") >= JaccThr.toDouble)
+      .withColumn("bnew", isNew(col("b")))
+    val verdicts = pairs.groupBy("a").agg(
+      expr("min(b) FILTER (WHERE NOT bnew)").as("old_b"),
+      expr("min_by(jr, b) FILTER (WHERE NOT bnew)").as("old_j"),
+      expr("min(b) FILTER (WHERE bnew AND b < a)").as("new_b"),
+      expr("min_by(jr, b) FILTER (WHERE bnew AND b < a)").as("new_j"))
+    Tables(s, dir, "documents").select(col("doc_id"))
+      .filter(isNew(col("doc_id")))
+      .join(verdicts, col("doc_id") === col("a"), "left")
+      .select(col("doc_id"),
+        when(col("old_b").isNotNull, "dup_of_corpus")
+          .when(col("new_b").isNotNull, "dup_in_batch")
+          .otherwise("novel").as("verdict"),
+        coalesce(col("old_b"), col("new_b")).as("partner_id"),
+        ops.r6(coalesce(col("old_j"), col("new_j"))).as("jaccard"))
+      .orderBy("doc_id")
+  }
+
+  private val q138Sql =
+    s"""WITH $shingleCte,
+       sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+       pr AS (SELECT a.doc_id a, b.doc_id b, count(*) c
+              FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id <> b.doc_id
+              WHERE a.doc_id % $NewDen = $NewMod
+              GROUP BY 1, 2),
+       j AS (SELECT a, b, c*1.0/(na.n + nb.n - c) AS jr, b % $NewDen = $NewMod AS bnew
+             FROM pr JOIN sz na ON a = na.doc_id JOIN sz nb ON b = nb.doc_id
+             WHERE c*1.0/(na.n + nb.n - c) >= $JaccThr),
+       v AS (SELECT a,
+               min(b) FILTER (WHERE NOT bnew) AS old_b,
+               arg_min(jr, b) FILTER (WHERE NOT bnew) AS old_j,
+               min(b) FILTER (WHERE bnew AND b < a) AS new_b,
+               arg_min(jr, b) FILTER (WHERE bnew AND b < a) AS new_j
+             FROM j GROUP BY 1)
+       SELECT doc_id,
+              CASE WHEN old_b IS NOT NULL THEN 'dup_of_corpus'
+                   WHEN new_b IS NOT NULL THEN 'dup_in_batch'
+                   ELSE 'novel' END AS verdict,
+              coalesce(old_b, new_b) AS partner_id,
+              ${ops.R6("coalesce(old_j, new_j)")} AS jaccard
+       FROM documents LEFT JOIN v ON doc_id = v.a
+       WHERE doc_id % $NewDen = $NewMod
+       ORDER BY doc_id"""
+
   /** DUP-CLUSTER SIZE HISTOGRAM — the shape diagnostic for a dedup
     * run: how many near-dup components exist at each size (size 1 =
     * unique docs), with doc totals and the ppm of the corpus held in
@@ -907,5 +987,6 @@ object Dedup {
     Q("q113_overlap_sketch", q113, None),
     Q("q132_ngram_containment", q132, Some(q132Sql)),
     Q("q134_dedup_bias", q134, Some(q134Sql)),
-    Q("q136_cluster_sizes", q136, Some(q136Sql)))
+    Q("q136_cluster_sizes", q136, Some(q136Sql)),
+    Q("q138_incremental_dedup", q138, Some(q138Sql)))
 }

@@ -335,4 +335,29 @@ class DedupSpec extends AnyFunSuite {
     assert(got == want, s"first diff: ${got.find(kv => want.get(kv._1) != Some(kv._2))}")
     assert(got.values.map(_._2).sum == nTotal)
   }
+
+  test("q138 incremental verdicts derive exactly from the full q41 pair set") {
+    val got = operators.Dedup.q138(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3))))).toMap
+    def isNew(id: Long) = id % operators.Dedup.NewDen == operators.Dedup.NewMod
+    val pairs = operators.Dedup.q41(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val byDoc = (pairs.map(p => (p._1, p._2, p._3)) ++ pairs.map(p => (p._2, p._1, p._3)))
+      .groupBy(_._1)
+    val newIds = Tables(spark, sf, "documents").select("doc_id").collect()
+      .map(_.getLong(0)).filter(isNew)
+    val want = newIds.map { a =>
+      val ps = byDoc.getOrElse(a, Array.empty).map(p => (p._2, p._3))
+      val old = ps.filter(p => !isNew(p._1)).sortBy(_._1).headOption
+      val inb = ps.filter(p => isNew(p._1) && p._1 < a).sortBy(_._1).headOption
+      val verdict =
+        if (old.isDefined) "dup_of_corpus" else if (inb.isDefined) "dup_in_batch" else "novel"
+      a -> ((verdict, old.orElse(inb).map(_._1), old.orElse(inb).map(_._2)))
+    }.toMap
+    assert(got == want, s"first diff: ${got.find(kv => want.get(kv._1) != Some(kv._2))}")
+    assert(got.nonEmpty && got.values.exists(_._1 != "novel"),
+      "synthetic corpus should produce at least one duplicate verdict")
+  }
 }
