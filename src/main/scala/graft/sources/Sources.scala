@@ -1,6 +1,6 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.types.StructType
 
 /** Batch source/sink surface (SURVEY §2.H). The reference's
@@ -113,6 +113,51 @@ object Sources {
     val cols = sortCols.map(df.col)
     df.repartitionByRange(nFiles, cols: _*)
       .sortWithinPartitions(cols: _*)
+      .write.mode(SaveMode.Overwrite).parquet(path)
+  }
+
+  /** Interleave the low 16 bits of `x` with zeros (Morton spread):
+    * bit i of x lands at bit 2i. The classic mask cascade — five
+    * shift/mask ops, all codegen'd integer arithmetic. */
+  private def spread16(x: Column): Column = {
+    import org.apache.spark.sql.functions.{lit, shiftleft}
+    val a = x.bitwiseAND(lit(0xFFFFL))
+    val b = a.bitwiseOR(shiftleft(a, 8)).bitwiseAND(lit(0x00FF00FFL))
+    val c = b.bitwiseOR(shiftleft(b, 4)).bitwiseAND(lit(0x0F0F0F0FL))
+    val d = c.bitwiseOR(shiftleft(c, 2)).bitwiseAND(lit(0x33333333L))
+    d.bitwiseOR(shiftleft(d, 1)).bitwiseAND(lit(0x55555555L))
+  }
+
+  /** Z-ORDER (Morton-curve) clustered write — the 2-D generalization
+    * of [[writeSorted]]'s zone-map layout: writeSorted clusters ONE
+    * key, so a probe filtering a second dimension still reads every
+    * file; interleaving the bits of two keys gives every file a
+    * narrow range in BOTH dimensions, and parquet footer min/max on
+    * both columns lets a 2-D point-range probe skip most files (the
+    * Delta/Iceberg OPTIMIZE ZORDER lever, built from plain Spark
+    * primitives). Each key is min-max normalized to 16 bits via one
+    * tiny stats agg (broadcast crossJoin of a 1-row frame computed
+    * from the input itself — never empty when df is non-empty; skew
+    * in a dimension costs skip efficiency, not correctness), the
+    * Morton code is five shift/mask ops per key (codegen'd), and
+    * rows range-partition + sort by the code. The z column is
+    * dropped before writing — layout, not schema. */
+  def writeZOrdered(df: DataFrame, path: String, nFiles: Int,
+      colA: String, colB: String): Unit = {
+    import org.apache.spark.sql.functions._
+    val stats = df.agg(
+      min(col(colA)).as("_amin"), max(col(colA)).as("_amax"),
+      min(col(colB)).as("_bmin"), max(col(colB)).as("_bmax"))
+    def norm16(c: Column, lo: Column, hi: Column): Column =
+      when(hi === lo, lit(0L)).otherwise(
+        ((c - lo).cast("double") / (hi - lo).cast("double") * 65535.0).cast("long"))
+    df.crossJoin(broadcast(stats))
+      .withColumn("_z",
+        spread16(norm16(col(colA), col("_amin"), col("_amax")))
+          .bitwiseOR(shiftleft(spread16(norm16(col(colB), col("_bmin"), col("_bmax"))), 1)))
+      .repartitionByRange(nFiles, col("_z"))
+      .sortWithinPartitions("_z")
+      .drop("_z", "_amin", "_amax", "_bmin", "_bmax")
       .write.mode(SaveMode.Overwrite).parquet(path)
   }
 }
