@@ -235,6 +235,36 @@ class PlanGuardSpec extends AnyFunSuite {
     }
   }
 
+  test("r5 operators: no cartesian, no data-sized nested-loop, rank machinery parallel") {
+    // q132/q138 ride the inverted index; q131's window-day join is
+    // equi after the bounded explode; q135's vocab joins are equi;
+    // q134/q136 compose q65. The only nested-loop allowed anywhere
+    // here is the 1-row broadcast LEFT JOIN ON true idiom.
+    for (q <- Seq("q128_abc_analysis", "q129_price_demand", "q131_rolling_actives",
+        "q132_ngram_containment", "q134_dedup_bias", "q136_cluster_sizes",
+        "q137_cohort_ltv", "q138_incremental_dedup")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q plans a cartesian product")
+    }
+    for (q <- Seq("q131_rolling_actives", "q132_ngram_containment",
+        "q138_incremental_dedup")) {
+      val p = plan(q)
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$q plans a nested-loop join")
+    }
+    // the grouped-rank/ntile machinery must stay parallel on the
+    // DATA-sized side: rows range-partition by the sort key and the
+    // offsets come back via broadcast. (The nPart-row offset table's
+    // own cumulative window legitimately plans a single-partition
+    // exchange — tiny by construction — so that string is not
+    // banned here.)
+    for (q <- Seq("q130_revenue_gini", "q133_curriculum")) {
+      val p = plan(q)
+      assert(p.contains("Exchange rangepartitioning"),
+        s"$q lost the range-partitioned parallel ranking: $p")
+      assert(p.contains("BroadcastExchange"), s"$q lost the broadcast offset join: $p")
+    }
+  }
+
   test("map-only operators plan no data exchange beyond the rebalance and final sort") {
     // q66 is a pure per-row projection: its only exchanges are the
     // documents rebalance (round-robin) and the output orderBy
