@@ -925,6 +925,54 @@ object Relational {
               ${ops.R6("2.0*CAST(sr AS DOUBLE) / (CAST(n_customers AS DOUBLE)*CAST(t AS DOUBLE)) - (CAST(n_customers AS DOUBLE)+1.0)/CAST(n_customers AS DOUBLE)")} AS gini6
        FROM a ORDER BY 1"""
 
+  /** SHIP-LATENCY PERCENTILES — the fulfillment SLA read (order date
+    * → line ship date lag) per order priority: exact p50/p90/max in
+    * whole days via q123's integer-histogram selection, so the
+    * percentile is a SELECTED existing value (no interpolation, no
+    * cross-engine ulp). The histogram domain is the lag range in
+    * days (≤ a few hundred), independent of fact rows.
+    *
+    * Scale shape: lineitem⋈orders is the one fact-fact shuffle (both
+    * sides keyed on orderkey — bucketing co-locates it at 100 TB);
+    * the groupBy collapses to (priority × lag-days) before any
+    * window touches data. */
+  def q139(s: SparkSession, dir: String): DataFrame = {
+    val hist = Tables(s, dir, "lineitem").select("l_orderkey", "l_shipdate")
+      .join(Tables(s, dir, "orders").select("o_orderkey", "o_orderdate", "o_orderpriority"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderpriority"),
+        datediff(to_date(col("l_shipdate")), to_date(col("o_orderdate"))).as("lag_days"))
+      .agg(count(lit(1)).as("c"))
+    val byPrio = Window.partitionBy("o_orderpriority")
+    hist
+      .withColumn("cum", sum("c").over(byPrio.orderBy("lag_days")))
+      .withColumn("n", sum("c").over(byPrio))
+      .groupBy("o_orderpriority")
+      .agg(
+        max("n").as("n_lines"),
+        min(when(col("cum") >= expr("(n*50 + 99) div 100"), col("lag_days"))).as("p50_days"),
+        min(when(col("cum") >= expr("(n*90 + 99) div 100"), col("lag_days"))).as("p90_days"),
+        max("lag_days").as("max_days"))
+      .orderBy("o_orderpriority")
+  }
+
+  private val q139Sql =
+    """WITH h AS (
+         SELECT o_orderpriority,
+                CAST(date_diff('day', o_orderdate::DATE, l_shipdate::DATE) AS INT) AS lag_days,
+                count(*) AS c
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey GROUP BY 1, 2),
+       w AS (
+         SELECT o_orderpriority, lag_days,
+                CAST(sum(c) OVER (PARTITION BY o_orderpriority ORDER BY lag_days) AS BIGINT) AS cum,
+                CAST(sum(c) OVER (PARTITION BY o_orderpriority) AS BIGINT) AS n
+         FROM h)
+       SELECT o_orderpriority, CAST(max(n) AS BIGINT) AS n_lines,
+              min(CASE WHEN cum >= (n*50 + 99) // 100 THEN lag_days END) AS p50_days,
+              min(CASE WHEN cum >= (n*90 + 99) // 100 THEN lag_days END) AS p90_days,
+              max(lag_days) AS max_days
+       FROM w GROUP BY 1 ORDER BY 1"""
+
   val qs: Seq[Q] = Seq(
     Q("q01_pricing_summary", q01, Some(q01Sql)),
     Q("q02_revenue_by_nation", q02, Some(q02Sql)),
@@ -951,5 +999,6 @@ object Relational {
     Q("q126_fk_audit", q126, Some(q126Sql)),
     Q("q128_abc_analysis", q128, Some(q128Sql)),
     Q("q129_price_demand", q129, Some(q129Sql)),
-    Q("q130_revenue_gini", q130, Some(q130Sql)))
+    Q("q130_revenue_gini", q130, Some(q130Sql)),
+    Q("q139_ship_latency", q139, Some(q139Sql)))
 }

@@ -209,6 +209,23 @@ class RelationalSpec extends AnyFunSuite {
 
   private def r6l(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
 
+  test("q139 ship-latency percentiles equal a local sorted-selection recompute") {
+    val got = operators.Relational.q139(spark, sf).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getInt(2), r.getInt(3), r.getInt(4)))).toMap
+    val lags = Tables(spark, sf, "lineitem").select("l_orderkey", "l_shipdate")
+      .join(Tables(spark, sf, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_orderpriority"),
+        datediff(to_date(col("l_shipdate")), to_date(col("o_orderdate"))).as("lag"))
+      .collect().map(r => (r.getString(0), r.getInt(1)))
+    val want = lags.groupBy(_._1).map { case (prio, rows) =>
+      val sorted = rows.map(_._2).sorted
+      val n = sorted.length.toLong
+      def disc(p: Long): Int = sorted(((n * p + 99L) / 100L).toInt - 1)
+      prio -> ((n, disc(50), disc(90), sorted.last))
+    }
+    assert(got == want, s"first diff: ${got.find(kv => want.get(kv._1) != Some(kv._2))}")
+  }
+
   test("q128 abc classes equal a local pareto recompute") {
     val got = operators.Relational.q128(spark, sf).collect()
       .map(r => (r.getString(0), r.getString(1)) ->
