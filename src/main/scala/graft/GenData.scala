@@ -70,7 +70,33 @@ object GenData {
     }.toDF("vec_id", "embedding", "label")
     vecs.write.mode("overwrite").parquet(s"$out/embeddings.parquet")
 
-    println(s"[gen] $out docs=$nDocs vecs=$nVecs vocab=$vocabN")
+    // Optional 4th arg: an events table in the driver corpus's family
+    // (sf0.1 reference: 100k events / 1500 users / 30 days, 5 uniform
+    // types, value always present, props = {"k": <int>}) so the
+    // events operators (sessionize, range join, attribution, paths)
+    // can be stress-measured beyond the shipped SFs. Users scale
+    // with events (~67 events/user, the real density) so per-user
+    // session structure stays constant as the corpus grows.
+    args.lift(3).map(_.toInt).filter(_ > 0).foreach { nEvents =>
+      val nUsers = math.max(10, nEvents / 67)
+      val types = Array("signup", "purchase", "view", "click", "error")
+      val t0 = 1704067200000000L // 2024-01-01 UTC micros
+      val spanUs = 30L * 86400L * 1000000L
+      val events = spark.range(nEvents.toLong).repartition(64).map { jid =>
+        val id: Long = jid
+        val r = new scala.util.Random(id * 0x9e3779b97f4a7c15L + 41)
+        val ts = t0 + (r.nextDouble() * spanUs).toLong
+        val value = math.floor(r.nextDouble() * 50000.0 + 100.0) / 100.0
+        (id, ts, 1L + r.nextInt(nUsers).toLong, types(r.nextInt(types.length)),
+          value, s"""{"k": ${r.nextInt(100)}}""")
+      }.toDF("event_id", "us", "user_id", "event_type", "value", "props")
+        .withColumn("ts", expr("timestamp_micros(us)"))
+        .select("event_id", "ts", "user_id", "event_type", "value", "props")
+      events.write.mode("overwrite").parquet(s"$out/events.parquet")
+    }
+
+    println(s"[gen] $out docs=$nDocs vecs=$nVecs vocab=$vocabN" +
+      args.lift(3).map(e => s" events=$e").getOrElse(""))
     spark.stop()
   }
 }
