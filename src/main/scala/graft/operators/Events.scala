@@ -921,6 +921,63 @@ object Events {
               CASE WHEN n = 0 THEN NULL ELSE (w7 * 1000000) // n END AS within7_ppm
        FROM stats LEFT JOIN sel ON true"""
 
+  /** USER FEATURE ASSEMBLY — the feature-store export a churn/LTV
+    * model trains on: one row per identified user with recency,
+    * frequency, monetary, tenure, intensity, and error-exposure
+    * features, all exact-integer (cents, micros-div-day) with the
+    * two rate features as single r4 divides. "Now" is the corpus
+    * max event time (reproducible; a deployment passes its own
+    * as-of), a 1-row broadcast via left-join-true (q107 discipline).
+    *
+    * Scale shape: ONE map-side-combined groupBy(user_id) — every
+    * feature folds in the same pass — plus the 1-row broadcast; no
+    * windows, no self-joins. */
+  def q140(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(s, dir, "events").filter(col("user_id").isNotNull)
+      .withColumn("us", unix_micros(col("ts")))
+    val tot = ev.agg(max("us").as("now_us"))
+    ev.groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("n_purchases"),
+        sum(when(col("event_type") === "error", 1L).otherwise(0L)).as("n_errors"),
+        sum(when(col("event_type") === "purchase",
+          coalesce(ops.cents(col("value")), lit(0L))).otherwise(0L)).as("mc"),
+        min("us").as("first_us"), max("us").as("last_us"))
+      .join(broadcast(tot), lit(true), "left")
+      .select(col("user_id"), col("n_events"), col("n_purchases"), col("n_errors"),
+        (col("mc") / 100.0).as("monetary"),
+        expr(s"(now_us - last_us) div $DayUs").as("recency_days"),
+        expr(s"(now_us - first_us) div $DayUs").as("tenure_days"),
+        ops.r4(col("n_events").cast("double") /
+          greatest(expr(s"(now_us - first_us) div $DayUs"), lit(1L)).cast("double"))
+          .as("events_per_day"),
+        when(col("n_purchases") === 0, lit(null).cast("double"))
+          .otherwise(ops.r4(col("mc") / (lit(100.0) * col("n_purchases"))))
+          .as("avg_purchase"))
+      .orderBy("user_id")
+  }
+
+  private val q140Sql =
+    s"""WITH e AS (
+         SELECT user_id, ${ops.EpochUs("ts")} AS us, event_type, value
+         FROM events WHERE user_id IS NOT NULL),
+       tot AS (SELECT max(us) AS now_us FROM e),
+       a AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+               CAST(sum(CASE WHEN event_type='purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchases,
+               CAST(sum(CASE WHEN event_type='error' THEN 1 ELSE 0 END) AS BIGINT) AS n_errors,
+               CAST(sum(CASE WHEN event_type='purchase'
+                             THEN coalesce(${ops.Cents("value")}, 0) ELSE 0 END) AS BIGINT) AS mc,
+               min(us) AS first_us, max(us) AS last_us
+             FROM e GROUP BY 1)
+       SELECT user_id, n_events, n_purchases, n_errors, mc/100.0 AS monetary,
+              (now_us - last_us) // $DayUs AS recency_days,
+              (now_us - first_us) // $DayUs AS tenure_days,
+              ${ops.R4(s"CAST(n_events AS DOUBLE) / CAST(greatest((now_us - first_us) // $DayUs, 1) AS DOUBLE)")}
+                AS events_per_day,
+              CASE WHEN n_purchases = 0 THEN NULL
+                   ELSE ${ops.R4("mc/(100.0*n_purchases)")} END AS avg_purchase
+       FROM a LEFT JOIN tot ON true ORDER BY user_id"""
+
   /** SEASONALITY PROFILE — the weekly-rhythm heatmap behind capacity
     * planning and anomaly baselining (q26 scores hours against a
     * global mean; this gives each event type its day-of-week × hour
@@ -1089,5 +1146,6 @@ object Events {
     Q("q125_purchase_cadence", q125, Some(q125Sql)),
     Q("q127_seasonality", q127, Some(q127Sql)),
     Q("q131_rolling_actives", q131, Some(q131Sql)),
-    Q("q137_cohort_ltv", q137, Some(q137Sql)))
+    Q("q137_cohort_ltv", q137, Some(q137Sql)),
+    Q("q140_user_features", q140, Some(q140Sql)))
 }

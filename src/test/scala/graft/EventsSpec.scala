@@ -415,4 +415,29 @@ class EventsSpec extends AnyFunSuite {
     }
     assert(got == want, s"first diff: ${got.find(kv => want.get(kv._1) != Some(kv._2))}")
   }
+
+  test("q140 user features equal an exact per-user local recompute") {
+    val got = operators.Events.q140(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4),
+        r.getLong(5), r.getLong(6), r.getDouble(7),
+        if (r.isNullAt(8)) None else Some(r.getDouble(8))))).toMap
+    val ev = Tables(spark, sf, "events").filter(col("user_id").isNotNull)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"), col("event_type"), col("value"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getDouble(3)))
+    val nowUs = ev.map(_._2).max
+    val dayUs = 86400000000L
+    def r4l(x: Double): Double = math.floor(x * 1e4 + 0.5) / 1e4
+    val want = ev.groupBy(_._1).map { case (u, rows) =>
+      val buys = rows.filter(_._3 == "purchase")
+      val mc = buys.map(b => math.floor(b._4 * 100.0 + 0.5).toLong).sum
+      val (first, last) = (rows.map(_._2).min, rows.map(_._2).max)
+      val tenure = (nowUs - first) / dayUs
+      u -> ((rows.length.toLong, buys.length.toLong,
+        rows.count(_._3 == "error").toLong, mc / 100.0,
+        (nowUs - last) / dayUs, tenure,
+        r4l(rows.length.toDouble / math.max(tenure, 1L).toDouble),
+        if (buys.isEmpty) None else Some(r4l(mc / (100.0 * buys.length)))))
+    }
+    assert(got == want, s"first diff: ${got.find(kv => want.get(kv._1) != Some(kv._2))}")
+  }
 }
