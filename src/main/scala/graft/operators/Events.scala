@@ -921,6 +921,77 @@ object Events {
               CASE WHEN n = 0 THEN NULL ELSE (w7 * 1000000) // n END AS within7_ppm
        FROM stats LEFT JOIN sel ON true"""
 
+  /** ROBUST ANOMALY DETECTION — q26's z-score breaks down exactly
+    * when it matters (a real traffic spike inflates the mean AND the
+    * stddev it is scored against, masking itself); the
+    * median/MAD detector is the standard robust fix, and because
+    * hourly counts are INTEGERS both the median and the MAD are
+    * exact integer-histogram selections (q123 discipline) — no
+    * moment arithmetic at all, so the whole operator sits in the
+    * oracle hash gate. Flag: |cnt − med| > 3·max(MAD, 1) (the MAD=0
+    * floor keeps a perfectly-flat series from flagging every
+    * deviation of 1).
+    *
+    * Scale shape: the fact scan collapses to (type × hour) counts
+    * once; both selection windows run over count-DOMAIN histograms
+    * (distinct count values per type), tiny by construction. */
+  def q141(s: SparkSession, dir: String): DataFrame =
+    robustAnomalyCore(Tables(s, dir, "events")
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hour_ts"))
+      .agg(count(lit(1)).as("cnt")))
+
+  /** q141 core over any (event_type, hour_ts, cnt) frame — split out
+    * so the spec can plant a synthetic spike and assert detection
+    * (the live sf0.001 corpus is legitimately anomaly-free: an empty
+    * result IS the correct answer there). */
+  private[graft] def robustAnomalyCore(hourly: DataFrame): DataFrame = {
+    def medianOf(df: DataFrame, valueCol: String, out: String): DataFrame = {
+      val byType = Window.partitionBy("event_type")
+      df.groupBy(col("event_type"), col(valueCol).as("v")).agg(count(lit(1)).as("c"))
+        .withColumn("cum", sum("c").over(byType.orderBy("v")))
+        .withColumn("n", sum("c").over(byType))
+        .groupBy("event_type")
+        .agg(min(when(col("cum") >= expr("(n*50 + 99) div 100"), col("v"))).as(out))
+    }
+    val med = medianOf(hourly, "cnt", "med")
+    val dev = hourly.join(broadcast(med), "event_type")
+      .withColumn("dev", abs(col("cnt") - col("med")))
+    val mad = medianOf(dev, "dev", "mad")
+    dev.join(broadcast(mad), "event_type")
+      .filter(col("dev") > lit(3) * greatest(col("mad"), lit(1L)))
+      .select(col("event_type"), col("hour_ts"), col("cnt"),
+        col("med"), col("mad"), col("dev"))
+      .orderBy("event_type", "hour_ts")
+  }
+
+  private val q141Sql =
+    """WITH h AS (SELECT event_type, date_trunc('hour', ts) AS hour_ts, count(*) AS cnt
+                  FROM events GROUP BY 1, 2),
+       mh AS (SELECT event_type, cnt AS v, count(*) AS c FROM h GROUP BY 1, 2),
+       mw AS (SELECT event_type, v,
+                CAST(sum(c) OVER (PARTITION BY event_type ORDER BY v) AS BIGINT) AS cum,
+                CAST(sum(c) OVER (PARTITION BY event_type) AS BIGINT) AS n
+              FROM mh),
+       med AS (SELECT event_type,
+                 min(CASE WHEN cum >= (n*50 + 99) // 100 THEN v END) AS med
+               FROM mw GROUP BY 1),
+       d AS (SELECT h.event_type, hour_ts, cnt, med, abs(cnt - med) AS dev
+             FROM h JOIN med ON h.event_type = med.event_type),
+       dh AS (SELECT event_type, dev AS v, count(*) AS c FROM d GROUP BY 1, 2),
+       dw AS (SELECT event_type, v,
+                CAST(sum(c) OVER (PARTITION BY event_type ORDER BY v) AS BIGINT) AS cum,
+                CAST(sum(c) OVER (PARTITION BY event_type) AS BIGINT) AS n
+              FROM dh),
+       mad AS (SELECT event_type,
+                 min(CASE WHEN cum >= (n*50 + 99) // 100 THEN v END) AS mad
+               FROM dw GROUP BY 1)
+       SELECT d.event_type, hour_ts, CAST(cnt AS BIGINT) AS cnt,
+              CAST(med AS BIGINT) AS med, CAST(mad AS BIGINT) AS mad,
+              CAST(dev AS BIGINT) AS dev
+       FROM d JOIN mad ON d.event_type = mad.event_type
+       WHERE dev > 3 * greatest(mad, 1)
+       ORDER BY d.event_type, hour_ts"""
+
   /** USER FEATURE ASSEMBLY — the feature-store export a churn/LTV
     * model trains on: one row per identified user with recency,
     * frequency, monetary, tenure, intensity, and error-exposure
@@ -1147,5 +1218,6 @@ object Events {
     Q("q127_seasonality", q127, Some(q127Sql)),
     Q("q131_rolling_actives", q131, Some(q131Sql)),
     Q("q137_cohort_ltv", q137, Some(q137Sql)),
-    Q("q140_user_features", q140, Some(q140Sql)))
+    Q("q140_user_features", q140, Some(q140Sql)),
+    Q("q141_robust_anomaly", q141, Some(q141Sql)))
 }
