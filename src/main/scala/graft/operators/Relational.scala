@@ -973,6 +973,47 @@ object Relational {
               max(lag_days) AS max_days
        FROM w GROUP BY 1 ORDER BY 1"""
 
+  /** WALLET DECILES — the actionable face of q130's Gini: customers
+    * ranked globally by revenue and cut into 10 equal-frequency
+    * bands, each with its count, revenue, corpus revenue share, and
+    * running cumulative share (the "top decile holds X % of revenue"
+    * table a CRM team acts on). Ranking goes through the parallel
+    * `ops.globalNtile` (never a single-partition ntile window);
+    * shares are integer-ppm divisions against a 1-row broadcast
+    * total; the cumulative window runs over the 10-row decile frame. */
+  def q142(s: SparkSession, dir: String): DataFrame = {
+    val per = Tables(s, dir, "orders")
+      .groupBy("o_custkey")
+      .agg(sum(ops.cents(col("o_totalprice"))).as("cents"))
+    val tot = per.agg(sum("cents").as("t"))
+    ops.globalNtile(per, 10, "decile", col("cents").desc, col("o_custkey"))
+      .groupBy("decile")
+      .agg(count(lit(1)).as("n_customers"), sum("cents").as("dc"))
+      .join(broadcast(tot), lit(true), "left")
+      .withColumn("share_ppm", expr("(dc * 1000000) div t"))
+      .withColumn("cum_share_ppm",
+        expr("(sum(dc) OVER (ORDER BY decile) * 1000000) div t"))
+      .select(col("decile"), col("n_customers"), (col("dc") / 100.0).as("revenue"),
+        col("share_ppm"), col("cum_share_ppm"))
+      .orderBy("decile")
+  }
+
+  private val q142Sql =
+    s"""WITH per AS (
+         SELECT o_custkey, sum(${ops.Cents("o_totalprice")}) AS cents
+         FROM orders GROUP BY 1),
+       tot AS (SELECT CAST(sum(cents) AS BIGINT) AS t FROM per),
+       r AS (SELECT CAST(cents AS BIGINT) AS cents,
+               CAST(ntile(10) OVER (ORDER BY cents DESC, o_custkey) AS INT) AS decile
+             FROM per),
+       d AS (SELECT decile, CAST(count(*) AS BIGINT) AS n_customers,
+               CAST(sum(cents) AS BIGINT) AS dc
+             FROM r GROUP BY 1)
+       SELECT decile, n_customers, dc/100.0 AS revenue,
+              (dc * 1000000) // t AS share_ppm,
+              (CAST(sum(dc) OVER (ORDER BY decile) AS BIGINT) * 1000000) // t AS cum_share_ppm
+       FROM d LEFT JOIN tot ON true ORDER BY decile"""
+
   val qs: Seq[Q] = Seq(
     Q("q01_pricing_summary", q01, Some(q01Sql)),
     Q("q02_revenue_by_nation", q02, Some(q02Sql)),
@@ -1000,5 +1041,6 @@ object Relational {
     Q("q128_abc_analysis", q128, Some(q128Sql)),
     Q("q129_price_demand", q129, Some(q129Sql)),
     Q("q130_revenue_gini", q130, Some(q130Sql)),
-    Q("q139_ship_latency", q139, Some(q139Sql)))
+    Q("q139_ship_latency", q139, Some(q139Sql)),
+    Q("q142_wallet_deciles", q142, Some(q142Sql)))
 }

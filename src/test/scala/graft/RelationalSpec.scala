@@ -226,6 +226,21 @@ class RelationalSpec extends AnyFunSuite {
     assert(got == want, s"first diff: ${got.find(kv => want.get(kv._1) != Some(kv._2))}")
   }
 
+  test("q142 wallet deciles partition customers with monotone shares") {
+    val rows = operators.Relational.q142(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(3), r.getLong(4)))
+    assert(rows.map(_._1).toSeq == (1 to 10))
+    val nCust = Tables(spark, sf, "orders").select("o_custkey").distinct().count()
+    assert(rows.map(_._2).sum == nCust)
+    // SQL-standard ntile sizes; revenue-desc ranking makes shares non-increasing
+    val sizes = rows.map(_._2)
+    assert(sizes.max - sizes.min <= 1 && sizes.sorted.reverse.sameElements(sizes))
+    assert(rows.sliding(2).forall { case Array(a, b) => a._3 >= b._3 })
+    // cumulative share closes at exactly one million ppm
+    assert(rows.last._4 == 1000000L)
+    assert(rows.sliding(2).forall { case Array(a, b) => a._4 <= b._4 })
+  }
+
   test("q128 abc classes equal a local pareto recompute") {
     val got = operators.Relational.q128(spark, sf).collect()
       .map(r => (r.getString(0), r.getString(1)) ->
