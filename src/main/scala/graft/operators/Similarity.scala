@@ -920,6 +920,37 @@ object Similarity {
        FROM h ORDER BY bin"""
   }
 
+  /** ANN RECALL EVALUATION — the quality gate an ANN index ships
+    * behind, as a first-class operator rather than a test-only
+    * number: each approximate method's top-5 (binary-LSH q51, IVF
+    * q52, PQ q53) is scored against the brute-force truth (q50) over
+    * the shared query contract, reporting matched pairs and
+    * recall@5 in integer ppm. This is what a deployment runs after
+    * every index rebuild to decide whether to promote it.
+    *
+    * Scale shape: the truth frame is (QueryMax × 5) rows —
+    * localCheckpointed because three method joins consume it (each
+    * would otherwise re-run the brute-force scan); each comparison
+    * is a semi join on (query, neighbor) + a 1-row count. rows-only:
+    * the methods under test are hash/k-means dependent (their own
+    * rationale), so there is no SQL oracle — the spec pins the
+    * documented recall floors and cross-checks one method's number
+    * against an independent join. */
+  def q143(s: SparkSession, dir: String): DataFrame = {
+    val truth = q50(s, dir).select("query_id", "neighbor_id").localCheckpoint(false)
+    val nTruth = lit(QueryMax.toLong * 5L)
+    def row(name: String, res: DataFrame): DataFrame =
+      res.select("query_id", "neighbor_id")
+        .join(truth, Seq("query_id", "neighbor_id"), "left_semi")
+        .agg(count(lit(1)).as("n_matched"))
+        .select(lit(name).as("method"), col("n_matched"), nTruth.as("n_truth"),
+          expr(s"(n_matched * 1000000) div ${QueryMax * 5}").as("recall_ppm"))
+    row("ivf", q52(s, dir))
+      .unionByName(row("lsh", q51(s, dir)))
+      .unionByName(row("pq", q53(s, dir)))
+      .orderBy("method")
+  }
+
   val qs: Seq[Q] = Seq(
     Q("q50_knn_brute", q50, Some(q50Sql)),
     Q("q51_knn_lsh", q51, None),
@@ -930,5 +961,6 @@ object Similarity {
     Q("q94_triplet_mining", q94, None),
     Q("q98_diversity_sample", q98, None),
     Q("q107_embedding_validate", q107, Some(q107Sql)),
-    Q("q114_cosine_calibration", q114, Some(q114Sql)))
+    Q("q114_cosine_calibration", q114, Some(q114Sql)),
+    Q("q143_ann_recall", q143, None))
 }

@@ -305,4 +305,24 @@ class SimilaritySpec extends AnyFunSuite {
     val p = operators.Similarity.q114(spark, sf).queryExecution.executedPlan.toString
     assert(!p.contains("CartesianProduct"), "q114 plans a cartesian product")
   }
+
+  test("q143 recall report meets the documented floors and matches an independent recount") {
+    val got = operators.Similarity.q143(spark, sf).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got.keySet == Set("ivf", "lsh", "pq"))
+    assert(got.values.forall(_._2 == 100L), "truth size must be QueryMax*5")
+    // the same floors the per-method recall specs pin
+    assert(got("lsh")._3 >= 900000L, s"lsh recall ${got("lsh")._3} ppm")
+    assert(got("ivf")._3 >= 800000L, s"ivf recall ${got("ivf")._3} ppm")
+    assert(got("pq")._3 >= 800000L, s"pq recall ${got("pq")._3} ppm")
+    // cross-check one method against an independent driver-side recount
+    val truth = operators.Similarity.q50(spark, sf)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivfHits = operators.Similarity.q52(spark, sf)
+      .select("query_id", "neighbor_id").collect()
+      .count(r => truth((r.getLong(0), r.getLong(1)))).toLong
+    assert(got("ivf")._1 == ivfHits,
+      s"report ${got("ivf")._1} matched vs recount $ivfHits")
+  }
 }
