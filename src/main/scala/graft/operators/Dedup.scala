@@ -683,6 +683,34 @@ object Dedup {
               (cluster_size * n_clusters * 1000000) // n_total AS doc_ppm
        FROM h LEFT JOIN tot ON true ORDER BY cluster_size"""
 
+  /** DEDUP METHOD EVALUATION — q143's sibling for the text-dedup
+    * family: the LSH shortcut (q42 MinHash banding) scored against
+    * the exact inverted-index truth (q41) as pair-level recall AND
+    * precision in integer ppm — the number that decides whether the
+    * banding geometry is promoted for a corpus. (q42 verifies exact
+    * Jaccard on its candidates, so precision is 1.0 by construction
+    * — the report PROVES that rather than assuming it; recall is
+    * where banding can lose.)
+    *
+    * Scale shape: both pair sets are near-dup-sized (not corpus-
+    * sized); truth is localCheckpointed (two consumers), matched =
+    * one semi join, the report is 1 row. rows-only: q42 is
+    * hash-seeded (its own rationale). */
+  def q144(s: SparkSession, dir: String): DataFrame = {
+    val truth = q41(s, dir).select("d1", "d2").localCheckpoint(false)
+    val found = q42(s, dir).select("d1", "d2").localCheckpoint(false)
+    val matched = found.join(truth, Seq("d1", "d2"), "left_semi")
+      .agg(count(lit(1)).as("n_matched"))
+    truth.agg(count(lit(1)).as("n_truth"))
+      .join(broadcast(found.agg(count(lit(1)).as("n_found"))), lit(true), "left")
+      .join(broadcast(matched), lit(true), "left")
+      .select(lit("minhash_lsh").as("method"), col("n_truth"), col("n_found"), col("n_matched"),
+        expr("CASE WHEN n_truth = 0 THEN NULL ELSE (n_matched * 1000000) div n_truth END")
+          .as("recall_ppm"),
+        expr("CASE WHEN n_found = 0 THEN NULL ELSE (n_matched * 1000000) div n_found END")
+          .as("precision_ppm"))
+  }
+
   /** SemDeDup (Abbas et al. 2023): semantic dedup that scales past
     * pairwise comparison by clustering FIRST — k = ⌈√n⌉ k-means
     * cells over the embeddings ([[Similarity.ivfCellsOf]], map-side
@@ -988,5 +1016,6 @@ object Dedup {
     Q("q132_ngram_containment", q132, Some(q132Sql)),
     Q("q134_dedup_bias", q134, Some(q134Sql)),
     Q("q136_cluster_sizes", q136, Some(q136Sql)),
-    Q("q138_incremental_dedup", q138, Some(q138Sql)))
+    Q("q138_incremental_dedup", q138, Some(q138Sql)),
+    Q("q144_dedup_eval", q144, None))
 }

@@ -360,4 +360,20 @@ class DedupSpec extends AnyFunSuite {
     assert(got.nonEmpty && got.values.exists(_._1 != "novel"),
       "synthetic corpus should produce at least one duplicate verdict")
   }
+
+  test("q144 dedup eval: precision 1.0 by construction, counts match a recount") {
+    val r = operators.Dedup.q144(spark, sf).collect()
+    assert(r.length == 1 && r(0).getString(0) == "minhash_lsh")
+    val (nTruth, nFound, nMatched) = (r(0).getLong(1), r(0).getLong(2), r(0).getLong(3))
+    // q42 verifies exact Jaccard on candidates: everything it emits
+    // is a true pair, so precision must be exactly 1.0
+    assert(nMatched == nFound && r(0).getLong(5) == 1000000L)
+    val truth = operators.Dedup.q41(spark, sf).select("d1", "d2").collect()
+      .map(x => (x.getLong(0), x.getLong(1))).toSet
+    val found = operators.Dedup.q42(spark, sf).select("d1", "d2").collect()
+      .map(x => (x.getLong(0), x.getLong(1))).toSet
+    assert(nTruth == truth.size && nFound == found.size)
+    assert(nMatched == found.count(truth))
+    assert(r(0).getLong(4) == nMatched * 1000000L / nTruth)
+  }
 }
