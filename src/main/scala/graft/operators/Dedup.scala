@@ -683,6 +683,65 @@ object Dedup {
               (cluster_size * n_clusters * 1000000) // n_total AS doc_ppm
        FROM h LEFT JOIN tot ON true ORDER BY cluster_size"""
 
+  /** INVERTED-INDEX HEALTH REPORT — the observability face of the
+    * dedup index every other operator in this module rides: distinct
+    * shingles, posting volume, the hot set DfCap drops (count, ppm,
+    * and the posting volume lost to it), and the df distribution's
+    * p50/p90/max by exact histogram selection. This is the report
+    * that says whether DfCap is tuned for a corpus BEFORE a
+    * quadratic hot key finds out in production — a boilerplate
+    * explosion shows up here as hot_ppm and dropped postings
+    * climbing.
+    *
+    * Scale shape: one shingle explode → df agg (map-side combined);
+    * the selection window runs over the df DOMAIN histogram (≤ max
+    * df distinct values); 1-row output, 1-row broadcasts
+    * (left-join-true). All integer arithmetic. */
+  def q145(s: SparkSession, dir: String): DataFrame = {
+    val df = shingled(s, dir).groupBy("s").agg(count(lit(1)).as("df"))
+    val stats = df.agg(
+      count(lit(1)).as("n_shingles"),
+      sum("df").as("n_postings"),
+      sum(when(col("df") > DfCap, 1L).otherwise(0L)).as("n_hot"),
+      sum(when(col("df") > DfCap, col("df")).otherwise(0L)).as("dropped_postings"),
+      max("df").as("max_df"))
+    val sel = df.groupBy("df").agg(count(lit(1)).as("c"))
+      .withColumn("cum", sum("c").over(Window.orderBy("df")))
+      .join(broadcast(stats.select("n_shingles")), lit(true), "left")
+      .agg(
+        min(when(col("cum") >= expr("(n_shingles*50 + 99) div 100"), col("df"))).as("p50_df"),
+        min(when(col("cum") >= expr("(n_shingles*90 + 99) div 100"), col("df"))).as("p90_df"))
+    stats.join(broadcast(sel), lit(true), "left")
+      .select(col("n_shingles"), col("n_postings"), col("n_hot"),
+        expr("CASE WHEN n_shingles = 0 THEN NULL ELSE (n_hot * 1000000) div n_shingles END")
+          .as("hot_ppm"),
+        col("dropped_postings"), col("p50_df"), col("p90_df"), col("max_df"))
+  }
+
+  private val q145Sql =
+    s"""WITH t AS (SELECT doc_id, list_filter(string_split(text,' '), x -> x<>'') AS tk
+                   FROM documents),
+       sh0 AS (SELECT DISTINCT doc_id, tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] AS s
+               FROM t, UNNEST(range(1, len(tk)-1)) AS r(i)),
+       d AS (SELECT s, CAST(count(*) AS BIGINT) AS df FROM sh0 GROUP BY 1),
+       stats AS (SELECT CAST(count(*) AS BIGINT) AS n_shingles,
+                        CAST(sum(df) AS BIGINT) AS n_postings,
+                        CAST(sum(CASE WHEN df > $DfCap THEN 1 ELSE 0 END) AS BIGINT) AS n_hot,
+                        CAST(sum(CASE WHEN df > $DfCap THEN df ELSE 0 END) AS BIGINT)
+                          AS dropped_postings,
+                        max(df) AS max_df
+                 FROM d),
+       h AS (SELECT df, count(*) AS c FROM d GROUP BY 1),
+       cum AS (SELECT df, CAST(sum(c) OVER (ORDER BY df) AS BIGINT) AS cum FROM h),
+       sel AS (SELECT min(CASE WHEN cum >= (n_shingles*50 + 99) // 100 THEN df END) AS p50_df,
+                      min(CASE WHEN cum >= (n_shingles*90 + 99) // 100 THEN df END) AS p90_df
+               FROM cum LEFT JOIN (SELECT n_shingles FROM stats) ON true)
+       SELECT n_shingles, n_postings, n_hot,
+              CASE WHEN n_shingles = 0 THEN NULL
+                   ELSE (n_hot * 1000000) // n_shingles END AS hot_ppm,
+              dropped_postings, p50_df, p90_df, max_df
+       FROM stats LEFT JOIN sel ON true"""
+
   /** DEDUP METHOD EVALUATION — q143's sibling for the text-dedup
     * family: the LSH shortcut (q42 MinHash banding) scored against
     * the exact inverted-index truth (q41) as pair-level recall AND
@@ -1017,5 +1076,6 @@ object Dedup {
     Q("q134_dedup_bias", q134, Some(q134Sql)),
     Q("q136_cluster_sizes", q136, Some(q136Sql)),
     Q("q138_incremental_dedup", q138, Some(q138Sql)),
-    Q("q144_dedup_eval", q144, None))
+    Q("q144_dedup_eval", q144, None),
+    Q("q145_index_stats", q145, Some(q145Sql)))
 }

@@ -361,6 +361,27 @@ class DedupSpec extends AnyFunSuite {
       "synthetic corpus should produce at least one duplicate verdict")
   }
 
+  test("q145 index health report equals a local shingle-df recompute") {
+    val r = operators.Dedup.q145(spark, sf).collect()
+    assert(r.length == 1)
+    val texts = Tables(spark, sf, "documents").select("text").collect().map(_.getString(0))
+    val dfs = texts.flatMap { t =>
+      val tk = t.split(" ", -1).filter(_.nonEmpty)
+      tk.sliding(3).filter(_.length == 3).map(_.mkString(" ")).toSet
+    }.groupBy(identity).map(_._2.size.toLong).toSeq
+    val cap = operators.Dedup.DfCap
+    val n = dfs.length.toLong
+    val sorted = dfs.sorted
+    def disc(p: Long): Long = sorted(((n * p + 99L) / 100L).toInt - 1)
+    assert(r(0).getLong(0) == n)
+    assert(r(0).getLong(1) == dfs.sum)
+    assert(r(0).getLong(2) == dfs.count(_ > cap).toLong)
+    assert(r(0).getLong(3) == dfs.count(_ > cap).toLong * 1000000L / n)
+    assert(r(0).getLong(4) == dfs.filter(_ > cap).sum)
+    assert(r(0).getLong(5) == disc(50) && r(0).getLong(6) == disc(90))
+    assert(r(0).getLong(7) == sorted.last)
+  }
+
   test("q144 dedup eval: precision 1.0 by construction, counts match a recount") {
     val r = operators.Dedup.q144(spark, sf).collect()
     assert(r.length == 1 && r(0).getString(0) == "minhash_lsh")
