@@ -62,10 +62,16 @@ object Dedup {
     sh.join(hot, Seq("s"), "left_anti").localCheckpoint(false)
   }
 
-  private[operators] val shingleCte =
-    s"""t AS (SELECT doc_id, list_filter(string_split(text,' '), x -> x<>'') AS tk FROM documents),
+  /** Tokenize + raw (uncapped) shingle CTEs — the prefix q145's
+    * index-health report consumes; [[shingleCte]] layers the df cap
+    * on top. ONE text for the tokenization (clusterCte rationale). */
+  private[operators] val shingleRawCte =
+    """t AS (SELECT doc_id, list_filter(string_split(text,' '), x -> x<>'') AS tk FROM documents),
        sh0 AS (SELECT DISTINCT doc_id, tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] AS s
-               FROM t, UNNEST(range(1, len(tk)-1)) AS r(i)),
+               FROM t, UNNEST(range(1, len(tk)-1)) AS r(i))"""
+
+  private[operators] val shingleCte =
+    s"""$shingleRawCte,
        keep AS (SELECT s FROM sh0 GROUP BY s HAVING count(*) <= $DfCap),
        sh AS (SELECT sh0.doc_id, sh0.s FROM sh0 JOIN keep ON sh0.s = keep.s)"""
 
@@ -548,11 +554,10 @@ object Dedup {
   // reads Dedup.tokensExpr — eager evaluation here would deadlock the
   // two object <clinit>s when TextOps loads first (spec suites do)
   private lazy val q134Sql = {
-    val stopCount = TextOps.duckScore(TextOps.stopEn)
     s"""WITH RECURSIVE $shingleCte,
        $clusterCte,
        qual AS (SELECT doc_id, len(tk) AS n_tokens,
-                ${ops.R4(s"least(1.0, len(tk)/100.0) * (1.0 - $stopCount*1.0 / len(tk))")}
+                ${TextOps.QualityScoreSql}
                   AS quality_score
                 FROM t),
        st AS (SELECT q.doc_id,
@@ -719,10 +724,7 @@ object Dedup {
   }
 
   private val q145Sql =
-    s"""WITH t AS (SELECT doc_id, list_filter(string_split(text,' '), x -> x<>'') AS tk
-                   FROM documents),
-       sh0 AS (SELECT DISTINCT doc_id, tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] AS s
-               FROM t, UNNEST(range(1, len(tk)-1)) AS r(i)),
+    s"""WITH $shingleRawCte,
        d AS (SELECT s, CAST(count(*) AS BIGINT) AS df FROM sh0 GROUP BY 1),
        stats AS (SELECT CAST(count(*) AS BIGINT) AS n_shingles,
                         CAST(sum(df) AS BIGINT) AS n_postings,

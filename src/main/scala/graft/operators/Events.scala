@@ -1064,17 +1064,23 @@ object Events {
     * Scale shape: one map-side-combined groupBy to a ≤ #types·7·24
     * frame; the share window runs over that tiny aggregate, never
     * the events. */
-  def q127(s: SparkSession, dir: String): DataFrame = {
-    val cells = Tables(s, dir, "events")
-      .groupBy(col("event_type"),
+  /** q127's two halves as shared cores — the streaming face
+    * (EnrichStream.seasonStream/seasonShares) reuses these exact
+    * expression trees so the live profile can never drift from the
+    * batch/oracle definition (the robustAnomalyCore pattern). */
+  private[graft] def seasonCells(events: DataFrame): DataFrame =
+    events.groupBy(col("event_type"),
         expr("CAST(weekday(ts) + 1 AS BIGINT)").as("dow"),
         expr("CAST(hour(ts) AS BIGINT)").as("hr"))
       .agg(count(lit(1)).as("n_events"))
-    cells
-      .withColumn("share_ppm",
-        expr("(n_events * 1000000) div sum(n_events) OVER (PARTITION BY event_type)"))
+
+  private[graft] def seasonShare(cells: DataFrame): DataFrame =
+    cells.withColumn("share_ppm",
+      expr("(n_events * 1000000) div sum(n_events) OVER (PARTITION BY event_type)"))
+
+  def q127(s: SparkSession, dir: String): DataFrame =
+    seasonShare(seasonCells(Tables(s, dir, "events")))
       .orderBy("event_type", "dow", "hr")
-  }
 
   private val q127Sql =
     """WITH cells AS (

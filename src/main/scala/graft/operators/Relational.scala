@@ -990,9 +990,12 @@ object Relational {
       .groupBy("decile")
       .agg(count(lit(1)).as("n_customers"), sum("cents").as("dc"))
       .join(broadcast(tot), lit(true), "left")
-      .withColumn("share_ppm", expr("(dc * 1000000) div t"))
+      // ppm through decimals: dc·10⁶ wraps a long once corpus cents
+      // pass ~9.2e12 (Spark wraps silently, DuckDB raises — the
+      // q121 asymmetric-failure class); div on decimals → BIGINT
+      .withColumn("share_ppm", expr("(CAST(dc AS DECIMAL(38,0)) * 1000000) div t"))
       .withColumn("cum_share_ppm",
-        expr("(sum(dc) OVER (ORDER BY decile) * 1000000) div t"))
+        expr("(CAST(sum(dc) OVER (ORDER BY decile) AS DECIMAL(38,0)) * 1000000) div t"))
       .select(col("decile"), col("n_customers"), (col("dc") / 100.0).as("revenue"),
         col("share_ppm"), col("cum_share_ppm"))
       .orderBy("decile")
@@ -1010,8 +1013,8 @@ object Relational {
                CAST(sum(cents) AS BIGINT) AS dc
              FROM r GROUP BY 1)
        SELECT decile, n_customers, dc/100.0 AS revenue,
-              (dc * 1000000) // t AS share_ppm,
-              (CAST(sum(dc) OVER (ORDER BY decile) AS BIGINT) * 1000000) // t AS cum_share_ppm
+              CAST((dc::HUGEINT * 1000000) // t AS BIGINT) AS share_ppm,
+              CAST((sum(dc) OVER (ORDER BY decile) * 1000000) // t AS BIGINT) AS cum_share_ppm
        FROM d LEFT JOIN tot ON true ORDER BY decile"""
 
   val qs: Seq[Q] = Seq(

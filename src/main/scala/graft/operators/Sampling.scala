@@ -138,8 +138,7 @@ object Sampling {
        ${Dedup.clusterCte},
        ex AS (SELECT doc_id, doc_id = min(doc_id) OVER (PARTITION BY md5(text)) AS ex_keep
               FROM documents),
-       qual AS (SELECT doc_id,
-                ${ops.R4(s"least(1.0, len(tk)/100.0) * (1.0 - $stopCount*1.0 / len(tk))")} AS quality_score
+       qual AS (SELECT doc_id, ${TextOps.QualityScoreSql} AS quality_score
                 FROM t),
        clean AS (SELECT doc_id,
                  len(regexp_extract_all(text, '${TextOps.EmailRe}')) +
@@ -1092,10 +1091,9 @@ object Sampling {
   }
 
   private val q133Sql = {
-    val stopCount = TextOps.duckScore(TextOps.stopEn)
     s"""WITH q AS (
          SELECT doc_id, len(tk) AS n_tokens,
-                ${ops.R4(s"least(1.0, len(tk)/100.0) * (1.0 - $stopCount*1.0 / len(tk))")}
+                ${TextOps.QualityScoreSql}
                   AS quality_score
          FROM (SELECT doc_id, list_filter(string_split(text,' '), x -> x<>'') AS tk
                FROM documents)),

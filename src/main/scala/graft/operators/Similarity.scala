@@ -938,13 +938,19 @@ object Similarity {
     * against an independent join. */
   def q143(s: SparkSession, dir: String): DataFrame = {
     val truth = q50(s, dir).select("query_id", "neighbor_id").localCheckpoint(false)
-    val nTruth = lit(QueryMax.toLong * 5L)
+    // the denominator is the truth frame's ACTUAL size — a corpus
+    // with sparse vec_id coverage below QueryMax (or shorter top-5
+    // lists) must not silently understate recall against a
+    // hard-coded QueryMax·5
+    val tcount = truth.agg(count(lit(1)).as("n_truth"))
     def row(name: String, res: DataFrame): DataFrame =
       res.select("query_id", "neighbor_id")
         .join(truth, Seq("query_id", "neighbor_id"), "left_semi")
         .agg(count(lit(1)).as("n_matched"))
-        .select(lit(name).as("method"), col("n_matched"), nTruth.as("n_truth"),
-          expr(s"(n_matched * 1000000) div ${QueryMax * 5}").as("recall_ppm"))
+        .join(broadcast(tcount), lit(true), "left")
+        .select(lit(name).as("method"), col("n_matched"), col("n_truth"),
+          expr("CASE WHEN n_truth = 0 THEN NULL ELSE (n_matched * 1000000) div n_truth END")
+            .as("recall_ppm"))
     row("ivf", q52(s, dir))
       .unionByName(row("lsh", q51(s, dir)))
       .unionByName(row("pq", q53(s, dir)))

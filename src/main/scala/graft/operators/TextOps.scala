@@ -24,6 +24,13 @@ object TextOps {
   private[operators] def duckScore(ws: Seq[String]) =
     s"len(list_filter(tk, x -> list_contains([${sqlArr(ws)}], x)))"
 
+  /** q60's quality_score as ONE oracle-SQL fragment (expects a
+    * `tk` token-list column in scope) — shared by q60Sql, Sampling's
+    * gate, q133Sql, and q134Sql so the scoring text cannot drift
+    * between the oracles that hash-compare against TextOps.q60. */
+  private[operators] val QualityScoreSql: String =
+    ops.R4(s"least(1.0, len(tk)/100.0) * (1.0 - ${duckScore(stopEn)}*1.0 / len(tk))")
+
   /** Per-document quality score from length/stopword signals. */
   def q60(s: SparkSession, dir: String): DataFrame =
     Tables(s, dir, "documents")
@@ -43,7 +50,7 @@ object TextOps {
     s"""SELECT doc_id, len(tk) AS n_tokens,
        ${ops.R4("list_sum(list_transform(tk, x -> length(x)))*1.0 / len(tk)")} AS avg_token_len,
        ${ops.R4(s"${duckScore(stopEn)}*1.0 / len(tk)")} AS stopword_ratio,
-       ${ops.R4(s"least(1.0, len(tk)/100.0) * (1.0 - ${duckScore(stopEn)}*1.0 / len(tk))")} AS quality_score
+       $QualityScoreSql AS quality_score
        FROM (SELECT doc_id, list_filter(string_split(text,' '), x -> x<>'') AS tk FROM documents)
        ORDER BY doc_id"""
 
@@ -1096,7 +1103,9 @@ object TextOps {
   def q135(s: SparkSession, dir: String): DataFrame = {
     val d = (c: Column) => c.cast("decimal(38,0)")
     val t = Tables(s, dir, "documents").withColumn("tk", expr(tk))
-    val uni = t.select(explode(col("tk")).as("w"))
+    // explode the expression directly (q77 codegen lesson) — not the
+    // withColumn-computed array column
+    val uni = Tables(s, dir, "documents").select(explode(expr(tk)).as("w"))
       .groupBy("w").agg(count(lit(1)).as("c"))
     val tot = t.agg(
       sum(expr("size(tk)")).as("n"),

@@ -130,19 +130,13 @@ object EnrichStream {
     * Shares are derived per emission by [[seasonShares]] — the
     * normalizing window must not live in the streaming agg. */
   def seasonStream(stream: DataFrame): DataFrame =
-    stream.groupBy(col("event_type"),
-        expr("CAST(weekday(ts) + 1 AS BIGINT)").as("dow"),
-        expr("CAST(hour(ts) AS BIGINT)").as("hr"))
-      .agg(count(lit(1)).as("n_events"))
+    Events.seasonCells(stream) // the SAME expression tree as batch q127
 
   /** Share derivation over a [[seasonStream]] emission (or any cell
-    * frame): identical arithmetic to batch q127, run per sink refresh
-    * over the ≤ #types·168-row snapshot. */
+    * frame): q127's own share core, run per sink refresh over the
+    * ≤ #types·168-row snapshot. */
   def seasonShares(cells: DataFrame): DataFrame =
-    cells
-      .withColumn("share_ppm",
-        expr("(n_events * 1000000) div sum(n_events) OVER (PARTITION BY event_type)"))
-      .orderBy("event_type", "dow", "hr")
+    Events.seasonShare(cells).orderBy("event_type", "dow", "hr")
 
   /** LIVE ROLLING ACTIVE USERS — batch q131's online face at the
     * sketch level: per sliding 7-day window (1-day slide), the

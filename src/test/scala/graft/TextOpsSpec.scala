@@ -230,7 +230,14 @@ class TextOpsSpec extends AnyFunSuite {
           (cxy * n * n).toDouble / (m * uni(w1) * uni(w2)).toDouble * 1e6 + 0.5).toLong
         (w1, w2, xs.size.toLong, liftU)
       }.toSeq
-      .sortBy { case (w1, w2, _, liftU) => (-liftU, w1, w2) }
+      // tie-break by UTF-8 byte order (Tokenizer.utf8Lt), not Java
+      // UTF-16 — a lift tie on supplementary-plane tokens would fork
+      // the reference otherwise (CLAUDE.md string-ordering lesson)
+      .sortWith { case ((a1, a2, _, la), (b1, b2, _, lb)) =>
+        if (la != lb) la > lb
+        else if (a1 != b1) operators.Tokenizer.utf8Lt(a1, b1)
+        else operators.Tokenizer.utf8Lt(a2, b2)
+      }
       .take(20)
       .map { case (w1, w2, c, liftU) => (w1, w2, c, liftU / 1000000.0) }
     assert(got == want, s"got ${got.take(3)}... want ${want.take(3)}...")
