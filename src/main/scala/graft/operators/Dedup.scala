@@ -744,6 +744,41 @@ object Dedup {
               dropped_postings, p50_df, p90_df, max_df
        FROM stats LEFT JOIN sel ON true"""
 
+  /** JACCARD THRESHOLD-CALIBRATION HISTOGRAM — the curve that picks
+    * JaccThr for a corpus: every co-shingled pair's exact Jaccard
+    * bucketed into tenth-wide bands, with the reverse-cumulative
+    * pair count (pairs that WOULD be called duplicates at each
+    * candidate threshold). Moving the gate from 0.6 to 0.5 costs
+    * exactly cum_pairs_ge(5) − cum_pairs_ge(6) extra merges — read
+    * straight off this table instead of rerunning dedup per
+    * candidate.
+    *
+    * Banding arithmetic: floor(jacc·10) where jacc is the SAME IEEE
+    * double both engines compute (c/(n1+n2−c)) — deterministic
+    * band, all counts integer after it. One inverted-index pair
+    * pass; the cumulative window runs over the ≤10-row band frame. */
+  def q146(s: SparkSession, dir: String): DataFrame =
+    jaccardPairs(s, dir)
+      .withColumn("band", least(floor(col("jacc_raw") * 10.0).cast("int"), lit(9)))
+      .groupBy("band").agg(count(lit(1)).as("n_pairs"))
+      .withColumn("band_lo", col("band") / 10.0)
+      .withColumn("cum_pairs_ge", sum("n_pairs").over(
+        Window.orderBy(col("band").desc)))
+      .select("band", "band_lo", "n_pairs", "cum_pairs_ge")
+      .orderBy("band")
+
+  private val q146Sql =
+    s"""WITH $shingleCte,
+       sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+       pairs AS (SELECT a.doc_id d1, b.doc_id d2, count(*) c
+                 FROM sh a JOIN sh b ON a.s=b.s AND a.doc_id < b.doc_id GROUP BY 1,2),
+       j AS (SELECT least(CAST(floor((c*1.0/(n1.n + n2.n - c))*10.0) AS INT), 9) AS band
+             FROM pairs JOIN sz n1 ON d1=n1.doc_id JOIN sz n2 ON d2=n2.doc_id),
+       h AS (SELECT band, CAST(count(*) AS BIGINT) AS n_pairs FROM j GROUP BY 1)
+       SELECT band, band/10.0 AS band_lo, n_pairs,
+              CAST(sum(n_pairs) OVER (ORDER BY band DESC) AS BIGINT) AS cum_pairs_ge
+       FROM h ORDER BY band"""
+
   /** DEDUP METHOD EVALUATION — q143's sibling for the text-dedup
     * family: the LSH shortcut (q42 MinHash banding) scored against
     * the exact inverted-index truth (q41) as pair-level recall AND
@@ -1079,5 +1114,6 @@ object Dedup {
     Q("q136_cluster_sizes", q136, Some(q136Sql)),
     Q("q138_incremental_dedup", q138, Some(q138Sql)),
     Q("q144_dedup_eval", q144, None),
-    Q("q145_index_stats", q145, Some(q145Sql)))
+    Q("q145_index_stats", q145, Some(q145Sql)),
+    Q("q146_jaccard_bands", q146, Some(q146Sql)))
 }

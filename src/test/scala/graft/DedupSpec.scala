@@ -382,6 +382,38 @@ class DedupSpec extends AnyFunSuite {
     assert(r(0).getLong(7) == sorted.last)
   }
 
+  test("q146 jaccard bands equal a brute-force local recompute and nest with q41") {
+    val got = operators.Dedup.q146(spark, sf).collect()
+      .map(r => r.getInt(0) -> ((r.getDouble(1), r.getLong(2), r.getLong(3)))).toMap
+    val texts = Tables(spark, sf, "documents").select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val sets = texts.map { case (id, t) =>
+      val tk = t.split(" ", -1).filter(_.nonEmpty)
+      id -> tk.sliding(3).filter(_.length == 3).map(_.mkString(" ")).toSet
+    }.toMap
+    val df = sets.values.flatten.groupBy(identity).map { case (g, xs) => g -> xs.size }
+    val capped = sets.map { case (id, ss) =>
+      id -> ss.filter(df(_) <= operators.Dedup.DfCap)
+    }
+    val ids = capped.keys.toSeq.sorted
+    val bands = (for {
+      i <- ids.indices.iterator; j <- (i + 1) until ids.length
+      sa = capped(ids(i)); sb = capped(ids(j))
+      c = (sa & sb).size if c > 0
+    } yield {
+      val jacc = c * 1.0 / (sa.size + sb.size - c)
+      math.min(math.floor(jacc * 10.0).toInt, 9)
+    }).toSeq
+    val want = bands.groupBy(identity).map { case (b, xs) =>
+      b -> ((b / 10.0, xs.size.toLong, bands.count(_ >= b).toLong))
+    }
+    assert(got == want, s"first diff: ${got.find(kv => want.get(kv._1) != Some(kv._2))}")
+    // the 0.6 gate reads straight off the curve: pairs in bands >= 6
+    // == q41's pair count (floor(j*10) >= 6 <=> the same j >= 0.6)
+    val ge6 = got.collect { case (b, (_, n, _)) if b >= 6 => n }.sum
+    assert(ge6 == operators.Dedup.q41(spark, sf).count())
+  }
+
   test("q144 dedup eval: precision 1.0 by construction, counts match a recount") {
     val r = operators.Dedup.q144(spark, sf).collect()
     assert(r.length == 1 && r(0).getString(0) == "minhash_lsh")
