@@ -309,6 +309,37 @@ object MlOps {
     (model.transform(scaled), model.clusterCenters.map(_.toArray))
   }
 
+  /** EMBEDDING PCA SPECTRUM — the dimensionality diagnostic an
+    * embedding pipeline reads before choosing PQ subspaces, IVF cell
+    * counts, or a truncation dim: per principal component, the
+    * explained-variance fraction and its cumulative curve over the
+    * corpus covariance. A healthy clustered corpus shows the cluster
+    * count as a knee; a collapsed embedding model shows one dominant
+    * component (the q107 validation's spectral sibling).
+    *
+    * Scale shape: MLlib PCA's covariance is one treeAggregate
+    * (map-side Gramian partials — a d×d matrix per partition, never
+    * rows to the driver) + a driver-side d×d eigendecomposition;
+    * the output is K rows. rows-only: covariance sums are
+    * order-dependent doubles in the last ulp and the eigensolver is
+    * libm-dependent — the spec pins the structural invariants and
+    * the cluster-count knee instead. */
+  def q147(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.ml.feature.PCA
+    import org.apache.spark.ml.functions.array_to_vector
+    val k = 16
+    val vecs = Tables(s, dir, "embeddings")
+      .select(array_to_vector(col("embedding").cast("array<double>")).as("features"))
+    val ev = new PCA().setK(k).setInputCol("features").setOutputCol("pc")
+      .fit(vecs).explainedVariance.toArray
+    val cum = ev.scanLeft(0.0)(_ + _).drop(1)
+    import s.implicits._
+    ev.zip(cum).zipWithIndex
+      .map { case ((e, c), i) =>
+        (i + 1, math.floor(e * 1e6 + 0.5) / 1e6, math.floor(c * 1e6 + 0.5) / 1e6) }
+      .toSeq.toDF("component", "explained6", "cum_explained6")
+  }
+
   def q33(s: SparkSession, dir: String): DataFrame =
     kmeansRfm(s, dir)._1
       .select(col("o_custkey"), col("recency_days"), col("frequency"),
@@ -452,6 +483,7 @@ object MlOps {
     Q("q31_product_recs", q31, Some(q31Sql)),
     Q("q32_anomaly_users", q32, Some(q32Sql)),
     Q("q33_kmeans_rfm", q33, None),
+    Q("q147_embedding_pca", q147, None),
     Q("q34_als_recs", q34, None),
     Q("q35_kmeans_anomaly", q35, None),
     Q("q105_text_classifier", q105, None),

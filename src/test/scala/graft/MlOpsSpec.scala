@@ -135,4 +135,22 @@ class MlOpsSpec extends AnyFunSuite {
       .filter(col("prev").isNotNull && col("score") > col("prev"))
     assert(bad.count() == 0, "scores must be non-increasing with rank")
   }
+
+  test("q147 PCA spectrum: decreasing, positive, consistent cumulative, above-isotropic head") {
+    val rows = operators.MlOps.q147(TestSpark.spark, TestSpark.sf).collect()
+      .map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2)))
+    assert(rows.map(_._1).toSeq == (1 to 16))
+    assert(rows.forall(_._2 > 0.0))
+    // explained fractions non-increasing; cumulative strictly increasing
+    assert(rows.sliding(2).forall { case Array(a, b) => a._2 >= b._2 && a._3 < b._3 })
+    // cumulative is the running sum of the (unrounded) fractions:
+    // rounded check within one ulp-of-rounding per step
+    val cumErr = rows.scanLeft(0.0)((acc, r) => acc + r._2).drop(1)
+      .zip(rows.map(_._3)).map { case (a, b) => math.abs(a - b) }.max
+    assert(cumErr <= 16 * 1e-6, s"cum drift $cumErr")
+    assert(rows.last._3 < 1.0)
+    // the head component must beat the isotropic share (1/64): the
+    // corpus carries real cluster structure
+    assert(rows.head._2 > 1.2 / 64.0, s"head ${rows.head._2} not above isotropic")
+  }
 }
