@@ -202,6 +202,92 @@ object Events {
               max(us)-min(us) AS duration_us
        FROM s GROUP BY 1,2 ORDER BY user_id, session_seq"""
 
+  /** SESSION FUNNEL & ABANDONMENT REPORT — q24's funnel is
+    * user-lifetime-scoped; the per-VISIT truth a storefront acts on
+    * is session-scoped: within each 30-min session, the ordered
+    * view → click → purchase chain (each step at-or-after the
+    * previous, q124's chained-min discipline), conversion ppm at
+    * each step, the abandonment rate (clicked but did not purchase
+    * — the "cart abandonment" KPI), and exact p50/p90 session depth
+    * by histogram selection.
+    *
+    * Scale shape: the chained anchors are three min-over-partition
+    * windows on the ONE (user, session) shuffle the shared
+    * sessionize core already performs; sessions collapse to one row
+    * each; the depth selection runs over the events-per-session
+    * DOMAIN histogram; the report is 1 row. All integer. */
+  def q148(s: SparkSession, dir: String): DataFrame = {
+    val bySess = Window.partitionBy("user_id", "session_seq")
+    val anchored = sessionized(s, dir)
+      .withColumn("v_us", min(when(col("event_type") === "view", col("us"))).over(bySess))
+      .withColumn("c_us", min(when(col("event_type") === "click" &&
+        col("v_us").isNotNull && col("us") >= col("v_us"), col("us"))).over(bySess))
+      .withColumn("p_us", min(when(col("event_type") === "purchase" &&
+        col("c_us").isNotNull && col("us") >= col("c_us"), col("us"))).over(bySess))
+    val perSess = anchored.groupBy("user_id", "session_seq")
+      .agg(count(lit(1)).as("depth"),
+        max("v_us").as("v"), max("c_us").as("c"), max("p_us").as("p"))
+    val stats = perSess.agg(
+      count(lit(1)).as("n_sessions"),
+      sum(when(col("v").isNotNull, 1L).otherwise(0L)).as("n_viewed"),
+      sum(when(col("c").isNotNull, 1L).otherwise(0L)).as("n_clicked"),
+      sum(when(col("p").isNotNull, 1L).otherwise(0L)).as("n_purchased"))
+    val sel = perSess.groupBy("depth").agg(count(lit(1)).as("cnt"))
+      .withColumn("cum", sum("cnt").over(Window.orderBy("depth")))
+      .join(broadcast(stats.select("n_sessions")), lit(true), "left")
+      .agg(
+        min(when(col("cum") >= expr("(n_sessions*50 + 99) div 100"), col("depth"))).as("p50_depth"),
+        min(when(col("cum") >= expr("(n_sessions*90 + 99) div 100"), col("depth"))).as("p90_depth"))
+    stats.join(broadcast(sel), lit(true), "left")
+      .select(col("n_sessions"), col("n_viewed"), col("n_clicked"), col("n_purchased"),
+        expr("(n_viewed * 1000000) div n_sessions").as("view_ppm"),
+        expr("CASE WHEN n_viewed = 0 THEN NULL ELSE (n_clicked * 1000000) div n_viewed END")
+          .as("click_of_view_ppm"),
+        expr("CASE WHEN n_clicked = 0 THEN NULL ELSE (n_purchased * 1000000) div n_clicked END")
+          .as("purchase_of_click_ppm"),
+        expr("CASE WHEN n_clicked = 0 THEN NULL ELSE ((n_clicked - n_purchased) * 1000000) div n_clicked END")
+          .as("abandon_ppm"),
+        col("p50_depth"), col("p90_depth"))
+  }
+
+  private val q148Sql =
+    s"""WITH $sessCte,
+       f1 AS (SELECT user_id, session_seq, us, event_type,
+                min(CASE WHEN event_type = 'view' THEN us END)
+                  OVER (PARTITION BY user_id, session_seq) AS v_us
+              FROM s),
+       f2 AS (SELECT *, min(CASE WHEN event_type = 'click' AND v_us IS NOT NULL
+                                  AND us >= v_us THEN us END)
+                OVER (PARTITION BY user_id, session_seq) AS c_us
+              FROM f1),
+       f3 AS (SELECT *, min(CASE WHEN event_type = 'purchase' AND c_us IS NOT NULL
+                                  AND us >= c_us THEN us END)
+                OVER (PARTITION BY user_id, session_seq) AS p_us
+              FROM f2),
+       ps AS (SELECT user_id, session_seq, CAST(count(*) AS BIGINT) AS depth,
+                max(v_us) AS v, max(c_us) AS c, max(p_us) AS p
+              FROM f3 GROUP BY 1, 2),
+       stats AS (SELECT CAST(count(*) AS BIGINT) AS n_sessions,
+                   CAST(sum(CASE WHEN v IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_viewed,
+                   CAST(sum(CASE WHEN c IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_clicked,
+                   CAST(sum(CASE WHEN p IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_purchased
+                 FROM ps),
+       h AS (SELECT depth, count(*) AS cnt FROM ps GROUP BY 1),
+       cum AS (SELECT depth, CAST(sum(cnt) OVER (ORDER BY depth) AS BIGINT) AS cum FROM h),
+       sel AS (SELECT min(CASE WHEN cum >= (n_sessions*50 + 99) // 100 THEN depth END) AS p50_depth,
+                      min(CASE WHEN cum >= (n_sessions*90 + 99) // 100 THEN depth END) AS p90_depth
+               FROM cum LEFT JOIN (SELECT n_sessions FROM stats) ON true)
+       SELECT n_sessions, n_viewed, n_clicked, n_purchased,
+              (n_viewed * 1000000) // n_sessions AS view_ppm,
+              CASE WHEN n_viewed = 0 THEN NULL
+                   ELSE (n_clicked * 1000000) // n_viewed END AS click_of_view_ppm,
+              CASE WHEN n_clicked = 0 THEN NULL
+                   ELSE (n_purchased * 1000000) // n_clicked END AS purchase_of_click_ppm,
+              CASE WHEN n_clicked = 0 THEN NULL
+                   ELSE ((n_clicked - n_purchased) * 1000000) // n_clicked END AS abandon_ppm,
+              p50_depth, p90_depth
+       FROM stats LEFT JOIN sel ON true"""
+
   /** Ordered view→click→purchase funnel. */
   def q24(s: SparkSession, dir: String): DataFrame = {
     val ev = Tables(s, dir, "events")
@@ -1225,5 +1311,6 @@ object Events {
     Q("q131_rolling_actives", q131, Some(q131Sql)),
     Q("q137_cohort_ltv", q137, Some(q137Sql)),
     Q("q140_user_features", q140, Some(q140Sql)),
-    Q("q141_robust_anomaly", q141, Some(q141Sql)))
+    Q("q141_robust_anomaly", q141, Some(q141Sql)),
+    Q("q148_session_funnel", q148, Some(q148Sql)))
 }

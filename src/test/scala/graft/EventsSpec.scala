@@ -440,6 +440,31 @@ class EventsSpec extends AnyFunSuite {
     assert(got == want, s"first diff: ${got.find(kv => want.get(kv._1) != Some(kv._2))}")
   }
 
+  test("q148 session funnel equals an exact local recompute over the shared sessions") {
+    val r = operators.Events.q148(spark, sf).collect()(0)
+    val ev = operators.Events.sessionized(spark, sf)
+      .select("user_id", "session_seq", "us", "event_type").collect()
+      .map(x => ((x.getLong(0), x.getLong(1)), x.getLong(2), x.getString(3)))
+    val perSess = ev.groupBy(_._1).map { case (_, rows) =>
+      val v = rows.collect { case (_, us, "view") => us }.minOption
+      val c = v.flatMap(vu => rows.collect {
+        case (_, us, "click") if us >= vu => us }.minOption)
+      val p = c.flatMap(cu => rows.collect {
+        case (_, us, "purchase") if us >= cu => us }.minOption)
+      (rows.length.toLong, v.isDefined, c.isDefined, p.isDefined)
+    }.toSeq
+    val n = perSess.length.toLong
+    val (nv, nc, np) = (perSess.count(_._2).toLong, perSess.count(_._3).toLong,
+      perSess.count(_._4).toLong)
+    assert(r.getLong(0) == n && r.getLong(1) == nv && r.getLong(2) == nc && r.getLong(3) == np)
+    assert(np <= nc && nc <= nv && nv <= n)
+    assert(r.getLong(4) == nv * 1000000L / n)
+    assert(r.getLong(7) == (nc - np) * 1000000L / nc)
+    val depths = perSess.map(_._1).sorted
+    def disc(p: Long): Long = depths(((n * p + 99L) / 100L).toInt - 1)
+    assert(r.getLong(8) == disc(50) && r.getLong(9) == disc(90))
+  }
+
   test("q140 user features equal an exact per-user local recompute") {
     val got = operators.Events.q140(spark, sf).collect()
       .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4),
