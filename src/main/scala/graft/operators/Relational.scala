@@ -1017,6 +1017,76 @@ object Relational {
               CAST((sum(dc) OVER (ORDER BY decile) * 1000000) // t AS BIGINT) AS cum_share_ppm
        FROM d LEFT JOIN tot ON true ORDER BY decile"""
 
+  /** BRAND LOYALTY — the repeat-purchase read per brand: of the
+    * customers who ever bought a brand, how many came back for it in
+    * a LATER order (distinct order count ≥ 2), with the repeat share
+    * in integer ppm and the brand's repeat-order revenue. The
+    * merchandising complement of q125's corpus-wide cadence.
+    *
+    * Scale shape: facts collapse to distinct (customer, brand,
+    * order) via one map-side-combined agg (part broadcast, orders
+    * joined on the co-keyed orderkey); the per-(customer, brand)
+    * order counts then reduce to a brand-level report — no windows,
+    * counts all integer. */
+  def q149(s: SparkSession, dir: String): DataFrame = {
+    val cbo = Tables(s, dir, "lineitem")
+      .join(broadcast(Tables(s, dir, "part").select("p_partkey", "p_brand")),
+        col("l_partkey") === col("p_partkey"))
+      .join(Tables(s, dir, "orders").select("o_orderkey", "o_custkey"),
+        col("l_orderkey") === col("o_orderkey"))
+      .select("p_brand", "o_custkey", "o_orderkey")
+      .distinct()
+    cbo.groupBy("p_brand", "o_custkey")
+      .agg(count(lit(1)).as("n_orders"))
+      .groupBy("p_brand")
+      .agg(count(lit(1)).as("n_customers"),
+        sum(when(col("n_orders") >= 2, 1L).otherwise(0L)).as("n_repeat"),
+        sum("n_orders").as("n_brand_orders"))
+      .select(col("p_brand"), col("n_customers"), col("n_repeat"),
+        expr("(n_repeat * 1000000) div n_customers").as("repeat_ppm"),
+        col("n_brand_orders"))
+      .orderBy("p_brand")
+  }
+
+  private val q149Sql =
+    """WITH cbo AS (
+         SELECT DISTINCT p_brand, o_custkey, o_orderkey
+         FROM lineitem JOIN part ON l_partkey = p_partkey
+         JOIN orders ON l_orderkey = o_orderkey),
+       cb AS (SELECT p_brand, o_custkey, CAST(count(*) AS BIGINT) AS n_orders
+              FROM cbo GROUP BY 1, 2)
+       SELECT p_brand, CAST(count(*) AS BIGINT) AS n_customers,
+              CAST(sum(CASE WHEN n_orders >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_repeat,
+              (CAST(sum(CASE WHEN n_orders >= 2 THEN 1 ELSE 0 END) AS BIGINT) * 1000000)
+                // count(*) AS repeat_ppm,
+              CAST(sum(n_orders) AS BIGINT) AS n_brand_orders
+       FROM cb GROUP BY 1 ORDER BY 1"""
+
+  /** DISCOUNT LADDER — the pricing-response table: per whole-percent
+    * discount band, line volume, exact average quantity and unit
+    * price, and discounted revenue — the "does discount move
+    * volume" read. The band is floor(discount·100 + 0.5) (the cents
+    * transform on the discount fraction — exact both engines);
+    * every average is an integer-cents sum with ONE divide
+    * (avgMoney4 discipline). One map-side-combined groupBy to a
+    * ≤ 101-row frame. */
+  def q150(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "lineitem")
+      .groupBy(ops.cents(col("l_discount")).as("discount_pct"))
+      .agg(count(lit(1)).as("n_lines"),
+        ops.avgMoney4(col("l_quantity")).as("avg_qty"),
+        ops.avgMoney4(col("l_extendedprice")).as("avg_price"),
+        ops.sumMoney(disc(col("l_extendedprice"), col("l_discount"))).as("revenue"))
+      .orderBy("discount_pct")
+
+  private val q150Sql =
+    s"""SELECT ${ops.Cents("l_discount")} AS discount_pct,
+              count(*) AS n_lines,
+              ${ops.AvgMoney4("l_quantity")} AS avg_qty,
+              ${ops.AvgMoney4("l_extendedprice")} AS avg_price,
+              ${ops.SumMoney("l_extendedprice*(1.0-l_discount)")} AS revenue
+       FROM lineitem GROUP BY 1 ORDER BY 1"""
+
   val qs: Seq[Q] = Seq(
     Q("q01_pricing_summary", q01, Some(q01Sql)),
     Q("q02_revenue_by_nation", q02, Some(q02Sql)),
@@ -1045,5 +1115,7 @@ object Relational {
     Q("q129_price_demand", q129, Some(q129Sql)),
     Q("q130_revenue_gini", q130, Some(q130Sql)),
     Q("q139_ship_latency", q139, Some(q139Sql)),
-    Q("q142_wallet_deciles", q142, Some(q142Sql)))
+    Q("q142_wallet_deciles", q142, Some(q142Sql)),
+    Q("q149_brand_loyalty", q149, Some(q149Sql)),
+    Q("q150_discount_ladder", q150, Some(q150Sql)))
 }

@@ -226,6 +226,46 @@ class RelationalSpec extends AnyFunSuite {
     assert(got == want, s"first diff: ${got.find(kv => want.get(kv._1) != Some(kv._2))}")
   }
 
+  test("q149 brand loyalty equals a local distinct-triple recompute") {
+    val got = operators.Relational.q149(spark, sf).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    val triples = Tables(spark, sf, "lineitem")
+      .join(Tables(spark, sf, "part").select("p_partkey", "p_brand"),
+        col("l_partkey") === col("p_partkey"))
+      .join(Tables(spark, sf, "orders").select("o_orderkey", "o_custkey"),
+        col("l_orderkey") === col("o_orderkey"))
+      .select("p_brand", "o_custkey", "o_orderkey").distinct()
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val want = triples.groupBy(_._1).map { case (brand, ts) =>
+      val perCust = ts.groupBy(_._2).map(_._2.length.toLong)
+      val (n, rep) = (perCust.size.toLong, perCust.count(_ >= 2).toLong)
+      brand -> ((n, rep, rep * 1000000L / n, perCust.sum))
+    }
+    assert(got == want, s"first diff: ${got.find(kv => want.get(kv._1) != Some(kv._2))}")
+  }
+
+  test("q150 discount ladder partitions lineitem with exact integer averages") {
+    val rows = operators.Relational.q150(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))))
+      .toMap
+    val li = Tables(spark, sf, "lineitem")
+      .select("l_discount", "l_quantity", "l_extendedprice").collect()
+      .map(r => (math.floor(r.getDouble(0) * 100.0 + 0.5).toLong, r.getDouble(1),
+        r.getDouble(2), r.getDouble(0)))
+    assert(rows.values.map(_._1).sum == li.length)
+    def cents(d: Double) = math.floor(d * 100.0 + 0.5).toLong
+    def r4(x: Double) = math.floor(x * 1e4 + 0.5) / 1e4
+    val want = li.groupBy(_._1).map { case (band, xs) =>
+      val n = xs.length.toLong
+      band -> ((n,
+        r4(xs.map(x => cents(x._2)).sum / (100.0 * n)),
+        r4(xs.map(x => cents(x._3)).sum / (100.0 * n)),
+        xs.map(x => cents(x._3 * (1.0 - x._4))).sum / 100.0))
+    }
+    assert(rows == want, s"first diff: ${rows.find(kv => want.get(kv._1) != Some(kv._2))}")
+  }
+
   test("q142 wallet deciles partition customers with monotone shares") {
     val rows = operators.Relational.q142(spark, sf).collect()
       .map(r => (r.getInt(0), r.getLong(1), r.getLong(3), r.getLong(4)))
