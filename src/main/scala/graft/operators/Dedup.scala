@@ -419,6 +419,53 @@ object Dedup {
       .orderBy("id1", "id2")
   }
 
+  /** LSH GEOMETRY DIAGNOSTICS — the capacity-planning report behind
+    * q44, born from the x30 stress finding (SURVEY §4.1): the
+    * adaptive geometry's n^(1+ρ) candidate bound assumes uniform
+    * buckets, and CLUSTERED embeddings break that assumption — a
+    * cluster's vectors agree on most hyperplanes, so per-band
+    * Σ|bucket|² (the exact candidate-pair count the band join will
+    * generate) can sit far above the uniform floor n²/2^(bits+1).
+    * This operator MEASURES it per band before a dedup run commits:
+    * bucket count, max bucket, exact candidate pairs, the uniform
+    * floor, and the skew multiple (×1000 integer). A skew multiple
+    * in the tens says "clustered corpus — run q45, or expect
+    * output-bound cost" without burning the full join to learn it.
+    *
+    * Scale shape: the SAME one-pass key generation as q44 (shared
+    * planes/keys code, so the diagnosis describes exactly the
+    * geometry q44 will use) into a (band, bkey) count agg — the
+    * report costs one signature pass + one bounded agg, never the
+    * candidate join it predicts. rows-only: hash-dependent. */
+  def q151(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = Tables(s, dir, "embeddings")
+    val n = e.count()
+    val (bits, bands) = ndGeometry(n)
+    val planes = ndPlanesFor(bits, bands)
+    val keys = e.select(col("vec_id"), col("embedding")).as[(Long, Seq[Float])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, v) =>
+          val arr = v.toArray
+          val ks = ndBandKeysG(planes, arr, bits, bands)
+          Iterator.tabulate(bands)(band => (id, band, ks(band)))
+        }
+      }.toDF("vec_id", "band", "bkey")
+    // exact per-band candidate volume: Σ |bucket|·(|bucket|−1)/2
+    val uniform = n.toDouble * n.toDouble / math.pow(2.0, bits + 1)
+    keys.groupBy("band", "bkey").agg(count(lit(1)).as("sz"))
+      .groupBy("band")
+      .agg(count(lit(1)).as("n_buckets"),
+        max("sz").as("max_bucket"),
+        sum(expr("sz * (sz - 1) div 2")).as("cand_pairs"))
+      .select(col("band"), lit(bits).as("bits"), col("n_buckets"), col("max_bucket"),
+        col("cand_pairs"),
+        lit(math.floor(uniform).toLong).as("uniform_pairs"),
+        floor(col("cand_pairs").cast("double") / lit(math.max(uniform, 1.0)) * 1000.0)
+          .cast("long").as("skew_x1000"))
+      .orderBy("band")
+  }
+
   /** Oracle stays the EXACT all-pairs definition (the operator must
     * recall it fully), with the cosine spelled out as
     * dot/(sqrt(dot)·sqrt(dot)) so DuckDB evaluates the engine's
@@ -1115,5 +1162,6 @@ object Dedup {
     Q("q138_incremental_dedup", q138, Some(q138Sql)),
     Q("q144_dedup_eval", q144, None),
     Q("q145_index_stats", q145, Some(q145Sql)),
-    Q("q146_jaccard_bands", q146, Some(q146Sql)))
+    Q("q146_jaccard_bands", q146, Some(q146Sql)),
+    Q("q151_lsh_diagnostics", q151, None))
 }

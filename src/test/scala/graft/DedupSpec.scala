@@ -414,6 +414,30 @@ class DedupSpec extends AnyFunSuite {
     assert(ge6 == operators.Dedup.q41(spark, sf).count())
   }
 
+  test("q151 LSH diagnostics equal a local bucket recompute with the shared geometry") {
+    val got = operators.Dedup.q151(spark, sf).collect()
+      .map(r => r.getInt(0) -> ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))))
+      .toMap
+    val vecs = Tables(spark, sf, "embeddings").select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+    val n = vecs.length.toLong
+    val (bits, bands) = operators.Dedup.ndGeometry(n)
+    val planes = operators.Dedup.ndPlanesFor(bits, bands)
+    val keys = vecs.flatMap { case (id, v) =>
+      val ks = operators.Dedup.ndBandKeysG(planes, v, bits, bands)
+      ks.zipWithIndex.map { case (k, band) => (band, k, id) }
+    }
+    val uniform = math.floor(n.toDouble * n.toDouble / math.pow(2.0, bits + 1)).toLong
+    val want = keys.groupBy(_._1).map { case (band, rows) =>
+      val sizes = rows.groupBy(_._2).map(_._2.length.toLong)
+      band -> ((sizes.size.toLong, sizes.max, sizes.map(s => s * (s - 1) / 2).sum, uniform))
+    }
+    assert(got.size == bands)
+    assert(got == want, s"first diff: ${got.find(kv => want.get(kv._1) != Some(kv._2))}")
+    // every vector keys into every band: bucket sizes per band sum to n
+    assert(want.values.forall(_._1 <= n))
+  }
+
   test("q144 dedup eval: precision 1.0 by construction, counts match a recount") {
     val r = operators.Dedup.q144(spark, sf).collect()
     assert(r.length == 1 && r(0).getString(0) == "minhash_lsh")
