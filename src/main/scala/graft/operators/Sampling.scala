@@ -1110,6 +1110,57 @@ object Sampling {
        FROM t GROUP BY 1 ORDER BY 1"""
   }
 
+  /** SPLIT BALANCE AUDIT — the governance check on q66's
+    * content-keyed split: train/val/test must be drawn from the same
+    * distribution, and this proves it on the two axes that matter
+    * for training (quality, length) plus the split proportions
+    * themselves. A content-keyed split is *expected* to balance —
+    * this is the report that CATCHES it when a correlated document
+    * population (one giant near-dup family, a single dominant
+    * source) quietly skews a split. q134's kept/dropped comparison,
+    * applied to the split axis.
+    *
+    * Scale shape: q66's map-only split + q60's map-only scoring join
+    * on doc_id, collapse map-side to a 3-row report; the share
+    * window runs over those 3 rows. Means re-integerize (q133
+    * discipline). */
+  def q153(s: SparkSession, dir: String): DataFrame = {
+    val scored = TextOps.q60(s, dir).select("doc_id", "n_tokens", "quality_score")
+    q66(s, dir).select("doc_id", "split").join(scored, "doc_id")
+      .withColumn("q4", expr("CAST(floor(quality_score*10000.0 + 0.5) AS BIGINT)"))
+      .groupBy("split")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_tokens").as("n_tokens"),
+        ops.r4(sum("q4") / (lit(10000.0) * count(lit(1)))).as("avg_q4"),
+        ops.r2(sum(col("n_tokens")).cast("double") / count(lit(1))).as("avg_tokens"))
+      .withColumn("share_ppm", expr("(n_docs * 1000000) div sum(n_docs) OVER ()"))
+      .select("split", "n_docs", "share_ppm", "n_tokens", "avg_tokens", "avg_q4")
+      .orderBy("split")
+  }
+
+  private val q153Sql =
+    s"""WITH t AS (SELECT doc_id, list_filter(string_split(text,' '), x -> x<>'') AS tk
+                   FROM documents),
+       q AS (SELECT doc_id, len(tk) AS n_tokens,
+               ${TextOps.QualityScoreSql} AS quality_score FROM t),
+       sp AS (SELECT doc_id,
+                CASE WHEN $BucketSql < $TrainLt THEN 'train'
+                     WHEN $BucketSql < $ValLt THEN 'val'
+                     ELSE 'test' END AS split
+              FROM documents),
+       j AS (SELECT split, n_tokens,
+               CAST(floor(quality_score*10000.0 + 0.5) AS BIGINT) AS q4
+             FROM q JOIN sp USING (doc_id)),
+       a AS (SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+               ${ops.R4("sum(q4)/(10000.0*count(*))")} AS avg_q4,
+               ${ops.R2("CAST(sum(n_tokens) AS DOUBLE)/count(*)")} AS avg_tokens
+             FROM j GROUP BY 1)
+       SELECT split, n_docs,
+              CAST((n_docs * 1000000) // sum(n_docs) OVER () AS BIGINT) AS share_ppm,
+              n_tokens, avg_tokens, avg_q4
+       FROM a ORDER BY split"""
+
   val qs: Seq[Q] = Seq(
     Q("q66_train_split", q66, Some(q66Sql)),
     Q("q67_stratified_sample", q67, Some(q67Sql)),
@@ -1128,5 +1179,6 @@ object Sampling {
     Q("q88_importance_sample", q88, Some(q88Sql)),
     Q("q97_novelty", q97, Some(q97Sql)),
     Q("q100_mix_weights", q100, Some(q100Sql)),
-    Q("q133_curriculum", q133, Some(q133Sql)))
+    Q("q133_curriculum", q133, Some(q133Sql)),
+    Q("q153_split_balance", q153, Some(q153Sql)))
 }

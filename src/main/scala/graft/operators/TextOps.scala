@@ -54,6 +54,15 @@ object TextOps {
        FROM (SELECT doc_id, list_filter(string_split(text,' '), x -> x<>'') AS tk FROM documents)
        ORDER BY doc_id"""
 
+  /** The deterministic argmax tiebreak (en > es > de > fr) as ONE
+    * oracle fragment (expects s_en..s_fr in scope) — shared by
+    * q61Sql (twice) and q152Sql. */
+  private val PredLangSql =
+    """CASE WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr THEN 'en'
+            WHEN s_es >= s_de AND s_es >= s_fr THEN 'es'
+            WHEN s_de >= s_fr THEN 'de'
+            ELSE 'fr' END"""
+
   /** Stopword-profile language identification with deterministic
     * argmax tiebreak (en > es > de > fr). */
   def q61(s: SparkSession, dir: String): DataFrame =
@@ -75,15 +84,9 @@ object TextOps {
 
   private val q61Sql =
     s"""SELECT doc_id, s_en, s_es, s_de, s_fr,
-       CASE WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr THEN 'en'
-            WHEN s_es >= s_de AND s_es >= s_fr THEN 'es'
-            WHEN s_de >= s_fr THEN 'de'
-            ELSE 'fr' END AS predicted_lang,
+       $PredLangSql AS predicted_lang,
        lang AS actual_lang,
-       (CASE WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr THEN 'en'
-             WHEN s_es >= s_de AND s_es >= s_fr THEN 'es'
-             WHEN s_de >= s_fr THEN 'de'
-             ELSE 'fr' END) = lang AS is_match
+       ($PredLangSql) = lang AS is_match
        FROM (SELECT doc_id, lang,
                CAST(${duckScore(stopEn)} AS INT) AS s_en,
                CAST(${duckScore(stopEs)} AS INT) AS s_es,
@@ -1080,6 +1083,45 @@ object TextOps {
       .orderBy(col("exact_n").desc, col("tok").asc)
   }
 
+  /** LANG-ID CONFUSION MATRIX — q61's evaluation gate (the q143/q144
+    * pattern applied to the classifier family): per (actual,
+    * predicted) language pair, the doc count and the share of the
+    * actual language's docs in integer ppm, plus recall along the
+    * diagonal — the table that says WHERE the stopword heuristic
+    * fails (not just how often) before anyone trusts its routing.
+    *
+    * Scale shape: rides q61's map-only scoring into one
+    * map-side-combined groupBy (≤ #langs² rows); the share window
+    * runs over that tiny frame. All integer. */
+  def q152(s: SparkSession, dir: String): DataFrame =
+    q61(s, dir)
+      .groupBy(col("actual_lang"), col("predicted_lang"))
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("share_ppm",
+        expr("(n_docs * 1000000) div sum(n_docs) OVER (PARTITION BY actual_lang)"))
+      .withColumn("is_correct", col("actual_lang") === col("predicted_lang"))
+      .orderBy("actual_lang", "predicted_lang")
+
+  private val q152Sql = {
+    val pred = PredLangSql
+    s"""WITH sc AS (
+         SELECT lang AS actual_lang,
+                CAST(${duckScore(stopEn)} AS INT) AS s_en,
+                CAST(${duckScore(stopEs)} AS INT) AS s_es,
+                CAST(${duckScore(stopDe)} AS INT) AS s_de,
+                CAST(${duckScore(stopFr)} AS INT) AS s_fr
+         FROM (SELECT lang, list_filter(string_split(text,' '), x -> x<>'') AS tk
+               FROM documents)),
+       p AS (SELECT actual_lang, $pred AS predicted_lang FROM sc),
+       m AS (SELECT actual_lang, predicted_lang, CAST(count(*) AS BIGINT) AS n_docs
+             FROM p GROUP BY 1, 2)
+       SELECT actual_lang, predicted_lang, n_docs,
+              CAST((n_docs * 1000000) // sum(n_docs) OVER (PARTITION BY actual_lang) AS BIGINT)
+                AS share_ppm,
+              actual_lang = predicted_lang AS is_correct
+       FROM m ORDER BY actual_lang, predicted_lang"""
+  }
+
   /** Collocation floor: bigrams below this corpus count are noise. */
   private[graft] val CollMin = 5
 
@@ -1172,5 +1214,6 @@ object TextOps {
     Q("q106_source_shift", q106, Some(q106Sql)),
     Q("q108_intake_validate", q108, Some(q108Sql)),
     Q("q112_freq_sketch", q112, None),
-    Q("q135_collocations", q135, Some(q135Sql)))
+    Q("q135_collocations", q135, Some(q135Sql)),
+    Q("q152_langid_confusion", q152, Some(q152Sql)))
 }

@@ -340,4 +340,28 @@ class SamplingSpec extends AnyFunSuite {
       assert(hi._3 >= lo._4, s"shard ${hi._1} min_q ${hi._3} < shard ${lo._1} max_q ${lo._4}")
     }
   }
+
+  test("q153 split balance equals an exact recompute from q66 + q60") {
+    val got = operators.Sampling.q153(spark, sf).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5)))).toMap
+    assert(got.keySet == Set("train", "val", "test"))
+    val splits = operators.Sampling.q66(spark, sf).select("doc_id", "split").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val qual = operators.TextOps.q60(spark, sf)
+      .select("doc_id", "n_tokens", "quality_score").collect()
+      .map(r => (r.getLong(0), r.getInt(1).toLong,
+        math.floor(r.getDouble(2) * 1e4 + 0.5).toLong))
+    val total = qual.length.toLong
+    val want = qual.groupBy(q => splits(q._1)).map { case (sp, rows) =>
+      val n = rows.length.toLong
+      val tok = rows.map(_._2).sum
+      sp -> ((n, n * 1000000L / total, tok,
+        math.floor(tok.toDouble / n * 1e2 + 0.5) / 1e2,
+        math.floor(rows.map(_._3).sum / (1e4 * n) * 1e4 + 0.5) / 1e4))
+    }
+    assert(got == want, s"first diff: ${got.find(kv => want.get(kv._1) != Some(kv._2))}")
+    // the content-keyed split targets 80/10/10: shares within 5pp
+    assert(math.abs(got("train")._2 - 800000L) < 50000L)
+  }
 }

@@ -242,4 +242,23 @@ class TextOpsSpec extends AnyFunSuite {
       .map { case (w1, w2, c, liftU) => (w1, w2, c, liftU / 1000000.0) }
     assert(got == want, s"got ${got.take(3)}... want ${want.take(3)}...")
   }
+
+  test("q152 confusion matrix equals a recount of q61's predictions") {
+    val got = operators.TextOps.q152(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> ((r.getLong(2), r.getLong(3), r.getBoolean(4))))
+      .toMap
+    val preds = operators.TextOps.q61(spark, sf)
+      .select("actual_lang", "predicted_lang").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val byActual = preds.groupBy(_._1).map { case (a, xs) => a -> xs.length.toLong }
+    val want = preds.groupBy(identity).map { case ((a, pr), xs) =>
+      (a, pr) -> ((xs.length.toLong, xs.length.toLong * 1000000L / byActual(a), a == pr))
+    }
+    assert(got == want, s"first diff: ${got.find(kv => want.get(kv._1) != Some(kv._2))}")
+    // per actual language the shares account for (almost) the whole row
+    got.keys.map(_._1).toSeq.distinct.foreach { a =>
+      val rowShare = got.collect { case ((`a`, _), v) => v._2 }.sum
+      assert(rowShare > 1000000L - 10 && rowShare <= 1000000L, s"$a shares sum $rowShare")
+    }
+  }
 }
