@@ -482,20 +482,59 @@ object Dedup {
        WHERE cos >= $CosThr ORDER BY id1, id2"""
   }
 
-  /** Near-dup CLUSTERS: connected components over the q41 pair graph
-    * (HashMin label propagation — each round every doc takes the min
-    * cluster id among itself and its neighbors, O(diameter) rounds,
-    * driver-checked convergence so the fixpoint is exact at any SF).
-    * Labels are localCheckpointed per round to truncate the iterative
-    * lineage; the driver-side loop moves only one count per round.
-    * This is the step a dedup pipeline actually keys on: keep
-    * min(doc_id) per cluster, drop the rest.
+  /** Near-dup CLUSTERS: connected components over the q41 pair graph.
+    * HashMin label propagation ACCELERATED with lagged pointer
+    * jumping: each round every doc takes
+    *   least(prev(v), min over neighbors u of prev(u))   (HashMin)
+    * and then shortcuts through the previous generation,
+    *   least(hashed(v), prev(hashed(v)))                  (jump),
+    * so label information travels ~2 hops per round instead of 1 —
+    * O(log diameter) rounds on chain-shaped components instead of
+    * O(diameter). r5 measured the loop as the cost FLOOR under the
+    * five most expensive composed queries (q134/q136/q68/q75/q144),
+    * with per-round driver scheduling, not data volume, dominating —
+    * fewer rounds is the lever.
+    *
+    * Correctness is unchanged from plain HashMin: every assigned
+    * label is the id of a node in the same component (prev(w) is, by
+    * induction, a same-component id <= w), labels are monotone
+    * non-increasing and bounded by the component minimum, and the
+    * fixpoint condition (nothing changed) implies the pure-HashMin
+    * fixpoint condition, which forces label == component min. The
+    * jump joins through the PREVIOUS generation's frame, which is
+    * already localCheckpointed — it appears twice in the round's plan
+    * (as base and as lookup table) without re-executing anything, and
+    * the round still costs exactly 2 driver actions (checkpoint +
+    * convergence count). DedupSpec pins label equality with a
+    * driver-side union-find recompute of the same pair list.
     *
     * Only edge-connected docs ride through the iteration — at scale
     * isolated docs vastly outnumber near-dup nodes, and they get
     * their identity label in one final left join. */
   def q65(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables(s, dir, "documents").select(col("doc_id"))
+    val labels = clusterLabels(s, dir)
+    docs.join(labels, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
+      .orderBy("doc_id")
+  }
+
+  /** Converged component labels for EDGE-CONNECTED docs only
+    * (doc_id, cluster_id), memoized per (session, dir) like
+    * Similarity.fitCache: r5 measured the q65 loop as the cost floor
+    * under its five composed consumers (q134/q136/q68/q75/q144 each
+    * re-ran pair generation + the iteration). The cached frame is the
+    * final round's localCheckpoint — reusing it is safe because the
+    * labels are a pure function of the corpus at `dir`. Specs that
+    * cluster custom frames must go through [[computeLabels]]
+    * (uncached). */
+  private val labelsCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  private[graft] def clusterLabels(s: SparkSession, dir: String): DataFrame =
+    labelsCache.getOrElseUpdate((s, dir), computeLabels(s, dir))
+
+  private[graft] def computeLabels(s: SparkSession, dir: String): DataFrame = {
     // checkpoint the pair list BEFORE symmetrizing: the union
     // references it twice, and without the barrier the whole shingle
     // subtree executes twice.
@@ -527,10 +566,19 @@ object Dedup {
         .groupBy(sym("d1").as("nd")).agg(min("cluster_id").as("nbr_min"))
       // carry the previous label as a column: convergence is one scan
       // of the (checkpointed) frame, not a second full join per round
-      val updated = labels
+      val hashed = labels
         .join(nbrMin, labels("doc_id") === nbrMin("nd"), "left")
         .select(col("doc_id"), col("cluster_id").as("_prev"),
           least(col("cluster_id"), coalesce(col("nbr_min"), col("cluster_id"))).as("cluster_id"))
+      // pointer jump: shortcut the fresh label through the PREVIOUS
+      // generation (checkpointed — no shared-lineage re-execution).
+      // prev(hashed(v)) is a same-component id <= hashed(v), so this
+      // only accelerates; the fixpoint test below is unaffected.
+      val lut = labels.select(col("doc_id").as("j_id"), col("cluster_id").as("j_lab"))
+      val updated = hashed
+        .join(lut, hashed("cluster_id") === lut("j_id"), "left")
+        .select(hashed("doc_id"), col("_prev"),
+          least(hashed("cluster_id"), coalesce(col("j_lab"), hashed("cluster_id"))).as("cluster_id"))
         .localCheckpoint(false)
       changed = updated.filter(col("cluster_id") =!= col("_prev")).count()
       ckpt.unpersist() // superseded round's checkpoint blocks
@@ -538,12 +586,12 @@ object Dedup {
       labels = updated.drop("_prev")
       rounds += 1
     }
+    if (sys.env.contains("GRAFT_DEBUG"))
+      System.err.println(s"[q65] converged in $rounds rounds, ${parts} parts")
     require(changed == 0,
       s"q65 label propagation did not converge in $maxRounds rounds " +
         "(component diameter exceeds the cap); raise maxRounds")
-    docs.join(labels, Seq("doc_id"), "left")
-      .select(col("doc_id"), coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
-      .orderBy("doc_id")
+    labels
   }
 
   /** The q65 connected-components chain as a reusable CTE fragment

@@ -54,6 +54,29 @@ class DedupSpec extends AnyFunSuite {
       s"over-merged: $nClusters clusters for $nDocs docs / $nPairs pairs")
   }
 
+  test("q65 labels equal a driver-side union-find over the same pair list") {
+    // the pointer-jump acceleration must not change the HashMin
+    // result: both converge to min(component id). Union-find with
+    // link-larger-root-under-smaller gives exactly that canonical
+    // labeling (the component min can never become a child).
+    val labels = operators.Dedup.q65(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val pairs = operators.Dedup.q41(spark, sf).select("d1", "d2").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val expected = labels.keys.map(d => d -> find(d)).toMap
+    assert(labels == expected,
+      s"q65 diverged from union-find on ${labels.count(kv => expected(kv._1) != kv._2)} docs")
+  }
+
   test("q43 simhash near-dups have small hamming distance and include true dups") {
     val df = operators.Dedup.q43(spark, sf)
     assert(df.filter(col("hamming") > 8).count() == 0)
