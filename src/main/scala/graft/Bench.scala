@@ -52,7 +52,33 @@ object Bench {
     // failed:0) — name the thrower in the JSON itself.
     val runFailures = results.collect { case (k, _, f) if f > 0 => "\"" + k + "\":" + f }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"run_failures":$runFailures,"sf":"$sfDir"}""")
+    // worst ratio vs BASELINE.md's per-query floors, computed here so
+    // the headline survives tail truncation (see ordering note below)
+    val floors: Map[String, Double] = try {
+      val Row = """\| (q\d+\w*) \| ([\d.]+) \|.*""".r
+      // BASELINE.md contains multibyte punctuation; the forked JVM's
+      // default charset is not UTF-8 here, so spell the codec (lenient
+      // — a mangled prose char must not drop the numeric rows).
+      val codec = scala.io.Codec(java.nio.charset.StandardCharsets.UTF_8)
+        .onMalformedInput(java.nio.charset.CodingErrorAction.REPLACE)
+        .onUnmappableCharacter(java.nio.charset.CodingErrorAction.REPLACE)
+      val src = scala.io.Source.fromFile("BASELINE.md")(codec)
+      try src.getLines().collect { case Row(q, f) => q -> f.toDouble }.toMap
+      finally src.close()
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] floors parse failed: $e"); Map.empty }
+    val worst = results.collect {
+      case (k, v, _) if v >= 0 && floors.contains(k) => (v / floors(k), k)
+    }.sortBy(-_._1).headOption
+    val worstJson = worst
+      .map { case (r, k) => f""","floor_ratio_worst":$r%.3f,"floor_worst_query":"$k""""
+      }.getOrElse("")
+    // KEY ORDER IS LOAD-BEARING: the driver's log capture keeps only
+    // the LAST ~2 KB of output, and the per-query map alone is >5 KB —
+    // r4/r5 both lost the totals to truncation. The big "queries" map
+    // goes FIRST and every summary scalar (metric/value/failed/worst
+    // ratio/sf) LAST, so any tail capture retains the headline.
+    println(s"""{"queries":$qs,"run_failures":$runFailures,"metric":"total","value":$total,"unit":"sec","failed":$failed$worstJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
