@@ -86,8 +86,15 @@ object GenData {
         val id: Long = jid
         val r = new scala.util.Random(id * 0x9e3779b97f4a7c15L + 41)
         val ts = t0 + (r.nextDouble() * spanUs).toLong
-        val value = math.floor(r.nextDouble() * 50000.0 + 100.0) / 100.0
-        (id, ts, 1L + r.nextInt(nUsers).toLong, types(r.nextInt(types.length)),
+        // ~5% NULL user_id and ~5% NULL value rows: the driver corpus
+        // has both, and the events family's guards (q131's isNotNull
+        // filter, q137/q140's coalesce-to-0-cents) would otherwise go
+        // unexercised in every stress run.
+        val user = if (r.nextInt(20) == 0) None
+          else Some(1L + r.nextInt(nUsers).toLong)
+        val value = if (r.nextInt(20) == 0) None
+          else Some(math.floor(r.nextDouble() * 50000.0 + 100.0) / 100.0)
+        (id, ts, user, types(r.nextInt(types.length)),
           value, s"""{"k": ${r.nextInt(100)}}""")
       }.toDF("event_id", "us", "user_id", "event_type", "value", "props")
         .withColumn("ts", expr("timestamp_micros(us)"))

@@ -1141,7 +1141,18 @@ object TextOps {
     * map-side-combined aggs over exploded token streams (bigrams
     * ≈ corpus tokens, the q80 vocab argument); corpus totals ride a
     * 1-row broadcast; the count-floor prunes the candidate frame
-    * before the two vocab joins; top-20 via TakeOrdered. */
+    * before the two vocab joins; top-20 via TakeOrdered.
+    *
+    * Magnitude bound: the numerator n_pair·N·N and denominator
+    * M·c1·c2 ride decimal(38,0); with n_pair,c1,c2 ≤ N they stay
+    * inside 38 digits while the corpus token count N < ~10^12.6
+    * (≈4·10^12 tokens — thousands of times the largest published
+    * text corpora). PAST that bound Spark's decimal product silently
+    * NULLs the lift (dropping the pair from the top-20) while
+    * DuckDB's HUGEINT raises — the q142 asymmetric-overflow class.
+    * A deployment at that scale should stage the ratio as
+    * (n_pair·N/(m·c1))·(N/c2) doubles and keep the exact-integer
+    * rank key only for the final cutoff. */
   def q135(s: SparkSession, dir: String): DataFrame = {
     val d = (c: Column) => c.cast("decimal(38,0)")
     val t = Tables(s, dir, "documents").withColumn("tk", expr(tk))

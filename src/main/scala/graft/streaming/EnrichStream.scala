@@ -146,8 +146,13 @@ object EnrichStream {
     * user-day set); the sketch is the standard online substitute —
     * HLL registers merge by max, so the streaming estimate is
     * IDENTICAL to the batch sketch on the same data (spec-asserted),
-    * and within the usual ~2 % envelope of exact. State: ≤ 7 open
-    * windows × one sketch each past the watermark horizon. */
+    * and within the usual ~2 % envelope of exact. State: in append/
+    * update output mode the watermark evicts closed windows, bounding
+    * state to the ~8 windows overlapping the horizon (spec-measured
+    * in update mode via numRowsTotal); COMPLETE mode — which the
+    * batch-parity spec uses to read the full history — retains every
+    * window ever opened and is for that parity check, not
+    * deployment. */
   def rollingActiveStream(stream: DataFrame): DataFrame =
     stream
       .filter(col("user_id").isNotNull)

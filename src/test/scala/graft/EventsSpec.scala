@@ -470,15 +470,19 @@ class EventsSpec extends AnyFunSuite {
       .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4),
         r.getLong(5), r.getLong(6), r.getDouble(7),
         if (r.isNullAt(8)) None else Some(r.getDouble(8))))).toMap
+    // value is nullable (q137's guard pattern): the operator coalesces
+    // a NULL purchase value to 0 cents, so the recompute must too —
+    // a bare getDouble would NPE on any corpus with NULL values.
     val ev = Tables(spark, sf, "events").filter(col("user_id").isNotNull)
       .select(col("user_id"), unix_micros(col("ts")).as("us"), col("event_type"), col("value"))
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getDouble(3)))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3))))
     val nowUs = ev.map(_._2).max
     val dayUs = 86400000000L
     def r4l(x: Double): Double = math.floor(x * 1e4 + 0.5) / 1e4
     val want = ev.groupBy(_._1).map { case (u, rows) =>
       val buys = rows.filter(_._3 == "purchase")
-      val mc = buys.map(b => math.floor(b._4 * 100.0 + 0.5).toLong).sum
+      val mc = buys.map(_._4.map(v => math.floor(v * 100.0 + 0.5).toLong).getOrElse(0L)).sum
       val (first, last) = (rows.map(_._2).min, rows.map(_._2).max)
       val tenure = (nowUs - first) / dayUs
       u -> ((rows.length.toLong, buys.length.toLong,

@@ -117,6 +117,44 @@ class StreamingSpec extends AnyFunSuite {
       .count() == 0)
   }
 
+  test("rolling actives in UPDATE mode: watermark bounds state to the open-window horizon") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // The deployment mode the docstring's state bound refers to: with
+    // append/update output the 1-day watermark evicts windows whose
+    // end falls behind the horizon; complete mode (the parity test
+    // above) retains all of them by design. Feed 40 days of events in
+    // chronological micro-batches and measure state rows.
+    val base = 1704067200000000L // 2024-01-01 UTC micros, clear of epoch-0
+    val dayUs = 86400L * 1000000L
+    val mem = MemoryStream[(java.sql.Timestamp, Long)]
+    val src = mem.toDF().toDF("ts", "user_id")
+    val q = streaming.EnrichStream.rollingActiveStream(src)
+      .writeStream.format("memory").queryName("wau_update_out")
+      .outputMode("update").start()
+    var maxState = 0L
+    (0 until 40).grouped(10).foreach { days =>
+      mem.addData(days.flatMap(d => (0 until 25).map(u =>
+        (new java.sql.Timestamp((base + d * dayUs + u * 3600L * 1000000L) / 1000L),
+          (d * 25 + u).toLong))))
+      q.processAllAvailable()
+      val st = q.lastProgress.stateOperators
+      if (st.nonEmpty) maxState = math.max(maxState, st(0).numRowsTotal)
+    }
+    q.stop()
+    // 7-day window / 1-day slide: any instant overlaps 7 windows; the
+    // watermark (max event − 1 day, updated with one-batch lag) keeps
+    // windows ending after it — starts spanning ≤ ~9 days, plus the
+    // 10-day batch granularity before eviction runs. 40 days of
+    // history would hold 46 windows if nothing evicted; assert the
+    // bound the docstring claims (horizon + batch lag), not history.
+    assert(maxState > 0, "state operator never reported rows")
+    assert(maxState <= 7 + 1 + 10 + 2,
+      s"state rows $maxState exceed the open-window horizon + batch lag")
+    assert(spark.table("wau_update_out").count() > 0)
+  }
+
   test("streaming anomaly hours match a prefix-stats recomputation exactly") {
     val q = streaming.EnrichStream.anomalyStream(
         streaming.EnrichStream.typedSource(spark, sf))
