@@ -437,7 +437,12 @@ object Dedup {
     * geometry q44 will use) into a (band, bkey) count agg — the
     * report costs one signature pass + one bounded agg, never the
     * candidate join it predicts. rows-only: hash-dependent. */
-  def q151(s: SparkSession, dir: String): DataFrame = {
+  def q151(s: SparkSession, dir: String): DataFrame =
+    ndDiagnosis(s, dir)
+
+  /** q151's per-band skew report, reusable pre-flight (q154 routes
+    * on it). */
+  private[graft] def ndDiagnosis(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val e = Tables(s, dir, "embeddings")
     val n = e.count()
@@ -958,6 +963,58 @@ object Dedup {
       .orderBy("vec_id")
   }
 
+  /** Band-skew multiple (×1000) at which [[q154]] abandons banding:
+    * ≥3× the uniform candidate floor says the corpus is
+    * cluster-structured and the band join's cost will track the
+    * (possibly quadratic) true-pair volume. Driver-family corpora
+    * measure ~1.0–1.3×; the x30 clustered stress corpus measured a
+    * 6.5× median (SURVEY §4.1). One constant so the operator, its
+    * spec, and the docs agree. */
+  private[graft] val RouteSkewX1000 = 3000L
+
+  /** DEDUP AUTO-ROUTER — the dispatcher the x30 stress finding asked
+    * for: q151's bounded diagnosis (per-band exact candidate volume
+    * vs the uniform floor, ~15 s at 60k vectors) is measured FIRST,
+    * and the corpus is routed to q44's banding when buckets are
+    * near-uniform (skew median < [[RouteSkewX1000]]) or to q45's
+    * IVF-cell pass when they are cluster-skewed — the regime where
+    * q44's runtime tracks a quadratic true-pair answer (659 s at x30)
+    * while q45's per-vector verdict output stays linear (<60 s).
+    *
+    * Output is the per-vector keep verdict with the diagnosis
+    * attached: (vec_id, kept, route, med_skew_x1000). Emitting PAIRS
+    * from both routes would be wrong by construction — on exactly
+    * the clustered corpora that trigger the cells route, the pair
+    * set itself is quadratic (the x30 answer was 1.74M pairs at 6k
+    * vectors), so the uniform router contract is the linear verdict
+    * frame. On the banding route the verdict derives from q44's
+    * exact pair set by the same drop rule q45 applies within cells
+    * (drop the larger id of every qualifying pair), which DedupSpec
+    * pins pairwise-exactly against q44.
+    *
+    * Scale shape: the diagnosis is one bounded two-level agg over
+    * the same signature pass q44 would run; the decision is a
+    * #bands-row collect; both routes are the already-scale-audited
+    * operators unchanged. Rows-only (routing + hash-dependent). */
+  def q154(s: SparkSession, dir: String): DataFrame = {
+    val skews = ndDiagnosis(s, dir).select("skew_x1000")
+      .collect().map(_.getLong(0)).sorted
+    val medSkew = skews(skews.length / 2)
+    val route = if (medSkew >= RouteSkewX1000) "cells" else "banding"
+    val verdicts =
+      if (route == "banding") {
+        val dropped = q44(s, dir).select(col("id2").as("vec_id")).distinct()
+          .withColumn("is_dup", lit(true))
+        Tables(s, dir, "embeddings").select(col("vec_id"))
+          .join(dropped, Seq("vec_id"), "left")
+          .select(col("vec_id"), col("is_dup").isNull.as("kept"))
+      } else q45(s, dir).select("vec_id", "kept")
+    verdicts
+      .withColumn("route", lit(route))
+      .withColumn("med_skew_x1000", lit(medSkew))
+      .orderBy("vec_id")
+  }
+
   /** Cross-source duplication matrix — which ingestion sources
     * duplicate which: for every unordered source pair, how many
     * DISTINCT texts appear in both (the crawl-overlap report that
@@ -1211,5 +1268,6 @@ object Dedup {
     Q("q144_dedup_eval", q144, None),
     Q("q145_index_stats", q145, Some(q145Sql)),
     Q("q146_jaccard_bands", q146, Some(q146Sql)),
-    Q("q151_lsh_diagnostics", q151, None))
+    Q("q151_lsh_diagnostics", q151, None),
+    Q("q154_dedup_route", q154, None))
 }
