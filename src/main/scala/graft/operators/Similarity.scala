@@ -447,6 +447,32 @@ object Similarity {
     * extreme-scale knob where per-vector probe volume stays nprobe·B
     * regardless of corpus growth (see [[q54]]'s Scaladoc; the recall
     * equivalence of the two modes is spec-tested at sf0.001). */
+  /** Above this corpus size `cellSize = None` resolves to the
+    * fixed-cell-size quantizer instead of k = ⌈√n⌉: past ~1M vectors
+    * the √n mode's per-query probe volume (nprobe·√n) keeps growing
+    * with the corpus, while fixed B holds it at nprobe·B forever —
+    * the operating point an ANN service actually provisions for.
+    * Recall equivalence of the two modes is spec-pinned (both ≥0.75,
+    * within 0.05 of each other at equal nprobe). Every shipped/stress
+    * corpus (≤150k vectors) sits BELOW the threshold, so oracle and
+    * spec numbers are unchanged. Note the fit-side trade: k = n/B
+    * grows linearly, so at 10^9+ vectors the per-iteration partial
+    * collect needs the treeAggregate shape rather than a flat
+    * collect — provision the driver accordingly or raise B. */
+  private[graft] val IvfFixedBThreshold = 1000000L
+  private[graft] val IvfDefaultCellB = 4096
+
+  /** Effective centroid-count target for a corpus of n vectors —
+    * the mode dispatch, separated so the threshold branch is
+    * unit-testable without fitting a million-vector corpus. */
+  private[graft] def kTargetFor(n: Long, cellSize: Option[Int]): Int =
+    cellSize match {
+      case Some(b)                        => math.ceil(n.toDouble / b.toDouble).toInt
+      case None if n > IvfFixedBThreshold =>
+        math.ceil(n.toDouble / IvfDefaultCellB.toDouble).toInt
+      case None                           => math.ceil(math.sqrt(n.toDouble)).toInt
+    }
+
   private[graft] def ivfCellsOf(s: SparkSession, e0: DataFrame,
       cellSize: Option[Int] = None): (DataFrame, Array[Array[Double]]) = {
     import s.implicits._
@@ -454,10 +480,7 @@ object Similarity {
     val e = withNorm(e0).select(col("vec_id"), col("ed"), col("nrm"))
     val typed = e.as[(Long, Seq[Float], Double)]
     val n = typed.count()
-    val kTarget = cellSize match {
-      case Some(b) => math.ceil(n.toDouble / b.toDouble).toInt
-      case None    => math.ceil(math.sqrt(n.toDouble)).toInt
-    }
+    val kTarget = kTargetFor(n, cellSize)
     // floor of 16 for probe selectivity, capped at n so the lowest-id
     // init below always yields exactly k centroids
     val k = math.max(1L, math.min(math.max(16, kTarget).toLong, n)).toInt

@@ -113,6 +113,22 @@ class SimilaritySpec extends AnyFunSuite {
       s"fixed-B recall $fixed more than 0.05 below default-mode $defaultGraphRecall")
   }
 
+  test("IVF default mode dispatches to fixed-B above the documented threshold") {
+    import operators.Similarity.{kTargetFor, IvfFixedBThreshold, IvfDefaultCellB}
+    // below the threshold: k = ceil(sqrt(n)) — the shipped corpora's
+    // oracle/spec-stable operating point
+    assert(kTargetFor(500L, None) == 23)
+    assert(kTargetFor(IvfFixedBThreshold, None) ==
+      math.ceil(math.sqrt(IvfFixedBThreshold.toDouble)).toInt)
+    // above it: k = ceil(n/B) — probe volume pinned at nprobe*B
+    assert(kTargetFor(IvfFixedBThreshold + 1, None) ==
+      math.ceil((IvfFixedBThreshold + 1).toDouble / IvfDefaultCellB).toInt)
+    assert(kTargetFor(1L << 30, None) == (1L << 30).toInt / IvfDefaultCellB)
+    // explicit cellSize always wins, either side of the threshold
+    assert(kTargetFor(500L, Some(32)) == 16)
+    assert(kTargetFor(1L << 30, Some(1 << 20)) == 1024)
+  }
+
   test("q91 pagerank equals an exact driver-side power iteration") {
     import operators.Similarity.{PrDamp, PrIters}
     val edges = operators.Similarity.q54(spark, sf)
