@@ -247,14 +247,24 @@ object Dedup {
     * exhaustively. The self-join is an equi-join on (combo, key);
     * skewed buckets (simhash bits are not uniform — common tokens
     * correlate them) are AQE skew-split. */
-  def q43(s: SparkSession, dir: String): DataFrame = {
+  def q43(s: SparkSession, dir: String): DataFrame =
+    hamming64Pairs(simhashes(s, dir), 8)
+
+  /** The q43 block-combination banding join over ANY 64-bit hash
+    * frame (doc_id, simhash) — guaranteed recall of every pair at
+    * hamming ≤ `maxHam` ≤ 8 (pigeonhole over the 10-block layout).
+    * Shared by q43 (token simhash) and [[Multimodal.q155]]
+    * (perceptual image hash): the banding geometry only sees 64 bits
+    * and does not care what they summarize. */
+  private[operators] def hamming64Pairs(hashes: DataFrame, maxHam: Int): DataFrame = {
+    require(maxHam <= 8, s"10-block banding only guarantees hamming<=8, got $maxHam")
     // The repartition is a PLANNING barrier, not a data move for its
     // own sake: without it CollapseProject inlines the 64-term
     // simhash expression into every one of the 45 key structs (×2
     // block refs ≈ 5.8k CASE terms) and optimizer+AQE replans take
     // minutes. Behind the barrier simhash is a plain attribute; the
     // shuffle itself is linear in docs × 16 bytes.
-    val sims = simhashes(s, dir).repartition(col("doc_id"))
+    val sims = hashes.repartition(col("doc_id"))
     import graft.functions.SimHashOps.{BlockOffsets, BlockSizes, canonicalCombo}
     def block(i: Int): Column =
       shiftright(col("simhash"), BlockOffsets(i)).bitwiseAND(lit((1L << BlockSizes(i)) - 1))
@@ -290,7 +300,7 @@ object Dedup {
       .filter(col("x.cb") === canonicalCombo(xorCol))
       .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"),
         bit_count(xorCol).as("hamming"))
-      .filter(col("hamming") <= 8)
+      .filter(col("hamming") <= maxHam)
       .orderBy("d1", "d2")
   }
 

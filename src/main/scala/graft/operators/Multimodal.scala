@@ -285,7 +285,130 @@ object Multimodal {
            CASE WHEN n > 0 THEN lb[j*n//8 + 1] ELSE 0 END), ',') AS sample8
        FROM m ORDER BY doc_id"""
 
+  /** 64-bit perceptual hash (aHash) of a binary payload: the 8×8
+    * average-hash of image dedup restated over the 1-D byte signal —
+    * a 64-cell area-average downsample (the SAME primitive as q73's
+    * thumb16, at 64 cells), then bit j = [cell_j > floor-mean of the
+    * 64 cells]. Integer arithmetic throughout, so the hash is
+    * deterministic across engines and partitionings. A real image
+    * pipeline swaps the byte signal for decoded luma pixels; the
+    * hash/banding machinery downstream is unchanged. */
+  private[graft] def phash64(b: Array[Byte]): Long = {
+    val n = b.length
+    val cells = new Array[Long](64)
+    var j = 0
+    while (j < 64) {
+      val lo = j * n / 64
+      val hi = (j + 1) * n / 64
+      if (hi > lo) {
+        var s = 0L
+        var x = lo
+        while (x < hi) { s += (b(x) & 0xff); x += 1 }
+        cells(j) = s / (hi - lo)
+      }
+      j += 1
+    }
+    var tot = 0L
+    j = 0
+    while (j < 64) { tot += cells(j); j += 1 }
+    val mean = tot / 64
+    var h = 0L
+    j = 0
+    while (j < 64) { if (cells(j) > mean) h |= 1L << j; j += 1 }
+    h
+  }
+
+  /** Image near-dup hamming cutoff for [[q155]]: ≤ 8 keeps the
+    * 10-block banding's recall GUARANTEE (pigeonhole); at 64 bits
+    * that is the usual ~12% distortion budget of aHash dedup. */
+  private[graft] val PhashHam = 8
+
+  /** PERCEPTUAL-HASH IMAGE NEAR-DUP — q43's guaranteed-recall
+    * block-combination banding ([[Dedup.hamming64Pairs]]) over
+    * [[phash64]] instead of the token simhash: the banding geometry
+    * only sees 64 bits and does not care what they summarize. Only
+    * image-classified payloads (PNG/JPEG, real header or stub class)
+    * enter the join — an audio/empty payload sharing byte statistics
+    * with an image is not a duplicate of it.
+    *
+    * Scale shape: one embarrassingly-parallel decode+hash pass
+    * (8 bytes per image retained), then the banding self-join whose
+    * skew/match-multiplication handling is exactly q43's (shuffle
+    * merge on the 45 combo keys, canonical-combo dedup predicate —
+    * no pair-distinct shuffle). Hash-dependent → rows-only;
+    * MultimodalSpec plants twins under synthesized real PNG headers
+    * and asserts exhaustive recall. */
+  def q155(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    q155Of(Tables(s, dir, "documents")
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      .as[(Long, Array[Byte])])
+  }
+
+  /** q155 core over any (id, payload) dataset — shared with the
+    * planted-twin spec so it exercises the exact executor path. */
+  private[graft] def q155Of(ds: Dataset[(Long, Array[Byte])]): DataFrame = {
+    import ds.sparkSession.implicits._
+    val hashed = ds.mapPartitions(_.flatMap { case (id, bytes) =>
+      val m = decode(id, bytes)
+      if (m.format == "png" || m.format == "jpeg") Some((id, phash64(bytes)))
+      else None
+    }).toDF("doc_id", "simhash")
+    Dedup.hamming64Pairs(hashed, PhashHam)
+  }
+
+  /** [[q156]] gates, shared with the oracle SQL: captions must score
+    * ≥ CapQual on q60's quality and media must be an image with both
+    * dimensions ≥ MinDim. One constant each (the JaccThr pattern). */
+  private[graft] val CapQual = "0.5"
+  private[graft] val MinDim = 128
+
+  /** CROSS-MODAL GATE — the caption×image admission filter of a
+    * multimodal training pipeline: a (doc, payload) pair survives
+    * only if the CAPTION side passes text quality (q60's score ≥
+    * [[CapQual]]) AND the MEDIA side is a valid image (PNG/JPEG with
+    * both dimensions ≥ [[MinDim]]). Emits the per-pair verdict with
+    * both per-modality flags, so the report also says WHICH modality
+    * killed a pair — the number a curation run tunes thresholds on.
+    *
+    * Scale shape: two map-only frames over the same table (text
+    * scoring; header decode) equi-joined on doc_id — no cartesian,
+    * no skew (doc_id is unique on both sides), shuffle bounded by
+    * one row per doc per side. Oracle-compared end-to-end: on the
+    * ASCII corpus the decode is exactly the stub arithmetic, and
+    * quality reuses q60's shared SQL fragment. */
+  def q156(s: SparkSession, dir: String): DataFrame = {
+    val cap = TextOps.q60(s, dir).select(col("doc_id"), col("quality_score"))
+    val media = q70(s, dir).select(col("doc_id"), col("format"), col("width"), col("height"))
+    cap.join(media, Seq("doc_id"))
+      .select(col("doc_id"),
+        (col("quality_score") >= CapQual.toDouble).as("caption_ok"),
+        (col("format").isin("png", "jpeg") &&
+          least(col("width"), col("height")) >= MinDim).as("media_ok"))
+      .withColumn("kept", col("caption_ok") && col("media_ok"))
+      .orderBy("doc_id")
+  }
+
+  private val q156Sql =
+    s"""WITH cap AS (SELECT doc_id, ${TextOps.QualityScoreSql} AS q
+         FROM (SELECT doc_id, list_filter(string_split(text,' '), x -> x<>'') AS tk
+               FROM documents)),
+       med AS (SELECT doc_id,
+           CASE WHEN strlen(text) = 0 THEN 'empty'
+                ELSE CASE ascii(text[1]) % 3 WHEN 0 THEN 'jpeg' WHEN 1 THEN 'png' ELSE 'wav' END END AS format,
+           64 + strlen(text) % 512 AS width,
+           64 + coalesce(list_sum(list_transform(range(1, strlen(text)+1), i -> ascii(text[i]))), 0) % 512 AS height
+         FROM documents)
+       SELECT cap.doc_id, cap.q >= $CapQual AS caption_ok,
+         med.format IN ('png','jpeg') AND least(med.width, med.height) >= $MinDim AS media_ok,
+         cap.q >= $CapQual AND med.format IN ('png','jpeg')
+           AND least(med.width, med.height) >= $MinDim AS kept
+       FROM cap JOIN med ON cap.doc_id = med.doc_id
+       ORDER BY cap.doc_id"""
+
   val qs: Seq[Q] = Seq(
     Q("q70_multimodal_meta", q70, Some(q70Sql)),
-    Q("q73_media_features", q73, Some(q73Sql)))
+    Q("q73_media_features", q73, Some(q73Sql)),
+    Q("q155_phash_neardup", q155, None),
+    Q("q156_crossmodal_gate", q156, Some(q156Sql)))
 }

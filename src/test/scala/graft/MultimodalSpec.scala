@@ -151,4 +151,58 @@ class MultimodalSpec extends AnyFunSuite {
     assert(out(1L).getLong(1) == pngBytes(1920, 1080).length.toLong)
     assert(out(8L).getLong(1) == 0L)
   }
+
+  test("q155 planted twins under real PNG headers: exhaustive hamming recall, no non-images") {
+    import spark.implicits._
+    import operators.Multimodal.{phash64, PhashHam}
+    // 40 synthetic "images": real PNG header + 2048 deterministic
+    // pseudo-random body bytes; ids 1000+i are twins of i<20 with 3
+    // byte flips (cells are 32-byte means, so a flip moves a cell by
+    // <=8 gray levels — hamming stays small but NOT provably 0, so
+    // the assertions below compute it rather than assume it).
+    def body(seed: Long): Array[Byte] = {
+      val r = new scala.util.Random(seed)
+      Array.fill(2048)(r.nextInt(256).toByte)
+    }
+    val bases = (0L until 40L).map(i => i -> (pngBytes(640, 480) ++ body(i)))
+    val twins = (0L until 20L).map { i =>
+      val b = (pngBytes(640, 480) ++ body(i)).clone()
+      val r = new scala.util.Random(7 * i + 3)
+      (0 until 3).foreach(_ => b(33 + r.nextInt(b.length - 33)) =
+        r.nextInt(256).toByte)
+      (1000L + i) -> b
+    }
+    // and 5 WAV payloads that must never enter the image join
+    val wavs = (2000L until 2005L).map(i => i -> wavBytes(44100, 2))
+    val all = (bases ++ twins ++ wavs).toSeq
+    val got = operators.Multimodal.q155Of(
+        spark.createDataset(all).repartition(8))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // local exact reference over the image subset only
+    val hashes = (bases ++ twins).map { case (id, b) => id -> phash64(b) }
+    val want = (for {
+      (i1, h1) <- hashes; (i2, h2) <- hashes if i1 < i2
+      if java.lang.Long.bitCount(h1 ^ h2) <= PhashHam
+    } yield (i1, i2)).toSet
+    assert(got == want, s"extra=${got -- want} missing=${want -- got}")
+    // the planted twins are actually near in phash space (the test
+    // would be vacuous if the distortion blew past the cutoff)
+    val twinPairs = (0L until 20L).map(i => (i, 1000L + i)).toSet
+    assert(twinPairs.subsetOf(want),
+      s"planted twins drifted past hamming $PhashHam: ${twinPairs -- want}")
+    assert(got.forall { case (a, b) => a < 2000L && b < 2000L },
+      "a non-image payload leaked into the image near-dup join")
+  }
+
+  test("q156 cross-modal gate: kept == caption_ok AND media_ok, with both flags discriminating") {
+    val rows = operators.Multimodal.q156(spark, sf).collect()
+    assert(rows.length == Tables(spark, sf, "documents").count())
+    assert(rows.forall(r =>
+      r.getBoolean(3) == (r.getBoolean(1) && r.getBoolean(2))))
+    // non-vacuity at this SF: each flag must actually split the corpus
+    assert(rows.exists(_.getBoolean(1)) && rows.exists(!_.getBoolean(1)),
+      "caption gate is vacuous at this SF")
+    assert(rows.exists(_.getBoolean(2)) && rows.exists(!_.getBoolean(2)),
+      "media gate is vacuous at this SF")
+  }
 }

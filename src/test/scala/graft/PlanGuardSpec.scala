@@ -18,7 +18,8 @@ class PlanGuardSpec extends AnyFunSuite {
     // and the grid rewrite must keep it an equi-join on the cell
     for (q <- Seq("q41_ngram_jaccard", "q42_minhash_lsh", "q43_simhash",
         "q44_embedding_neardup", "q51_knn_lsh", "q54_knn_graph", "q84_session_overlap",
-        "q86_fuzzy_decontaminate", "q95_source_overlap", "q101_dedup_agreement")) {
+        "q86_fuzzy_decontaminate", "q95_source_overlap", "q101_dedup_agreement",
+        "q155_phash_neardup", "q156_crossmodal_gate")) {
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q plans a cartesian product")
       assert(!p.contains("BroadcastNestedLoopJoin"), s"$q plans a nested-loop join")
