@@ -10,20 +10,32 @@
 # check_oracle.py always exits 0, so pass/fail is parsed from its
 # "FAIL" lines. Per-SF logs land in /tmp/sweep_<sf>{,_oracle}.log.
 #
+# A FOURTH corpus outside the driver family catches boundary-class
+# bugs that need more groups than any shipped SF: pass an ABSOLUTE
+# path to a GenData-generated corpus and the sweep runs the
+# documents/embeddings-family oracle subset on it (Verify's "@docs"
+# sentinel — the other tables don't exist there).
+#
 # Usage: scripts/sweep_oracle.sh            # all three SFs
 #        scripts/sweep_oracle.sh sf0.1      # just one
+#        scripts/sweep_oracle.sh /tmp/stress_x3   # generated corpus
+#        scripts/sweep_oracle.sh sf0.001 sf0.01 sf0.1 /tmp/stress_x3
 set -u
 cd "$(dirname "$0")/.."
 if [ $# -gt 0 ]; then SFS=("$@"); else SFS=(sf0.001 sf0.01 sf0.1); fi
 FAIL=0
 for SF in "${SFS[@]}"; do
+  case "$SF" in
+    /*) DIR="$SF"; SUBSET=" @docs"; SF="gen_$(basename "$SF")" ;;
+    *)  DIR="/root/testdata/$SF"; SUBSET="" ;;
+  esac
   OUT="/tmp/sweep_${SF}"
   rm -rf "$OUT"
-  echo "=== $SF: graft.Verify -> $OUT"
-  if ! sbt -batch "runMain graft.Verify /root/testdata/$SF $OUT" >"/tmp/sweep_${SF}.log" 2>&1; then
+  echo "=== $SF ($DIR): graft.Verify -> $OUT"
+  if ! sbt -batch "runMain graft.Verify $DIR $OUT$SUBSET" >"/tmp/sweep_${SF}.log" 2>&1; then
     echo "FAIL $SF: Verify crashed (see /tmp/sweep_${SF}.log)"; FAIL=1; continue
   fi
-  if ! python3 scripts/check_oracle.py "/root/testdata/$SF" "$OUT" >"/tmp/sweep_${SF}_oracle.log" 2>&1; then
+  if ! python3 scripts/check_oracle.py "$DIR" "$OUT" >"/tmp/sweep_${SF}_oracle.log" 2>&1; then
     echo "FAIL $SF: check_oracle crashed (see /tmp/sweep_${SF}_oracle.log)"; FAIL=1; continue
   fi
   tail -1 "/tmp/sweep_${SF}_oracle.log" | sed "s/^/    $SF: /"
