@@ -286,11 +286,18 @@ object EnrichStream {
   def typedSource(spark: SparkSession, dir: String): Dataset[Ev] =
     typed(source(spark, dir))
 
-  /** DataFrame (with event columns + props) → typed stream. */
+  /** DataFrame (with event columns + props) → typed stream. Mirrors
+    * the batch family's null guards (q131's isNotNull filter, q140's
+    * coalesce-to-0): an event without a user cannot be keyed by any
+    * stateful operator downstream, and a NULL value would crash the
+    * non-nullable Ev decode — the shipped driver corpus is null-free
+    * but the GenData stress corpora carry ~5% NULLs by design. */
   def typed(df: DataFrame): Dataset[Ev] = {
     import df.sparkSession.implicits._
-    df.select(col("event_id"), col("user_id"), col("event_type"),
-        unix_micros(col("ts")).as("ts_us"), col("value"),
+    df.filter(col("user_id").isNotNull)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("ts_us"),
+        coalesce(col("value"), lit(0.0)).as("value"),
         Events.isReturn.as("is_return"))
       .as[Ev]
   }

@@ -155,6 +155,49 @@ class StreamingSpec extends AnyFunSuite {
     assert(spark.table("wau_update_out").count() > 0)
   }
 
+  test("x10 stress replay: stateful stream state sits at its documented bound, not history") {
+    assume(new java.io.File("/tmp/estress_x10/events.parquet").isDirectory,
+      "x10 events stress corpus not present on this machine")
+    import streaming.EnrichStream
+    val chunks = 8
+    val spool = StreamBench.spoolEvents(spark, "/tmp/estress_x10", chunks)
+    val total = spark.read.schema(EnrichStream.rawSchema).parquet(spool).count()
+    val ltvUsers = EnrichStream.typed(Tables(spark, "/tmp/estress_x10", "events"))
+      .filter(e => e.event_type.contains("purchase") ||
+        e.event_type.contains("return") || e.is_return)
+      .map(_.user_id)(org.apache.spark.sql.Encoders.scalaLong)
+      .distinct().count()
+    def replay() = EnrichStream.replaySource(spark, spool, 1)
+
+    val ltv = StreamBench.measure("ltv",
+      EnrichStream.ltvStateful(EnrichStream.typed(replay()))
+        .writeStream.format("noop").outputMode("append").start(), ltvUsers, "")
+    // nothing dropped as late under time-ordered replay, and state is
+    // EXACTLY one row per purchase/return user — not per event
+    assert(ltv.rows == total, s"ltv admitted ${ltv.rows} of $total rows")
+    assert(ltv.maxStateRows == ltvUsers,
+      s"ltv state ${ltv.maxStateRows} != $ltvUsers purchase/return users")
+
+    val sess = StreamBench.measure("sessions",
+      EnrichStream.sessionizedStream(replay().filter(col("user_id").isNotNull))
+        .writeStream.format("noop").outputMode("append").start(),
+      0L, "")
+    // open sessions bounded by events within the ~2-batch watermark
+    // horizon (rate x horizon), never by the 1M-event history
+    assert(sess.rows == total)
+    assert(sess.maxStateRows <= 2L * (total / chunks + 1L),
+      s"session state ${sess.maxStateRows} exceeds the rate x horizon bound")
+    assert(sess.maxStateRows < total / 4,
+      "session state tracks history, not the open horizon")
+
+    val roll = StreamBench.measure("rolling",
+      EnrichStream.rollingActiveStream(replay())
+        .writeStream.format("noop").outputMode("update").start(), 0L, "")
+    val bound = 8L + 2L * StreamBench.chunkSpanDays(spark, spool, chunks)
+    assert(roll.maxStateRows > 0 && roll.maxStateRows <= bound,
+      s"rolling-active state ${roll.maxStateRows} outside (0, $bound]")
+  }
+
   test("streaming anomaly hours match a prefix-stats recomputation exactly") {
     val q = streaming.EnrichStream.anomalyStream(
         streaming.EnrichStream.typedSource(spark, sf))
