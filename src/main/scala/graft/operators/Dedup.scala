@@ -54,13 +54,19 @@ object Dedup {
     * tokenize→explode→anti-join subtree runs once instead of per
     * consumer. The materialization is the index itself (linear,
     * partitioned): the standard cache-the-index trade at any scale.
-    */
-  private[operators] def cappedShingles(s: SparkSession, dir: String): DataFrame = {
-    val sh = shingled(s, dir)
-    val hot = sh.groupBy("s").agg(count(lit(1)).as("df"))
-      .filter(col("df") > DfCap).select("s")
-    sh.join(hot, Seq("s"), "left_anti").localCheckpoint(false)
-  }
+    * MEMOIZED per (session, dir) (r6, the fitCache pattern): q42,
+    * q138, and Sampling's decontamination gate each called this and
+    * re-materialized their own copy of the same index. */
+  private val shingleCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  private[operators] def cappedShingles(s: SparkSession, dir: String): DataFrame =
+    shingleCache.getOrElseUpdate((s, dir), {
+      val sh = shingled(s, dir)
+      val hot = sh.groupBy("s").agg(count(lit(1)).as("df"))
+        .filter(col("df") > DfCap).select("s")
+      sh.join(hot, Seq("s"), "left_anti").localCheckpoint(false)
+    })
 
   /** Tokenize + raw (uncapped) shingle CTEs — the prefix q145's
     * index-health report consumes; [[shingleCte]] layers the df cap
@@ -97,18 +103,28 @@ object Dedup {
 
   /** Shared-shingle pair counts over the capped inverted index:
     * (d1 < d2, shared count c, set sizes n1/n2). The common core of
-    * q41 (Jaccard) and q132 (containment) — one inverted-index
-    * equi-join, never all-pairs. */
-  private def pairCounts(s: SparkSession, dir: String): DataFrame = {
-    val sh = cappedShingles(s, dir)
-    val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    sh.as("a").join(sh.as("b"),
-        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
-      .agg(count(lit(1)).as("c"))
-      .join(sz.withColumnRenamed("doc_id", "d1").withColumnRenamed("n", "n1"), "d1")
-      .join(sz.withColumnRenamed("doc_id", "d2").withColumnRenamed("n", "n2"), "d2")
-  }
+    * q41 (Jaccard), q132 (containment), the q65 loop input, and the
+    * q144/q146 evaluation passes — one inverted-index equi-join,
+    * never all-pairs. MEMOIZED per (session, dir) like labelsCache /
+    * Similarity.fitCache: five operators were each re-running the
+    * shingle explode + self-join; the frame is a pure function of
+    * the corpus at `dir` and near-dup-sized (pairs sharing >= 1
+    * capped shingle), so one localCheckpoint serves them all. */
+  private val pairsCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  private def pairCounts(s: SparkSession, dir: String): DataFrame =
+    pairsCache.getOrElseUpdate((s, dir), {
+      val sh = cappedShingles(s, dir)
+      val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      sh.as("a").join(sh.as("b"),
+          col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+        .agg(count(lit(1)).as("c"))
+        .join(sz.withColumnRenamed("doc_id", "d1").withColumnRenamed("n", "n1"), "d1")
+        .join(sz.withColumnRenamed("doc_id", "d2").withColumnRenamed("n", "n2"), "d2")
+        .localCheckpoint(false)
+    })
 
   /** Pair Jaccard over the capped shingle inverted index. */
   private def jaccardPairs(s: SparkSession, dir: String): DataFrame =
