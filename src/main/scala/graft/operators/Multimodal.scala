@@ -183,17 +183,28 @@ object Multimodal {
       .orderBy("doc_id")
   }
 
-  /** The stub features are byte arithmetic, so the oracle can verify
-    * the full plumbing end-to-end (ASCII corpus: char == byte, and
-    * no ASCII payload can carry a PNG/JPEG signature byte). */
-  private val q70Sql =
-    """SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n_bytes,
-       CAST(coalesce(list_sum(list_transform(range(1, strlen(text)+1), i -> ascii(text[i]))), 0) AS BIGINT) AS byte_sum,
+  /** The stub-decode metadata restated over DuckDB's ascii() — ONE
+    * fragment (the JaccThr pattern) shared by the q70/q156/q158
+    * oracles so the three can never drift from each other. On the
+    * ASCII corpus char == byte, and no ASCII payload can carry a
+    * PNG (0x89...) / JPEG (0xFF D8) signature or spell "RIFF", so
+    * the oracle exercises exactly the stub arithmetic. */
+  private val MediaMetaSql =
+    """SELECT doc_id, strlen(text) AS n_bytes,
+       coalesce(list_sum(list_transform(range(1, strlen(text)+1), i -> ascii(text[i]))), 0) AS byte_sum,
        CASE WHEN strlen(text) = 0 THEN 'empty'
             ELSE CASE ascii(text[1]) % 3 WHEN 0 THEN 'jpeg' WHEN 1 THEN 'png' ELSE 'wav' END END AS format,
-       CAST(64 + strlen(text) % 512 AS BIGINT) AS width,
-       CAST(64 + coalesce(list_sum(list_transform(range(1, strlen(text)+1), i -> ascii(text[i]))), 0) % 512 AS BIGINT) AS height
-       FROM documents ORDER BY doc_id"""
+       64 + strlen(text) % 512 AS width,
+       64 + coalesce(list_sum(list_transform(range(1, strlen(text)+1), i -> ascii(text[i]))), 0) % 512 AS height
+       FROM documents"""
+
+  /** The stub features are byte arithmetic, so the oracle can verify
+    * the full plumbing end-to-end. */
+  private val q70Sql =
+    s"""SELECT doc_id, CAST(n_bytes AS BIGINT) AS n_bytes,
+       CAST(byte_sum AS BIGINT) AS byte_sum, format,
+       CAST(width AS BIGINT) AS width, CAST(height AS BIGINT) AS height
+       FROM ($MediaMetaSql) ORDER BY doc_id"""
 
   /** Extracted features for one payload: byte-distribution stats, a
     * 16-cell downsample ("thumbnail"), and 8 evenly-spaced byte
@@ -293,8 +304,14 @@ object Multimodal {
     * deterministic across engines and partitionings. A real image
     * pipeline swaps the byte signal for decoded luma pixels; the
     * hash/banding machinery downstream is unchanged. */
-  private[graft] def phash64(b: Array[Byte]): Long = {
-    val n = b.length
+  private[graft] def phash64(b: Array[Byte]): Long =
+    envelope64(b.length, i => (b(i) & 0xff).toLong)
+
+  /** The shared 64-cell envelope core of [[phash64]] (image, byte
+    * signal) and [[ehash64]] (audio, |amplitude| signal): 64-window
+    * floor-mean downsample, bit j = [cell_j > floor-mean of cells].
+    * Integer throughout — deterministic across engines/partitions. */
+  private def envelope64(n: Int, at: Int => Long): Long = {
     val cells = new Array[Long](64)
     var j = 0
     while (j < 64) {
@@ -303,7 +320,7 @@ object Multimodal {
       if (hi > lo) {
         var s = 0L
         var x = lo
-        while (x < hi) { s += (b(x) & 0xff); x += 1 }
+        while (x < hi) { s += at(x); x += 1 }
         cells(j) = s / (hi - lo)
       }
       j += 1
@@ -357,6 +374,147 @@ object Multimodal {
     Dedup.hamming64Pairs(hashed, PhashHam)
   }
 
+  /** Real-WAV PCM sample extraction: the same bounded chunk walk as
+    * [[wavMeta]], but reading BOTH the fmt chunk (bits-per-sample at
+    * +14 of the fmt payload) and the data chunk (interleaved PCM
+    * frames). 16-bit samples decode signed little-endian, 8-bit as
+    * unsigned offset-128 — the WAV spec's two integer PCM widths;
+    * any other width, or a missing fmt/data chunk, abandons the
+    * parse (→ the caller's byte-signal fallback). Returns ABSOLUTE
+    * amplitudes: the envelope hash summarizes energy, for which
+    * channel interleave and sign are irrelevant. A data chunk whose
+    * declared size overruns the buffer is clamped to the available
+    * bytes — truncated tails still hash deterministically. */
+  private[graft] def wavSamples(b: Array[Byte]): Option[Array[Int]] = {
+    if (b.length < 12 ||
+        !(b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F') ||
+        !(b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E')) return None
+    var i = 12L
+    var hops = 0
+    var bits = -1
+    var dataOff = -1
+    var dataLen = -1
+    while (i + 8 <= b.length && hops < 64 && (bits < 0 || dataOff < 0)) {
+      val p = i.toInt
+      val size = le32(b, p + 4)
+      if (b(p) == 'f' && b(p + 1) == 'm' && b(p + 2) == 't' && b(p + 3) == ' ') {
+        // bits-per-sample sits at payload +14..+15: require the full
+        // 16-byte PCM fmt payload (wavMeta's looser rate-only read is
+        // not enough here)
+        if (size < 16 || i + 24 > b.length) return None
+        bits = le16(b, p + 22)
+      } else if (b(p) == 'd' && b(p + 1) == 'a' && b(p + 2) == 't' && b(p + 3) == 'a') {
+        dataOff = p + 8
+        dataLen = math.min(size, b.length - (i + 8L)).toInt
+      }
+      i += 8L + size + (size & 1L)
+      hops += 1
+    }
+    if (bits < 0 || dataOff < 0 || dataLen < 0) return None
+    bits match {
+      case 16 =>
+        val n = dataLen / 2
+        val out = new Array[Int](n)
+        var k = 0
+        while (k < n) {
+          val v = (le16(b, dataOff + 2 * k) << 16) >> 16 // sign-extend
+          out(k) = math.abs(v)
+          k += 1
+        }
+        Some(out)
+      case 8 =>
+        val out = new Array[Int](dataLen)
+        var k = 0
+        while (k < dataLen) { out(k) = math.abs((b(dataOff + k) & 0xff) - 128); k += 1 }
+        Some(out)
+      case _ => None
+    }
+  }
+
+  /** 64-bit energy-envelope hash of an amplitude stream — [[phash64]]'s
+    * exact arithmetic over |PCM| instead of raw bytes. */
+  private[graft] def ehash64(amps: Array[Int]): Long =
+    envelope64(amps.length, i => amps(i).toLong)
+
+  /** Audio near-dup hamming cutoff: same pigeonhole bound as images. */
+  private[graft] val EhashHam = 8
+
+  /** AUDIO ENVELOPE NEAR-DUP — the audio member of the perceptual
+    * near-dup family (q155 is the image member): only audio-classified
+    * payloads enter; real WAVs hash their DECODED PCM energy envelope
+    * ([[wavSamples]] → [[ehash64]] — genuine sample-level decode, no
+    * codec needed for integer PCM), stub-class payloads fall back to
+    * the raw byte signal so the operator stays total on mixed corpora.
+    * Pairing is the shared guaranteed-recall 10-block banding
+    * ([[Dedup.hamming64Pairs]]).
+    *
+    * Scale shape: one embarrassingly-parallel decode+hash pass (8
+    * bytes retained per clip), then q43's banding join — identical
+    * skew/match-multiplication story. Hash-dependent → rows-only;
+    * MultimodalSpec plants perturbed-PCM twins under real WAV headers
+    * and asserts exhaustive hamming recall + no cross-modal leakage. */
+  def q157(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    q157Of(Tables(s, dir, "documents")
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      .as[(Long, Array[Byte])])
+  }
+
+  /** q157 core over any (id, payload) dataset — shared with the
+    * planted-twin spec so it exercises the exact executor path. */
+  private[graft] def q157Of(ds: Dataset[(Long, Array[Byte])]): DataFrame = {
+    import ds.sparkSession.implicits._
+    val hashed = ds.mapPartitions(_.flatMap { case (id, bytes) =>
+      val m = decode(id, bytes)
+      if (m.format == "wav") {
+        val amps = wavSamples(bytes).getOrElse {
+          val out = new Array[Int](bytes.length)
+          var k = 0
+          while (k < bytes.length) { out(k) = bytes(k) & 0xff; k += 1 }
+          out
+        }
+        Some((id, ehash64(amps)))
+      } else None
+    }).toDF("doc_id", "simhash")
+    Dedup.hamming64Pairs(hashed, EhashHam)
+  }
+
+  /** MODALITY BUDGET REPORT — the bytes-accounting view a multimodal
+    * training run plans against: per detected format, payload count,
+    * total bytes, and the format's integer-ppm share of corpus bytes,
+    * plus summed metadata axes (pixels for images, rate/channels for
+    * audio — exact integers, so the whole report is drift-free).
+    * The ppm multiply routes through DECIMAL(38,0): at 100 TB,
+    * total_bytes × 1e6 overflows a long (the q142 wrap/raise
+    * asymmetry), while doc counts stay comfortably inside it.
+    *
+    * Scale shape: one map-side-combined hash agg over the decode
+    * pass (≤ a handful of format groups cross the shuffle), windows
+    * only over that tiny frame. Oracle-compared end-to-end on the
+    * stub arithmetic via the shared [[MediaMetaSql]] fragment. */
+  def q158(s: SparkSession, dir: String): DataFrame = {
+    q70(s, dir)
+      .groupBy("format")
+      .agg(
+        count(lit(1)).as("n_payloads"),
+        sum("n_bytes").as("total_bytes"),
+        sum("width").as("sum_width"),
+        sum("height").as("sum_height"))
+      .withColumn("bytes_ppm", expr(
+        "CAST((CAST(total_bytes AS DECIMAL(38,0)) * 1000000) div sum(total_bytes) OVER () AS BIGINT)"))
+      .orderBy("format")
+  }
+
+  private val q158Sql =
+    s"""WITH med AS ($MediaMetaSql)
+       SELECT format, CAST(count(*) AS BIGINT) AS n_payloads,
+         CAST(sum(n_bytes) AS BIGINT) AS total_bytes,
+         CAST(sum(width) AS BIGINT) AS sum_width,
+         CAST(sum(height) AS BIGINT) AS sum_height,
+         CAST((sum(n_bytes)::HUGEINT * 1000000)
+              // (SELECT sum(n_bytes) FROM med) AS BIGINT) AS bytes_ppm
+       FROM med GROUP BY format ORDER BY format"""
+
   /** [[q156]] gates, shared with the oracle SQL: captions must score
     * ≥ CapQual on q60's quality and media must be an image with both
     * dimensions ≥ MinDim. One constant each (the JaccThr pattern). */
@@ -393,12 +551,7 @@ object Multimodal {
     s"""WITH cap AS (SELECT doc_id, ${TextOps.QualityScoreSql} AS q
          FROM (SELECT doc_id, list_filter(string_split(text,' '), x -> x<>'') AS tk
                FROM documents)),
-       med AS (SELECT doc_id,
-           CASE WHEN strlen(text) = 0 THEN 'empty'
-                ELSE CASE ascii(text[1]) % 3 WHEN 0 THEN 'jpeg' WHEN 1 THEN 'png' ELSE 'wav' END END AS format,
-           64 + strlen(text) % 512 AS width,
-           64 + coalesce(list_sum(list_transform(range(1, strlen(text)+1), i -> ascii(text[i]))), 0) % 512 AS height
-         FROM documents)
+       med AS ($MediaMetaSql)
        SELECT cap.doc_id, cap.q >= $CapQual AS caption_ok,
          med.format IN ('png','jpeg') AND least(med.width, med.height) >= $MinDim AS media_ok,
          cap.q >= $CapQual AND med.format IN ('png','jpeg')
@@ -410,5 +563,7 @@ object Multimodal {
     Q("q70_multimodal_meta", q70, Some(q70Sql)),
     Q("q73_media_features", q73, Some(q73Sql)),
     Q("q155_phash_neardup", q155, None),
-    Q("q156_crossmodal_gate", q156, Some(q156Sql)))
+    Q("q156_crossmodal_gate", q156, Some(q156Sql)),
+    Q("q157_wav_neardup", q157, None),
+    Q("q158_modality_budget", q158, Some(q158Sql)))
 }

@@ -1161,6 +1161,69 @@ object Sampling {
               n_tokens, avg_tokens, avg_q4
        FROM a ORDER BY split"""
 
+  /** SPLIT CONTAMINATION MATRIX — the corpus-level companion to
+    * q69's per-document decontamination report: for every ORDERED
+    * split pair (a, b), what fraction of a's distinct 8-grams also
+    * occurs in b. q69 answers "which train docs must I drop"; this
+    * answers the governance question "how leaky is the split scheme
+    * itself" (the number a data card publishes, and the first thing
+    * to check after changing split keys). All 6 off-diagonal cells
+    * are emitted even when empty, so a zero-leak corpus still
+    * reports its zeros.
+    *
+    * Scale shape: distinct (split, gram) — one gram-keyed shuffle —
+    * then a self-equi-join on the gram. Unlike q69's doc-level join,
+    * the per-SPLIT distinct bounds fan-out structurally: a gram
+    * occurs in ≤ 3 rows per side regardless of document frequency,
+    * so no DF cap is needed and the join is linear in distinct
+    * grams. The matrix assembly runs over 3-row frames. The gram
+    * frame is checkpointed: three consumers (sizes + both join
+    * sides) would each re-run the explode. */
+  def q159(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(s, dir, "documents")
+      .withColumn("bucket", expr(BucketExpr))
+      .withColumn("split",
+        when(col("bucket") < TrainLt, "train")
+          .when(col("bucket") < ValLt, "val")
+          .otherwise("test"))
+      .withColumn("tk", expr(Dedup.tokensExpr))
+    val grams = docs.select(col("split"), explode(expr(gramExpr)).as("s"))
+      .distinct().localCheckpoint(false)
+    val sizes = grams.groupBy("split").agg(count(lit(1)).as("n"))
+    val shared = grams.toDF("split_a", "s")
+      .join(grams.toDF("split_b", "s2"),
+        col("s") === col("s2") && col("split_a") =!= col("split_b"))
+      .groupBy("split_a", "split_b").agg(count(lit(1)).as("ns"))
+    sizes.toDF("split_a", "n_grams_a")
+      .join(broadcast(sizes.toDF("split_b", "n_grams_b")),
+        col("split_a") =!= col("split_b"))
+      .join(shared, Seq("split_a", "split_b"), "left")
+      .withColumn("n_shared", coalesce(col("ns"), lit(0L)))
+      .select(col("split_a"), col("split_b"), col("n_grams_a"), col("n_shared"),
+        ops.r4(col("n_shared") * lit(1.0) / col("n_grams_a")).as("containment"))
+      .orderBy("split_a", "split_b")
+  }
+
+  private val q159Sql =
+    s"""WITH t AS (SELECT CASE WHEN $BucketSql < $TrainLt THEN 'train'
+                        WHEN $BucketSql < $ValLt THEN 'val'
+                        ELSE 'test' END AS split,
+                 list_filter(string_split(text,' '), x -> x<>'') AS tk
+               FROM documents),
+       g AS (SELECT DISTINCT split, $gramSql AS s
+             FROM t, UNNEST(range(1, len(tk)-${GramN - 2})) AS r(i)),
+       sz AS (SELECT split, count(*) AS n FROM g GROUP BY 1),
+       sh AS (SELECT a.split AS split_a, b.split AS split_b, count(*) AS ns
+              FROM g a JOIN g b ON a.s = b.s AND a.split <> b.split
+              GROUP BY 1, 2)
+       SELECT a.split AS split_a, b.split AS split_b,
+         CAST(a.n AS BIGINT) AS n_grams_a,
+         CAST(coalesce(sh.ns, 0) AS BIGINT) AS n_shared,
+         ${ops.R4("coalesce(sh.ns, 0)*1.0/a.n")} AS containment
+       FROM sz a JOIN sz b ON a.split <> b.split
+       LEFT JOIN sh ON sh.split_a = a.split AND sh.split_b = b.split
+       ORDER BY split_a, split_b"""
+
   val qs: Seq[Q] = Seq(
     Q("q66_train_split", q66, Some(q66Sql)),
     Q("q67_stratified_sample", q67, Some(q67Sql)),
@@ -1180,5 +1243,6 @@ object Sampling {
     Q("q97_novelty", q97, Some(q97Sql)),
     Q("q100_mix_weights", q100, Some(q100Sql)),
     Q("q133_curriculum", q133, Some(q133Sql)),
-    Q("q153_split_balance", q153, Some(q153Sql)))
+    Q("q153_split_balance", q153, Some(q153Sql)),
+    Q("q159_split_contamination", q159, Some(q159Sql)))
 }

@@ -194,6 +194,98 @@ class MultimodalSpec extends AnyFunSuite {
       "a non-image payload leaked into the image near-dup join")
   }
 
+  // --- audio: real PCM synthesis for the q157 family ---
+
+  private def le32b(v: Int) =
+    Array[Byte](v.toByte, (v >> 8).toByte, (v >> 16).toByte, (v >> 24).toByte)
+  private def le16b(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte)
+
+  /** A COMPLETE 16-bit mono PCM WAV: full 16-byte fmt chunk + data
+    * chunk (unlike wavBytes above, which stops at the rate field). */
+  private def wavPcm16(samples: Array[Short]): Array[Byte] = {
+    val dataLen = samples.length * 2
+    "RIFF".getBytes ++ le32b(36 + dataLen) ++ "WAVE".getBytes ++
+      "fmt ".getBytes ++ le32b(16) ++ le16b(1) ++ le16b(1) ++
+      le32b(8000) ++ le32b(16000) ++ le16b(2) ++ le16b(16) ++
+      "data".getBytes ++ le32b(dataLen) ++
+      samples.flatMap(s => le16b(s & 0xffff))
+  }
+
+  private def pcmBody(seed: Long, n: Int = 4096): Array[Short] = {
+    val r = new scala.util.Random(seed)
+    Array.fill(n)((r.nextInt(30001) - 15000).toShort)
+  }
+
+  test("wavSamples decodes 16-bit and 8-bit PCM to absolute amplitudes") {
+    import operators.Multimodal.wavSamples
+    val s16 = Array[Short](0, 1, -1, 15000, -15000, Short.MaxValue, Short.MinValue)
+    assert(wavSamples(wavPcm16(s16)).get.toSeq ==
+      s16.map(v => math.abs(v.toInt)).toSeq)
+    // 8-bit: unsigned offset-128
+    val data8 = Array[Byte](0, 127.toByte, 128.toByte, 255.toByte)
+    val wav8 = "RIFF".getBytes ++ le32b(36 + 4) ++ "WAVE".getBytes ++
+      "fmt ".getBytes ++ le32b(16) ++ le16b(1) ++ le16b(1) ++
+      le32b(8000) ++ le32b(8000) ++ le16b(1) ++ le16b(8) ++
+      "data".getBytes ++ le32b(4) ++ data8
+    assert(wavSamples(wav8).get.toSeq == Seq(128, 1, 0, 127))
+    // headers the metadata parser accepts but that carry no PCM
+    // (no data chunk / truncated fmt) must abandon, not fabricate
+    assert(wavSamples(wavBytes(44100, 2)).isEmpty)
+    // a data chunk whose declared size overruns the buffer clamps
+    val over = wavPcm16(s16)
+    assert(wavSamples(over.dropRight(2)).get.length == s16.length - 1)
+  }
+
+  test("q157 planted twins under real WAV PCM: exhaustive hamming recall, no non-audio") {
+    import spark.implicits._
+    import operators.Multimodal.{ehash64, wavSamples, EhashHam}
+    // 40 synthetic clips: full WAV header + 4096 deterministic
+    // pseudo-random 16-bit samples; ids 1000+i are twins of i<20 with
+    // 3 sample rewrites (64-sample envelope windows move by <=470 of
+    // a ~7500 typical mean — hamming stays small but NOT provably 0,
+    // so the assertions compute it rather than assume it).
+    val bases = (0L until 40L).map(i => i -> wavPcm16(pcmBody(i)))
+    val twins = (0L until 20L).map { i =>
+      val s = pcmBody(i).clone()
+      val r = new scala.util.Random(11 * i + 5)
+      (0 until 3).foreach(_ => s(r.nextInt(s.length)) =
+        (r.nextInt(30001) - 15000).toShort)
+      (1000L + i) -> wavPcm16(s)
+    }
+    // image payloads that must never enter the audio join
+    val pngs = (2000L until 2005L).map(i => i -> pngBytes(640, 480))
+    val all = (bases ++ twins ++ pngs).toSeq
+    val got = operators.Multimodal.q157Of(
+        spark.createDataset(all).repartition(8))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // local exact reference over the audio subset, through the same
+    // decode path (real PCM, not the byte-signal fallback)
+    val hashes = (bases ++ twins).map { case (id, b) =>
+      id -> ehash64(wavSamples(b).get)
+    }
+    val want = (for {
+      (i1, h1) <- hashes; (i2, h2) <- hashes if i1 < i2
+      if java.lang.Long.bitCount(h1 ^ h2) <= EhashHam
+    } yield (i1, i2)).toSet
+    assert(got == want, s"extra=${got -- want} missing=${want -- got}")
+    val twinPairs = (0L until 20L).map(i => (i, 1000L + i)).toSet
+    assert(twinPairs.subsetOf(want),
+      s"planted twins drifted past hamming $EhashHam: ${twinPairs -- want}")
+    assert(got.forall { case (a, b) => a < 2000L && b < 2000L },
+      "a non-audio payload leaked into the audio near-dup join")
+  }
+
+  test("q158 modality budget: counts and ppm shares reconcile with the corpus") {
+    val rows = operators.Multimodal.q158(spark, sf).collect()
+    val nDocs = Tables(spark, sf, "documents").count()
+    assert(rows.map(_.getLong(1)).sum == nDocs)
+    val ppm = rows.map(_.getLong(5)).sum
+    // floor division loses < 1 ppm per group
+    assert(ppm <= 1000000L && ppm > 1000000L - rows.length,
+      s"bytes_ppm sums to $ppm")
+    assert(rows.forall(r => Set("jpeg", "png", "wav", "empty").contains(r.getString(0))))
+  }
+
   test("q156 cross-modal gate: kept == caption_ok AND media_ok, with both flags discriminating") {
     val rows = operators.Multimodal.q156(spark, sf).collect()
     assert(rows.length == Tables(spark, sf, "documents").count())

@@ -364,4 +364,33 @@ class SamplingSpec extends AnyFunSuite {
     // the content-keyed split targets 80/10/10: shares within 5pp
     assert(math.abs(got("train")._2 - 800000L) < 50000L)
   }
+
+  test("q159 split contamination equals a local gram-set recompute, all 6 cells present") {
+    val got = operators.Sampling.q159(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    val splits = operators.Sampling.q66(spark, sf).select("doc_id", "split").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val docs = Tables(spark, sf, "documents").select("doc_id", "text").collect()
+    val gramSets = docs
+      .flatMap { r =>
+        val tk = r.getString(1).split(" ").filter(_.nonEmpty)
+        tk.sliding(8).filter(_.length == 8)
+          .map(w => splits(r.getLong(0)) -> w.mkString(" "))
+      }
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val names = Seq("test", "train", "val")
+    val want: Map[(String, String), (Long, Long, Double)] = (for {
+      a <- names; b <- names if a != b && gramSets.contains(a) && gramSets.contains(b)
+    } yield {
+      val ga = gramSets(a)
+      val ns = (ga intersect gramSets(b)).size.toLong
+      (a, b) -> ((ga.size.toLong, ns,
+        math.floor(ns * 1.0 / ga.size * 1e4 + 0.5) / 1e4))
+    }).toMap
+    assert(got.size == 6 && got == want,
+      s"first diff: ${got.find(kv => want.get(kv._1) != Some(kv._2))}")
+    // shared-gram counts are symmetric by construction
+    assert(got.forall { case ((a, b), (_, ns, _)) => got(b -> a)._2 == ns })
+  }
 }
