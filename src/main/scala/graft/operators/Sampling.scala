@@ -1224,6 +1224,46 @@ object Sampling {
        LEFT JOIN sh ON sh.split_a = a.split AND sh.split_b = b.split
        ORDER BY split_a, split_b"""
 
+  /** NEAR-DUP-SAFE SPLIT — closes the leakage gap q66 leaves open:
+    * q66's content-keyed bucket pins byte-identical copies to one
+    * split, but NEAR-duplicates (edited boilerplate, re-crawls with
+    * a changed footer) hash to different buckets and can straddle
+    * train/test — exactly the pairs q159's contamination matrix
+    * counts. Here every document inherits the split of its near-dup
+    * CLUSTER REPRESENTATIVE (q65's component-min doc_id), with the
+    * split keyed on the REPRESENTATIVE's text bucket — whole
+    * clusters move together, so no q41-threshold near-dup pair can
+    * ever straddle splits. Singleton docs (their own representative)
+    * degrade exactly to q66's assignment.
+    *
+    * Scale shape: q65's labels are the edge-sized cached iteration;
+    * the bucket pass is map-only; attaching the representative's
+    * bucket is ONE equi-join on cluster_id. At 100 TB nothing here
+    * exceeds the dedup stage the corpus already runs. */
+  def q161(s: SparkSession, dir: String): DataFrame = {
+    val labels = Dedup.q65(s, dir)
+    val repBucket = Tables(s, dir, "documents")
+      .select(col("doc_id").as("cluster_id"), expr(BucketExpr).as("bucket"))
+    labels.join(repBucket, "cluster_id")
+      .withColumn("split",
+        when(col("bucket") < TrainLt, "train")
+          .when(col("bucket") < ValLt, "val")
+          .otherwise("test"))
+      .select(col("doc_id"), col("cluster_id"), col("bucket"), col("split"))
+      .orderBy("doc_id")
+  }
+
+  private val q161Sql =
+    s"""WITH RECURSIVE ${Dedup.shingleCte},
+       ${Dedup.clusterCte},
+       b AS (SELECT doc_id, $BucketSql AS bucket FROM documents)
+       SELECT cl.doc_id, cl.cluster_id, b.bucket,
+         CASE WHEN b.bucket < $TrainLt THEN 'train'
+              WHEN b.bucket < $ValLt THEN 'val'
+              ELSE 'test' END AS split
+       FROM cl JOIN b ON cl.cluster_id = b.doc_id
+       ORDER BY cl.doc_id"""
+
   val qs: Seq[Q] = Seq(
     Q("q66_train_split", q66, Some(q66Sql)),
     Q("q67_stratified_sample", q67, Some(q67Sql)),
@@ -1244,5 +1284,6 @@ object Sampling {
     Q("q100_mix_weights", q100, Some(q100Sql)),
     Q("q133_curriculum", q133, Some(q133Sql)),
     Q("q153_split_balance", q153, Some(q153Sql)),
-    Q("q159_split_contamination", q159, Some(q159Sql)))
+    Q("q159_split_contamination", q159, Some(q159Sql)),
+    Q("q161_cluster_safe_split", q161, Some(q161Sql)))
 }

@@ -980,6 +980,281 @@ object Similarity {
       .orderBy("method")
   }
 
+  /** Map-only assignment of a vector frame to FROZEN centroids —
+    * the incremental-maintenance primitive ([[graft.sources.AnnIndex]]
+    * append path): no Lloyd rounds, no shuffle, just the broadcast
+    * centroid matrix probed per row. Same argmin (ties to lowest
+    * cid) as the fit's own final assignment, so appending a batch
+    * yields byte-identical cell placement to having fit-assigned it. */
+  private[graft] def assignCells(s: SparkSession, e0: DataFrame,
+      cents: Array[Array[Double]]): DataFrame = {
+    import s.implicits._
+    val typed = withNorm(e0).select(col("vec_id"), col("ed"), col("nrm"))
+      .as[(Long, Seq[Float], Double)]
+    val bc = s.sparkContext.broadcast(cents)
+    typed.mapPartitions { it =>
+      val cs = bc.value
+      val cn2 = norms2(cs)
+      it.map { case (id, v, nrm) => (id, argmin(v.toArray, cs, cn2), v, nrm) }
+    }.toDF("vec_id", "cid", "ed", "nrm")
+  }
+
+  /** Per-row squared quantization error (d² to the assigned frozen
+    * centroid) in integer micro-units — the geometry statistic the
+    * refit gate compares; micro-longs so partial-sum order can never
+    * drift the reported means (the q09 discipline, applied to a
+    * diagnostic). */
+  private[graft] def quantErrU(s: SparkSession, e0: DataFrame,
+      cents: Array[Array[Double]]): DataFrame = {
+    import s.implicits._
+    val typed = withNorm(e0).select(col("vec_id"), col("ed"), col("nrm"))
+      .as[(Long, Seq[Float], Double)]
+    val bc = s.sparkContext.broadcast(cents)
+    typed.mapPartitions { it =>
+      val cs = bc.value
+      val cn2 = norms2(cs)
+      it.map { case (id, v, nrm) =>
+        val arr = v.toArray
+        val c = argmin(arr, cs, cn2)
+        val cv = cs(c)
+        val m = math.min(arr.length, cv.length)
+        var dp = 0.0
+        var i = 0
+        while (i < m) { dp += arr(i) * cv(i); i += 1 }
+        val d2 = nrm * nrm - 2.0 * dp + cn2(c)
+        (id, math.floor(d2 * 1000000.0 + 0.5).toLong)
+      }
+    }.toDF("vec_id", "err_u")
+  }
+
+  /** RRF constant (Cormack et al.'s k=60) and the fused/list depths.
+    * Shared with the oracle SQL through the interpolations below. */
+  private[graft] val RrfK = 60
+  private[graft] val HybK = 10
+
+  /** HYBRID RETRIEVAL — the serving-side composition a RAG / dense-
+    * retrieval corpus runs: per query document (the shared
+    * `vec_id < QueryMax` contract; query = "more like this" on the
+    * doc's own tokens + its embedding), the lexical BM25 top-10 from
+    * an inverted index and the dense cosine top-10 are fused by
+    * reciprocal-rank fusion, rrf = 1/(60+r_lex) + 1/(60+r_vec),
+    * missing side contributing 0. Exploits the corpus contract
+    * doc_id ≡ vec_id (q101/q110's 1:1 text ↔ embedding mapping).
+    *
+    * Scale shape — both branches are index-shaped, never all-pairs:
+    * the lexical side builds the (doc, token, tf) posting frame once
+    * (explode + map-side-combined groupBy), semi-joins it down to
+    * postings of QUERY tokens only (broadcast of the bounded query
+    * token set; the surviving posting list is what an inverted-index
+    * lookup would read), and only that slice fans out per query.
+    * Document frequencies come from the same slice (df of a query
+    * token = its posting count), so the corpus is tokenized exactly
+    * once; the slice is localCheckpointed because the df aggregate
+    * and the scoring join both consume it. The dense side is q50's
+    * broadcast-query scan. Both ranks come from the bounded
+    * [[graft.functions.TopKAgg]] (map-side partials, no
+    * corpus-sized window shuffle).
+    *
+    * Numerics (oracle hash-parity): BM25 uses q78's exact parameter
+    * set and parenthesization, but per-(query,doc) scores SUM a
+    * variable number of per-term contributions — an order-dependent
+    * double sum (the q09 class) — so each term is rounded to integer
+    * micro-units first and the longs are summed (order-free; exact
+    * while per-term micro units stay below 2^53, i.e. corpus doc
+    * counts below ~10^9 at these parameters). Both rank keys are
+    * integer (lex_u; cos_u = the r6 micro-cosine q50's oracle already
+    * proves cross-engine), ties broken by doc_id, and the rrf sum is
+    * two exact 1/int divides added in fixed order. */
+  def q160(s: SparkSession, dir: String): DataFrame = {
+    val tkE = Dedup.tokensExpr
+    val docs = Tables(s, dir, "documents")
+    val stats = docs.agg(
+      count(lit(1)).cast("double").as("n_docs"),
+      // integer-valued doubles: exact sum, order-free
+      sum(expr(s"size($tkE)").cast("double")).as("sum_dl"))
+    val post = docs.select(
+        col("doc_id"),
+        expr(s"size($tkE)").cast("double").as("dl"),
+        explode(expr(tkE)).as("tok"))
+      .groupBy("doc_id", "dl", "tok").agg(count(lit(1)).cast("double").as("tf"))
+    val qtok = post.filter(col("doc_id") < QueryMax)
+      .select(col("doc_id").as("query_id"), col("tok"))
+    // postings touching any query token: the slice an inverted index
+    // would read; two consumers (df agg + scoring join) -> checkpoint
+    val jp = post.join(broadcast(qtok.select("tok").distinct()), Seq("tok"), "left_semi")
+      .localCheckpoint(false)
+    val dfq = jp.groupBy("tok").agg(count(lit(1)).cast("double").as("df"))
+    val contrib =
+      ((col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))) *
+        (col("tf") * lit(2.2)) /
+        (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * (col("dl") / (col("sum_dl") / col("n_docs")))))
+    val lex = jp.join(broadcast(qtok), "tok")
+      .filter(col("doc_id") =!= col("query_id"))
+      .join(broadcast(dfq), "tok")
+      .crossJoin(broadcast(stats))
+      .withColumn("c_u", floor(contrib * lit(1000000.0) + lit(0.5)).cast("long"))
+      .groupBy("query_id", "doc_id").agg(sum("c_u").as("lex_u"))
+      .groupBy("query_id")
+      .agg(TopK.topk(HybK)(col("lex_u").cast("double"), col("doc_id")).as("top"))
+      .select(col("query_id"), posexplode(col("top")))
+      .select(col("query_id"), col("col.id").as("doc_id"), (col("pos") + 1).as("lex_rank"))
+    val e = withNorm(Tables(s, dir, "embeddings"))
+    val q = e.filter(col("vec_id") < QueryMax)
+      .select(col("vec_id").as("query_id"), col("ed").as("qe"), col("nrm").as("qn"))
+    val vec = e.select(col("vec_id").as("doc_id"), col("ed").as("ce"), col("nrm").as("cn"))
+      .join(broadcast(q), col("doc_id") =!= col("query_id"))
+      .withColumn("cos_u",
+        floor(dotp(col("qe"), col("ce")) / (col("qn") * col("cn")) * lit(1000000.0) + lit(0.5))
+          .cast("long"))
+      .groupBy("query_id")
+      .agg(TopK.topk(HybK)(col("cos_u").cast("double"), col("doc_id")).as("top"))
+      .select(col("query_id"), posexplode(col("top")))
+      .select(col("query_id"), col("col.id").as("doc_id"), (col("pos") + 1).as("vec_rank"))
+    val fused = lex.join(vec, Seq("query_id", "doc_id"), "full_outer")
+      .withColumn("rrf",
+        coalesce(lit(1.0) / (lit(RrfK) + col("lex_rank")).cast("double"), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(RrfK) + col("vec_rank")).cast("double"), lit(0.0)))
+    // the fused frame is BOUNDED by construction (≤ 2·HybK rows per
+    // query over the fixed query contract), so a per-query window
+    // rank here is a tiny-frame operation, not the corpus-sized
+    // window the TopKAgg exists to avoid — and it keeps `fused` at
+    // one consumer (a TopK + join-back would run lex+vec twice)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("rrf").desc, col("doc_id"))
+    fused
+      .withColumn("rank", org.apache.spark.sql.functions.row_number().over(w))
+      .filter(col("rank") <= HybK)
+      .select(col("query_id"), col("doc_id"), col("rank"),
+        coalesce(col("lex_rank"), lit(0)).cast("int").as("lex_rank"),
+        coalesce(col("vec_rank"), lit(0)).cast("int").as("vec_rank"),
+        ops.r6(col("rrf")).as("rrf"))
+      .orderBy("query_id", "rank")
+  }
+
+  private lazy val q160Sql = {
+    val cos = s"${ops.R6("list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[])")} * 1000000.0"
+    s"""WITH t AS (SELECT doc_id, list_filter(string_split(text,' '), x -> x<>'') AS tk
+                   FROM documents),
+       st AS (SELECT count(*)::DOUBLE AS n_docs, sum(len(tk)::DOUBLE) AS sum_dl FROM t),
+       post AS (SELECT doc_id, dl, tok, count(*)::DOUBLE AS tf
+                FROM (SELECT doc_id, len(tk)::DOUBLE AS dl, unnest(tk) AS tok FROM t)
+                GROUP BY 1, 2, 3),
+       qt AS (SELECT doc_id AS query_id, tok FROM post WHERE doc_id < $QueryMax),
+       jp AS (SELECT * FROM post WHERE tok IN (SELECT DISTINCT tok FROM qt)),
+       dfq AS (SELECT tok, count(*)::DOUBLE AS df FROM jp GROUP BY 1),
+       sc AS (SELECT q.query_id, p.doc_id,
+                CAST(sum(CAST(floor((((n_docs - df + 0.5) / (df + 0.5)) * (tf * 2.2) /
+                  (tf + 1.2 * (0.25 + 0.75 * (dl / (sum_dl / n_docs))))) * 1000000.0 + 0.5)
+                  AS BIGINT)) AS BIGINT) AS lex_u
+              FROM jp p JOIN qt q ON p.tok = q.tok AND p.doc_id <> q.query_id
+              JOIN dfq f ON p.tok = f.tok, st
+              GROUP BY 1, 2),
+       lex AS (SELECT query_id, doc_id, lex_rank FROM (
+                 SELECT query_id, doc_id, row_number() OVER (
+                   PARTITION BY query_id ORDER BY lex_u DESC, doc_id) AS lex_rank FROM sc)
+               WHERE lex_rank <= $HybK),
+       vp AS (SELECT q.vec_id AS query_id, c.vec_id AS doc_id,
+                CAST(floor($cos + 0.5) AS BIGINT) AS cos_u
+              FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+              WHERE q.vec_id < $QueryMax),
+       vec AS (SELECT query_id, doc_id, vec_rank FROM (
+                 SELECT query_id, doc_id, row_number() OVER (
+                   PARTITION BY query_id ORDER BY cos_u DESC, doc_id) AS vec_rank FROM vp)
+               WHERE vec_rank <= $HybK),
+       f AS (SELECT coalesce(l.query_id, v.query_id) AS query_id,
+               coalesce(l.doc_id, v.doc_id) AS doc_id,
+               l.lex_rank AS lr, v.vec_rank AS vr,
+               coalesce(CAST(1 AS DOUBLE) / CAST($RrfK + l.lex_rank AS DOUBLE), CAST(0 AS DOUBLE)) +
+                 coalesce(CAST(1 AS DOUBLE) / CAST($RrfK + v.vec_rank AS DOUBLE), CAST(0 AS DOUBLE)) AS rrf
+             FROM lex l FULL JOIN vec v ON l.query_id = v.query_id AND l.doc_id = v.doc_id)
+       SELECT query_id, doc_id, rank,
+         CAST(coalesce(lr, 0) AS INT) AS lex_rank,
+         CAST(coalesce(vr, 0) AS INT) AS vec_rank,
+         ${ops.R6("rrf")} AS rrf
+       FROM (SELECT *, row_number() OVER (
+               PARTITION BY query_id ORDER BY rrf DESC, doc_id) AS rank FROM f)
+       WHERE rank <= $HybK ORDER BY query_id, rank"""
+  }
+
+  /** Micro-unit integerization of one embedding component — the
+    * exact-moment trick (q32's class): floats widen to double
+    * exactly, the floor expression is evaluated identically by both
+    * engines, and everything after is integer. */
+  private val CompU = 1000000.0
+
+  /** EMBEDDING DRIFT — per-source centroid geometry: the embedding-
+    * space companion to q106's token-level source shift. For every
+    * source pair, the cosine between the two sources' MEAN embeddings
+    * (≡ cosine of the component SUMS — scale-invariant, so no
+    * per-source divide ever happens), plus the vector counts. A
+    * training-mix owner reads this as "which sources occupy the same
+    * region" before weighting them.
+    *
+    * Numerics: component sums accumulate exact integer micro-units
+    * (long; DuckDB HUGEINT), dot/norm moments multiply and sum those
+    * longs through DECIMAL(38,0) (exact — fits while per-source
+    * Σ|comp|·10⁶ stays under ~10^18, i.e. ~10^11 vectors at unit
+    * scale; DuckDB's HUGEINT raises rather than wraps, the q142
+    * asymmetry, documented here), and each moment casts to double
+    * ONCE for the final sqrt/divide — the same IEEE expression tree
+    * both sides. Scale shape: one equi-join to attach sources, one
+    * posexplode + map-side-combined (source, dim) agg — the only
+    * corpus-sized work; everything after runs on a sources×dims
+    * frame (checkpointed: three tiny consumers vs an expensive
+    * subtree, the q79-card measurement). */
+  def q162(s: SparkSession, dir: String): DataFrame = {
+    val src = Tables(s, dir, "documents").select(col("doc_id").as("vec_id"), col("source"))
+    val cent = Tables(s, dir, "embeddings")
+      .join(src, "vec_id")
+      .select(col("source"), posexplode(col("embedding")))
+      .groupBy(col("source"), (col("pos") + 1).as("i"))
+      .agg(
+        sum(floor(col("col").cast("double") * lit(CompU) + lit(0.5)).cast("long")).as("s_u"),
+        count(lit(1)).as("n_vecs"))
+      .localCheckpoint(false)
+    val nrm = cent.groupBy("source")
+      .agg(sum(col("s_u").cast("decimal(38,0)") * col("s_u")).as("nrm_u"))
+    val a = cent.select(col("source").as("source_a"), col("i"),
+      col("s_u").as("sa"), col("n_vecs").as("na"))
+    val b = cent.select(col("source").as("source_b"), col("i"),
+      col("s_u").as("sb"), col("n_vecs").as("nb"))
+    a.join(b, Seq("i")).filter(col("source_a") < col("source_b"))
+      .groupBy("source_a", "source_b")
+      .agg(sum(col("sa").cast("decimal(38,0)") * col("sb")).as("dot_u"),
+        max("na").as("n_a"), max("nb").as("n_b"))
+      .join(broadcast(nrm.withColumnRenamed("source", "source_a")
+        .withColumnRenamed("nrm_u", "nrm_a")), "source_a")
+      .join(broadcast(nrm.withColumnRenamed("source", "source_b")
+        .withColumnRenamed("nrm_u", "nrm_b")), "source_b")
+      .select(col("source_a"), col("source_b"), col("n_a"), col("n_b"),
+        ops.r6(col("dot_u").cast("double") /
+          (sqrt(col("nrm_a").cast("double")) * sqrt(col("nrm_b").cast("double"))))
+          .as("centroid_cosine"))
+      .orderBy("source_a", "source_b")
+  }
+
+  private lazy val q162Sql =
+    s"""WITH j AS (SELECT d.source, e.embedding
+                   FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id),
+       dims AS (SELECT unnest(range(1, (SELECT max(len(embedding)) FROM embeddings) + 1)) AS i),
+       comp AS (SELECT source, i,
+                  sum(CAST(floor(embedding[i]::DOUBLE * $CompU + 0.5) AS BIGINT)) AS s_u,
+                  count(*) AS n_vecs
+                FROM j, dims WHERE i <= len(embedding)
+                GROUP BY 1, 2),
+       nrm AS (SELECT source, sum(s_u * s_u) AS nrm_u FROM comp GROUP BY 1),
+       p AS (SELECT a.source AS source_a, b.source AS source_b,
+               sum(a.s_u * b.s_u) AS dot_u,
+               max(a.n_vecs) AS n_a, max(b.n_vecs) AS n_b
+             FROM comp a JOIN comp b ON a.i = b.i AND a.source < b.source
+             GROUP BY 1, 2)
+       SELECT source_a, source_b,
+         CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+         ${ops.R6("CAST(dot_u AS DOUBLE) / (sqrt(CAST(na.nrm_u AS DOUBLE)) * sqrt(CAST(nb.nrm_u AS DOUBLE)))")} AS centroid_cosine
+       FROM p JOIN nrm na ON p.source_a = na.source
+       JOIN nrm nb ON p.source_b = nb.source
+       ORDER BY source_a, source_b"""
+
   val qs: Seq[Q] = Seq(
     Q("q50_knn_brute", q50, Some(q50Sql)),
     Q("q51_knn_lsh", q51, None),
@@ -991,5 +1266,7 @@ object Similarity {
     Q("q98_diversity_sample", q98, None),
     Q("q107_embedding_validate", q107, Some(q107Sql)),
     Q("q114_cosine_calibration", q114, Some(q114Sql)),
-    Q("q143_ann_recall", q143, None))
+    Q("q143_ann_recall", q143, None),
+    Q("q160_hybrid_retrieval", q160, Some(q160Sql)),
+    Q("q162_embedding_drift", q162, Some(q162Sql)))
 }

@@ -52,6 +52,21 @@ class PlanGuardSpec extends AnyFunSuite {
     }
   }
 
+  test("hybrid retrieval, drift matrix, and cluster-safe split join on keys, never a cartesian") {
+    // q160's 1-row corpus-stats frame combines via the bounded
+    // broadcast crossJoin (q78's pattern), so only CartesianProduct
+    // is banned there; q162's pair frame is an equi-join on the dim
+    // index and q161 attaches the representative bucket by equi-join
+    // on cluster_id — neither may plan any nested-loop join.
+    val p160 = plan("q160_hybrid_retrieval")
+    assert(!p160.contains("CartesianProduct"), "q160 plans a cartesian product")
+    for (q <- Seq("q162_embedding_drift", "q161_cluster_safe_split")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q plans a cartesian product")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$q plans a nested-loop join")
+    }
+  }
+
   test("scd2 history and windowed funnel stay one-shuffle window plans") {
     // both claim ONE key shuffle: no join operator may appear at all.
     // (q124's closing global agg legitimately collapses its few

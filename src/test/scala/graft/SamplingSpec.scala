@@ -393,4 +393,36 @@ class SamplingSpec extends AnyFunSuite {
     // shared-gram counts are symmetric by construction
     assert(got.forall { case ((a, b), (_, ns, _)) => got(b -> a)._2 == ns })
   }
+
+  test("q161 cluster-safe split: no near-dup pair straddles splits; singletons equal q66") {
+    val df = operators.Sampling.q161(spark, sf).localCheckpoint(false)
+    // exhaustive + disjoint over the corpus
+    assert(df.count() == Tables(spark, sf, "documents").count())
+    assert(df.select("doc_id").distinct().count() == df.count())
+    // THE property q66 cannot give: every q41-threshold near-dup pair
+    // lands in one split (q66 provably violates this whenever a
+    // near-dup pair's texts hash to different sides of a boundary)
+    val splits = df.select("doc_id", "split")
+    val pairs = operators.Dedup.q41(spark, sf).select("d1", "d2")
+    val straddle = pairs
+      .join(splits.toDF("d1", "split_1"), "d1")
+      .join(splits.toDF("d2", "split_2"), "d2")
+      .filter(col("split_1") =!= col("split_2"))
+    assert(straddle.count() == 0, "a near-dup pair straddles splits")
+    // cluster-atomic: one split per cluster_id
+    assert(df.groupBy("cluster_id").agg(countDistinct("split").as("k"))
+      .filter(col("k") > 1).count() == 0)
+    // singleton clusters (their own representative) degrade exactly
+    // to q66's content-keyed assignment, bucket included
+    val q66 = operators.Sampling.q66(spark, sf)
+      .select(col("doc_id"), col("bucket").as("b66"), col("split").as("s66"))
+    val singletons = df.filter(col("doc_id") === col("cluster_id")).join(q66, "doc_id")
+    assert(singletons.filter(col("bucket") =!= col("b66") ||
+      col("split") =!= col("s66")).count() == 0)
+    // and every doc's split IS its representative's q66 split
+    val repSplit = df.select(col("cluster_id").as("doc_id")).distinct().join(q66, "doc_id")
+      .select(col("doc_id").as("cluster_id"), col("s66").as("rep_split"))
+    assert(df.join(repSplit, "cluster_id")
+      .filter(col("split") =!= col("rep_split")).count() == 0)
+  }
 }

@@ -341,4 +341,112 @@ class SimilaritySpec extends AnyFunSuite {
     assert(got("ivf")._1 == ivfHits,
       s"report ${got("ivf")._1} matched vs recount $ivfHits")
   }
+
+  test("q160 hybrid retrieval equals an exact local BM25+cosine RRF recompute") {
+    // Local reference mirrors the operator's arithmetic EXACTLY:
+    // per-term BM25 contributions rounded to micro-longs before the
+    // (order-free) sum, integer rank keys with doc_id tie-breaks,
+    // the sequential-double dot product, and the fixed-order
+    // two-term rrf sum — so set equality is exact, not approximate.
+    val docs = Tables(spark, sf, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ").filter(_.nonEmpty)).toMap
+    val nDocs = docs.size.toDouble
+    val sumDl = docs.values.map(_.length.toDouble).sum
+    val tf: Map[(Long, String), Double] =
+      docs.toSeq.flatMap { case (id, tks) =>
+        tks.groupBy(identity).map { case (t, g) => (id, t) -> g.length.toDouble }
+      }.toMap
+    val qIds = docs.keys.filter(_ < 20).toSeq.sorted
+    val dfOf: Map[String, Double] = {
+      val qtoks = qIds.flatMap(q => docs(q).distinct).toSet
+      qtoks.map(t => t -> docs.values.count(_.contains(t)).toDouble).toMap
+    }
+    def lexTop(q: Long): Seq[(Long, Int)] = {
+      val qtoks = docs(q).distinct
+      val scores = docs.keys.filter(_ != q).flatMap { d =>
+        val dl = docs(d).length.toDouble
+        val terms = qtoks.flatMap { t =>
+          tf.get((d, t)).map { f =>
+            val df = dfOf(t)
+            val c = ((nDocs - df + 0.5) / (df + 0.5)) * (f * 2.2) /
+              (f + 1.2 * (0.25 + 0.75 * (dl / (sumDl / nDocs))))
+            math.floor(c * 1000000.0 + 0.5).toLong
+          }
+        }
+        if (terms.isEmpty) None else Some(d -> terms.sum)
+      }.toSeq
+      scores.sortBy { case (d, u) => (-u, d) }.take(10)
+        .zipWithIndex.map { case ((d, _), i) => (d, i + 1) }
+    }
+    val vecs = Tables(spark, sf, "embeddings").select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def dot(a: Array[Float], b: Array[Float]): Double = {
+      var s = 0.0; var i = 0
+      val m = math.min(a.length, b.length)
+      while (i < m) { s += a(i).toDouble * b(i).toDouble; i += 1 }
+      s
+    }
+    def vecTop(q: Long): Seq[(Long, Int)] = {
+      val qe = vecs(q); val qn = math.sqrt(dot(qe, qe))
+      vecs.toSeq.filter(_._1 != q).map { case (d, e) =>
+        val cos = dot(qe, e) / (qn * math.sqrt(dot(e, e)))
+        d -> math.floor(cos * 1000000.0 + 0.5).toLong
+      }.sortBy { case (d, u) => (-u, d) }.take(10)
+        .zipWithIndex.map { case ((d, _), i) => (d, i + 1) }
+    }
+    val expected = qIds.flatMap { q =>
+      val lr = lexTop(q).toMap
+      val vr = vecTop(q).toMap
+      val fused = (lr.keySet ++ vr.keySet).toSeq.map { d =>
+        val rrf = lr.get(d).map(r => 1.0 / (60 + r).toDouble).getOrElse(0.0) +
+          vr.get(d).map(r => 1.0 / (60 + r).toDouble).getOrElse(0.0)
+        (d, lr.getOrElse(d, 0), vr.getOrElse(d, 0), rrf)
+      }
+      fused.sortBy { case (d, _, _, rrf) => (-rrf, d) }.take(10)
+        .zipWithIndex.map { case ((d, l, v, rrf), i) =>
+          (q, d, i + 1, l, v, math.floor(rrf * 1000000.0 + 0.5) / 1000000.0)
+        }
+    }.toSet
+    val got = operators.Similarity.q160(spark, sf).collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3), r.getInt(4),
+        r.getDouble(5))).toSet
+    assert(got == expected,
+      s"hybrid mismatch: extra=${(got -- expected).take(5)} missing=${(expected -- got).take(5)}")
+  }
+
+  test("q162 embedding drift equals an exact integer-moment local recompute") {
+    val rows = Tables(spark, sf, "embeddings")
+      .join(Tables(spark, sf, "documents").select(col("doc_id").as("vec_id"), col("source")), "vec_id")
+      .select("source", "embedding").collect()
+      .map(r => r.getString(0) -> r.getSeq[Float](1).toArray)
+    val dims = rows.map(_._2.length).max
+    // component sums in exact integer micro-units, then BigInt moments
+    val bySrc = rows.groupBy(_._1).map { case (s0, g) =>
+      val su = Array.tabulate(dims) { i =>
+        g.map { case (_, e) =>
+          if (i < e.length) math.floor(e(i).toDouble * 1000000.0 + 0.5).toLong else 0L
+        }.sum
+      }
+      s0 -> (su, g.length.toLong)
+    }
+    def moment(a: Array[Long], b: Array[Long]): BigInt =
+      a.indices.map(i => BigInt(a(i)) * BigInt(b(i))).sum
+    val expected = (for {
+      (sa, (va, na)) <- bySrc; (sb, (vb, nb)) <- bySrc
+      // operator compares with Spark's UTF-8 byte order; sources are
+      // ASCII here so String.< is equivalent
+      if sa < sb
+    } yield {
+      val cos = moment(va, vb).toDouble /
+        (math.sqrt(moment(va, va).toDouble) * math.sqrt(moment(vb, vb).toDouble))
+      (sa, sb, na, nb, math.floor(cos * 1000000.0 + 0.5) / 1000000.0)
+    }).toSet
+    val got = operators.Similarity.q162(spark, sf).collect().map(r =>
+      (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toSet
+    assert(got == expected,
+      s"drift mismatch: extra=${(got -- expected).take(3)} missing=${(expected -- got).take(3)}")
+    val k = bySrc.size
+    assert(got.size == k * (k - 1) / 2, s"expected full ${k}x$k upper triangle")
+  }
 }
