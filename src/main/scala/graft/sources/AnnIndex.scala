@@ -90,6 +90,58 @@ object AnnIndex {
         graft.operators.ops.r6(dotp(col("qe"), col("ed")) / (col("qn") * col("nrm"))))
   }
 
+  /** Refit threshold for [[refitGate]]: a batch whose mean squared
+    * quantization error exceeds this multiple of the index residents'
+    * own mean error has drifted off the frozen quantizer's geometry —
+    * append would degrade probe recall, so the gate says rebuild. */
+  val RefitRatio = 2.0
+
+  /** INCREMENTAL APPEND — the daily-batch maintenance path (q138's
+    * sibling on the ANN side): new vectors are assigned to cells
+    * against the FROZEN quantizer (map-only vs the broadcast centroid
+    * matrix — [[graft.operators.Similarity.assignCells]], the same
+    * argmin as the fit's own final assignment) and the write APPENDS
+    * files inside the existing `cid=` directories. No refit, no
+    * shuffle, no rewrite of resident cells; probes see the new rows
+    * immediately because partition pruning is directory-based. At
+    * 100 TB this turns index maintenance from an O(corpus) rebuild
+    * into an O(batch) map pass — the gate below decides when the
+    * rebuild IS warranted. */
+  def append(s: SparkSession, path: String, cents: Array[Array[Double]],
+      batch: DataFrame): Unit =
+    graft.operators.Similarity.assignCells(s, batch, cents)
+      .select("vec_id", "ed", "nrm", "cid")
+      .write.mode(SaveMode.Append).partitionBy("cid").parquet(path)
+
+  /** REFIT GATE — append-vs-rebuild decided from MEASURED geometry,
+    * not a calendar: compares the batch's mean squared quantization
+    * error under the frozen centroids against the index residents'
+    * own mean error (both as exact micro-unit integer sums — no
+    * order-dependent double accumulation in a number a human reads).
+    * Same-distribution batch → ratio ≈ 1 → append; drifted batch
+    * (new domain, new embedding model) → ratio ≫ 1 → rebuild. One
+    * map pass over each frame; the comparison is two 1-row frames. */
+  def refitGate(s: SparkSession, path: String, cents: Array[Array[Double]],
+      batch: DataFrame): DataFrame = {
+    import graft.operators.Similarity.quantErrU
+    def mse(df: DataFrame, tag: String): DataFrame =
+      quantErrU(s, df, cents)
+        .agg(count(lit(1)).as(s"n_$tag"), sum("err_u").as(s"e_$tag"))
+    val idx = s.read.parquet(path).select(col("vec_id"), col("ed").as("embedding"))
+    mse(batch, "batch").join(broadcast(mse(idx, "index")), lit(true), "left")
+      .select(
+        col("n_batch"), col("n_index"),
+        (col("e_batch") / col("n_batch") / lit(1000000.0)).as("batch_mse"),
+        (col("e_index") / col("n_index") / lit(1000000.0)).as("index_mse"),
+        // cross-multiplied: no division by a possibly-zero resident
+        // error (a degenerate k=n index quantizes exactly); through
+        // DECIMAL(38,0) because Σerr_u × n wraps a long at corpus
+        // scale (the q142 overflow class)
+        (col("e_batch").cast("decimal(38,0)") * col("n_index") >
+          lit(RefitRatio) * (col("e_index").cast("decimal(38,0)") * col("n_batch"))
+            .cast("double")).as("refit"))
+  }
+
   /** Bounded TopK ranking of a scored candidate frame. */
   private def rank(s: SparkSession, cand: DataFrame, k: Int): DataFrame = {
     import graft.functions.TopK

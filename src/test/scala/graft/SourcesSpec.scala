@@ -142,6 +142,53 @@ class SourcesSpec extends AnyFunSuite {
     assert(got == want.filter(_._2.nonEmpty), "filtered probe is not the filtered ranking")
   }
 
+  test("ANN index incremental append: frozen placement, immediate visibility, drift-gated refit") {
+    val dir = tmp("annappend")
+    val cents = AnnIndex.write(spark, sf, dir)
+    val base = Tables(spark, sf, "embeddings")
+    val n0 = spark.read.parquet(dir).count()
+    // batch = planted twins: 50 resident vectors re-keyed to new ids
+    val batch = base.filter(col("vec_id") < 50)
+      .select((col("vec_id") + 100000L).as("vec_id"), col("embedding"))
+    AnnIndex.append(spark, dir, cents, batch)
+    val idx = spark.read.parquet(dir)
+    assert(idx.count() == n0 + 50, "append changed the resident rows")
+    // placement: appended rows sit EXACTLY where the frozen quantizer
+    // assigns them (no refit happened)
+    val placed = idx.filter(col("vec_id") >= 100000L).select("vec_id", "cid")
+    val want = operators.Similarity.assignCells(spark, batch, cents).select("vec_id", "cid")
+    assert(placed.exceptAll(want).count() == 0 && want.exceptAll(placed).count() == 0,
+      "appended rows landed in cells the frozen quantizer does not assign")
+    // visibility: probing an original query now finds its exact twin
+    // (cosine r6 = 1.0) without any index rebuild — and the twin
+    // shares the query's cell by construction, so nprobe=1 suffices
+    val queries = base.filter(col("vec_id") < 20).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+    val probe = AnnIndex.probe(spark, dir, cents, queries, nprobe = 4, k = 5)
+      .localCheckpoint(false)
+    val twins = probe.filter(col("neighbor_id") === col("query_id") + 100000L)
+    assert(twins.count() == queries.length, "a planted twin is missing from its query's top-5")
+    assert(twins.filter(col("cosine") =!= 1.0).count() == 0, "twin cosine is not 1.0")
+    // pruning survives the append (still a directory-partitioned
+    // scan) — read the plan off an UNcheckpointed probe: the
+    // checkpoint above replaced `probe`'s leaves with its RDD scan
+    val scan = AnnIndex.probe(spark, dir, cents, queries, nprobe = 4, k = 5)
+      .queryExecution.executedPlan.collectLeaves()
+      .map(_.toString).find(_.contains("parquet")).get
+    assert(scan.contains("PartitionFilters") && scan.contains("cid"),
+      "append broke the cid partition pruning")
+    // refit gate: a same-geometry batch appends...
+    val same = AnnIndex.refitGate(spark, dir, cents, batch).collect()(0)
+    assert(!same.getAs[Boolean]("refit"),
+      s"same-distribution batch tripped the refit gate: $same")
+    // ...a drifted batch (shifted off the quantizer's region) rebuilds
+    val shifted = batch.withColumn("embedding",
+      expr("transform(embedding, x -> CAST(x + 5.0 AS FLOAT))"))
+    val drifted = AnnIndex.refitGate(spark, dir, cents, shifted).collect()(0)
+    assert(drifted.getAs[Boolean]("refit"), s"drifted batch passed the gate: $drifted")
+    assert(drifted.getAs[Double]("batch_mse") > drifted.getAs[Double]("index_mse"))
+  }
+
   test("compaction rewrites a fragmented table into few files with identical rows") {
     val frag = tmp("frag")
     val li = Tables(spark, sf, "lineitem")
