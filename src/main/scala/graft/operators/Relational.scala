@@ -633,10 +633,14 @@ object Relational {
         col("l_partkey") === col("p_partkey"))
       .groupBy(col("p_brand"), ops.cents(col("l_extendedprice")).as("cents"))
       .agg(count(lit(1)).as("c"))
-    val byBrand = Window.partitionBy("p_brand")
-    hist
-      .withColumn("cum", sum("c").over(byBrand.orderBy("cents")))
-      .withColumn("n", sum("c").over(byBrand))
+    // r6: the cumulative used to be sum(c) OVER (PARTITION BY brand
+    // ORDER BY cents) — a #brands-partition window that caps
+    // parallelism at 25 tasks and sorts each brand's whole price
+    // histogram in one task (at 100 TB: one task per brand, each
+    // sorting ~n/25 rows). The two-phase range-partitioned cumsum
+    // keeps full parallelism; identical integers, so the oracle SQL
+    // (which stays the window form — DuckDB doesn't care) matches.
+    ops.groupedGlobalCumsum(hist, "p_brand", col("c"), "cum", "n", col("cents"))
       .groupBy("p_brand")
       .agg(
         max("n").as("n_rows"),

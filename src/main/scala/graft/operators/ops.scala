@@ -124,6 +124,39 @@ object ops {
       .drop("_pid", "_lrn", "_off")
   }
 
+  /** Per-GROUP global cumulative SUM without a #groups-partition
+    * window — [[groupedGlobalRank]]'s additive sibling (the q123
+    * percentile-histogram shape: a window partitioned by a handful
+    * of brands caps parallelism at #groups and sorts each group's
+    * full histogram in one task). Range partition on (grp, sort…),
+    * local cumulative sum per (partition, group), broadcast
+    * per-(partition, group) value-sum offsets; the group TOTAL rides
+    * along as `totOut` for free (same tiny offsets frame). The
+    * ranged frame is localCheckpointed: two consumers AND
+    * RangePartitioner sampling is seeded per execution. Requires
+    * sort keys unique within a group (ties would merge under RANGE
+    * window semantics), which a grouped histogram satisfies by
+    * construction. */
+  def groupedGlobalCumsum(df: DataFrame, grp: String, value: Column, out: String,
+      totOut: String, sort: Column*): DataFrame = {
+    val nPart = df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    val ranged = df.repartitionByRange(nPart, (col(grp) +: sort): _*)
+      .withColumn("_pid", spark_partition_id())
+      .localCheckpoint(false)
+    val parts = ranged.groupBy(col("_pid"), col(grp)).agg(sum(value).as("_s"))
+    val offs = parts
+      .withColumn("_off", coalesce(sum("_s").over(
+        Window.partitionBy(grp).orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn(totOut, sum("_s").over(Window.partitionBy(grp)))
+      .select(col("_pid"), col(grp), col("_off"), col(totOut))
+    ranged
+      .withColumn("_lcs", sum(value).over(
+        Window.partitionBy(col("_pid"), col(grp)).orderBy(sort: _*)))
+      .join(broadcast(offs), Seq("_pid", grp))
+      .withColumn(out, col("_lcs") + col("_off"))
+      .drop("_pid", "_lcs", "_off")
+  }
+
   def globalNtile(df: DataFrame, k: Int, out: String, sort: Column*): DataFrame = {
     val nPart = df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt
     val ranged = df.repartitionByRange(nPart, sort: _*)

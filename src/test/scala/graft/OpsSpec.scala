@@ -43,4 +43,25 @@ class OpsSpec extends AnyFunSuite {
     assert(actual.count() == expected.count())
     assert(actual.exceptAll(expected.withColumn("r", col("r").cast("long"))).count() == 0)
   }
+
+  test("groupedGlobalCumsum matches the per-group window cumulative sum and total exactly") {
+    // a grouped histogram (unique sort key per group by construction
+    // — the primitive's documented contract)
+    val hist = Tables(spark, sf, "orders")
+      .groupBy(col("o_orderpriority").as("g"),
+        ops.cents(col("o_totalprice")).as("k"))
+      .agg(count(lit(1)).as("v"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("g")
+    val expected = hist
+      .withColumn("cum", sum("v").over(w.orderBy("k")))
+      .withColumn("tot", sum("v").over(w))
+    // project both sides to one column order: exceptAll compares
+    // positionally and the primitive appends tot before cum
+    val cols = Seq("g", "k", "v", "cum", "tot").map(col)
+    val actual = ops.groupedGlobalCumsum(hist, "g", col("v"), "cum", "tot", col("k"))
+      .select(cols: _*)
+    val exp = expected.select(cols: _*)
+    assert(actual.count() == exp.count())
+    assert(actual.exceptAll(exp).count() == 0 && exp.exceptAll(actual).count() == 0)
+  }
 }
