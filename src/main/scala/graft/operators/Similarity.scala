@@ -1065,7 +1065,13 @@ object Similarity {
     * integer (lex_u; cos_u = the r6 micro-cosine q50's oracle already
     * proves cross-engine), ties broken by doc_id, and the rrf sum is
     * two exact 1/int divides added in fixed order. */
-  def q160(s: SparkSession, dir: String): DataFrame = {
+  def q160(s: SparkSession, dir: String): DataFrame =
+    fuseRanks(lexRank(s, dir), vecRank(s, dir))
+
+  /** The lexical (inverted-index BM25) branch: (query_id, doc_id,
+    * lex_rank) top-[[HybK]] per query. See [[q160]] for shape and
+    * numerics. */
+  private[graft] def lexRank(s: SparkSession, dir: String): DataFrame = {
     val tkE = Dedup.tokensExpr
     val docs = Tables(s, dir, "documents")
     val stats = docs.agg(
@@ -1088,7 +1094,7 @@ object Similarity {
       ((col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))) *
         (col("tf") * lit(2.2)) /
         (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * (col("dl") / (col("sum_dl") / col("n_docs")))))
-    val lex = jp.join(broadcast(qtok), "tok")
+    jp.join(broadcast(qtok), "tok")
       .filter(col("doc_id") =!= col("query_id"))
       .join(broadcast(dfq), "tok")
       .crossJoin(broadcast(stats))
@@ -1098,10 +1104,16 @@ object Similarity {
       .agg(TopK.topk(HybK)(col("lex_u").cast("double"), col("doc_id")).as("top"))
       .select(col("query_id"), posexplode(col("top")))
       .select(col("query_id"), col("col.id").as("doc_id"), (col("pos") + 1).as("lex_rank"))
+  }
+
+  /** The dense (exact cosine) branch: (query_id, doc_id, vec_rank)
+    * top-[[HybK]] per query — q50's broadcast-query scan with the
+    * integer micro-cosine rank key. */
+  private[graft] def vecRank(s: SparkSession, dir: String): DataFrame = {
     val e = withNorm(Tables(s, dir, "embeddings"))
     val q = e.filter(col("vec_id") < QueryMax)
       .select(col("vec_id").as("query_id"), col("ed").as("qe"), col("nrm").as("qn"))
-    val vec = e.select(col("vec_id").as("doc_id"), col("ed").as("ce"), col("nrm").as("cn"))
+    e.select(col("vec_id").as("doc_id"), col("ed").as("ce"), col("nrm").as("cn"))
       .join(broadcast(q), col("doc_id") =!= col("query_id"))
       .withColumn("cos_u",
         floor(dotp(col("qe"), col("ce")) / (col("qn") * col("cn")) * lit(1000000.0) + lit(0.5))
@@ -1110,6 +1122,10 @@ object Similarity {
       .agg(TopK.topk(HybK)(col("cos_u").cast("double"), col("doc_id")).as("top"))
       .select(col("query_id"), posexplode(col("top")))
       .select(col("query_id"), col("col.id").as("doc_id"), (col("pos") + 1).as("vec_rank"))
+  }
+
+  /** RRF fusion + final ranking of the two branch frames. */
+  private[graft] def fuseRanks(lex: DataFrame, vec: DataFrame): DataFrame = {
     val fused = lex.join(vec, Seq("query_id", "doc_id"), "full_outer")
       .withColumn("rrf",
         coalesce(lit(1.0) / (lit(RrfK) + col("lex_rank")).cast("double"), lit(0.0)) +
@@ -1255,6 +1271,50 @@ object Similarity {
        JOIN nrm nb ON p.source_b = nb.source
        ORDER BY source_a, source_b"""
 
+  /** RETRIEVAL EVALUATION — the promote/rollback gate for the q160
+    * family (q143's pattern, applied to retrieval): known-item
+    * recall@10 of the lexical branch, the dense branch, and the RRF
+    * fusion, scored against the VERIFIED near-dup pair truth (q41
+    * 3-gram Jaccard ∪ q44 embedding cosine, both oracle-proven
+    * operators) restricted to the query contract — "can retrieval
+    * surface the documents we know are related?". This is the
+    * number that justifies shipping fusion instead of either branch.
+    *
+    * Scale shape: the truth frame is near-dup-pair-sized filtered to
+    * queries (bounded), localCheckpointed for its four consumers
+    * (the q143 rule: the denominator is counted from the FRAME,
+    * never a constant); each method scores via one (query, doc)
+    * semi-join + 1-row count; the branch frames are ≤ QueryMax×HybK
+    * rows, checkpointed because the fusion consumes them again.
+    * rows-only: truth composes q44 (hash-geometry dependent); the
+    * spec recounts every cell independently and pins the
+    * fused-candidates ⊆ lex ∪ vec containment. */
+  def q163(s: SparkSession, dir: String): DataFrame = {
+    val lexPairs = Dedup.q41(s, dir).select("d1", "d2")
+    val semPairs = Dedup.q44(s, dir).select(col("id1").as("d1"), col("id2").as("d2"))
+    val und = lexPairs.union(semPairs).distinct()
+    val truth = und.union(und.select(col("d2").as("d1"), col("d1").as("d2")))
+      .filter(col("d1") < QueryMax)
+      .select(col("d1").as("query_id"), col("d2").as("doc_id"))
+      .distinct()
+      .localCheckpoint(false)
+    val nt = truth.agg(count(lit(1)).as("n_truth"))
+    val lex = lexRank(s, dir).localCheckpoint(false)
+    val vec = vecRank(s, dir).localCheckpoint(false)
+    def row(name: String, ranked: DataFrame): DataFrame =
+      ranked.select("query_id", "doc_id")
+        .join(truth, Seq("query_id", "doc_id"), "left_semi")
+        .agg(count(lit(1)).as("n_hit"))
+        .join(broadcast(nt), lit(true), "left")
+        .select(lit(name).as("method"), col("n_truth"), col("n_hit"),
+          expr("CASE WHEN n_truth = 0 THEN NULL ELSE (n_hit * 1000000) div n_truth END")
+            .as("recall_ppm"))
+    row("fused", fuseRanks(lex, vec))
+      .unionByName(row("lex", lex))
+      .unionByName(row("vec", vec))
+      .orderBy("method")
+  }
+
   val qs: Seq[Q] = Seq(
     Q("q50_knn_brute", q50, Some(q50Sql)),
     Q("q51_knn_lsh", q51, None),
@@ -1268,5 +1328,6 @@ object Similarity {
     Q("q114_cosine_calibration", q114, Some(q114Sql)),
     Q("q143_ann_recall", q143, None),
     Q("q160_hybrid_retrieval", q160, Some(q160Sql)),
-    Q("q162_embedding_drift", q162, Some(q162Sql)))
+    Q("q162_embedding_drift", q162, Some(q162Sql)),
+    Q("q163_retrieval_eval", q163, None))
 }

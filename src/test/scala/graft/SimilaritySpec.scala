@@ -415,6 +415,33 @@ class SimilaritySpec extends AnyFunSuite {
       s"hybrid mismatch: extra=${(got -- expected).take(5)} missing=${(expected -- got).take(5)}")
   }
 
+  test("q163 retrieval eval recounts exactly from the verified truth and rankings") {
+    val rep = operators.Similarity.q163(spark, sf).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), if (r.isNullAt(3)) -1L else r.getLong(3)))).toMap
+    assert(rep.keySet == Set("fused", "lex", "vec"))
+    // independent truth recount from the two verified pair operators
+    val lexP = operators.Dedup.q41(spark, sf).select("d1", "d2").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val semP = operators.Dedup.q44(spark, sf).select("id1", "id2").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val truth = (lexP ++ semP).flatMap { case (a, b) => Seq((a, b), (b, a)) }
+      .filter(_._1 < 20).toSet
+    assert(truth.nonEmpty, "corpus has no near-dup pair under the query contract")
+    assert(rep.values.forall(_._1 == truth.size),
+      s"denominator ${rep.values.map(_._1)} != recounted ${truth.size}")
+    // fused hits recount against the operator's own shipped ranking
+    val fusedOut = operators.Similarity.q160(spark, sf).collect()
+    val fusedSet = fusedOut.map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(rep("fused")._2 == truth.count(fusedSet), "fused hit recount diverges")
+    // every report cell satisfies the integer ppm formula
+    assert(rep.values.forall { case (nt, nh, ppm) =>
+      if (nt == 0) ppm == -1L else ppm == nh * 1000000L / nt })
+    // fusion only ranks branch candidates: each fused row carries at
+    // least one branch rank
+    assert(fusedOut.forall(r => r.getInt(3) > 0 || r.getInt(4) > 0))
+  }
+
   test("q162 embedding drift equals an exact integer-moment local recompute") {
     val rows = Tables(spark, sf, "embeddings")
       .join(Tables(spark, sf, "documents").select(col("doc_id").as("vec_id"), col("source")), "vec_id")
