@@ -1075,4 +1075,52 @@ class StreamingSpec extends AnyFunSuite {
         s"replayed batch duplicated sink rows: $counts")
     }
   }
+
+  test("online ANN probe serves per-trigger batch-parity results and replays idempotently") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    TestSpark.withTmpDir("probestream") { root =>
+      val idx = s"$root/index"; val out = s"$root/out"; val ckpt = s"$root/ckpt"
+      val cents = sources.AnnIndex.write(spark, sf, idx)
+      val all = Tables(spark, sf, "embeddings").select("vec_id", "embedding")
+        .collect().map(r => (r.getLong(0), r.getSeq[Float](1)))
+      def start(mem: MemoryStream[(Long, Seq[Float])]) =
+        streaming.ProbeStream.probeSink(mem.toDF().toDF("vec_id", "embedding"),
+          idx, cents, nprobe = 4, k = 5, out, ckpt)
+      val mem = MemoryStream[(Long, Seq[Float])]
+      val q = start(mem)
+      mem.addData(all.take(10).toSeq)
+      q.processAllAvailable()
+      mem.addData(all.slice(10, 20).toSeq)
+      q.processAllAvailable()
+      q.stop()
+      // per-trigger parity: each batch directory equals the batch
+      // probe over exactly that trigger's query set
+      def direct(qs: Array[(Long, Seq[Float])]) =
+        sources.AnnIndex.probe(spark, idx, cents,
+          qs.map { case (i, v) => (i, v.toArray) }, nprobe = 4, k = 5)
+      val served = spark.read.parquet(out).localCheckpoint(false)
+      for ((lo, hi, b) <- Seq((0, 10, 0), (10, 20, 1))) {
+        val want = direct(all.slice(lo, hi))
+        val got = served.filter(col("batch") === b)
+          .select("query_id", "neighbor_id", "rank", "cosine")
+        assert(got.exceptAll(want).count() == 0 && want.exceptAll(got).count() == 0,
+          s"served batch $b diverges from the batch probe")
+      }
+      // crash-replay: drop the newest commit so restart re-runs the
+      // last trigger; the dynamic batch=<id> overwrite must leave the
+      // sink IDENTICAL (no duplicate, no loss)
+      val before = served.collect().map(_.toString).sorted
+      dropLatestCommit(ckpt)
+      val mem2 = MemoryStream[(Long, Seq[Float])]
+      mem2.addData(all.take(10).toSeq)     // offsets log replays batch 1's
+      mem2.addData(all.slice(10, 20).toSeq) // data from the source's view
+      val q2 = start(mem2)
+      q2.processAllAvailable()
+      q2.stop()
+      val after = spark.read.parquet(out).collect().map(_.toString).sorted
+      assert(after.sameElements(before), "replayed trigger changed the sink")
+    }
+  }
 }
