@@ -814,6 +814,39 @@ object Dedup {
               (cluster_size * n_clusters * 1000000) // n_total AS doc_ppm
        FROM h LEFT JOIN tot ON true ORDER BY cluster_size"""
 
+  /** SOFT-DEDUP TRAINING WEIGHTS — the downweight-don't-drop
+    * alternative to q68's hard canonical keep (q88's quality-side
+    * soft filter, applied to redundancy): every document gets
+    * sampling weight 1/|its near-dup cluster| in integer ppm, so a
+    * page crawled 40 times contributes ONE document's worth of
+    * expected training mass while — unlike canonical-only dropping —
+    * all intra-cluster variants stay samplable (the variant diversity
+    * dropping destroys is exactly what q134's bias audit measures).
+    * Per-cluster weights sum to 1e6 up to integer-division
+    * truncation (< cluster_size ppm, spec-pinned).
+    *
+    * Scale shape: q65's cached edge-sized labels + one count agg +
+    * one equi-join on cluster_id — nothing beyond the dedup stage
+    * the corpus already runs. */
+  def q164(s: SparkSession, dir: String): DataFrame = {
+    val labels = q65(s, dir)
+    val sizes = labels.groupBy("cluster_id").agg(count(lit(1)).as("cluster_size"))
+    labels.join(sizes, "cluster_id")
+      .withColumn("weight_ppm", expr("1000000 div cluster_size"))
+      .select("doc_id", "cluster_id", "cluster_size", "weight_ppm")
+      .orderBy("doc_id")
+  }
+
+  private val q164Sql =
+    s"""WITH RECURSIVE $shingleCte,
+       $clusterCte,
+       cs AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS cluster_size
+              FROM cl GROUP BY 1)
+       SELECT cl.doc_id, cl.cluster_id, cs.cluster_size,
+              1000000 // cluster_size AS weight_ppm
+       FROM cl JOIN cs ON cl.cluster_id = cs.cluster_id
+       ORDER BY cl.doc_id"""
+
   /** INVERTED-INDEX HEALTH REPORT — the observability face of the
     * dedup index every other operator in this module rides: distinct
     * shingles, posting volume, the hot set DfCap drops (count, ppm,
@@ -1290,6 +1323,7 @@ object Dedup {
     Q("q132_ngram_containment", q132, Some(q132Sql)),
     Q("q134_dedup_bias", q134, Some(q134Sql)),
     Q("q136_cluster_sizes", q136, Some(q136Sql)),
+    Q("q164_dedup_weights", q164, Some(q164Sql)),
     Q("q138_incremental_dedup", q138, Some(q138Sql)),
     Q("q144_dedup_eval", q144, None),
     Q("q145_index_stats", q145, Some(q145Sql)),
