@@ -61,10 +61,75 @@ object AnnIndex {
       queries: Array[(Long, Array[Float])], nprobe: Int, k: Int): DataFrame =
     rank(s, scored(s, path, cents, queries, nprobe), k)
 
+  /** DELTA APPEND — the idempotent form of [[append]] for streaming
+    * ingestion (LSM discipline: base + delta, folded by
+    * [[compactDelta]]): the batch lands under
+    * `delta/batch=<id>/cid=<c>/` via DYNAMIC overwrite, so a
+    * replayed trigger rewrites exactly its own batch partition and
+    * the index can never double-count a crashed commit (plain
+    * [[append]] into shared cid dirs is at-least-once — fine for a
+    * one-shot maintenance job, wrong for a stream). */
+  def appendDelta(s: SparkSession, deltaPath: String, cents: Array[Array[Double]],
+      batch: DataFrame, batchId: Long): Unit =
+    graft.operators.Similarity.assignCells(s, batch, cents)
+      .select("vec_id", "ed", "nrm", "cid")
+      .withColumn("batch", lit(batchId))
+      .write.mode(SaveMode.Overwrite)
+      .partitionBy("batch", "cid")
+      .option("partitionOverwriteMode", "dynamic")
+      .parquet(deltaPath)
+
+  /** Probe base + delta together: both roots prune on cid (the
+    * delta's batch dirs enumerate, then cid prunes within each), so
+    * probe cost stays O(queries × nprobe × cell) with a small
+    * per-batch directory overhead that [[compactDelta]] reclaims. */
+  def probeWithDelta(s: SparkSession, basePath: String, deltaPath: String,
+      cents: Array[Array[Double]], queries: Array[(Long, Array[Float])],
+      nprobe: Int, k: Int): DataFrame =
+    rank(s, scoredOver(s, residents(s, basePath, Some(deltaPath)),
+      cents, queries, nprobe), k)
+
+  /** Fold the delta into a fresh base (written to `outPath`, cid-
+    * partitioned like [[write]]'s layout) — the compaction that
+    * bounds delta directory count; the serving tier swaps roots and
+    * truncates the delta. Probe-equivalence is spec'd row-for-row. */
+  def compactDelta(s: SparkSession, basePath: String, deltaPath: String,
+      outPath: String): Unit =
+    residents(s, basePath, Some(deltaPath))
+      .write.mode(SaveMode.Overwrite).partitionBy("cid").parquet(outPath)
+
+  /** Resident rows of base (+ optional delta, batch column dropped). */
+  private def residents(s: SparkSession, basePath: String,
+      deltaPath: Option[String]): DataFrame = {
+    val base = s.read.parquet(basePath).select("vec_id", "ed", "nrm", "cid")
+    deltaPath.filter(p => new java.io.File(p).exists()) match {
+      case Some(p) => base.union(s.read.parquet(p).select("vec_id", "ed", "nrm", "cid"))
+      case None => base
+    }
+  }
+
+  /** Exact micro-unit quantization-error moment of a vector frame
+    * under the frozen centroids: (Σ err_u, n), collected once.
+    * Streaming ingestion precomputes the INDEX side at sink start —
+    * it is constant between compactions — instead of rescanning
+    * residents every trigger the way the one-shot [[refitGate]]
+    * does. */
+  private[graft] def errStatsU(s: SparkSession, frame: DataFrame,
+      cents: Array[Array[Double]]): (Long, Long) = {
+    val r = graft.operators.Similarity.quantErrU(s, frame, cents)
+      .agg(sum("err_u").as("e"), count(lit(1)).as("n")).collect()(0)
+    (if (r.isNullAt(0)) 0L else r.getLong(0), r.getLong(1))
+  }
+
   /** Shared probe core: partition-pruned scan joined to the
     * broadcast query/cell pairs, exact cosine per candidate. */
   private def scored(s: SparkSession, path: String, cents: Array[Array[Double]],
-      queries: Array[(Long, Array[Float])], nprobe: Int): DataFrame = {
+      queries: Array[(Long, Array[Float])], nprobe: Int): DataFrame =
+    scoredOver(s, residents(s, path, None), cents, queries, nprobe)
+
+  private def scoredOver(s: SparkSession, res: DataFrame,
+      cents: Array[Array[Double]], queries: Array[(Long, Array[Float])],
+      nprobe: Int): DataFrame = {
     import s.implicits._
     import graft.functions.VectorOps.dotp
     val cn2 = cents.map(c => c.map(x => x * x).sum)
@@ -81,8 +146,9 @@ object AnnIndex {
     }.toSeq.toDF("query_id", "qe", "qn", "cid")
     val cids = probes.select("cid").as[Int].collect().distinct.toSeq
     // the isin filter is a PARTITION filter on the cid directory
-    // column: only probed cells are listed, opened, or read
-    s.read.parquet(path)
+    // column of every resident root: only probed cells are listed,
+    // opened, or read
+    res
       .filter(col("cid").isin(cids: _*))
       .join(broadcast(probes), "cid")
       .filter(col("vec_id") =!= col("query_id"))

@@ -1123,4 +1123,71 @@ class StreamingSpec extends AnyFunSuite {
       assert(after.sameElements(before), "replayed trigger changed the sink")
     }
   }
+
+  test("gated online ingestion: delta append, quarantine, idempotent replay, compaction parity") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    TestSpark.withTmpDir("ingeststream") { root =>
+      val base = s"$root/base"; val delta = s"$root/delta"
+      val quar = s"$root/quar"; val ckpt = s"$root/ckpt"
+      val cents = sources.AnnIndex.write(spark, sf, base)
+      val all = Tables(spark, sf, "embeddings").select("vec_id", "embedding")
+        .collect().map(r => (r.getLong(0), r.getSeq[Float](1)))
+      // batch 0: twins of residents (same geometry -> delta);
+      // batch 1: shifted off the quantizer's region (-> quarantine)
+      val twins = all.take(50).map { case (i, v) => (i + 200000L, v) }
+      val shifted = all.slice(50, 100).map { case (i, v) => (i + 300000L, v.map(x => x + 5.0f)) }
+      def start(mem: MemoryStream[(Long, Seq[Float])]) =
+        streaming.IngestStream.ingestSink(mem.toDF().toDF("vec_id", "embedding"),
+          base, delta, quar, cents, ckpt)
+      val mem = MemoryStream[(Long, Seq[Float])]
+      val q = start(mem)
+      mem.addData(twins.toSeq)
+      q.processAllAvailable()
+      mem.addData(shifted.toSeq)
+      q.processAllAvailable()
+      q.stop()
+      // routing: delta holds exactly batch 0, quarantine exactly batch 1
+      val d = spark.read.parquet(delta)
+      assert(d.count() == 50 && d.filter(col("batch") =!= 0).count() == 0,
+        "delta does not hold exactly the same-geometry batch")
+      val qr = spark.read.parquet(quar)
+      assert(qr.count() == 50 && qr.filter(col("batch") =!= 1).count() == 0,
+        "quarantine does not hold exactly the drifted batch")
+      // frozen placement in the delta
+      val want = operators.Similarity.assignCells(spark,
+        twins.toSeq.toDF("vec_id", "embedding"), cents).select("vec_id", "cid")
+      val placed = d.select("vec_id", "cid")
+      assert(placed.exceptAll(want).count() == 0 && want.exceptAll(placed).count() == 0,
+        "delta rows landed off the frozen quantizer's cells")
+      // the delta is immediately probeable: twins surface at cosine 1.0
+      val queries = all.take(20).map { case (i, v) => (i, v.toArray) }
+      val served = sources.AnnIndex.probeWithDelta(spark, base, delta, cents,
+        queries, nprobe = 4, k = 5).localCheckpoint(false)
+      val hitTwins = served.filter(col("neighbor_id") === col("query_id") + 200000L)
+      assert(hitTwins.count() == queries.length, "a delta twin is missing from its query's top-5")
+      assert(hitTwins.filter(col("cosine") =!= 1.0).count() == 0)
+      // crash replay: dynamic batch overwrite keeps both areas identical
+      val beforeD = d.collect().map(_.toString).sorted
+      val beforeQ = qr.collect().map(_.toString).sorted
+      dropLatestCommit(ckpt)
+      val mem2 = MemoryStream[(Long, Seq[Float])]
+      mem2.addData(twins.toSeq)
+      mem2.addData(shifted.toSeq)
+      val q2 = start(mem2)
+      q2.processAllAvailable()
+      q2.stop()
+      assert(spark.read.parquet(delta).collect().map(_.toString).sorted.sameElements(beforeD),
+        "replayed trigger changed the delta")
+      assert(spark.read.parquet(quar).collect().map(_.toString).sorted.sameElements(beforeQ),
+        "replayed trigger changed the quarantine")
+      // compaction parity: folding the delta preserves probe results
+      val newBase = s"$root/base2"
+      sources.AnnIndex.compactDelta(spark, base, delta, newBase)
+      val compacted = sources.AnnIndex.probe(spark, newBase, cents, queries, nprobe = 4, k = 5)
+      assert(compacted.exceptAll(served).count() == 0 && served.exceptAll(compacted).count() == 0,
+        "compaction changed probe results")
+    }
+  }
 }
