@@ -1071,6 +1071,19 @@ object Similarity {
   /** The lexical (inverted-index BM25) branch: (query_id, doc_id,
     * lex_rank) top-[[HybK]] per query. See [[q160]] for shape and
     * numerics. */
+  /** Stopword prune (integer ppm of the doc count): query tokens
+    * with df above this fraction are dropped from scoring — the
+    * q69-GramCap discipline applied to the retrieval index. Without
+    * it the posting slice for a stopword-bearing query IS the corpus
+    * (every "the" posting), the quadratic-by-ubiquity trap; with it
+    * the slice is bounded by Σ df over the query's DISCRIMINATIVE
+    * tokens, which is what an inverted index actually reads (WAND
+    * and friends prune harder, same principle). ONE constant, spelled
+    * into the oracle SQL. The shipped synthetic vocabulary is tiny
+    * (~31 tokens, df 0.4–0.8·n), so the cap genuinely bites at every
+    * SF — the non-vacuous-path rule. */
+  private[graft] val HybDfMaxPpm = 500000L
+
   private[graft] def lexRank(s: SparkSession, dir: String): DataFrame = {
     val tkE = Dedup.tokensExpr
     val docs = Tables(s, dir, "documents")
@@ -1083,20 +1096,33 @@ object Similarity {
         expr(s"size($tkE)").cast("double").as("dl"),
         explode(expr(tkE)).as("tok"))
       .groupBy("doc_id", "dl", "tok").agg(count(lit(1)).cast("double").as("tf"))
+    // corpus document frequencies (vocab-sized output, map-side
+    // combined): computed on a second tokenize pass rather than a
+    // checkpoint of the corpus-token-sized posting frame (the q31
+    // rule: shared-lineage re-execution of a cheap scan beats a big
+    // materialization). A deployment holds this frame as index
+    // metadata (q145's report is its health check).
+    val dfAll = post.groupBy("tok").agg(count(lit(1)).cast("double").as("df"))
+    // vocab-sized with a full-tokenize lineage and TWO consumers
+    // (query-token prune + scoring join): tiny checkpoint, expensive
+    // subtree — the q79-card measurement says barrier it
+    val kept = dfAll.crossJoin(broadcast(stats))
+      .filter(col("df") * lit(1000000.0) <= lit(HybDfMaxPpm.toDouble) * col("n_docs"))
+      .select("tok", "df")
+      .localCheckpoint(false)
     val qtok = post.filter(col("doc_id") < QueryMax)
       .select(col("doc_id").as("query_id"), col("tok"))
-    // postings touching any query token: the slice an inverted index
-    // would read; two consumers (df agg + scoring join) -> checkpoint
+      .join(broadcast(kept.select("tok")), Seq("tok"), "left_semi")
+    // postings touching a kept query token: the bounded slice an
+    // inverted-index lookup reads; single consumer, no checkpoint
     val jp = post.join(broadcast(qtok.select("tok").distinct()), Seq("tok"), "left_semi")
-      .localCheckpoint(false)
-    val dfq = jp.groupBy("tok").agg(count(lit(1)).cast("double").as("df"))
     val contrib =
       ((col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))) *
         (col("tf") * lit(2.2)) /
         (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * (col("dl") / (col("sum_dl") / col("n_docs")))))
     jp.join(broadcast(qtok), "tok")
       .filter(col("doc_id") =!= col("query_id"))
-      .join(broadcast(dfq), "tok")
+      .join(broadcast(kept), "tok")
       .crossJoin(broadcast(stats))
       .withColumn("c_u", floor(contrib * lit(1000000.0) + lit(0.5)).cast("long"))
       .groupBy("query_id", "doc_id").agg(sum("c_u").as("lex_u"))
@@ -1155,15 +1181,18 @@ object Similarity {
        post AS (SELECT doc_id, dl, tok, count(*)::DOUBLE AS tf
                 FROM (SELECT doc_id, len(tk)::DOUBLE AS dl, unnest(tk) AS tok FROM t)
                 GROUP BY 1, 2, 3),
-       qt AS (SELECT doc_id AS query_id, tok FROM post WHERE doc_id < $QueryMax),
+       dfa AS (SELECT tok, count(*)::DOUBLE AS df FROM post GROUP BY 1),
+       kept AS (SELECT tok, df FROM dfa, st
+                WHERE df * 1000000.0 <= $HybDfMaxPpm * n_docs),
+       qt AS (SELECT doc_id AS query_id, tok FROM post
+              WHERE doc_id < $QueryMax AND tok IN (SELECT tok FROM kept)),
        jp AS (SELECT * FROM post WHERE tok IN (SELECT DISTINCT tok FROM qt)),
-       dfq AS (SELECT tok, count(*)::DOUBLE AS df FROM jp GROUP BY 1),
        sc AS (SELECT q.query_id, p.doc_id,
                 CAST(sum(CAST(floor((((n_docs - df + 0.5) / (df + 0.5)) * (tf * 2.2) /
                   (tf + 1.2 * (0.25 + 0.75 * (dl / (sum_dl / n_docs))))) * 1000000.0 + 0.5)
                   AS BIGINT)) AS BIGINT) AS lex_u
               FROM jp p JOIN qt q ON p.tok = q.tok AND p.doc_id <> q.query_id
-              JOIN dfq f ON p.tok = f.tok, st
+              JOIN kept f ON p.tok = f.tok, st
               GROUP BY 1, 2),
        lex AS (SELECT query_id, doc_id, lex_rank FROM (
                  SELECT query_id, doc_id, row_number() OVER (

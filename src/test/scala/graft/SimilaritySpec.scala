@@ -362,8 +362,15 @@ class SimilaritySpec extends AnyFunSuite {
       val qtoks = qIds.flatMap(q => docs(q).distinct).toSet
       qtoks.map(t => t -> docs.values.count(_.contains(t)).toDouble).toMap
     }
+    // the stopword prune, mirrored with the operator's exact
+    // double arithmetic; assert it bites on this corpus (the
+    // non-vacuous-path rule)
+    val kept = dfOf.filter { case (_, df) =>
+      df * 1000000.0 <= operators.Similarity.HybDfMaxPpm.toDouble * nDocs }.keySet
+    assert(kept.size < dfOf.size, "df cap never bites on this corpus — vacuous")
+    assert(kept.nonEmpty, "df cap dropped every token")
     def lexTop(q: Long): Seq[(Long, Int)] = {
-      val qtoks = docs(q).distinct
+      val qtoks = docs(q).distinct.filter(kept)
       val scores = docs.keys.filter(_ != q).flatMap { d =>
         val dl = docs(d).length.toDouble
         val terms = qtoks.flatMap { t =>
