@@ -847,6 +847,45 @@ object Dedup {
        FROM cl JOIN cs ON cl.cluster_id = cs.cluster_id
        ORDER BY cl.doc_id"""
 
+  /** SOFT-DEDUP EPOCH SAMPLE — q164's weights actually consumed: a
+    * training epoch drawn by testing each document's content-hash
+    * coin against its cluster weight, `bucket/1000 < weight_ppm/1e6`
+    * cross-multiplied to the PURE INTEGER `bucket·1000 < weight_ppm`
+    * (q88's no-doubles discipline). Expected kept mass per near-dup
+    * cluster is ONE document regardless of how often it was crawled,
+    * while which variant survives varies by content hash — the
+    * sampled form of the downweighting story. Byte-identical copies
+    * share the coin (same text hash), so an exact-dup family inside
+    * a cluster keeps all-or-none — expectation unchanged, variance
+    * documented. Deterministic: same corpus → same epoch.
+    *
+    * Scale shape: q164 (cached labels + size join) + one map-only
+    * coin test. */
+  def q165(s: SparkSession, dir: String): DataFrame = {
+    val coins = Tables(s, dir, "documents")
+      .select(col("doc_id"), expr(Sampling.BucketExpr).as("bucket"))
+    q164(s, dir).join(coins, "doc_id")
+      .filter(col("bucket") * lit(1000L) < col("weight_ppm"))
+      .select("doc_id", "cluster_id", "cluster_size", "weight_ppm", "bucket")
+      .orderBy("doc_id")
+  }
+
+  // lazy: reads Sampling's SQL fragment while Sampling's own
+  // initializer reads this object's CTEs — the q134Sql deadlock class
+  private lazy val q165Sql =
+    s"""WITH RECURSIVE $shingleCte,
+       $clusterCte,
+       cs AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS cluster_size
+              FROM cl GROUP BY 1),
+       w AS (SELECT cl.doc_id, cl.cluster_id, cs.cluster_size,
+               1000000 // cluster_size AS weight_ppm
+             FROM cl JOIN cs ON cl.cluster_id = cs.cluster_id),
+       b AS (SELECT doc_id, ${Sampling.BucketSql} AS bucket FROM documents)
+       SELECT w.doc_id, w.cluster_id, w.cluster_size, w.weight_ppm, b.bucket
+       FROM w JOIN b ON w.doc_id = b.doc_id
+       WHERE b.bucket * 1000 < w.weight_ppm
+       ORDER BY w.doc_id"""
+
   /** INVERTED-INDEX HEALTH REPORT — the observability face of the
     * dedup index every other operator in this module rides: distinct
     * shingles, posting volume, the hot set DfCap drops (count, ppm,
@@ -1324,6 +1363,7 @@ object Dedup {
     Q("q134_dedup_bias", q134, Some(q134Sql)),
     Q("q136_cluster_sizes", q136, Some(q136Sql)),
     Q("q164_dedup_weights", q164, Some(q164Sql)),
+    Q("q165_soft_dedup_sample", q165, Some(q165Sql)),
     Q("q138_incremental_dedup", q138, Some(q138Sql)),
     Q("q144_dedup_eval", q144, None),
     Q("q145_index_stats", q145, Some(q145Sql)),
