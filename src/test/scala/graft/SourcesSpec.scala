@@ -189,6 +189,27 @@ class SourcesSpec extends AnyFunSuite {
     assert(drifted.getAs[Double]("batch_mse") > drifted.getAs[Double]("index_mse"))
   }
 
+  test("manifest is layout-invariant and its diff pinpoints exactly the edited bucket") {
+    val docs = Tables(spark, sf, "documents")
+    val m1 = Sources.manifest(docs).localCheckpoint(false)
+    // invariant under any partitioning / row order
+    val m2 = Sources.manifest(docs.repartition(7).sortWithinPartitions("lang"))
+    assert(Sources.diffManifest(m1, m2).count() == 0, "manifest depends on layout")
+    // identical-table diff is empty; a single-row edit flags >= 1
+    // bucket (the edited row moved out of one bucket, into another —
+    // 1 bucket if it lands back in the same one)
+    val edited = docs.withColumn("text",
+      when(col("doc_id") === 7L, concat(col("text"), lit(" EDITED"))).otherwise(col("text")))
+    val d = Sources.diffManifest(m1, Sources.manifest(edited))
+    val n = d.count()
+    assert(n >= 1 && n <= 2, s"single-row edit flagged $n buckets")
+    // a dropped row perturbs exactly its own bucket's count
+    val dropped = Sources.diffManifest(m1, Sources.manifest(docs.filter(col("doc_id") =!= 7L)))
+    assert(dropped.count() == 1)
+    assert(dropped.collect()(0).getAs[Long]("n_rows_a") ==
+      dropped.collect()(0).getAs[Long]("n_rows_b") + 1L)
+  }
+
   test("compaction rewrites a fragmented table into few files with identical rows") {
     val frag = tmp("frag")
     val li = Tables(spark, sf, "lineitem")
