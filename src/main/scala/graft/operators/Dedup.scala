@@ -829,9 +829,19 @@ object Dedup {
     * one equi-join on cluster_id — nothing beyond the dedup stage
     * the corpus already runs. */
   def q164(s: SparkSession, dir: String): DataFrame = {
-    val labels = q65(s, dir)
+    // sizes come from the EDGE-SIZED cached label frame (every member
+    // of a multi-doc component carries an edge, so the frame holds
+    // the full membership); singletons are absent and default to
+    // size 1 — this keeps the corpus scan SINGLE (q65(s,dir) for
+    // both sizes and the join would run the docs scan + label join
+    // twice inside one action)
+    val labels = clusterLabels(s, dir)
     val sizes = labels.groupBy("cluster_id").agg(count(lit(1)).as("cluster_size"))
-    labels.join(sizes, "cluster_id")
+    Tables(s, dir, "documents").select(col("doc_id"))
+      .join(labels, Seq("doc_id"), "left")
+      .withColumn("cluster_id", coalesce(col("cluster_id"), col("doc_id")))
+      .join(sizes, Seq("cluster_id"), "left")
+      .withColumn("cluster_size", coalesce(col("cluster_size"), lit(1L)))
       .withColumn("weight_ppm", expr("1000000 div cluster_size"))
       .select("doc_id", "cluster_id", "cluster_size", "weight_ppm")
       .orderBy("doc_id")
