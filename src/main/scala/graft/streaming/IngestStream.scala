@@ -40,9 +40,15 @@ import graft.sources.AnnIndex
 object IngestStream {
 
   /** Start the gated ingestion sink: `vectors` is a streaming frame
-    * with (vec_id long, embedding array<float>) rows. */
+    * with (vec_id long, embedding array<float>) rows. Every non-empty
+    * trigger also appends one row to the DECISION LOG at `logPath`
+    * (batch, n_rows, err-moment micro-sums both sides, refit) —
+    * batch-partitioned dynamic overwrite like the data sinks, so the
+    * operator of the index can audit WHY a batch was parked without
+    * reconstructing the gate; a replayed trigger rewrites its own
+    * log row. */
   def ingestSink(vectors: DataFrame, basePath: String, deltaPath: String,
-      quarantinePath: String, cents: Array[Array[Double]],
+      quarantinePath: String, logPath: String, cents: Array[Array[Double]],
       checkpoint: String): StreamingQuery = {
     // resident geometry: constant between compactions, priced once
     lazy val idxStats = AnnIndex.errStatsU(vectors.sparkSession,
@@ -65,6 +71,12 @@ object IngestStream {
               .parquet(quarantinePath)
           else
             AnnIndex.appendDelta(s, deltaPath, cents, b, id)
+          import s.implicits._
+          Seq((id, nB, eB, nIdx, eIdx, refit))
+            .toDF("batch", "n_rows", "err_u_batch", "n_index", "err_u_index", "refit")
+            .write.mode("overwrite").partitionBy("batch")
+            .option("partitionOverwriteMode", "dynamic")
+            .parquet(logPath)
         }
         ()
       }

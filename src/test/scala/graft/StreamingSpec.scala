@@ -1131,6 +1131,7 @@ class StreamingSpec extends AnyFunSuite {
     TestSpark.withTmpDir("ingeststream") { root =>
       val base = s"$root/base"; val delta = s"$root/delta"
       val quar = s"$root/quar"; val ckpt = s"$root/ckpt"
+      val dlog = s"$root/log"
       val cents = sources.AnnIndex.write(spark, sf, base)
       val all = Tables(spark, sf, "embeddings").select("vec_id", "embedding")
         .collect().map(r => (r.getLong(0), r.getSeq[Float](1)))
@@ -1140,7 +1141,7 @@ class StreamingSpec extends AnyFunSuite {
       val shifted = all.slice(50, 100).map { case (i, v) => (i + 300000L, v.map(x => x + 5.0f)) }
       def start(mem: MemoryStream[(Long, Seq[Float])]) =
         streaming.IngestStream.ingestSink(mem.toDF().toDF("vec_id", "embedding"),
-          base, delta, quar, cents, ckpt)
+          base, delta, quar, dlog, cents, ckpt)
       val mem = MemoryStream[(Long, Seq[Float])]
       val q = start(mem)
       mem.addData(twins.toSeq)
@@ -1168,6 +1169,11 @@ class StreamingSpec extends AnyFunSuite {
       val hitTwins = served.filter(col("neighbor_id") === col("query_id") + 200000L)
       assert(hitTwins.count() == queries.length, "a delta twin is missing from its query's top-5")
       assert(hitTwins.filter(col("cosine") =!= 1.0).count() == 0)
+      // the decision log audits both verdicts, one row per trigger
+      val logRows = spark.read.parquet(dlog).collect()
+        .map(r => r.getAs[Long]("batch") -> r.getAs[Boolean]("refit")).toMap
+      assert(logRows == Map(0L -> false, 1L -> true),
+        s"decision log disagrees with the routing: $logRows")
       // crash replay: dynamic batch overwrite keeps both areas identical
       val beforeD = d.collect().map(_.toString).sorted
       val beforeQ = qr.collect().map(_.toString).sorted
