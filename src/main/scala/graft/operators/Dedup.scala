@@ -896,6 +896,65 @@ object Dedup {
        WHERE b.bucket * 1000 < w.weight_ppm
        ORDER BY w.doc_id"""
 
+  /** EFFECTIVE CORPUS SIZE — q164's weights rolled up to the number
+    * a mixture owner actually budgets with: per source, raw token
+    * volume vs EFFECTIVE tokens (Σ weight_ppm·n_tokens / 1e6 — the
+    * expected training mass under soft dedup) and the deflation
+    * ratio in integer ppm. A source that is 40× crawl-duplicated
+    * shows effective ≈ raw/40 here, which is what q72's mixture
+    * budget should be fed instead of raw counts — this is the bridge
+    * between the dedup family and the sampling family.
+    *
+    * Numerics (the q142 class): weight_ppm·n_tokens summed over a
+    * 100 TB corpus exceeds long (corpus tokens ×1e6 ≈ 2.5e19 >
+    * 9.2e18), so the product is summed through DECIMAL(38,0)
+    * (DuckDB HUGEINT — raises, never wraps; precision-38 bounds the
+    * corpus at ~1e32 tokens, documented) and divided ONCE with
+    * integer `div` (BIGINT both engines). raw_tokens stays a plain
+    * long sum (2.5e13 at 100 TB — comfortable).
+    *
+    * Scale shape: cached q65 labels (edge-sized) + one
+    * (doc_id, source, n_tokens) corpus projection, two equi-joins,
+    * one map-side-combined groupBy to a #sources-row frame. */
+  def q167(s: SparkSession, dir: String): DataFrame = {
+    val labels = clusterLabels(s, dir)
+    val sizes = labels.groupBy("cluster_id").agg(count(lit(1)).as("cluster_size"))
+    Tables(s, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        expr(s"size($tokensExpr)").cast("long").as("n_tokens"))
+      .join(labels, Seq("doc_id"), "left")
+      .withColumn("cluster_id", coalesce(col("cluster_id"), col("doc_id")))
+      .join(sizes, Seq("cluster_id"), "left")
+      .withColumn("weight_ppm",
+        coalesce(expr("1000000 div cluster_size"), lit(1000000L)))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_tokens").as("raw_tokens"),
+        sum(col("n_tokens").cast("decimal(38,0)") * col("weight_ppm")).as("wtok"))
+      .select(col("source"), col("n_docs"), col("raw_tokens"),
+        expr("CAST(wtok div 1000000 AS BIGINT)").as("effective_tokens"),
+        expr("CAST(wtok div raw_tokens AS BIGINT)").as("deflation_ppm"))
+      .orderBy("source")
+  }
+
+  private val q167Sql =
+    s"""WITH RECURSIVE $shingleCte,
+       $clusterCte,
+       cs AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS cluster_size
+              FROM cl GROUP BY 1),
+       w AS (SELECT cl.doc_id, 1000000 // cluster_size AS weight_ppm
+             FROM cl JOIN cs ON cl.cluster_id = cs.cluster_id),
+       tok AS (SELECT doc_id, source,
+                 len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_tokens
+               FROM documents),
+       j AS (SELECT t.source, t.n_tokens::HUGEINT AS n_tokens, w.weight_ppm
+             FROM tok t JOIN w ON t.doc_id = w.doc_id)
+       SELECT source, count(*) AS n_docs,
+         CAST(sum(n_tokens) AS BIGINT) AS raw_tokens,
+         CAST(sum(n_tokens * weight_ppm) // 1000000 AS BIGINT) AS effective_tokens,
+         CAST(sum(n_tokens * weight_ppm) // sum(n_tokens) AS BIGINT) AS deflation_ppm
+       FROM j GROUP BY source ORDER BY source"""
+
   /** INVERTED-INDEX HEALTH REPORT — the observability face of the
     * dedup index every other operator in this module rides: distinct
     * shingles, posting volume, the hot set DfCap drops (count, ppm,
@@ -1374,6 +1433,7 @@ object Dedup {
     Q("q136_cluster_sizes", q136, Some(q136Sql)),
     Q("q164_dedup_weights", q164, Some(q164Sql)),
     Q("q165_soft_dedup_sample", q165, Some(q165Sql)),
+    Q("q167_effective_corpus", q167, Some(q167Sql)),
     Q("q138_incremental_dedup", q138, Some(q138Sql)),
     Q("q144_dedup_eval", q144, None),
     Q("q145_index_stats", q145, Some(q145Sql)),

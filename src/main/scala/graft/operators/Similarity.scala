@@ -1344,6 +1344,70 @@ object Similarity {
       .orderBy("method")
   }
 
+  /** q166 — kNN LABEL PROBE: the embedding-quality evaluation every
+    * mix owner runs before trusting semantic dedup / diversity
+    * sampling on an embedding column (the "linear probe lite" of
+    * representation evals; reference keeps no embedding-eval at all,
+    * so this extends the q143/q144/q152 evaluation-gate family to
+    * the label axis the embeddings table already carries). For each
+    * query vector (the shared vec_id < QueryMax contract), the EXACT
+    * cosine top-10 — q50's oracle-proven ranking: r6-rounded cosine
+    * DESC, neighbor_id tie-break — votes on the query's label;
+    * majority (votes DESC, label ASC, deterministic in both engines)
+    * is the prediction, reported with its vote count and hit
+    * verdict.
+    *
+    * Scale shape: the query side is bounded by contract and
+    * broadcast; the corpus is scanned ONCE, scored map-side into the
+    * bounded TopK aggregate (no corpus-sized shuffle); the
+    * 10×QueryMax top frame re-attaches neighbor labels by
+    * broadcast-joining ITSELF against the column-pruned
+    * (vec_id, label) projection, so the second corpus pass reads two
+    * int columns and streams. The majority window runs over the
+    * ≤ QueryMax×|labels| vote frame — nothing corpus-sized ever
+    * collects or windows. */
+  def q166(s: SparkSession, dir: String): DataFrame = {
+    val e = withNorm(Tables(s, dir, "embeddings"))
+    val q = e.filter(col("vec_id") < QueryMax)
+      .select(col("vec_id").as("query_id"), col("label"),
+        col("ed").as("qe"), col("nrm").as("qn"))
+    val c = e.select(col("vec_id").as("neighbor_id"), col("ed").as("ce"),
+      col("nrm").as("cn"))
+    val scored = c.join(broadcast(q), col("neighbor_id") =!= col("query_id"))
+      .withColumn("cosine", ops.r6(dotp(col("qe"), col("ce")) / (col("qn") * col("cn"))))
+    val top = scored.groupBy("query_id", "label")
+      .agg(TopK.topk(10)(col("cosine"), col("neighbor_id")).as("top"))
+      .select(col("query_id"), col("label"), explode(col("top.id")).as("neighbor_id"))
+    val nl = Tables(s, dir, "embeddings")
+      .select(col("vec_id").as("neighbor_id"), col("label").as("n_label"))
+    val votes = nl.join(broadcast(top), "neighbor_id")
+      .groupBy("query_id", "label", "n_label").agg(count(lit(1)).as("votes"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("votes").desc, col("n_label"))
+    votes.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("query_id"), col("label"), col("n_label").as("predicted"),
+        col("votes"), (col("label") === col("n_label")).as("hit"))
+      .orderBy("query_id")
+  }
+
+  private val q166Sql =
+    s"""WITH q AS (SELECT * FROM embeddings WHERE vec_id < $QueryMax),
+       p AS (SELECT q.vec_id AS query_id, q.label AS label,
+               c.vec_id AS neighbor_id, c.label AS n_label,
+               ${ops.R6("list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[])")} AS cosine
+             FROM q JOIN embeddings c ON c.vec_id <> q.vec_id),
+       t AS (SELECT query_id, label, n_label FROM (
+               SELECT *, row_number() OVER (PARTITION BY query_id
+                 ORDER BY cosine DESC, neighbor_id) AS rnk FROM p)
+             WHERE rnk <= 10),
+       v AS (SELECT query_id, label, n_label, count(*) AS votes
+             FROM t GROUP BY 1, 2, 3)
+       SELECT query_id, label, n_label AS predicted,
+         CAST(votes AS BIGINT) AS votes, (label = n_label) AS hit
+       FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+               ORDER BY votes DESC, n_label) AS rmaj FROM v)
+       WHERE rmaj = 1 ORDER BY query_id"""
+
   val qs: Seq[Q] = Seq(
     Q("q50_knn_brute", q50, Some(q50Sql)),
     Q("q51_knn_lsh", q51, None),
@@ -1358,5 +1422,6 @@ object Similarity {
     Q("q143_ann_recall", q143, None),
     Q("q160_hybrid_retrieval", q160, Some(q160Sql)),
     Q("q162_embedding_drift", q162, Some(q162Sql)),
-    Q("q163_retrieval_eval", q163, None))
+    Q("q163_retrieval_eval", q163, None),
+    Q("q166_label_probe", q166, Some(q166Sql)))
 }

@@ -483,4 +483,37 @@ class SimilaritySpec extends AnyFunSuite {
     val k = bySrc.size
     assert(got.size == k * (k - 1) / 2, s"expected full ${k}x$k upper triangle")
   }
+
+  test("q166 label probe equals an exact local top-10 majority vote") {
+    import org.apache.spark.sql.Row
+    val vecs = Tables(spark, sf, "embeddings")
+      .select("vec_id", "embedding", "label").collect()
+      .map { case Row(id: Long, e: scala.collection.Seq[_], l: Int) =>
+        (id, e.asInstanceOf[scala.collection.Seq[Float]].toArray, l)
+      }.sortBy(_._1)
+    // mirror the operator's arithmetic: float-widened sequential
+    // double dot/norm, r6 = floor(x*1e6+0.5)/1e6
+    def cosR6(a: Array[Float], b: Array[Float]): Double = {
+      var dp = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        dp += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
+        nb += b(i).toDouble * b(i); i += 1
+      }
+      math.floor(dp / (math.sqrt(na) * math.sqrt(nb)) * 1000000.0 + 0.5) / 1000000.0
+    }
+    val expected = vecs.filter(_._1 < 20).map { case (qid, qv, ql) =>
+      val top10 = vecs.filter(_._1 != qid)
+        .map { case (oid, ov, ol) => (-cosR6(qv, ov), oid, ol) }
+        .sorted.take(10)
+      val (predicted, votes) = top10.groupBy(_._3).view
+        .mapValues(_.length).toSeq
+        .minBy { case (l, c) => (-c, l) }
+      (qid, ql, predicted, votes.toLong, ql == predicted)
+    }.toSet
+    val got = operators.Similarity.q166(spark, sf).collect().map(r =>
+      (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3), r.getBoolean(4))).toSet
+    assert(got == expected,
+      s"probe mismatch: extra=${(got -- expected).take(3)} missing=${(expected -- got).take(3)}")
+    assert(got.size == vecs.count(_._1 < 20))
+  }
 }
