@@ -1408,7 +1408,60 @@ object Similarity {
                ORDER BY votes DESC, n_label) AS rmaj FROM v)
        WHERE rmaj = 1 ORDER BY query_id"""
 
-  val qs: Seq[Q] = Seq(
+  /** q168 — SEMANTIC DECONTAMINATION: the embedding-space sibling of
+    * the lexical eval-set scans (q69 exact 8-gram, q77 Bloom, q86
+    * fuzzy MinHash). Paraphrased eval contamination shares few
+    * 8-grams but lands close in embedding space, so production
+    * pipelines run BOTH axes; this is the missing one. Every corpus
+    * vector (vec_id ≥ QueryMax — the shared eval-set contract) gets
+    * its max cosine against the eval set, the closest eval item
+    * (ties → lowest eval_id, both engines), and the verdict at the
+    * corpus's q44/q45 operating gate (ONE shared constant,
+    * Dedup.CosThr — a doc flagged here is exactly "near-dup of an
+    * eval item" under the same geometry the dedup family uses).
+    *
+    * Scale shape: eval side bounded by contract and broadcast; the
+    * corpus is scanned ONCE, scored map-side, and reduced by a
+    * map-side-combinable max(struct(cosine, -eval_id)) — argmax
+    * without a window, no corpus-sized shuffle beyond the per-doc
+    * partial maxes. Output is corpus-sized by design (a per-doc
+    * verdict gate, like q68). */
+  def q168(s: SparkSession, dir: String): DataFrame =
+    semanticDecon(Tables(s, dir, "embeddings"))
+
+  /** q168 core over any (vec_id, embedding) frame — spec entry for
+    * planted-twin corpora. */
+  private[graft] def semanticDecon(raw: DataFrame): DataFrame = {
+    val e = withNorm(raw)
+    val q = e.filter(col("vec_id") < QueryMax)
+      .select(col("vec_id").as("eval_id"), col("ed").as("qe"), col("nrm").as("qn"))
+    val c = e.filter(col("vec_id") >= QueryMax)
+      .select(col("vec_id"), col("ed").as("ce"), col("nrm").as("cn"))
+    c.join(broadcast(q))
+      .withColumn("cosine", ops.r6(dotp(col("qe"), col("ce")) / (col("qn") * col("cn"))))
+      .groupBy("vec_id")
+      .agg(max(struct(col("cosine"), (-col("eval_id")).as("nid"))).as("m"))
+      .select(col("vec_id"), (-col("m.nid")).as("nearest_eval"),
+        col("m.cosine").as("cosine"),
+        (col("m.cosine") >= lit(Dedup.CosThr.toDouble)).as("contaminated"))
+      .orderBy("vec_id")
+  }
+
+  // lazy: reads Dedup.CosThr — eager evaluation here would risk the
+  // cross-object init deadlock documented on Dedup.q134Sql.
+  private lazy val q168Sql =
+    s"""WITH q AS (SELECT vec_id AS eval_id, embedding FROM embeddings
+              WHERE vec_id < $QueryMax),
+       p AS (SELECT c.vec_id, q.eval_id,
+               ${ops.R6("list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[])")} AS cosine
+             FROM embeddings c JOIN q ON c.vec_id >= $QueryMax)
+       SELECT vec_id, eval_id AS nearest_eval, cosine,
+         (cosine >= ${Dedup.CosThr}) AS contaminated
+       FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+               ORDER BY cosine DESC, eval_id) AS rn FROM p)
+       WHERE rn = 1 ORDER BY vec_id"""
+
+  lazy val qs: Seq[Q] = Seq(
     Q("q50_knn_brute", q50, Some(q50Sql)),
     Q("q51_knn_lsh", q51, None),
     Q("q52_knn_ivf", q52, None),
@@ -1423,5 +1476,6 @@ object Similarity {
     Q("q160_hybrid_retrieval", q160, Some(q160Sql)),
     Q("q162_embedding_drift", q162, Some(q162Sql)),
     Q("q163_retrieval_eval", q163, None),
-    Q("q166_label_probe", q166, Some(q166Sql)))
+    Q("q166_label_probe", q166, Some(q166Sql)),
+    Q("q168_semantic_decon", q168, Some(q168Sql)))
 }

@@ -516,4 +516,39 @@ class SimilaritySpec extends AnyFunSuite {
       s"probe mismatch: extra=${(got -- expected).take(3)} missing=${(expected -- got).take(3)}")
     assert(got.size == vecs.count(_._1 < 20))
   }
+
+  test("q168 semantic decon equals an exact local argmax and fires on a planted twin") {
+    import org.apache.spark.sql.Row
+    def cosR6(a: Array[Float], b: Array[Float]): Double = {
+      var dp = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        dp += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
+        nb += b(i).toDouble * b(i); i += 1
+      }
+      math.floor(dp / (math.sqrt(na) * math.sqrt(nb)) * 1000000.0 + 0.5) / 1000000.0
+    }
+    val vecs = Tables(spark, sf, "embeddings")
+      .select("vec_id", "embedding").collect()
+      .map { case Row(id: Long, e: scala.collection.Seq[_]) =>
+        (id, e.asInstanceOf[scala.collection.Seq[Float]].toArray)
+      }
+    val evals = vecs.filter(_._1 < 20)
+    val want = vecs.filter(_._1 >= 20).map { case (id, v) =>
+      val (best, eid) = evals.map { case (e, ev) => (-cosR6(v, ev), e) }.min
+      (id, eid, -best, -best >= operators.Dedup.CosThr.toDouble)
+    }.toSet
+    val got = operators.Similarity.q168(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getBoolean(3))).toSet
+    assert(got == want,
+      s"decon mismatch: extra=${(got -- want).take(3)} missing=${(want -- got).take(3)}")
+    // planted twin: corpus vector 1000 = eval vector 7 scaled by 2
+    // (cosine exactly 1) must be flagged with nearest_eval 7
+    import spark.implicits._
+    val twin = evals.find(_._1 == 7L).get._2.map(_ * 2.0f)
+    val planted = (vecs.toSeq :+ (1000L, twin)).toDF("vec_id", "embedding")
+    val hit = operators.Similarity.semanticDecon(planted)
+      .filter($"vec_id" === 1000L).collect()
+    assert(hit.length == 1 && hit(0).getLong(1) == 7L && hit(0).getBoolean(3),
+      s"planted twin not flagged: ${hit.toSeq}")
+  }
 }
