@@ -1205,6 +1205,51 @@ object TextOps {
        SELECT w1, w2, n_pair, lift_u/1000000.0 AS lift6
        FROM sc ORDER BY lift_u DESC, w1, w2 LIMIT 20"""
 
+  /** q169 — QUALITY-GATE CALIBRATION LADDER: q146's threshold-sweep
+    * pattern applied to q60's quality score, the curve that picks a
+    * quality gate for a corpus. Per tenth-wide score band: docs and
+    * token volume, plus reverse-cumulative docs/tokens KEPT at a
+    * gate set to the band's lower edge and the kept fraction in
+    * integer ppm — "moving the gate 0.5→0.6 costs cum(5)−cum(6)
+    * docs" read off the table instead of rerunning the q12/q68
+    * family per candidate. Banding floors the SAME r4'd double both
+    * engines compute (q146's proof), everything after is integer.
+    *
+    * Scale shape: one q60 scan map-side-combined to a ≤10-row band
+    * frame; the windows only ever see those 10 rows. */
+  def q169(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy(col("band").desc)
+    q60(s, dir)
+      .select(col("n_tokens"),
+        least(floor(col("quality_score") * 10.0).cast("int"), lit(9)).as("band"))
+      .groupBy("band")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("n_tokens"))
+      .withColumn("band_lo", col("band") / 10.0)
+      .withColumn("cum_docs_ge", sum("n_docs").over(w))
+      .withColumn("cum_tokens_ge", sum("n_tokens").over(w))
+      .withColumn("kept_ppm",
+        expr("cum_docs_ge * 1000000 div (sum(n_docs) OVER ())"))
+      .select("band", "band_lo", "n_docs", "n_tokens",
+        "cum_docs_ge", "cum_tokens_ge", "kept_ppm")
+      .orderBy("band")
+  }
+
+  private val q169Sql =
+    s"""WITH d AS (SELECT len(tk) AS n_tokens,
+                least(CAST(floor(($QualityScoreSql)*10.0) AS INT), 9) AS band
+              FROM (SELECT doc_id, list_filter(string_split(text,' '), x -> x<>'') AS tk
+                    FROM documents)),
+       h AS (SELECT band, CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+             FROM d GROUP BY 1)
+       SELECT band, band/10.0 AS band_lo, n_docs, n_tokens,
+         CAST(sum(n_docs) OVER (ORDER BY band DESC) AS BIGINT) AS cum_docs_ge,
+         CAST(sum(n_tokens) OVER (ORDER BY band DESC) AS BIGINT) AS cum_tokens_ge,
+         CAST((sum(n_docs) OVER (ORDER BY band DESC) * 1000000)
+           // (sum(n_docs) OVER ()) AS BIGINT) AS kept_ppm
+       FROM h ORDER BY band"""
+
   val qs: Seq[Q] = Seq(
     Q("q60_text_quality", q60, Some(q60Sql)),
     Q("q61_lang_id", q61, Some(q61Sql)),
@@ -1226,5 +1271,6 @@ object TextOps {
     Q("q108_intake_validate", q108, Some(q108Sql)),
     Q("q112_freq_sketch", q112, None),
     Q("q135_collocations", q135, Some(q135Sql)),
-    Q("q152_langid_confusion", q152, Some(q152Sql)))
+    Q("q152_langid_confusion", q152, Some(q152Sql)),
+    Q("q169_quality_ladder", q169, Some(q169Sql)))
 }

@@ -261,4 +261,30 @@ class TextOpsSpec extends AnyFunSuite {
       assert(rowShare > 1000000L - 10 && rowShare <= 1000000L, s"$a shares sum $rowShare")
     }
   }
+
+  test("q169 quality ladder equals a local re-banding of q60's scores") {
+    val scored = operators.TextOps.q60(spark, sf)
+      .select("n_tokens", "quality_score").collect()
+      .map(r => (r.getInt(0).toLong, r.getDouble(1)))
+    val byBand = scored.groupBy { case (_, q) =>
+      math.min(math.floor(q * 10.0).toInt, 9)
+    }.map { case (b, xs) => b -> ((xs.length.toLong, xs.map(_._1).sum)) }
+    val total = scored.length.toLong
+    val bandsDesc = byBand.keys.toSeq.sorted.reverse
+    val want = bandsDesc.map { b =>
+      val ge = bandsDesc.filter(_ >= b)
+      val cd = ge.map(byBand(_)._1).sum
+      val ct = ge.map(byBand(_)._2).sum
+      (b, b / 10.0, byBand(b)._1, byBand(b)._2, cd, ct, cd * 1000000L / total)
+    }.toSet
+    val got = operators.TextOps.q169(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getDouble(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))).toSet
+    assert(got == want,
+      s"ladder mismatch: extra=${(got -- want).take(3)} missing=${(want -- got).take(3)}")
+    // the bottom band's cumulative row covers the whole corpus
+    val bottom = got.minBy(_._1)
+    assert(bottom._5 == total && bottom._7 == 1000000L)
+    assert(got.size >= 2, "all docs in one band — gate sweep is vacuous")
+  }
 }
