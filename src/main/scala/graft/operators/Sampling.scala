@@ -1264,6 +1264,70 @@ object Sampling {
        FROM cl JOIN b ON cl.cluster_id = b.doc_id
        ORDER BY cl.doc_id"""
 
+  /** Export shard count (q170). Small here; a 100 TB export would
+    * raise it — every formula below is count-free of NShards except
+    * the ideal-share constant. */
+  private[graft] val NShards = 16
+
+  /** Shard key = md5 hex chars 9-16 (the SECOND 32-bit word), NOT
+    * the 1-8 slice BucketExpr rides: shard must be independent of
+    * the split/sample coordinate or every shard would hold a biased
+    * slice of the train/val/test mix. Same cross-engine md5-bucket
+    * identity as BucketExpr (Sampling.BucketExpr note). */
+  private[graft] val ShardExpr =
+    s"CAST(conv(substring(md5(CAST(text AS BINARY)), 9, 8), 16, 10) AS BIGINT) % $NShards"
+  private[operators] val ShardSql =
+    s"(('0x' || substr(md5(text), 9, 8))::BIGINT) % $NShards"
+
+  /** q170 — EXPORT SHARD MANIFEST: the reproducible-export face of
+    * the sampling family. A 100 TB training set ships as N shards a
+    * consumer can read independently; assignment must be
+    * deterministic (content-hashed — survives re-ingestion with
+    * renumbered ids, q66's argument) and the manifest is what the
+    * consumer trusts: per shard, doc count, token mass, byte volume,
+    * doc/token shares in integer ppm, and the signed skew vs the
+    * ideal share — the balance audit that says whether hash sharding
+    * left one shard oversized before 1000 writers find out.
+    *
+    * Numerics: token-share multiplies through DECIMAL(38,0) (per-
+    * shard tokens ×1e6 brushes long range at 100 TB — the q142
+    * class); doc counts stay comfortably inside long. One map-only
+    * scan collapsed to an NShards-row frame; windows see only that
+    * frame. */
+  def q170(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "documents")
+      .select(expr(ShardExpr).as("shard"),
+        expr(s"size(${Dedup.tokensExpr})").cast("long").as("n_tokens"),
+        octet_length(col("text")).cast("long").as("n_bytes"))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_tokens").as("n_tokens"), sum("n_bytes").as("n_bytes"))
+      .withColumn("docs_share_ppm",
+        expr("n_docs * 1000000 div (sum(n_docs) OVER ())"))
+      .withColumn("tokens_share_ppm",
+        expr("(CAST(n_tokens AS DECIMAL(38,0)) * 1000000) div (sum(n_tokens) OVER ())"))
+      .withColumn("skew_ppm",
+        expr(s"tokens_share_ppm - (1000000 div $NShards)"))
+      .select("shard", "n_docs", "n_tokens", "n_bytes",
+        "docs_share_ppm", "tokens_share_ppm", "skew_ppm")
+      .orderBy("shard")
+
+  private val q170Sql =
+    s"""WITH d AS (SELECT $ShardSql AS shard,
+                len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_tokens,
+                strlen(text) AS n_bytes
+              FROM documents),
+       h AS (SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+               CAST(sum(n_bytes) AS BIGINT) AS n_bytes
+             FROM d GROUP BY 1)
+       SELECT shard, n_docs, n_tokens, n_bytes,
+         CAST((n_docs * 1000000) // (sum(n_docs) OVER ()) AS BIGINT) AS docs_share_ppm,
+         CAST((n_tokens::HUGEINT * 1000000) // (sum(n_tokens) OVER ()) AS BIGINT) AS tokens_share_ppm,
+         CAST((n_tokens::HUGEINT * 1000000) // (sum(n_tokens) OVER ())
+           - (1000000 // $NShards) AS BIGINT) AS skew_ppm
+       FROM h ORDER BY shard"""
+
   val qs: Seq[Q] = Seq(
     Q("q66_train_split", q66, Some(q66Sql)),
     Q("q67_stratified_sample", q67, Some(q67Sql)),
@@ -1285,5 +1349,6 @@ object Sampling {
     Q("q133_curriculum", q133, Some(q133Sql)),
     Q("q153_split_balance", q153, Some(q153Sql)),
     Q("q159_split_contamination", q159, Some(q159Sql)),
-    Q("q161_cluster_safe_split", q161, Some(q161Sql)))
+    Q("q161_cluster_safe_split", q161, Some(q161Sql)),
+    Q("q170_shard_manifest", q170, Some(q170Sql)))
 }

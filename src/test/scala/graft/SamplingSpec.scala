@@ -425,4 +425,48 @@ class SamplingSpec extends AnyFunSuite {
     assert(df.join(repSplit, "cluster_id")
       .filter(col("split") =!= col("rep_split")).count() == 0)
   }
+
+  test("q170 shard manifest equals a local md5-shard recompute") {
+    val docs = Tables(spark, sf, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    def shard(text: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(text.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      // chars 9-16 = the SECOND 32-bit word — independent of the
+      // split bucket's 1-8 slice
+      java.lang.Long.parseLong(hex.substring(8, 16), 16) % 16
+    }
+    val rows = docs.map { case (_, t) =>
+      (shard(t), t.split(' ').count(_.nonEmpty).toLong,
+        t.getBytes("UTF-8").length.toLong)
+    }
+    val totDocs = rows.length.toLong
+    val totTok = rows.map(_._2).sum
+    val want = rows.groupBy(_._1).map { case (sh, xs) =>
+      val tok = xs.map(_._2).sum
+      val share = BigInt(tok) * 1000000 / totTok
+      (sh, xs.length.toLong, tok, xs.map(_._3).sum,
+        xs.length.toLong * 1000000L / totDocs, share.toLong,
+        share.toLong - 62500L)
+    }.toSet
+    val got = operators.Sampling.q170(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))).toSet
+    assert(got == want,
+      s"manifest mismatch: extra=${(got -- want).take(3)} missing=${(want -- got).take(3)}")
+    // deterministic hash sharding: every shard populated at this sf,
+    // doc shares account for the corpus up to integer truncation
+    assert(got.size == 16, s"only ${got.size}/16 shards populated")
+    val shareSum = got.toSeq.map(_._5).sum
+    assert(shareSum <= 1000000L && shareSum > 1000000L - 16)
+    // shard key independent of the split bucket: the doc set is not
+    // ordered/partitioned by q66's coordinate (sanity: both keys
+    // exist on the same corpus and disagree for some doc)
+    assert(docs.exists { case (_, t) =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(t.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 8), 16) % 16 != shard(t)
+    })
+  }
 }
