@@ -572,6 +572,17 @@ object Dedup {
     val pairs = jaccardPairs(s, dir).filter(col("jacc_raw") >= JaccThr.toDouble)
       .select(col("d1"), col("d2"))
       .localCheckpoint(false)
+    propagateLabels(pairs, s)
+  }
+
+  /** HashMin + lagged-pointer-jump label propagation over an
+    * ALREADY-CHECKPOINTED (d1, d2) pair frame — the q65 loop,
+    * factored so any near-dup pair generator (text Jaccard, phash
+    * banding) can form components through the one tuned
+    * implementation. Returns (doc_id, cluster_id) for every doc
+    * that has at least one edge; singletons are the caller's
+    * left-join+coalesce (q167/q171 idiom). */
+  private[graft] def propagateLabels(pairs: DataFrame, s: SparkSession): DataFrame = {
     // Size the iteration frames to the graph, not to the session
     // default: the edge set is usually orders of magnitude smaller
     // than the corpus, and dragging defaultParallelism near-empty

@@ -559,11 +559,60 @@ object Multimodal {
        FROM cap JOIN med ON cap.doc_id = med.doc_id
        ORDER BY cap.doc_id"""
 
+  /** q171 — IMAGE FAMILY FORMATION: q65's component step for the
+    * image axis. q155 emits pairwise phash matches; a crawl's real
+    * unit of image duplication is the FAMILY (the same logo
+    * re-encoded across thousands of pages chains through
+    * intermediate variants), so the pairs are closed into connected
+    * components via the one tuned propagation loop
+    * ([[Dedup.propagateLabels]] — HashMin + lagged pointer jumping)
+    * and every image-classified doc gets its family id, family
+    * size, and the canonical-keep verdict (min doc_id — q65's rule).
+    * Singleton images never enter the loop: the edge-sized label
+    * frame left-joins back onto the hash pass (q167's idiom).
+    *
+    * Scale shape: one decode+hash pass (checkpointed — 16 B/row,
+    * consumed by the banding join AND the final left join), the q43
+    * banding machinery, then an edge-sized iteration. Hash-dependent
+    * → rows-only; MultimodalSpec union-finds q155's own pairs and
+    * plants a chained twin family under synthesized PNG headers. */
+  def q171(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    q171Of(Tables(s, dir, "documents")
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      .as[(Long, Array[Byte])])
+  }
+
+  /** q171 core over any (id, payload) dataset — spec entry point. */
+  private[graft] def q171Of(ds: Dataset[(Long, Array[Byte])]): DataFrame = {
+    import ds.sparkSession.implicits._
+    val imgs = ds.mapPartitions(_.flatMap { case (id, bytes) =>
+      val m = decode(id, bytes)
+      if (m.format == "png" || m.format == "jpeg") Some((id, phash64(bytes)))
+      else None
+    }).toDF("doc_id", "simhash").localCheckpoint(false)
+    val pairs = Dedup.hamming64Pairs(imgs, PhashHam)
+      .select("d1", "d2").localCheckpoint(false)
+    val labels = Dedup.propagateLabels(pairs, ds.sparkSession)
+    val sizes = labels.groupBy("cluster_id")
+      .agg(count(lit(1)).as("family_size"), min("doc_id").as("keep_id"))
+      .withColumnRenamed("cluster_id", "family_id")
+    imgs.select("doc_id")
+      .join(labels, Seq("doc_id"), "left")
+      .withColumn("family_id", coalesce(col("cluster_id"), col("doc_id")))
+      .join(sizes, Seq("family_id"), "left")
+      .select(col("doc_id"), col("family_id"),
+        coalesce(col("family_size"), lit(1L)).as("family_size"),
+        (col("doc_id") === coalesce(col("keep_id"), col("doc_id"))).as("is_canonical"))
+      .orderBy("doc_id")
+  }
+
   val qs: Seq[Q] = Seq(
     Q("q70_multimodal_meta", q70, Some(q70Sql)),
     Q("q73_media_features", q73, Some(q73Sql)),
     Q("q155_phash_neardup", q155, None),
     Q("q156_crossmodal_gate", q156, Some(q156Sql)),
     Q("q157_wav_neardup", q157, None),
-    Q("q158_modality_budget", q158, Some(q158Sql)))
+    Q("q158_modality_budget", q158, Some(q158Sql)),
+    Q("q171_image_families", q171, None))
 }

@@ -194,6 +194,77 @@ class MultimodalSpec extends AnyFunSuite {
       "a non-image payload leaked into the image near-dup join")
   }
 
+  /** Union-find over undirected pairs → node -> min-id component
+    * label, the q171 exact reference. */
+  private def unionFind(nodes: Seq[Long], pairs: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map(nodes.map(n => n -> n): _*)
+    def find(x: Long): Long = { var r = x; while (parent(r) != r) r = parent(r); r }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    // path-compress to the min id (parent always points to smaller)
+    nodes.map(n => n -> find(n)).toMap
+  }
+
+  test("q171 image families equal a union-find over q155's pairs") {
+    val imgIds = operators.Multimodal.q70(spark, sf)
+      .filter(org.apache.spark.sql.functions.col("format").isin("png", "jpeg"))
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+    val pairs = operators.Multimodal.q155(spark, sf)
+      .select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val lab = unionFind(imgIds, pairs)
+    val bySize = lab.values.groupBy(identity).map { case (f, xs) => f -> xs.size.toLong }
+    val want = imgIds.map { id =>
+      val f = lab(id)
+      (id, f, bySize(f), id == f || lab.collect { case (d, `f`) => d }.min == id)
+    }.toSet
+    val got = operators.Multimodal.q171(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3))).toSet
+    assert(got == want,
+      s"family mismatch: extra=${(got -- want).take(3)} missing=${(want -- got).take(3)}")
+    // exactly one canonical per family, and it is the min doc_id
+    val canon = got.filter(_._4).map(x => x._2 -> x._1).toMap
+    assert(canon.size == got.map(_._2).size)
+    assert(canon.forall { case (f, d) => f == d })
+  }
+
+  test("q171 closes a planted twin CHAIN into one family under real PNG headers") {
+    import spark.implicits._
+    import operators.Multimodal.{phash64, PhashHam}
+    def body(seed: Long): Array[Byte] = {
+      val r = new scala.util.Random(seed)
+      Array.fill(2048)(r.nextInt(256).toByte)
+    }
+    def flipped(b: Array[Byte], seed: Long): Array[Byte] = {
+      val c = b.clone(); val r = new scala.util.Random(seed)
+      (0 until 3).foreach(_ => c(33 + r.nextInt(c.length - 33)) = r.nextInt(256).toByte)
+      c
+    }
+    // generation chain per base i<10: i -> 1000+i -> 2000+i (each a
+    // re-flip of the PREVIOUS — the re-encode-of-a-re-encode shape
+    // that only closes into one family through the component step)
+    val bases = (0L until 30L).map(i => i -> (pngBytes(320, 200) ++ body(i)))
+    val gen1 = (0L until 10L).map(i => (1000L + i) -> flipped(bases(i.toInt)._2, 11 * i + 1))
+    val gen2 = (0L until 10L).map(i => (2000L + i) -> flipped(gen1(i.toInt)._2, 13 * i + 5))
+    val all = (bases ++ gen1 ++ gen2).toSeq
+    val ds = spark.createDataset(all).repartition(8)
+    // exact reference: union-find over the exhaustive hamming graph
+    val hashes = all.map { case (id, b) => id -> phash64(b) }
+    val pairs = for {
+      (i1, h1) <- hashes; (i2, h2) <- hashes
+      if i1 < i2 && java.lang.Long.bitCount(h1 ^ h2) <= PhashHam
+    } yield (i1, i2)
+    val lab = unionFind(all.map(_._1), pairs)
+    val got = operators.Multimodal.q171Of(ds).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == lab, s"first diff: ${got.find(kv => lab.get(kv._1) != Some(kv._2))}")
+    // the chains actually chained: at least one family of size >= 3
+    // (vacuous-test guard — the flips must not blow past the cutoff)
+    val sizes = lab.values.groupBy(identity).map(_._2.size)
+    assert(sizes.max >= 3, s"no chained family formed: sizes ${sizes.toSeq.sorted.reverse.take(5)}")
+  }
+
   // --- audio: real PCM synthesis for the q157 family ---
 
   private def le32b(v: Int) =
