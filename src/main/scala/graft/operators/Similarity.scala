@@ -1421,11 +1421,17 @@ object Similarity {
     * eval item" under the same geometry the dedup family uses).
     *
     * Scale shape: eval side bounded by contract and broadcast; the
-    * corpus is scanned ONCE, scored map-side, and reduced by a
-    * map-side-combinable max(struct(cosine, -eval_id)) — argmax
-    * without a window, no corpus-sized shuffle beyond the per-doc
-    * partial maxes. Output is corpus-sized by design (a per-doc
-    * verdict gate, like q68). */
+    * corpus is scanned ONCE, scored map-side, and reduced by ONE
+    * long `max` over a packed (micro-cosine, ¬eval_id) key — argmax
+    * without a window AND without max(struct), which Spark can only
+    * SortAggregate (non-primitive buffer → a full sort of the n×|Q|
+    * scored frame; measured on the first cut of this operator). The
+    * packed key keeps the agg in whole-stage-codegen HashAggregate
+    * with map-side partials. micro-cosine = floor(cos·1e6 + 0.5) is
+    * exactly r6's numerator, so decode ÷1e6 reproduces the oracle's
+    * R6 double bit-for-bit; eval_id < 1024 by the QueryMax contract
+    * (guarded). Output is corpus-sized by design (a per-doc verdict
+    * gate, like q68). */
   def q168(s: SparkSession, dir: String): DataFrame =
     semanticDecon(Tables(s, dir, "embeddings"))
 
@@ -1437,13 +1443,19 @@ object Similarity {
       .select(col("vec_id").as("eval_id"), col("ed").as("qe"), col("nrm").as("qn"))
     val c = e.filter(col("vec_id") >= QueryMax)
       .select(col("vec_id"), col("ed").as("ce"), col("nrm").as("cn"))
+    require(QueryMax <= 1024, "packed argmax key reserves 10 bits for eval_id")
     c.join(broadcast(q))
-      .withColumn("cosine", ops.r6(dotp(col("qe"), col("ce")) / (col("qn") * col("cn"))))
+      .withColumn("cos_u",
+        floor(dotp(col("qe"), col("ce")) / (col("qn") * col("cn"))
+          * lit(1000000.0) + lit(0.5)).cast("long"))
+      .withColumn("key",
+        (col("cos_u") + lit(1000000L)) * lit(1024L) + (lit(1023L) - col("eval_id")))
       .groupBy("vec_id")
-      .agg(max(struct(col("cosine"), (-col("eval_id")).as("nid"))).as("m"))
-      .select(col("vec_id"), (-col("m.nid")).as("nearest_eval"),
-        col("m.cosine").as("cosine"),
-        (col("m.cosine") >= lit(Dedup.CosThr.toDouble)).as("contaminated"))
+      .agg(max("key").as("k"))
+      .select(col("vec_id"),
+        (lit(1023L) - col("k") % lit(1024L)).as("nearest_eval"),
+        ((expr("k div 1024") - lit(1000000L)).cast("double") / lit(1000000.0)).as("cosine"))
+      .withColumn("contaminated", col("cosine") >= lit(Dedup.CosThr.toDouble))
       .orderBy("vec_id")
   }
 
