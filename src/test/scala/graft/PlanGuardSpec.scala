@@ -281,6 +281,30 @@ class PlanGuardSpec extends AnyFunSuite {
     }
   }
 
+  test("late-r6 operators keep their scale shapes") {
+    // q168: the ONLY nested-loop is the bounded broadcast eval set
+    // (intended — no join key exists), and the argmax must stay in
+    // hash aggregation: max(struct) would silently demote it to a
+    // SortAggregate over the n×|Q| scored frame
+    val p168 = plan("q168_semantic_decon")
+    assert(p168.contains("BroadcastNestedLoopJoin"), "q168 lost its broadcast eval-set join")
+    assert(!p168.contains("CartesianProduct"), "q168 plans a cartesian")
+    assert(!p168.contains("SortAggregate"), "q168's argmax fell out of hash aggregation")
+    // q169/q170: one corpus scan collapsed map-side; any window runs
+    // over the tiny band/shard frame AFTER the agg, so the plan has
+    // exactly one data-sized hash exchange (the group-by)
+    for (q <- Seq("q169_quality_ladder", "q170_shard_manifest")) {
+      val p = plan(q)
+      assert(!p.contains("Join"), s"$q plans a join")
+      val hashEx = "Exchange hashpartitioning".r.findAllIn(p).size
+      assert(hashEx <= 1, s"$q shuffles more than the single group-by: $p")
+    }
+    // q171: banding join only — no cartesian, no nested loop
+    val p171 = plan("q171_image_families")
+    assert(!p171.contains("CartesianProduct") && !p171.contains("BroadcastNestedLoopJoin"),
+      "q171 plans an all-pairs join")
+  }
+
   test("map-only operators plan no data exchange beyond the rebalance and final sort") {
     // q66 is a pure per-row projection: its only exchanges are the
     // documents rebalance (round-robin) and the output orderBy
