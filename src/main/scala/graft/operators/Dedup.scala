@@ -988,9 +988,11 @@ object Dedup {
       sum(when(col("df") > DfCap, 1L).otherwise(0L)).as("n_hot"),
       sum(when(col("df") > DfCap, col("df")).otherwise(0L)).as("dropped_postings"),
       max("df").as("max_df"))
-    val sel = df.groupBy("df").agg(count(lit(1)).as("c"))
-      .withColumn("cum", sum("c").over(Window.orderBy("df")))
-      .join(broadcast(stats.select("n_shingles")), lit(true), "left")
+    // r7: q123's two-phase core replaces the single-partition
+    // Window.orderBy; its ride-along total (Σc = n_shingles by
+    // construction) also retires the broadcast(stats) consumer here
+    val sel = ops.globalCumsum(df.groupBy("df").agg(count(lit(1)).as("c")),
+        col("c"), "cum", "n_shingles", col("df"))
       .agg(
         min(when(col("cum") >= expr("(n_shingles*50 + 99) div 100"), col("df"))).as("p50_df"),
         min(when(col("cum") >= expr("(n_shingles*90 + 99) div 100"), col("df"))).as("p90_df"))

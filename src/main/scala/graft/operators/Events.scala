@@ -232,9 +232,11 @@ object Events {
       sum(when(col("v").isNotNull, 1L).otherwise(0L)).as("n_viewed"),
       sum(when(col("c").isNotNull, 1L).otherwise(0L)).as("n_clicked"),
       sum(when(col("p").isNotNull, 1L).otherwise(0L)).as("n_purchased"))
-    val sel = perSess.groupBy("depth").agg(count(lit(1)).as("cnt"))
-      .withColumn("cum", sum("cnt").over(Window.orderBy("depth")))
-      .join(broadcast(stats.select("n_sessions")), lit(true), "left")
+    // r7: q123's two-phase core replaces the single-partition
+    // Window.orderBy; its ride-along total (Σcnt = n_sessions by
+    // construction) also retires the broadcast(stats) consumer here
+    val sel = ops.globalCumsum(perSess.groupBy("depth").agg(count(lit(1)).as("cnt")),
+        col("cnt"), "cum", "n_sessions", col("depth"))
       .agg(
         min(when(col("cum") >= expr("(n_sessions*50 + 99) div 100"), col("depth"))).as("p50_depth"),
         min(when(col("cum") >= expr("(n_sessions*90 + 99) div 100"), col("depth"))).as("p90_depth"))
@@ -974,9 +976,11 @@ object Events {
       count(lit(1)).as("n"),
       countDistinct("user_id").as("n_repeat_users"),
       sum(when(col("gap_days") <= 7, 1L).otherwise(0L)).as("w7"))
-    val cum = gaps.groupBy("gap_days").agg(count(lit(1)).as("c"))
-      .withColumn("cum", sum("c").over(Window.orderBy("gap_days")))
-    val sel = cum.join(broadcast(stats), lit(true), "left")
+    // r7: q123's two-phase core replaces the single-partition
+    // Window.orderBy; its ride-along total (Σc = stats.n by
+    // construction) also retires the broadcast(stats) consumer here
+    val sel = ops.globalCumsum(gaps.groupBy("gap_days").agg(count(lit(1)).as("c")),
+        col("c"), "cum", "n", col("gap_days"))
       .agg(
         min(when(col("cum") >= expr("(n*50 + 99) div 100"), col("gap_days"))).as("p50_gap_days"),
         min(when(col("cum") >= expr("(n*90 + 99) div 100"), col("gap_days"))).as("p90_gap_days"))
@@ -1031,14 +1035,15 @@ object Events {
     * (the live sf0.001 corpus is legitimately anomaly-free: an empty
     * result IS the correct answer there). */
   private[graft] def robustAnomalyCore(hourly: DataFrame): DataFrame = {
-    def medianOf(df: DataFrame, valueCol: String, out: String): DataFrame = {
-      val byType = Window.partitionBy("event_type")
-      df.groupBy(col("event_type"), col(valueCol).as("v")).agg(count(lit(1)).as("c"))
-        .withColumn("cum", sum("c").over(byType.orderBy("v")))
-        .withColumn("n", sum("c").over(byType))
+    // r7: both selections ride the two-phase range-partitioned core
+    // (q123's shape) instead of a #types-partition window; identical
+    // integers, oracle SQL stays the window form
+    def medianOf(df: DataFrame, valueCol: String, out: String): DataFrame =
+      ops.groupedGlobalCumsum(
+          df.groupBy(col("event_type"), col(valueCol).as("v")).agg(count(lit(1)).as("c")),
+          "event_type", col("c"), "cum", "n", col("v"))
         .groupBy("event_type")
         .agg(min(when(col("cum") >= expr("(n*50 + 99) div 100"), col("v"))).as(out))
-    }
     val med = medianOf(hourly, "cnt", "med")
     val dev = hourly.join(broadcast(med), "event_type")
       .withColumn("dev", abs(col("cnt") - col("med")))

@@ -947,10 +947,11 @@ object Relational {
       .groupBy(col("o_orderpriority"),
         datediff(to_date(col("l_shipdate")), to_date(col("o_orderdate"))).as("lag_days"))
       .agg(count(lit(1)).as("c"))
-    val byPrio = Window.partitionBy("o_orderpriority")
-    hist
-      .withColumn("cum", sum("c").over(byPrio.orderBy("lag_days")))
-      .withColumn("n", sum("c").over(byPrio))
+    // r7: the per-priority cumulative rides the same two-phase
+    // range-partitioned core as q123 (a #priorities-partition window
+    // capped parallelism at 5 tasks); identical integers, oracle SQL
+    // stays the window form
+    ops.groupedGlobalCumsum(hist, "o_orderpriority", col("c"), "cum", "n", col("lag_days"))
       .groupBy("o_orderpriority")
       .agg(
         max("n").as("n_lines"),

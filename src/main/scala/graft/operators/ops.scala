@@ -157,6 +157,22 @@ object ops {
       .drop("_pid", "_lcs", "_off")
   }
 
+  /** Ungrouped [[groupedGlobalCumsum]]: exact cumulative sum over a
+    * global total order without the `Window.orderBy(...)` form's
+    * single-partition exchange — the domain-histogram selection
+    * shape (q123's core) shared by the percentile selections in
+    * q125/q141/q145/q148. The histogram frames these run over are
+    * domain-bounded (days, depths, dfs — tiny TODAY), but the shape
+    * is what survives a corpus whose domain isn't: unify on the
+    * parallel core instead of keeping a one-task sort around just
+    * because the current inputs are small. Implemented as the
+    * grouped core over one constant group; the helper group column
+    * never reaches the output. */
+  def globalCumsum(df: DataFrame, value: Column, out: String, totOut: String,
+      sort: Column*): DataFrame =
+    groupedGlobalCumsum(df.withColumn("_g", lit(1)), "_g", value, out, totOut, sort: _*)
+      .drop("_g")
+
   def globalNtile(df: DataFrame, k: Int, out: String, sort: Column*): DataFrame = {
     val nPart = df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt
     val ranged = df.repartitionByRange(nPart, sort: _*)

@@ -305,6 +305,36 @@ class PlanGuardSpec extends AnyFunSuite {
       "q171 plans an all-pairs join")
   }
 
+  test("histogram-selection queries ride the two-phase cumsum core, never a one-task ordered window") {
+    // r7: q125/q139/q141/q145/q148 migrated onto q123's
+    // range-partitioned cumulative (ops.globalCumsum /
+    // groupedGlobalCumsum). The data-sized cumulative must show the
+    // range partitioning + broadcast offsets; the only legitimate
+    // single-partition exchange left is the nPart-row offset table's
+    // own cumulative window (and 1-row report assembly frames).
+    // A localCheckpoint'ed frame's plan leaves are the checkpoint
+    // RDD scan (CLAUDE.md lesson), so the helper's rangepartitioning
+    // is INVISIBLE in the final plan; what distinguishes the
+    // two-phase form from the one-task window is the checkpoint
+    // barrier itself (Scan ExistingRDD — the bad form has none) plus
+    // the broadcast offset join. The multi-group queries keep a
+    // trailing presentation orderBy, whose rangepartitioning is
+    // additionally asserted.
+    for (q <- Seq("q123_exact_percentiles", "q125_purchase_cadence",
+        "q139_ship_latency", "q141_robust_anomaly", "q145_index_stats",
+        "q148_session_funnel")) {
+      val p = plan(q)
+      assert(p.contains("Scan ExistingRDD"),
+        s"$q lost the two-phase cumsum's checkpoint barrier: $p")
+      assert(p.contains("BroadcastExchange"), s"$q lost the broadcast offset join: $p")
+    }
+    for (q <- Seq("q123_exact_percentiles", "q139_ship_latency", "q141_robust_anomaly")) {
+      val p = plan(q)
+      assert(p.contains("Exchange rangepartitioning"),
+        s"$q lost its parallel output ordering: $p")
+    }
+  }
+
   test("map-only operators plan no data exchange beyond the rebalance and final sort") {
     // q66 is a pure per-row projection: its only exchanges are the
     // documents rebalance (round-robin) and the output orderBy
