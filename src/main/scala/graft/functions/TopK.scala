@@ -99,8 +99,73 @@ class TopKAgg(k: Int) extends Aggregator[Scored, TopKBuf, Seq[Scored]] {
   override def outputEncoder: Encoder[Seq[Scored]] = ExpressionEncoder()
 }
 
+/** Long-keyed sibling of [[Scored]]/[[TopKAgg]] for EXACT integer
+  * rank keys (micro-unit BM25 sums, packed argmax keys): casting a
+  * long to double collapses distinct values above 2^53 into ties, at
+  * which point the aggregate's order can diverge from an oracle's
+  * exact BIGINT ORDER BY. Same ordering contract — (score DESC, id
+  * ASC) — same NaN-free buffer discipline (longs have no NaN), same
+  * bounded in-place buffer.
+  */
+case class ScoredL(score: Long, id: Long)
+
+case class TopKLBuf(scores: Array[Long], ids: Array[Long], var n: Int)
+
+class TopKLAgg(k: Int) extends Aggregator[ScoredL, TopKLBuf, Seq[ScoredL]] {
+  require(k >= 1, s"top-k needs k >= 1, got $k")
+
+  private def beats(s1: Long, i1: Long, s2: Long, i2: Long): Boolean =
+    s1 > s2 || (s1 == s2 && i1 < i2)
+
+  override def zero: TopKLBuf = TopKLBuf(new Array[Long](k), new Array[Long](k), 0)
+
+  override def reduce(b: TopKLBuf, a: ScoredL): TopKLBuf = {
+    val n = b.n
+    if (n == k && beats(b.scores(n - 1), b.ids(n - 1), a.score, a.id)) return b
+    var pos = 0
+    while (pos < n && beats(b.scores(pos), b.ids(pos), a.score, a.id)) pos += 1
+    if (pos >= k) return b
+    val last = math.min(n, k - 1)
+    var i = last
+    while (i > pos) {
+      b.scores(i) = b.scores(i - 1); b.ids(i) = b.ids(i - 1); i -= 1
+    }
+    b.scores(pos) = a.score; b.ids(pos) = a.id
+    if (n < k) b.n = n + 1
+    b
+  }
+
+  override def merge(x: TopKLBuf, y: TopKLBuf): TopKLBuf = {
+    if (y.n == 0) return x
+    if (x.n == 0) return y
+    val ms = new Array[Long](k); val mi = new Array[Long](k)
+    var xi = 0; var yi = 0; var o = 0
+    while (o < k && (xi < x.n || yi < y.n)) {
+      val takeX =
+        if (yi >= y.n) true
+        else if (xi >= x.n) false
+        else beats(x.scores(xi), x.ids(xi), y.scores(yi), y.ids(yi))
+      if (takeX) { ms(o) = x.scores(xi); mi(o) = x.ids(xi); xi += 1 }
+      else { ms(o) = y.scores(yi); mi(o) = y.ids(yi); yi += 1 }
+      o += 1
+    }
+    TopKLBuf(ms, mi, o)
+  }
+
+  override def finish(r: TopKLBuf): Seq[ScoredL] =
+    (0 until r.n).map(i => ScoredL(r.scores(i), r.ids(i)))
+
+  override def bufferEncoder: Encoder[TopKLBuf] = ExpressionEncoder()
+  override def outputEncoder: Encoder[Seq[ScoredL]] = ExpressionEncoder()
+}
+
 object TopK {
   /** `topk(k)(score, id)` → `array<struct<score,id>>`, best first. */
   def topk(k: Int)(score: Column, id: Column): Column =
     udaf(new TopKAgg(k), ExpressionEncoder[Scored]()).apply(score, id)
+
+  /** Long-keyed `topkL(k)(score, id)`: exact at any 64-bit magnitude
+    * (no 2^53 tie collapse). */
+  def topkL(k: Int)(score: Column, id: Column): Column =
+    udaf(new TopKLAgg(k), ExpressionEncoder[ScoredL]()).apply(score, id)
 }

@@ -1127,7 +1127,11 @@ object Similarity {
       .withColumn("c_u", floor(contrib * lit(1000000.0) + lit(0.5)).cast("long"))
       .groupBy("query_id", "doc_id").agg(sum("c_u").as("lex_u"))
       .groupBy("query_id")
-      .agg(TopK.topk(HybK)(col("lex_u").cast("double"), col("doc_id")).as("top"))
+      // long-keyed TopK: a cast("double") here would collapse lex_u
+      // values above 2^53 into ties (an extra ceiling beyond the
+      // documented per-term micro-unit bound) and could diverge from
+      // the oracle's exact BIGINT ORDER BY
+      .agg(TopK.topkL(HybK)(col("lex_u"), col("doc_id")).as("top"))
       .select(col("query_id"), posexplode(col("top")))
       .select(col("query_id"), col("col.id").as("doc_id"), (col("pos") + 1).as("lex_rank"))
   }

@@ -98,11 +98,18 @@ object AnnIndex {
     residents(s, basePath, Some(deltaPath))
       .write.mode(SaveMode.Overwrite).partitionBy("cid").parquet(outPath)
 
-  /** Resident rows of base (+ optional delta, batch column dropped). */
+  /** Resident rows of base (+ optional delta, batch column dropped).
+    * Delta existence resolves through Hadoop's FileSystem API, not
+    * java.io.File — on any remote Hadoop-compatible FS (the 100 TB
+    * deployments) a local-file check would silently report the delta
+    * absent and probe/compact base-only data. */
   private def residents(s: SparkSession, basePath: String,
       deltaPath: Option[String]): DataFrame = {
     val base = s.read.parquet(basePath).select("vec_id", "ed", "nrm", "cid")
-    deltaPath.filter(p => new java.io.File(p).exists()) match {
+    deltaPath.filter { p =>
+      val hp = new org.apache.hadoop.fs.Path(p)
+      hp.getFileSystem(s.sparkContext.hadoopConfiguration).exists(hp)
+    } match {
       case Some(p) => base.union(s.read.parquet(p).select("vec_id", "ed", "nrm", "cid"))
       case None => base
     }
@@ -162,6 +169,34 @@ object AnnIndex {
     * append would degrade probe recall, so the gate says rebuild. */
   val RefitRatio = 2.0
 
+  /** RefitRatio as an EXACT rational (RefitNum / RefitDen), so the
+    * gate's cross-multiply never leaves integer/DECIMAL arithmetic:
+    * a double product rounds half-ulp above 2^53 (Σerr_u·n reaches
+    * ~1e26 at corpus scale), and the one place the repo's numerics
+    * doctrine is strictest should practice it. Both the batch gate
+    * here and the streaming gate (IngestStream) compare through
+    * [[refitCmp]], so the two documented-as-mirrored gates cannot
+    * disagree on boundary batches. */
+  private[graft] val RefitDen = 10L
+  private[graft] val RefitNum = math.round(RefitRatio * RefitDen) // 20
+
+  /** The gate's decision column: e_batch·n_index·RefitDen >
+    * RefitNum·e_index·n_batch, every operand DECIMAL(38,0) — exact
+    * at any magnitude the moments can reach (≲1e28 ≪ 1e38). Shared
+    * by [[refitGate]] and the streaming gate; boundary behavior
+    * (equality at exactly RefitRatio → NO refit) is spec-pinned. */
+  private[graft] def refitCmp(eB: org.apache.spark.sql.Column, nB: org.apache.spark.sql.Column,
+      eI: org.apache.spark.sql.Column, nI: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    eB.cast("decimal(38,0)") * nI.cast("decimal(38,0)") * lit(RefitDen) >
+      lit(RefitNum) * eI.cast("decimal(38,0)") * nB.cast("decimal(38,0)")
+
+  /** Scalar twin of [[refitCmp]] for the driver-side streaming gate
+    * (IngestStream holds its moments as longs): the SAME rational —
+    * exact BigInt cross-multiply over RefitNum/RefitDen — so the two
+    * gates agree on every batch including the boundary. */
+  private[graft] def refitExceeds(eB: Long, nB: Long, eI: Long, nI: Long): Boolean =
+    BigInt(eB) * BigInt(nI) * BigInt(RefitDen) > BigInt(RefitNum) * BigInt(eI) * BigInt(nB)
+
   /** INCREMENTAL APPEND — the daily-batch maintenance path (q138's
     * sibling on the ANN side): new vectors are assigned to cells
     * against the FROZEN quantizer (map-only vs the broadcast centroid
@@ -200,12 +235,12 @@ object AnnIndex {
         (col("e_batch") / col("n_batch") / lit(1000000.0)).as("batch_mse"),
         (col("e_index") / col("n_index") / lit(1000000.0)).as("index_mse"),
         // cross-multiplied: no division by a possibly-zero resident
-        // error (a degenerate k=n index quantizes exactly); through
-        // DECIMAL(38,0) because Σerr_u × n wraps a long at corpus
-        // scale (the q142 overflow class)
-        (col("e_batch").cast("decimal(38,0)") * col("n_index") >
-          lit(RefitRatio) * (col("e_index").cast("decimal(38,0)") * col("n_batch"))
-            .cast("double")).as("refit"))
+        // error (a degenerate k=n index quantizes exactly); all
+        // DECIMAL(38,0) via refitCmp because Σerr_u × n wraps a long
+        // at corpus scale (the q142 overflow class) and a double
+        // comparison rounds above 2^53
+        refitCmp(col("e_batch"), col("n_batch"), col("e_index"), col("n_index"))
+          .as("refit"))
   }
 
   /** Bounded TopK ranking of a scored candidate frame. */

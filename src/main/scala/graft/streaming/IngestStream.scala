@@ -62,8 +62,12 @@ object IngestStream {
         if (b.count() > 0) {
           val (eIdx, nIdx) = idxStats
           val (eB, nB) = AnnIndex.errStatsU(s, b, cents)
-          val refit = nIdx > 0 &&
-            BigInt(eB) * nIdx > BigInt((AnnIndex.RefitRatio * eIdx).toLong) * nB
+          // the SAME exact rational as the one-shot gate's DECIMAL
+          // form (AnnIndex.refitCmp) — RefitNum/RefitDen BigInt
+          // cross-multiply, no double product to truncate; the two
+          // gates the docs call mirrors cannot disagree on a
+          // boundary batch
+          val refit = nIdx > 0 && AnnIndex.refitExceeds(eB, nB, eIdx, nIdx)
           if (refit)
             b.withColumn("batch", lit(id))
               .write.mode("overwrite").partitionBy("batch")

@@ -189,6 +189,32 @@ class SourcesSpec extends AnyFunSuite {
     assert(drifted.getAs[Double]("batch_mse") > drifted.getAs[Double]("index_mse"))
   }
 
+  test("refit gate comparison is exact DECIMAL at the RefitRatio boundary, beyond 2^53, and mirrors the streaming gate") {
+    import spark.implicits._
+    // moments past 2^53 where a double product rounds: e_b·n_i sits
+    // EXACTLY at RefitRatio·e_i·n_b → strictly-greater says NO refit;
+    // one micro-unit more on the batch side flips it. The same rows
+    // go through the streaming gate's scalar twin — the two gates
+    // must agree on the boundary.
+    val eI = (1L << 54) + 1L // not a double-representable long; ≡ 0 (mod 5)
+    val nB = 1000L; val nI = 5L
+    assert(eI % nI == 0, "test arithmetic must be exact")
+    val eBBoundary = eI / nI * nB * 2L // e_b·n_i == 2·e_i·n_b exactly, no long overflow
+    val rows = Seq(
+      ("boundary", eBBoundary, nB, eI, nI),
+      ("over", eBBoundary + 1L, nB, eI, nI),
+      ("under", eBBoundary - 1L, nB, eI, nI)).toDF("tag", "eB", "nB", "eI", "nI")
+    val got = rows.select(col("tag"),
+        AnnIndex.refitCmp(col("eB"), col("nB"), col("eI"), col("nI")).as("refit"))
+      .collect().map(r => r.getString(0) -> r.getBoolean(1)).toMap
+    assert(got == Map("boundary" -> false, "over" -> true, "under" -> false),
+      s"DECIMAL gate wrong at the exact boundary: $got")
+    for ((tag, eB) <- Seq(("boundary", eBBoundary), ("over", eBBoundary + 1L),
+        ("under", eBBoundary - 1L)))
+      assert(AnnIndex.refitExceeds(eB, nB, eI, nI) == got(tag),
+        s"streaming gate disagrees with the DECIMAL gate on $tag")
+  }
+
   test("manifest is layout-invariant and its diff pinpoints exactly the edited bucket") {
     val docs = Tables(spark, sf, "documents")
     val m1 = Sources.manifest(docs).localCheckpoint(false)
