@@ -455,23 +455,38 @@ object Similarity {
     * Recall equivalence of the two modes is spec-pinned (both ≥0.75,
     * within 0.05 of each other at equal nprobe). Every shipped/stress
     * corpus (≤150k vectors) sits BELOW the threshold, so oracle and
-    * spec numbers are unchanged. Note the fit-side trade: k = n/B
-    * grows linearly, so at 10^9+ vectors the per-iteration partial
-    * collect needs the treeAggregate shape rather than a flat
-    * collect — provision the driver accordingly or raise B. */
+    * spec numbers are unchanged. The fit side holds at any k: Lloyd
+    * partials merge executor-side in a tree ([[ivfCellsOf]]), never
+    * k×dim×#partitions through one driver round. */
   private[graft] val IvfFixedBThreshold = 1000000L
   private[graft] val IvfDefaultCellB = 4096
 
+  /** Hard cap on the centroid count: the centroid matrix is the one
+    * piece of the index that MUST live in memory (the fit broadcasts
+    * it per Lloyd round; every probe/assignment argmins against it),
+    * so k is clamped where the matrix reaches ~128 MB at dim 64
+    * (2^18 × 64 × 8 B). Past the clamp — n > ~10^9 vectors at the
+    * default B — expected cell size grows linearly instead: probes
+    * read proportionally larger cells from the cid-partitioned disk
+    * layout (`sources.AnnIndex`, where cells are spilled parquet and
+    * only the centroid matrix stays resident). That is the standard
+    * single-level-IVF regime boundary; a deployment needing finer
+    * cells at that scale shards the corpus or adds a second
+    * quantizer level, it does not grow a flat driver array without
+    * bound. */
+  private[graft] val IvfMaxDriverK = 1 << 18
+
   /** Effective centroid-count target for a corpus of n vectors —
-    * the mode dispatch, separated so the threshold branch is
-    * unit-testable without fitting a million-vector corpus. */
+    * the mode dispatch, separated so the threshold branch and the
+    * [[IvfMaxDriverK]] clamp are unit-testable without fitting a
+    * billion-vector corpus. */
   private[graft] def kTargetFor(n: Long, cellSize: Option[Int]): Int =
-    cellSize match {
-      case Some(b)                        => math.ceil(n.toDouble / b.toDouble).toInt
+    math.min(IvfMaxDriverK.toLong, cellSize match {
+      case Some(b)                        => math.ceil(n.toDouble / b.toDouble).toLong
       case None if n > IvfFixedBThreshold =>
-        math.ceil(n.toDouble / IvfDefaultCellB.toDouble).toInt
-      case None                           => math.ceil(math.sqrt(n.toDouble)).toInt
-    }
+        math.ceil(n.toDouble / IvfDefaultCellB.toDouble).toLong
+      case None                           => math.ceil(math.sqrt(n.toDouble)).toLong
+    }).toInt
 
   private[graft] def ivfCellsOf(s: SparkSession, e0: DataFrame,
       cellSize: Option[Int] = None): (DataFrame, Array[Array[Double]]) = {
@@ -492,32 +507,56 @@ object Similarity {
 
     for (_ <- 1 to iters) {
       val bc = s.sparkContext.broadcast(cents)
-      val partials = typed.mapPartitions { it =>
+      // Per-partition partials accumulate in primitive doubles
+      // (sequential, deterministic for a fixed scan — unchanged);
+      // the CROSS-partition merge is a treeReduce over EXACT
+      // BigDecimal sums (each partial converted via `new
+      // BigDecimal(double)`, the exact binary value), so (a) the
+      // driver receives ONE k-bounded accumulator instead of
+      // k×dim×#partitions — fixed-B mode (k = n/B) holds at 10⁹+
+      // vectors — and (b) the merge is associative/commutative in
+      // EXACT arithmetic, so the nondeterministic tree order cannot
+      // perturb a centroid (a double-summed tree merge would be
+      // run-order-dependent, breaking the fit's determinism
+      // contract). One correctly-rounded doubleValue per component
+      // at the end, then the same 1e-9 centroid grid as always.
+      val merged = typed.rdd.mapPartitions { it =>
         val cs = bc.value
         val cn2 = norms2(cs)
-        val sums = Array.fill(cs.length)(new Array[Double](dim))
-        val cnts = new Array[Long](cs.length)
+        val sums = new scala.collection.mutable.HashMap[Int, Array[Double]]
+        val cnts = new scala.collection.mutable.HashMap[Int, Long]
         it.foreach { case (_, v, _) =>
           val arr = v.toArray
           val cid = argmin(arr, cs, cn2)
-          val sm = sums(cid)
+          val sm = sums.getOrElseUpdate(cid, new Array[Double](dim))
           val m = math.min(arr.length, dim)
           var i = 0
           while (i < m) { sm(i) += arr(i); i += 1 }
-          cnts(cid) += 1L
+          cnts.update(cid, cnts.getOrElse(cid, 0L) + 1L)
         }
-        Iterator.range(0, cs.length).filter(cnts(_) > 0L).map(c => (c, sums(c), cnts(c)))
-      }.collect()
-      val agg = Array.fill(k)(new Array[Double](dim))
-      val cnt = new Array[Long](k)
-      partials.foreach { case (c, sm, ct) =>
-        var i = 0
-        while (i < dim) { agg(c)(i) += sm(i); i += 1 }
-        cnt(c) += ct
-      }
+        val part = new scala.collection.mutable.HashMap[Int, (Array[java.math.BigDecimal], Long)]
+        sums.foreach { case (c, sm) =>
+          part.update(c, (sm.map(d => new java.math.BigDecimal(d)), cnts(c)))
+        }
+        Iterator.single(part)
+      }.treeReduce({ (a, b) =>
+        b.foreach { case (c, (bs, bn)) =>
+          a.get(c) match {
+            case Some((as, an)) =>
+              var i = 0
+              while (i < as.length) { as(i) = as(i).add(bs(i)); i += 1 }
+              a.update(c, (as, an + bn))
+            case None => a.update(c, (bs, bn))
+          }
+        }
+        a
+      }, depth = 2)
       cents = Array.tabulate(k) { c =>
-        if (cnt(c) == 0L) cents(c) // empty cell keeps its centroid
-        else Array.tabulate(dim)(i => math.rint(agg(c)(i) / cnt(c) * 1e9) / 1e9)
+        merged.get(c) match {
+          case Some((sm, ct)) =>
+            Array.tabulate(dim)(i => math.rint(sm(i).doubleValue / ct * 1e9) / 1e9)
+          case None => cents(c) // empty cell keeps its centroid
+        }
       }
       bc.unpersist()
     }

@@ -127,6 +127,32 @@ class SimilaritySpec extends AnyFunSuite {
     // explicit cellSize always wins, either side of the threshold
     assert(kTargetFor(500L, Some(32)) == 16)
     assert(kTargetFor(1L << 30, Some(1 << 20)) == 1024)
+    // the driver-array clamp: k never exceeds the documented bound
+    // (the centroid matrix is the one piece that must stay resident)
+    import operators.Similarity.IvfMaxDriverK
+    assert(kTargetFor(Long.MaxValue, None) == IvfMaxDriverK)
+    assert(kTargetFor(1L << 40, Some(4)) == IvfMaxDriverK)
+  }
+
+  test("Lloyd fit tree-merges partials exactly: forced-fixed-B re-fit is bit-identical") {
+    import operators.Similarity.ivfCellsOf
+    // B=8 → k ≈ n/8 cells at sf0.001 — far more partial cells than
+    // the default √n fit uses, the k ≫ √n regime the tree merge
+    // exists for (fixed-B at 10⁹+ vectors). Two independent fits
+    // must be BIT-identical: treeReduce's merge order is
+    // nondeterministic, and only the exact (BigDecimal) partial
+    // arithmetic keeps a centroid from moving run to run.
+    val e = Tables(spark, sf, "embeddings")
+    val (cells1, cents1) = ivfCellsOf(spark, e, Some(8))
+    val (cells2, cents2) = ivfCellsOf(spark, e, Some(8))
+    assert(cents1.length == cents2.length, "re-fit changed the cell count")
+    assert(cents1.length >= 32, s"k=${cents1.length} too small to exercise the merge")
+    assert(cents1.zip(cents2).forall { case (a, b) => a.sameElements(b) },
+      "re-fit centroids differ: the tree merge is order-dependent")
+    val a1 = cells1.select("vec_id", "cid").collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val a2 = cells2.select("vec_id", "cid").collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(a1 == a2, "re-fit cell assignments differ")
+    assert(a1.size == e.count(), "fit dropped or duplicated vectors")
   }
 
   test("q91 pagerank equals an exact driver-side power iteration") {
