@@ -839,13 +839,19 @@ object Dedup {
     * Scale shape: q65's cached edge-sized labels + one count agg +
     * one equi-join on cluster_id — nothing beyond the dedup stage
     * the corpus already runs. */
-  def q164(s: SparkSession, dir: String): DataFrame = {
-    // sizes come from the EDGE-SIZED cached label frame (every member
-    // of a multi-doc component carries an edge, so the frame holds
-    // the full membership); singletons are absent and default to
-    // size 1 — this keeps the corpus scan SINGLE (q65(s,dir) for
-    // both sizes and the join would run the docs scan + label join
-    // twice inside one action)
+  def q164(s: SparkSession, dir: String): DataFrame =
+    docWeights(s, dir).orderBy("doc_id")
+
+  /** q164's core without the presentation orderBy — the per-doc
+    * (cluster_id, cluster_size, weight_ppm) frame, shared with the
+    * dedup-aware mixture (q172). Sizes come from the EDGE-SIZED
+    * cached label frame (every member of a multi-doc component
+    * carries an edge, so the frame holds the full membership);
+    * singletons are absent and default to size 1 — this keeps the
+    * corpus scan SINGLE (q65(s,dir) for both sizes and the join
+    * would run the docs scan + label join twice inside one
+    * action). */
+  private[operators] def docWeights(s: SparkSession, dir: String): DataFrame = {
     val labels = clusterLabels(s, dir)
     val sizes = labels.groupBy("cluster_id").agg(count(lit(1)).as("cluster_size"))
     Tables(s, dir, "documents").select(col("doc_id"))
@@ -855,7 +861,6 @@ object Dedup {
       .withColumn("cluster_size", coalesce(col("cluster_size"), lit(1L)))
       .withColumn("weight_ppm", expr("1000000 div cluster_size"))
       .select("doc_id", "cluster_id", "cluster_size", "weight_ppm")
-      .orderBy("doc_id")
   }
 
   private val q164Sql =

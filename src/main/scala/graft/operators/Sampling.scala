@@ -413,13 +413,16 @@ object Sampling {
       .select("doc_id", "lang", "n_tokens", "selected")
       .orderBy("doc_id")
 
-  /** The budget-admission core over (doc_id, lang, bucket, n_tokens)
-    * rows — shared by q72 and the composed q75. NOTE: `d` feeds two
-    * actions (the histogram and the admission join); a caller whose
-    * `d` is expensive must localCheckpoint it first. */
-  private def mixCore(s: SparkSession, d: DataFrame): DataFrame = {
+  /** The budget-admission core over (doc_id, lang, bucket, …) rows —
+    * shared by q72, the composed q75, and the dedup-aware q172 (which
+    * admits on EFFECTIVE tokens via `tokCol`). All of `d`'s columns
+    * pass through, plus `selected`. NOTE: `d` feeds two actions (the
+    * histogram and the admission join); a caller whose `d` is
+    * expensive must localCheckpoint it first. */
+  private def mixCore(s: SparkSession, d: DataFrame,
+      tokCol: String = "n_tokens"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val hist = d.groupBy("lang", "bucket").agg(sum("n_tokens").as("btok"))
+    val hist = d.groupBy("lang", "bucket").agg(sum(tokCol).as("btok"))
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
     val budget = hist.map(_._3).sum / (MixDen.toLong * hist.map(_._1).distinct.length)
     val rows = hist.groupBy(_._1).toSeq.flatMap { case (_, bs) =>
@@ -437,18 +440,81 @@ object Sampling {
         (lang, b, kind, before)
       }
     }
+    val outCols = (d.columns :+ "selected").map(col).toSeq
     val bstat = s.createDataFrame(rows).toDF("lang", "bucket", "kind", "before")
     val tagged = d.join(broadcast(bstat), Seq("lang", "bucket"))
     val w = Window.partitionBy("lang", "bucket").orderBy("doc_id")
       .rowsBetween(Window.unboundedPreceding, -1)
     val edge = tagged.filter(col("kind") === "edge")
-      .withColumn("cumb", coalesce(sum("n_tokens").over(w), lit(0L)))
+      .withColumn("cumb", coalesce(sum(tokCol).over(w), lit(0L)))
       .withColumn("selected", col("before") + col("cumb") < budget)
     val rest = tagged.filter(col("kind") =!= "edge")
       .withColumn("selected", col("kind") === "all")
-    edge.select("doc_id", "lang", "bucket", "n_tokens", "selected")
-      .unionByName(rest.select("doc_id", "lang", "bucket", "n_tokens", "selected"))
+    edge.select(outCols: _*).unionByName(rest.select(outCols: _*))
   }
+
+  /** DEDUP-AWARE MIXTURE — q167's bridge actually crossed: q72's
+    * token-budget admission re-run on EFFECTIVE tokens (q164's
+    * soft-dedup weight × raw tokens, one exact integer `div 1e6` per
+    * document), so a 40×-crawl-duplicated page consumes ~1/40 of its
+    * language's budget instead of crowding out unique text — the
+    * mixture a training run should actually assemble, and what
+    * SURVEY has called "what q72's budget should consume" since
+    * q167 landed. The budget itself is Σ effective div
+    * (MixDen·n_langs): deflation shrinks both the demand AND the
+    * pool, per-language shares stay the mixture owner's knob.
+    *
+    * Numerics: eff_tokens = (n_tokens·weight_ppm) div 1e6 per ROW
+    * (≤1e12 — long-safe), so every later sum is a sum of TOKEN-unit
+    * longs (~2.5e13 at 100 TB, nowhere near wrap) — summing the
+    * micro-unit products instead would wrap a long at corpus scale
+    * (the q142/q167 class).
+    *
+    * Scale shape: cached q65 labels → per-doc weights (q164's core,
+    * edge-sized joins), one corpus tokenize pass, then EXACTLY q72's
+    * bucket-histogram machinery — driver-bounded histogram, map-side
+    * admission everywhere but the boundary bucket. */
+  def q172(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables(s, dir, "documents")
+      .select(col("doc_id"), col("lang"), expr(BucketExpr).as("bucket"),
+        expr(s"size(${Dedup.tokensExpr})").cast("long").as("n_tokens"))
+      .join(Dedup.docWeights(s, dir).select("doc_id", "weight_ppm"), Seq("doc_id"))
+      .withColumn("eff_tokens", expr("(n_tokens * weight_ppm) div 1000000"))
+      // mixCore's two-action contract, and the label loop sits in
+      // this lineage (cached, but the joins still re-execute)
+      .localCheckpoint(false)
+    mixCore(s, d, "eff_tokens")
+      .select("doc_id", "lang", "n_tokens", "weight_ppm", "eff_tokens", "selected")
+      .orderBy("doc_id")
+  }
+
+  /** Oracle = the two existing CTE families composed (q164's cluster
+    * weights + q72's naive global-window admission), on effective
+    * tokens. lazy: reads Dedup's CTEs (the q134Sql init-cycle
+    * class). */
+  private lazy val q172Sql =
+    s"""WITH RECURSIVE ${Dedup.shingleCte},
+       ${Dedup.clusterCte},
+       cs AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS cluster_size
+              FROM cl GROUP BY 1),
+       wt AS (SELECT cl.doc_id, 1000000 // cs.cluster_size AS weight_ppm
+              FROM cl JOIN cs ON cl.cluster_id = cs.cluster_id),
+       d AS (SELECT doc_id, lang, $BucketSql AS bucket,
+               len(list_filter(string_split(text,' '), x -> x<>'')) AS n_tokens
+             FROM documents),
+       e AS (SELECT d.doc_id, d.lang, d.bucket, d.n_tokens,
+               CAST(coalesce(wt.weight_ppm, 1000000) AS BIGINT) AS weight_ppm,
+               CAST((d.n_tokens * coalesce(wt.weight_ppm, 1000000)) // 1000000 AS BIGINT)
+                 AS eff_tokens
+             FROM d LEFT JOIN wt ON d.doc_id = wt.doc_id),
+       b AS (SELECT sum(eff_tokens) // ($MixDen * count(DISTINCT lang)) AS budget FROM e),
+       c AS (SELECT doc_id, lang, n_tokens, weight_ppm, eff_tokens,
+               sum(eff_tokens) OVER (PARTITION BY lang ORDER BY bucket, doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS cumb
+             FROM e)
+       SELECT doc_id, lang, n_tokens, weight_ppm, eff_tokens,
+              coalesce(cumb, 0) < budget AS selected
+       FROM c, b ORDER BY doc_id"""
 
   /** The oracle spells the NAIVE form (global per-language running
     * sum) — same admission rule, so the bucket-cutoff rewrite must
@@ -1350,5 +1416,6 @@ object Sampling {
     Q("q153_split_balance", q153, Some(q153Sql)),
     Q("q159_split_contamination", q159, Some(q159Sql)),
     Q("q161_cluster_safe_split", q161, Some(q161Sql)),
-    Q("q170_shard_manifest", q170, Some(q170Sql)))
+    Q("q170_shard_manifest", q170, Some(q170Sql)),
+    Q("q172_dedup_aware_mix", q172, Some(q172Sql)))
 }

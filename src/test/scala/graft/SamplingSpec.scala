@@ -202,6 +202,60 @@ class SamplingSpec extends AnyFunSuite {
     }
   }
 
+  test("q172 dedup-aware admission recomputes from q164 weights and conserves the effective budget") {
+    def bucket(text: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(text.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 8), 16) % 1000
+    }
+    // weights from the independently-verified q164 frame; admission
+    // re-derived locally by q72's exact rule on EFFECTIVE tokens
+    val w = operators.Dedup.q164(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap
+    val rows = Tables(spark, sf, "documents").select("doc_id", "lang", "text")
+      .collect().map { r =>
+        val nt = r.getString(2).split(" ").count(_.nonEmpty).toLong
+        val wp = w(r.getLong(0))
+        (r.getLong(0), r.getString(1), bucket(r.getString(2)), nt, wp, nt * wp / 1000000L)
+      }
+    val budget = rows.map(_._6).sum / (2L * rows.map(_._2).distinct.length)
+    val expected = rows.groupBy(_._2).toSeq.flatMap { case (_, rs) =>
+      val sorted = rs.sortBy(r => (r._3, r._1))
+      val cums = sorted.scanLeft(0L)(_ + _._6)
+      sorted.zip(cums).map { case (r, before) =>
+        r._1 -> ((r._4, r._5, r._6, before < budget))
+      }
+    }.toMap
+    val got = operators.Sampling.q172(spark, sf).collect()
+    assert(got.length == expected.size)
+    got.foreach { r =>
+      val (nt, wp, eff, sel) = expected(r.getLong(0))
+      assert(r.getLong(2) == nt, s"doc ${r.getLong(0)} n_tokens")
+      assert(r.getLong(3) == wp, s"doc ${r.getLong(0)} weight_ppm")
+      assert(r.getLong(4) == eff, s"doc ${r.getLong(0)} eff_tokens")
+      assert(r.getBoolean(5) == sel, s"doc ${r.getLong(0)} selected")
+    }
+    val byLang = got.groupBy(_.getString(1))
+    // the boundary path actually ran somewhere
+    assert(byLang.exists { case (_, rs) =>
+      rs.exists(_.getBoolean(5)) && rs.exists(!_.getBoolean(5))
+    }, "no language hit its effective budget: boundary path untested")
+    // conservation: per language, admitted EFFECTIVE mass stays
+    // within budget + one document's effective mass (the documented
+    // bounded overshoot — on effective units, not raw)
+    byLang.foreach { case (lang, rs) =>
+      val selEff = rs.filter(_.getBoolean(5)).map(_.getLong(4)).sum
+      assert(selEff <= budget + rs.map(_.getLong(4)).max,
+        s"$lang admitted effective mass exceeds budget + one doc")
+    }
+    // dedup-awareness is non-vacuous: downweighted docs exist and
+    // their effective mass is strictly below raw
+    val weighted = got.filter(_.getLong(3) < 1000000L)
+    assert(weighted.nonEmpty, "no downweighted doc on this corpus: vacuous")
+    weighted.foreach(r => assert(r.getLong(4) < math.max(r.getLong(2), 1L),
+      s"doc ${r.getLong(0)} effective not deflated"))
+  }
+
   test("q74 matches a brute-force sequential packing recomputation") {
     def bucket(text: String): Long = {
       val md = java.security.MessageDigest.getInstance("MD5")
