@@ -1155,25 +1155,43 @@ object Similarity {
     // postings touching a kept query token: the bounded slice an
     // inverted-index lookup reads; single consumer, no checkpoint
     val jp = post.join(broadcast(qtok.select("tok").distinct()), Seq("tok"), "left_semi")
-    val contrib =
-      ((col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))) *
-        (col("tf") * lit(2.2)) /
-        (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * (col("dl") / (col("sum_dl") / col("n_docs")))))
-    jp.join(broadcast(qtok), "tok")
-      .filter(col("doc_id") =!= col("query_id"))
-      .join(broadcast(kept), "tok")
-      .crossJoin(broadcast(stats))
-      .withColumn("c_u", floor(contrib * lit(1000000.0) + lit(0.5)).cast("long"))
+    lexRankOf(
+      jp.join(broadcast(qtok), "tok")
+        .filter(col("doc_id") =!= col("query_id"))
+        .join(broadcast(kept), "tok")
+        .crossJoin(broadcast(stats))
+        .withColumn("c_u",
+          bm25CU(col("n_docs"), col("sum_dl"), col("df"), col("tf"), col("dl"))),
+      HybK)
+  }
+
+  /** One BM25 term contribution in integer micro-units — q78's exact
+    * parameter set and PARENTHESIZATION (IEEE-identical to the oracle
+    * text), floored to a long so the per-(query,doc) sum is
+    * order-free. ONE definition shared by the batch branch
+    * ([[lexRank]]) and the persisted-index probe
+    * ([[graft.sources.LexIndex]]), the FreqStream
+    * shared-expression discipline: serving and batch cannot drift. */
+  private[graft] def bm25CU(nDocs: Column, sumDl: Column, df: Column,
+      tf: Column, dl: Column): Column =
+    floor(((nDocs - df + lit(0.5)) / (df + lit(0.5))) *
+        (tf * lit(2.2)) /
+        (tf + lit(1.2) * (lit(0.25) + lit(0.75) * (dl / (sumDl / nDocs)))) *
+      lit(1000000.0) + lit(0.5)).cast("long")
+
+  /** The lexical ranking tail over a scored (query_id, doc_id, c_u)
+    * frame — shared by [[lexRank]] and the persisted-index probe. */
+  private[graft] def lexRankOf(scored: DataFrame, k: Int): DataFrame =
+    scored
       .groupBy("query_id", "doc_id").agg(sum("c_u").as("lex_u"))
       .groupBy("query_id")
       // long-keyed TopK: a cast("double") here would collapse lex_u
       // values above 2^53 into ties (an extra ceiling beyond the
       // documented per-term micro-unit bound) and could diverge from
       // the oracle's exact BIGINT ORDER BY
-      .agg(TopK.topkL(HybK)(col("lex_u"), col("doc_id")).as("top"))
+      .agg(TopK.topkL(k)(col("lex_u"), col("doc_id")).as("top"))
       .select(col("query_id"), posexplode(col("top")))
       .select(col("query_id"), col("col.id").as("doc_id"), (col("pos") + 1).as("lex_rank"))
-  }
 
   /** The dense (exact cosine) branch: (query_id, doc_id, vec_rank)
     * top-[[HybK]] per query — q50's broadcast-query scan with the

@@ -189,6 +189,32 @@ class SourcesSpec extends AnyFunSuite {
     assert(drifted.getAs[Double]("batch_mse") > drifted.getAs[Double]("index_mse"))
   }
 
+  test("persisted lexical index: bucket-pruned probe equals the in-memory BM25 branch row-for-row") {
+    TestSpark.withTmpDir("lexindex") { root =>
+      val path = s"$root/lex"
+      val stats = sources.LexIndex.write(spark, sf, path)
+      // q160's query contract: distinct (query_id, tok) pairs of the
+      // docs with doc_id < 20 (the doc_id ≡ vec_id QueryMax rule)
+      val qtok = Tables(spark, sf, "documents").filter(col("doc_id") < 20)
+        .select(col("doc_id").as("query_id"),
+          explode(expr(operators.Dedup.tokensExpr)).as("tok")).distinct()
+      val got = sources.LexIndex.probe(spark, path, stats, qtok, 10)
+        .localCheckpoint(false)
+      val want = operators.Similarity.lexRank(spark, sf)
+      assert(got.count() > 0, "probe returned nothing: vacuous")
+      assert(got.exceptAll(want).count() == 0 && want.exceptAll(got).count() == 0,
+        "persisted-index probe diverges from the in-memory lexical branch")
+      // the probe's posting scan prunes on the tb bucket directories
+      // (read off a FRESH probe — the checkpoint above swallowed the
+      // plan leaves)
+      val scan = sources.LexIndex.probe(spark, path, stats, qtok, 10)
+        .queryExecution.executedPlan.collectLeaves()
+        .map(_.toString).find(_.contains("parquet")).get
+      assert(scan.contains("PartitionFilters") && scan.contains("tb"),
+        s"posting scan is not bucket-pruned: $scan")
+    }
+  }
+
   test("refit gate comparison is exact DECIMAL at the RefitRatio boundary, beyond 2^53, and mirrors the streaming gate") {
     import spark.implicits._
     // moments past 2^53 where a double product rounds: e_b·n_i sits

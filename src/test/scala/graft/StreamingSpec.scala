@@ -1124,6 +1124,55 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("online hybrid retrieval serves q160's ranking per trigger and replays idempotently") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    TestSpark.withTmpDir("retrievestream") { root =>
+      val lex = s"$root/lex"; val ann = s"$root/ann"
+      val out = s"$root/out"; val ckpt = s"$root/ckpt"
+      val lexStats = sources.LexIndex.write(spark, sf, lex)
+      val cents = sources.AnnIndex.write(spark, sf, ann)
+      // q160's query contract: corpus docs (doc_id ≡ vec_id) < 20
+      // carrying their own text + embedding
+      val queries = Tables(spark, sf, "documents").select("doc_id", "text")
+        .join(Tables(spark, sf, "embeddings")
+          .select(col("vec_id").as("doc_id"), col("embedding")), "doc_id")
+        .filter(col("doc_id") < 20)
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getSeq[Float](2)))
+        .sortBy(_._1)
+      // nprobe = #cells: the dense probe degenerates to the exact
+      // scan, so the stream must land EXACTLY on batch q160
+      def start(mem: MemoryStream[(Long, String, Seq[Float])]) =
+        streaming.RetrieveStream.retrieveSink(
+          mem.toDF().toDF("query_id", "text", "embedding"),
+          lex, lexStats, ann, cents, nprobe = cents.length, out, ckpt)
+      val mem = MemoryStream[(Long, String, Seq[Float])]
+      val q = start(mem)
+      mem.addData(queries.take(10).toSeq); q.processAllAvailable()
+      mem.addData(queries.drop(10).toSeq); q.processAllAvailable()
+      q.stop()
+      val served = spark.read.parquet(out).localCheckpoint(false)
+      val want = operators.Similarity.q160(spark, sf)
+      val got = served.select("query_id", "doc_id", "rank", "lex_rank", "vec_rank", "rrf")
+      assert(got.count() == want.count(), "served row volume diverges from batch q160")
+      assert(got.exceptAll(want).count() == 0 && want.exceptAll(got).count() == 0,
+        "served hybrid ranking diverges from batch q160")
+      // crash-replay: the dynamic batch=<id> overwrite must leave the
+      // sink identical after the dropped commit's trigger re-runs
+      val before = served.collect().map(_.toString).sorted
+      dropLatestCommit(ckpt)
+      val mem2 = MemoryStream[(Long, String, Seq[Float])]
+      mem2.addData(queries.take(10).toSeq)
+      mem2.addData(queries.drop(10).toSeq)
+      val q2 = start(mem2)
+      q2.processAllAvailable()
+      q2.stop()
+      val after = spark.read.parquet(out).collect().map(_.toString).sorted
+      assert(after.sameElements(before), "replayed trigger changed the sink")
+    }
+  }
+
   test("gated online ingestion: delta append, quarantine, idempotent replay, compaction parity") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
