@@ -18,14 +18,30 @@ import org.apache.spark.sql.functions._
   * Deterministic: every row derives from a hash-seeded RNG on its id,
   * so reruns and partitionings produce identical bytes.
   *
-  * usage: runMain graft.GenData <outDir> <nDocs> <nVecs>
+  * usage: runMain graft.GenData <outDir> <nDocs> <nVecs> [events] [clusterW]
+  *
+  * `clusterW` (default 0.3) is the embedding CLUSTER-MASS knob: the
+  * centroid component's weight against the fixed 0.25 noise weight.
+  * 0.3 reproduces the historical corpora byte-for-byte (the default
+  * path is untouched — the ≤2^11 oracle-parity contract); lower
+  * values interpolate toward an unclustered cloud, which is how the
+  * q154 router's ~3× skew boundary is straddled on purpose
+  * (DedupSpec's boundary-corpus spec).
   */
 object GenData {
   def main(args: Array[String]): Unit = {
-    val out = args(0)
-    val nDocs = args(1).toInt
-    val nVecs = args(2).toInt
     val spark = GraftSession.local(Runtime.getRuntime.availableProcessors)
+    generate(spark, args(0), args(1).toInt, args(2).toInt,
+      args.lift(3).map(_.toInt).filter(_ > 0),
+      args.lift(4).map(_.toDouble).getOrElse(0.3))
+    spark.stop()
+  }
+
+  /** The generator body, callable in-session (specs generate
+    * boundary corpora into tmp dirs without owning the session). */
+  def generate(spark: org.apache.spark.sql.SparkSession, out: String,
+      nDocs: Int, nVecs: Int, nEventsOpt: Option[Int] = None,
+      clusterW: Double = 0.3): Unit = {
     import spark.implicits._
 
     val vocabN = math.max(31, (31 * math.cbrt(nDocs / 5000.0)).round.toInt)
@@ -65,7 +81,7 @@ object GenData {
       val cent = gauss(1000 + label)
       val noise = gauss(7000 + base)
       val twin = if (id % 143 == 1 && id > 0) gauss(9000 + id).map(_ * 0.15) else new Array[Double](dim)
-      val v = Array.tabulate(dim)(i => (0.3 * cent(i) + 0.25 * noise(i) + twin(i)).toFloat)
+      val v = Array.tabulate(dim)(i => (clusterW * cent(i) + 0.25 * noise(i) + twin(i)).toFloat)
       (id, v.toSeq, label)
     }.toDF("vec_id", "embedding", "label")
     vecs.write.mode("overwrite").parquet(s"$out/embeddings.parquet")
@@ -77,7 +93,7 @@ object GenData {
     // can be stress-measured beyond the shipped SFs. Users scale
     // with events (~67 events/user, the real density) so per-user
     // session structure stays constant as the corpus grows.
-    args.lift(3).map(_.toInt).filter(_ > 0).foreach { nEvents =>
+    nEventsOpt.foreach { nEvents =>
       val nUsers = math.max(10, nEvents / 67)
       val types = Array("signup", "purchase", "view", "click", "error")
       val t0 = 1704067200000000L // 2024-01-01 UTC micros
@@ -102,8 +118,7 @@ object GenData {
       events.write.mode("overwrite").parquet(s"$out/events.parquet")
     }
 
-    println(s"[gen] $out docs=$nDocs vecs=$nVecs vocab=$vocabN" +
-      args.lift(3).map(e => s" events=$e").getOrElse(""))
-    spark.stop()
+    println(s"[gen] $out docs=$nDocs vecs=$nVecs vocab=$vocabN clusterW=$clusterW" +
+      nEventsOpt.map(e => s" events=$e").getOrElse(""))
   }
 }

@@ -92,6 +92,56 @@ class DedupSpec extends AnyFunSuite {
     assert(got.length == Tables(spark, sf, "embeddings").count())
   }
 
+  test("q154 boundary corpora: routes straddle the 3x skew gate and both routes agree on planted twins") {
+    // GenData's clusterW knob interpolates cluster mass: at 2000
+    // vectors (base fixed-seed geometry, deterministic bytes),
+    // w=0.45 measures median skew ~2.61x (banding side of the gate)
+    // and w=0.6 measures ~3.19x (cells side) — the router's decision
+    // flips across corpora that are deliberately NEAR the boundary.
+    // On such corpora the routes' full verdict sets legitimately
+    // differ (different candidate structure), but the planted
+    // cosine-0.95 twins are what the router promises not to lose:
+    // BOTH routes must drop every twin (route-invariant recall), and
+    // their twin verdicts must agree row-for-row.
+    def bandingVerdict(dir: String) = {
+      val dropped = operators.Dedup.q44(spark, dir)
+        .select(col("id2").as("vec_id")).distinct()
+        .withColumn("is_dup", lit(true))
+      Tables(spark, dir, "embeddings").select(col("vec_id"))
+        .join(dropped, Seq("vec_id"), "left")
+        .select(col("vec_id"), col("is_dup").isNull.as("kept"))
+    }
+    val n = 2000
+    val twins = (1 until n by 143).map(_.toLong).toSet // id % 143 == 1
+    for ((w, lo, hi, wantRoute) <- Seq(
+        (0.45, 2300L, 2999L, "banding"), (0.6, 3000L, 3900L, "cells"))) {
+      TestSpark.withTmpDir(s"routeboundary$w") { dir =>
+        GenData.generate(spark, dir, nDocs = 300, nVecs = n, clusterW = w)
+        val routed = operators.Dedup.q154(spark, dir).collect()
+        val med = routed.head.getLong(3)
+        assert(med >= lo && med <= hi, s"w=$w med skew $med outside [$lo,$hi]")
+        assert(routed.forall(_.getString(2) == wantRoute),
+          s"w=$w med=$med routed to ${routed.head.getString(2)}, want $wantRoute")
+        val band = bandingVerdict(dir).collect()
+          .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+        val cells = operators.Dedup.q45(spark, dir).select("vec_id", "kept").collect()
+          .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+        assert(band.size == n && cells.size == n)
+        // route-invariant twin recall: every planted twin dropped by
+        // BOTH routes, and the two verdicts agree on every twin row
+        for (t <- twins) {
+          assert(!band(t), s"w=$w banding route kept planted twin $t")
+          assert(!cells(t), s"w=$w cells route kept planted twin $t")
+          assert(band(t) == cells(t))
+        }
+        // and the router's own output equals the chosen route's verdict
+        val got = routed.map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+        val want = if (wantRoute == "banding") band else cells
+        assert(got == want, s"w=$w router verdicts diverge from the $wantRoute route")
+      }
+    }
+  }
+
   test("q154 router picks cells on the clustered x30 stress corpus and stays linear-time") {
     // the corpus q44 measured 659 s on (quadratic true-pair volume);
     // generated by `runMain graft.GenData /tmp/stress_x30 150000 60000`
