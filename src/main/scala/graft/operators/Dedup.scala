@@ -331,7 +331,7 @@ object Dedup {
     * seed, so recall is checked once per test SF (exhaustive spec at
     * sf0.001, oracle hash at sf0.01), not re-rolled per run. */
   private[graft] val NdBands = 96
-  private val NdBits = 6
+  private[graft] val NdBits = 6
 
   /** ADAPTIVE geometry for corpora past the base operating range.
     * Fixed 6-bit bands have a random-collision candidate floor of
@@ -482,6 +482,15 @@ object Dedup {
           Iterator.tabulate(bands)(band => (id, band, ks(band)))
         }
       }.toDF("vec_id", "band", "bkey")
+    ndDiagnosisOf(keys, n, bits)
+  }
+
+  /** The diagnosis tail over any (band, bkey) key frame — shared by
+    * [[ndDiagnosis]] (adaptive batch geometry) and the streaming
+    * trigger guard ([[graft.streaming.EmbedDedupStream]]'s fixed
+    * geometry), so the statistic that trips the stream's degrade
+    * path is the SAME one q151 reports and q154 routes on. */
+  private[graft] def ndDiagnosisOf(keys: DataFrame, n: Long, bits: Int): DataFrame = {
     // exact per-band candidate volume: Σ |bucket|·(|bucket|−1)/2
     val uniform = n.toDouble * n.toDouble / math.pow(2.0, bits + 1)
     keys.groupBy("band", "bkey").agg(count(lit(1)).as("sz"))

@@ -1,6 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions.{col, lit}
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 import org.apache.spark.sql.types._
 
@@ -134,6 +135,74 @@ object EmbedDedupStream {
           out.result().iterator
         })
   }
+
+  /** PER-TRIGGER SKEW GUARD — q151/q154 wired in front of the online
+    * near-dup state (the r6 verdict's prescription): the stream
+    * variants above run FIXED banding geometry, so a drifted or
+    * cluster-structured stream would hit the same quadratic the x30
+    * batch corpus did (bands·n²/2^bits candidate floor) — except
+    * online, where [[BucketCap]] silently CAPS the hot buckets and
+    * the operator quietly stops seeing most true pairs instead of
+    * slowing down. This guard measures each trigger BEFORE it may
+    * touch the matcher's state: the trigger's (band, bucket) counts
+    * run q151's exact candidate-volume statistic under the STREAM's
+    * own geometry (`Dedup.ndDiagnosisOf` — the same tail q151
+    * reports and q154 routes on), and the median skew multiple
+    * decides:
+    *
+    *  - < gate (default [[graft.operators.Dedup.RouteSkewX1000]]):
+    *    the trigger lands under `passPath/batch=<id>/` — admissible
+    *    traffic for the matcher (a deployment tails the pass area
+    *    into [[neardupStream]]/[[neardupStreamTtl]] as a file
+    *    source);
+    *  - ≥ gate: the trigger is PARKED under
+    *    `quarantinePath/batch=<id>/` for the batch-side router
+    *    (q154's cells route is the designed tool for clustered
+    *    corpora — per-vector verdicts, linear output), and the
+    *    matcher's state never absorbs the hot buckets.
+    *
+    * Both areas and the per-trigger DECISION LOG (batch, n_rows,
+    * med_skew_x1000, admitted) write batch-partitioned with dynamic
+    * overwrite — the IngestStream discipline: a replayed trigger
+    * rewrites exactly its own partition, so the guard is idempotent
+    * under crash-replay. StreamingSpec plants a hot-bucket trigger
+    * between normal ones and proves routing, log, and replay. */
+  def guardedIngest(vecs: DataFrame, passPath: String, quarantinePath: String,
+      logPath: String, checkpoint: String,
+      skewGateX1000: Long = Dedup.RouteSkewX1000)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    vecs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val s = batch.sparkSession
+        import s.implicits._
+        val b = batch.select("vec_id", "embedding").localCheckpoint()
+        val n = b.count()
+        if (n > 0) {
+          val planes = Dedup.ndPlanes
+          val keys = b.as[(Long, Seq[Float])].mapPartitions { it =>
+            it.flatMap { case (_, v) =>
+              val ks = Dedup.ndBandKeys(planes, v.toArray)
+              Iterator.tabulate(ks.length)(band => (band, ks(band)))
+            }
+          }.toDF("band", "bkey")
+          val skews = Dedup.ndDiagnosisOf(keys, n, Dedup.NdBits)
+            .select("skew_x1000").collect().map(_.getLong(0)).sorted
+          val med = skews(skews.length / 2)
+          val admitted = med < skewGateX1000
+          b.withColumn("batch", lit(id))
+            .write.mode("overwrite").partitionBy("batch")
+            .option("partitionOverwriteMode", "dynamic")
+            .parquet(if (admitted) passPath else quarantinePath)
+          Seq((id, n, med, admitted))
+            .toDF("batch", "n_rows", "med_skew_x1000", "admitted")
+            .write.mode("overwrite").partitionBy("batch")
+            .option("partitionOverwriteMode", "dynamic")
+            .parquet(logPath)
+        }
+        ()
+      }
+      .start()
 
   /** (vec_id, embedding) stream → exact-cosine near-dup hits. */
   def neardupStream(vecs: Dataset[(Long, Seq[Float])]): Dataset[CosHit] = {

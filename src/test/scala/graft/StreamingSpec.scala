@@ -1124,6 +1124,61 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("skew guard quarantines a planted hot-bucket trigger, admits normal traffic, replays idempotently") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    TestSpark.withTmpDir("dedupguard") { root =>
+      val pass = s"$root/pass"; val quar = s"$root/quar"
+      val dlog = s"$root/log"; val ckpt = s"$root/ckpt"
+      // batch 0: 60 corpus vectors (driver-family geometry, skew ~1x);
+      // batch 1: 60 near-copies of ONE vector — every band's bucket
+      // holds all 60, candidate volume n(n-1)/2 per band vs the
+      // uniform floor n²/128 → skew ~60x, far past the 3x gate
+      val normal = Tables(spark, sf, "embeddings").select("vec_id", "embedding")
+        .collect().take(60).map(r => (r.getLong(0), r.getSeq[Float](1)))
+      val baseV = normal.head._2
+      val hot = (0 until 60).map { i =>
+        (10000L + i, baseV.zipWithIndex.map { case (x, j) =>
+          if (j == i % baseV.length) x + 0.001f else x })
+      }
+      def start(mem: MemoryStream[(Long, Seq[Float])]) =
+        streaming.EmbedDedupStream.guardedIngest(
+          mem.toDF().toDF("vec_id", "embedding"), pass, quar, dlog, ckpt)
+      val mem = MemoryStream[(Long, Seq[Float])]
+      val q = start(mem)
+      mem.addData(normal.toSeq); q.processAllAvailable()
+      mem.addData(hot.toSeq); q.processAllAvailable()
+      q.stop()
+      // routing: the normal trigger passed, the hot one was parked
+      val passed = spark.read.parquet(pass).collect()
+      val parked = spark.read.parquet(quar).collect()
+      assert(passed.map(_.getLong(0)).toSet == normal.map(_._1).toSet,
+        "pass area does not hold exactly the normal trigger")
+      assert(parked.map(_.getLong(0)).toSet == hot.map(_._1).toSet,
+        "quarantine does not hold exactly the hot trigger")
+      // the decision log is auditable: per-trigger median skew + verdict
+      val log = spark.read.parquet(dlog).collect()
+        .map(r => r.getAs[Long]("batch") ->
+          ((r.getAs[Long]("med_skew_x1000"), r.getAs[Boolean]("admitted")))).toMap
+      assert(log(0L)._2 && log(0L)._1 < operators.Dedup.RouteSkewX1000,
+        s"normal trigger misjudged: ${log(0L)}")
+      assert(!log(1L)._2 && log(1L)._1 >= 30000L,
+        s"hot trigger's skew should read ~60x: ${log(1L)}")
+      // crash-replay: dropped commit re-runs the hot trigger; dynamic
+      // batch=<id> overwrite leaves all three areas identical
+      val before = (passed.map(_.toString).sorted, parked.map(_.toString).sorted)
+      dropLatestCommit(ckpt)
+      val mem2 = MemoryStream[(Long, Seq[Float])]
+      mem2.addData(normal.toSeq); mem2.addData(hot.toSeq)
+      val q2 = start(mem2); q2.processAllAvailable(); q2.stop()
+      assert(spark.read.parquet(pass).collect().map(_.toString).sorted
+        .sameElements(before._1), "replay changed the pass area")
+      assert(spark.read.parquet(quar).collect().map(_.toString).sorted
+        .sameElements(before._2), "replay changed the quarantine")
+    }
+  }
+
   test("online hybrid retrieval serves q160's ranking per trigger and replays idempotently") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
