@@ -52,9 +52,13 @@ object LexIndex {
     * returns the stats metadata. One corpus tokenize pass feeds both
     * the posting frame and (by shared-lineage re-execution, the q31
     * rule) the df aggregate. */
-  def write(s: SparkSession, dir: String, path: String): LexStats = {
+  def write(s: SparkSession, dir: String, path: String): LexStats =
+    writeFrom(s, graft.Tables(s, dir, "documents"), path)
+
+  /** [[write]] over any (doc_id, text) frame — specs build bases
+    * from corpus subsets to exercise the delta path. */
+  def writeFrom(s: SparkSession, docs: DataFrame, path: String): LexStats = {
     val tkE = graft.operators.Dedup.tokensExpr
-    val docs = graft.Tables(s, dir, "documents")
     val st = docs.agg(count(lit(1)).as("n"),
       sum(expr(s"size($tkE)").cast("long")).as("sdl")).collect()(0)
     val stats = LexStats(st.getLong(0), st.getLong(1))
@@ -71,6 +75,121 @@ object LexIndex {
       .select("tb", "tok", "doc_id", "dl", "tf", "df")
       .write.mode(SaveMode.Overwrite).partitionBy("tb").parquet(path)
     stats
+  }
+
+  /** DELTA APPEND — incremental maintenance, the [[AnnIndex]] LSM
+    * discipline on the lexical side: a batch of new documents lands
+    * tokenized under `delta/batch=<id>/tb=<b>/` via DYNAMIC
+    * overwrite (a replayed trigger rewrites exactly its own batch
+    * partition — idempotent). Returns the batch's stats DELTA
+    * (Δn_docs, Δsum_dl) for the serving tier to fold into its
+    * [[LexStats]] per batch id, the way it holds AnnIndex's centroid
+    * matrix.
+    *
+    * The VOCABULARY stays frozen at base build (the analog of the
+    * frozen quantizer): delta postings persist for every token, but
+    * [[probeWithDelta]] scores only base-kept tokens. Tokens whose
+    * df has drifted across the cap — in either direction — reconcile
+    * only at COMPACTION, which for a lexical index is a REBUILD
+    * ([[write]] over the grown corpus): a posting-only fold cannot
+    * resurrect the capped-out tokens the base build dropped, and the
+    * cap must re-evaluate against current corpus stats.
+    * [[coverageGate]] is the measured-drift rebuild trigger, the
+    * refitGate analog. */
+  def appendDelta(s: SparkSession, deltaPath: String, batch: DataFrame,
+      batchId: Long): LexStats = {
+    val tkE = graft.operators.Dedup.tokensExpr
+    val st = batch.agg(count(lit(1)).as("n"),
+      sum(expr(s"size($tkE)").cast("long")).as("sdl")).collect()(0)
+    batch.select(
+        col("doc_id"),
+        expr(s"size($tkE)").cast("double").as("dl"),
+        explode(expr(tkE)).as("tok"))
+      .groupBy("doc_id", "dl", "tok").agg(count(lit(1)).cast("double").as("tf"))
+      .withColumn("tb", bucket(col("tok")))
+      .withColumn("batch", lit(batchId))
+      .select("batch", "tb", "tok", "doc_id", "dl", "tf")
+      .write.mode(SaveMode.Overwrite).partitionBy("batch", "tb")
+      .option("partitionOverwriteMode", "dynamic")
+      .parquet(deltaPath)
+    LexStats(st.getLong(0), if (st.isNullAt(1)) 0L else st.getLong(1))
+  }
+
+  /** Probe base + delta under the FROZEN base vocabulary: both roots
+    * prune on tb, the delta additionally restricts to tokens the
+    * base kept (every kept token has ≥1 base posting, so the base
+    * slice's distinct tokens ARE the admitted vocabulary for this
+    * query). df is recomputed over the combined slice — the slice
+    * holds every posting of each kept query token, so the recount is
+    * the EXACT current df and the base's stored (stale) df never
+    * scores a grown corpus. `stats` = base stats + folded deltas,
+    * maintained by the serving tier. */
+  def probeWithDelta(s: SparkSession, basePath: String, deltaPath: String,
+      stats: LexStats, qtok: DataFrame, k: Int): DataFrame = {
+    val q = qtok.select(col("query_id"), col("tok"),
+      bucket(col("tok")).as("tb")).localCheckpoint(false)
+    val toks = q.select("tok").distinct().collect().map(_.getString(0)).toSeq
+    val tbs = q.select("tb").distinct().collect().map(_.getLong(0)).toSeq
+    def slice(path: String) = s.read.parquet(path)
+      .filter(col("tb").isin(tbs: _*) && col("tok").isin(toks: _*))
+      .select("tok", "doc_id", "dl", "tf")
+    val base = slice(basePath).localCheckpoint(false) // 2 consumers: vocab + union
+    val all = base.unionByName(
+      slice(deltaPath).join(base.select("tok").distinct(), Seq("tok"), "left_semi"))
+    val dfNow = all.groupBy("tok").agg(count(lit(1)).cast("double").as("df"))
+    val scored = all.join(broadcast(dfNow), "tok")
+      .join(broadcast(q.select("query_id", "tok")), "tok")
+      .filter(col("doc_id") =!= col("query_id"))
+      .withColumn("c_u", Similarity.bm25CU(
+        lit(stats.nDocs.toDouble), lit(stats.sumDl.toDouble),
+        col("df"), col("tf"), col("dl")))
+    Similarity.lexRankOf(scored, k)
+  }
+
+  /** Rebuild ratio for [[coverageGate]], as an exact rational (the
+    * [[AnnIndex.refitCmp]] doctrine): rebuild when the batch's
+    * covered-occurrence share falls below CovDriftNum/CovDriftDen of
+    * the index's OWN coverage share. The comparison is RELATIVE
+    * because the df cap legitimately drops most occurrences of a
+    * stopword-heavy natural corpus — absolute OOV share measures the
+    * cap, not drift. */
+  val CovDriftNum = 1L
+  val CovDriftDen = 2L
+
+  /** COVERAGE GATE — [[AnnIndex.refitGate]]'s lexical analog,
+    * deciding append-vs-rebuild from MEASURED drift: the batch's
+    * frozen-vocab coverage share (covered occurrences / total
+    * occurrences) against the index's own (Σtf over postings /
+    * Σdl of its corpus, from `stats`). A same-domain batch reads a
+    * ratio ≈ 1; a drifted batch (new language, new source family)
+    * collapses toward 0 — its queries would score on a vanishing
+    * fraction of their terms. All-integer: occurrence counts are
+    * longs, the decision a DECIMAL(38,0) cross-multiply (no double,
+    * no division). One map pass over the batch + one bounded agg
+    * off the index postings. Degenerate all-hot index (zero admitted
+    * occurrences) never trips — there is no coverage to lose. */
+  def coverageGate(s: SparkSession, basePath: String, stats: LexStats,
+      batch: DataFrame): DataFrame = {
+    val tkE = graft.operators.Dedup.tokensExpr
+    val idx = s.read.parquet(basePath)
+    val covI = idx.agg(sum(col("tf").cast("long"))).collect()(0) match {
+      case r if r.isNullAt(0) => 0L
+      case r => r.getLong(0)
+    }
+    val vocab = idx.select("tok").distinct()
+    batch.select(explode(expr(tkE)).as("tok"))
+      .join(broadcast(vocab.withColumn("_in", lit(1))), Seq("tok"), "left")
+      .agg(count(lit(1)).as("n_occurrences"),
+        sum(when(col("_in").isNull, 0L).otherwise(1L)).as("n_covered"))
+      .select(col("n_occurrences"), col("n_covered"),
+        expr("CASE WHEN n_occurrences = 0 THEN 0 ELSE (n_covered * 1000000) div n_occurrences END")
+          .as("cov_ppm_batch"),
+        lit(if (stats.sumDl == 0L) 0L else covI * 1000000L / stats.sumDl)
+          .as("cov_ppm_index"),
+        // covB/totB < (Num/Den)·covI/totI, cross-multiplied exactly
+        (col("n_covered").cast("decimal(38,0)") * lit(stats.sumDl) * lit(CovDriftDen) <
+          lit(covI).cast("decimal(38,0)") * col("n_occurrences") * lit(CovDriftNum))
+          .as("rebuild"))
   }
 
   /** Probe: BM25 top-k per query over the persisted postings.

@@ -215,6 +215,68 @@ class SourcesSpec extends AnyFunSuite {
     }
   }
 
+  test("lexical delta: frozen-vocab probe scores the grown corpus exactly; coverage gate trips on drift") {
+    TestSpark.withTmpDir("lexdelta") { root =>
+      val base = s"$root/base"; val delta = s"$root/delta"
+      val docs = Tables(spark, sf, "documents").select("doc_id", "text")
+      // base = queries + the tail half; delta batch = the rest
+      val baseDocs = docs.filter(col("doc_id") < 20 || col("doc_id") % 2 === 0)
+      val deltaDocs = docs.filter(col("doc_id") >= 20 && col("doc_id") % 2 === 1)
+      val st0 = sources.LexIndex.writeFrom(spark, baseDocs, base)
+      val d1 = sources.LexIndex.appendDelta(spark, delta, deltaDocs, batchId = 0L)
+      assert(d1.nDocs == deltaDocs.count(), "delta stats miscounted")
+      val stats = sources.LexIndex.LexStats(st0.nDocs + d1.nDocs, st0.sumDl + d1.sumDl)
+      val qtok = docs.filter(col("doc_id") < 20)
+        .select(col("doc_id").as("query_id"),
+          explode(expr(operators.Dedup.tokensExpr)).as("tok")).distinct()
+      val got = sources.LexIndex.probeWithDelta(spark, base, delta, stats, qtok, 10)
+      // reference: the SAME scoring tree over an independently-built
+      // full-corpus posting frame restricted to the base-kept vocab,
+      // with the grown stats and slice-exact dfs — what a probe of
+      // the grown corpus under the frozen vocabulary must return
+      val tkE = operators.Dedup.tokensExpr
+      val post = docs.select(col("doc_id"),
+          expr(s"size($tkE)").cast("double").as("dl"), explode(expr(tkE)).as("tok"))
+        .groupBy("doc_id", "dl", "tok").agg(count(lit(1)).cast("double").as("tf"))
+      val baseVocab = spark.read.parquet(base).select("tok").distinct()
+      val covered = post.join(baseVocab, Seq("tok"), "left_semi")
+      val dfNow = covered.groupBy("tok").agg(count(lit(1)).cast("double").as("df"))
+      val want = operators.Similarity.lexRankOf(
+        covered.join(dfNow, "tok")
+          .join(qtok.select("query_id", "tok"), "tok")
+          .filter(col("doc_id") =!= col("query_id"))
+          .withColumn("c_u", operators.Similarity.bm25CU(
+            lit(stats.nDocs.toDouble), lit(stats.sumDl.toDouble),
+            col("df"), col("tf"), col("dl"))), 10)
+      assert(got.count() > 0, "delta probe returned nothing: vacuous")
+      assert(got.exceptAll(want).count() == 0 && want.exceptAll(got).count() == 0,
+        "frozen-vocab delta probe diverges from the grown-corpus reference")
+      // delta rows actually participate (a doc only in the delta ranks)
+      val deltaIds = deltaDocs.select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(got.collect().exists(r => deltaIds.contains(r.getLong(1))),
+        "no delta document ever ranked: the delta path is vacuous")
+      // replaying the same batch id leaves the delta identical
+      val before = spark.read.parquet(delta).collect().map(_.toString).sorted
+      sources.LexIndex.appendDelta(spark, delta, deltaDocs, batchId = 0L)
+      val after = spark.read.parquet(delta).collect().map(_.toString).sorted
+      assert(after.sameElements(before), "replayed delta batch changed the index")
+      // coverage gate (RELATIVE to the index's own coverage — the df
+      // cap legitimately drops most occurrences of this corpus's
+      // stopword-class vocab): same-domain batch reads ratio ≈ 1 and
+      // passes; an all-novel-vocab batch collapses to 0 and trips
+      val sameG = sources.LexIndex.coverageGate(spark, base, st0, deltaDocs).collect()(0)
+      assert(!sameG.getAs[Boolean]("rebuild"),
+        s"same-domain batch tripped the coverage gate: $sameG")
+      import spark.implicits._
+      val novel = Seq((900000L, (1 to 50).map(i => s"zz$i").mkString(" ")))
+        .toDF("doc_id", "text")
+      val novelG = sources.LexIndex.coverageGate(spark, base, st0, novel).collect()(0)
+      assert(novelG.getAs[Boolean]("rebuild") &&
+        novelG.getAs[Long]("cov_ppm_batch") == 0L,
+        s"novel-vocab batch passed the coverage gate: $novelG")
+    }
+  }
+
   test("refit gate comparison is exact DECIMAL at the RefitRatio boundary, beyond 2^53, and mirrors the streaming gate") {
     import spark.implicits._
     // moments past 2^53 where a double product rounds: e_b·n_i sits
