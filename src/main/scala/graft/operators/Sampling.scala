@@ -230,13 +230,19 @@ object Sampling {
       .orderBy("doc_id")
   }
 
-  private val q69Sql =
-    s"""WITH t AS (SELECT doc_id, $BucketSql AS bucket,
+  /** The capped-gram-index CTE prefix (t/g0/keep/g) shared by q69's
+    * and q173's oracles — ONE text so the gram definition the two
+    * operators hash-compare against cannot drift. */
+  private val deconCtes =
+    s"""t AS (SELECT doc_id, $BucketSql AS bucket,
                      list_filter(string_split(text,' '), x -> x<>'') AS tk FROM documents),
        g0 AS (SELECT DISTINCT doc_id, bucket, $gramSql AS s
               FROM t, UNNEST(range(1, len(tk)-${GramN - 2})) AS r(i)),
        keep AS (SELECT s FROM g0 GROUP BY s HAVING count(*) <= $GramCap),
-       g AS (SELECT g0.doc_id, g0.bucket, g0.s FROM g0 JOIN keep ON g0.s = keep.s),
+       g AS (SELECT g0.doc_id, g0.bucket, g0.s FROM g0 JOIN keep ON g0.s = keep.s)"""
+
+  private val q69Sql =
+    s"""WITH $deconCtes,
        tr AS (SELECT doc_id, s FROM g WHERE bucket < $TrainLt),
        ev AS (SELECT DISTINCT s FROM g WHERE bucket >= $TrainLt),
        sz AS (SELECT doc_id, count(*) AS n_grams FROM tr GROUP BY 1),
@@ -249,6 +255,68 @@ object Sampling {
        FROM t d LEFT JOIN sz ON d.doc_id = sz.doc_id
                 LEFT JOIN hits ON d.doc_id = hits.doc_id
        WHERE d.bucket < $TrainLt
+       ORDER BY d.doc_id"""
+
+  /** CONTAMINATION ATTRIBUTION — q69's dual, the eval-set owner's
+    * read: q69 answers "which TRAIN docs to drop"; this answers, per
+    * VAL/TEST document, "how much of the train split leaks into this
+    * benchmark item" — the distinct contaminated train partners and
+    * the distinct shared (capped) 8-grams. A benchmark item most of
+    * whose content circulates in the train corpus is not measuring
+    * generalization no matter what gets dropped; this is the table
+    * an eval owner reads before trusting a score, and the per-item
+    * detail behind q159's split-level matrix.
+    *
+    * Scale shape: the SAME capped inverted index as q69 (shared
+    * checkpointed gram frame); the attribution join is
+    * match-multiplied (df_train × df_eval per gram, both ≤ GramCap)
+    * so it takes the shuffle_merge hint (the q54/q84 rule), then
+    * pair-distinct bounded by true (train, eval) contamination
+    * volume. All integer counts. */
+  def q173(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(s, dir, "documents")
+      .withColumn("bucket", expr(BucketExpr))
+      .withColumn("tk", expr(Dedup.tokensExpr))
+    val grams0 = docs.select(col("doc_id"), col("bucket"),
+      explode(expr(gramExpr)).as("s"))
+    val hot = grams0.groupBy("s").agg(count(lit(1)).as("df"))
+      .filter(col("df") > GramCap).select("s")
+    val grams = grams0.join(hot, Seq("s"), "left_anti").localCheckpoint(false)
+    val train = grams.filter(col("bucket") < TrainLt)
+      .select(col("doc_id").as("train_id"), col("s"))
+    val ev = grams.filter(col("bucket") >= TrainLt).select("doc_id", "s")
+    val nPart = ev.join(train.hint("shuffle_merge"), "s")
+      .select("doc_id", "train_id").distinct()
+      .groupBy("doc_id").agg(count(lit(1)).as("n_train_docs"))
+    // ev's (doc_id, s) rows are distinct per doc (gramExpr
+    // array_distincts), so this count IS the distinct shared grams
+    val nGram = ev.join(train.select("s").distinct(), "s")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_shared_grams"))
+    docs.filter(col("bucket") >= TrainLt).select("doc_id")
+      .join(nPart, Seq("doc_id"), "left")
+      .join(nGram, Seq("doc_id"), "left")
+      .withColumn("n_train_docs", coalesce(col("n_train_docs"), lit(0L)))
+      .withColumn("n_shared_grams", coalesce(col("n_shared_grams"), lit(0L)))
+      .withColumn("contaminating", col("n_train_docs") >= 1)
+      .orderBy("doc_id")
+  }
+
+  private val q173Sql =
+    s"""WITH $deconCtes,
+       tr AS (SELECT doc_id, s FROM g WHERE bucket < $TrainLt),
+       ev AS (SELECT doc_id, s FROM g WHERE bucket >= $TrainLt),
+       np AS (SELECT ev.doc_id, count(DISTINCT tr.doc_id) AS n_train_docs
+              FROM ev JOIN tr ON ev.s = tr.s GROUP BY 1),
+       ts AS (SELECT DISTINCT s FROM tr),
+       ng AS (SELECT ev.doc_id, count(*) AS n_shared_grams
+              FROM ev JOIN ts ON ev.s = ts.s GROUP BY 1)
+       SELECT d.doc_id,
+         CAST(coalesce(np.n_train_docs, 0) AS BIGINT) AS n_train_docs,
+         CAST(coalesce(ng.n_shared_grams, 0) AS BIGINT) AS n_shared_grams,
+         coalesce(np.n_train_docs, 0) >= 1 AS contaminating
+       FROM t d LEFT JOIN np ON d.doc_id = np.doc_id
+                LEFT JOIN ng ON d.doc_id = ng.doc_id
+       WHERE d.bucket >= $TrainLt
        ORDER BY d.doc_id"""
 
   /** q77 Bloom false-positive rate. With g grams per document the
@@ -1417,5 +1485,6 @@ object Sampling {
     Q("q159_split_contamination", q159, Some(q159Sql)),
     Q("q161_cluster_safe_split", q161, Some(q161Sql)),
     Q("q170_shard_manifest", q170, Some(q170Sql)),
-    Q("q172_dedup_aware_mix", q172, Some(q172Sql)))
+    Q("q172_dedup_aware_mix", q172, Some(q172Sql)),
+    Q("q173_contamination_attribution", q173, Some(q173Sql)))
 }

@@ -1250,6 +1250,70 @@ object TextOps {
            // (sum(n_docs) OVER ()) AS BIGINT) AS kept_ppm
        FROM h ORDER BY band"""
 
+  /** q174's ingestion-bucket width — q109's 1000-doc rule, spelled
+    * into the oracle SQL. */
+  private val DriftBucket = 1000L
+
+  /** INGESTION QUALITY CURVE — q109's dup-saturation curve on the
+    * quality axis (the "is the crawl getting worse" monitor): per
+    * 1000-doc ingestion bucket, doc/token volume, mean quality
+    * (q134's re-integerized r4 units — floor(q·10⁴+0.5) longs summed,
+    * ONE divide), PII incidence in integer ppm, and the running
+    * corpus-to-date mean quality. A crawl whose frontier is
+    * degrading shows the per-bucket mean sagging under the
+    * cumulative one here, BEFORE the q68/q88 gates silently start
+    * dropping most of each day's ingest.
+    *
+    * Scale shape: two map-only passes (q60 score + PII flags) joined
+    * on doc_id, one map-side-combined groupBy to the n/1000-row
+    * bucket frame; the cumulative windows run over THAT frame only
+    * (q109's documented bound — the corpus is never windowed). */
+  def q174(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.orderBy("bucket")
+    q60(s, dir).select("doc_id", "n_tokens", "quality_score")
+      .join(scrub(Tables(s, dir, "documents").select("doc_id", "text"))
+        .select("doc_id", "is_clean"), "doc_id")
+      .withColumn("q4", expr("CAST(floor(quality_score*10000.0 + 0.5) AS BIGINT)"))
+      .groupBy(expr(s"doc_id div $DriftBucket").as("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_tokens").as("n_tokens"),
+        sum("q4").as("uq"),
+        sum(when(col("is_clean"), 0L).otherwise(1L)).as("n_pii"))
+      .withColumn("cum_docs", sum("n_docs").over(w))
+      .withColumn("cum_uq", sum("uq").over(w))
+      .select(col("bucket"), col("n_docs"), col("n_tokens"),
+        ops.r4(col("uq") / (lit(10000.0) * col("n_docs"))).as("mean_quality"),
+        expr("(n_pii * 1000000) div n_docs").as("pii_ppm"),
+        ops.r4(col("cum_uq") / (lit(10000.0) * col("cum_docs"))).as("cum_mean_quality"))
+      .orderBy("bucket")
+  }
+
+  private val q174Sql =
+    s"""WITH t AS (SELECT doc_id, list_filter(string_split(text,' '), x -> x<>'') AS tk
+                   FROM documents),
+       q AS (SELECT doc_id, len(tk) AS n_tokens,
+               CAST(floor(($QualityScoreSql)*10000.0 + 0.5) AS BIGINT) AS q4
+             FROM t),
+       p AS (SELECT doc_id,
+               len(regexp_extract_all(text, '$EmailRe')) +
+               len(regexp_extract_all(text, '$PhoneRe')) = 0 AS is_clean
+             FROM documents),
+       b AS (SELECT q.doc_id // $DriftBucket AS bucket,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+               CAST(sum(q4) AS BIGINT) AS uq,
+               CAST(sum(CASE WHEN is_clean THEN 0 ELSE 1 END) AS BIGINT) AS n_pii
+             FROM q JOIN p ON q.doc_id = p.doc_id GROUP BY 1),
+       c AS (SELECT *,
+               CAST(sum(n_docs) OVER (ORDER BY bucket) AS BIGINT) AS cum_docs,
+               CAST(sum(uq) OVER (ORDER BY bucket) AS BIGINT) AS cum_uq
+             FROM b)
+       SELECT bucket, n_docs, n_tokens,
+              ${ops.R4("uq/(10000.0*n_docs)")} AS mean_quality,
+              CAST((n_pii * 1000000) // n_docs AS BIGINT) AS pii_ppm,
+              ${ops.R4("cum_uq/(10000.0*cum_docs)")} AS cum_mean_quality
+       FROM c ORDER BY bucket"""
+
   val qs: Seq[Q] = Seq(
     Q("q60_text_quality", q60, Some(q60Sql)),
     Q("q61_lang_id", q61, Some(q61Sql)),
@@ -1272,5 +1336,6 @@ object TextOps {
     Q("q112_freq_sketch", q112, None),
     Q("q135_collocations", q135, Some(q135Sql)),
     Q("q152_langid_confusion", q152, Some(q152Sql)),
-    Q("q169_quality_ladder", q169, Some(q169Sql)))
+    Q("q169_quality_ladder", q169, Some(q169Sql)),
+    Q("q174_quality_curve", q174, Some(q174Sql)))
 }

@@ -87,6 +87,46 @@ class SamplingSpec extends AnyFunSuite {
     }
   }
 
+  test("q173 attribution matches a brute-force per-eval-doc recomputation and sums to q69's pair volume") {
+    val docs = Tables(spark, sf, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    def bucket(text: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(text.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 8), 16) % 1000
+    }
+    def grams(text: String): Set[String] = {
+      val tk = text.split(" ").filter(_.nonEmpty)
+      if (tk.length < 8) Set.empty
+      else tk.sliding(8).map(_.mkString(" ")).toSet
+    }
+    val all = docs.map { case (id, t) => (id, bucket(t), grams(t)) }
+    val df = all.toSeq.flatMap(_._3).groupBy(identity).map { case (k, v) => k -> v.size }
+    val kept = all.map { case (id, b, g) => (id, b, g.filter(s => df(s) <= 1000)) }
+    val train = kept.filter(_._2 < 800)
+    val trainGrams = train.flatMap(_._3).toSet
+    val expected = kept.filter(_._2 >= 800).map { case (id, _, g) =>
+      val partners = train.filter(t => t._3.exists(g.contains)).map(_._1).toSet
+      id -> ((partners.size.toLong, g.count(trainGrams.contains).toLong))
+    }.toMap
+    val got = operators.Sampling.q173(spark, sf).collect()
+    assert(got.length == expected.size)
+    assert(got.count(_.getBoolean(3)) > 0, "no contaminating eval docs: vacuous")
+    got.foreach { r =>
+      val (np, ng) = expected(r.getLong(0))
+      assert(r.getLong(1) == np, s"doc ${r.getLong(0)} n_train_docs")
+      assert(r.getLong(2) == ng, s"doc ${r.getLong(0)} n_shared_grams")
+      assert(r.getBoolean(3) == (np >= 1), s"doc ${r.getLong(0)} flag")
+    }
+    // duality with q69: attribution's distinct (train, eval) pair
+    // volume recomputed locally equals the sum over eval docs
+    val pairVolume = kept.filter(_._2 >= 800).map { case (_, _, g) =>
+      train.count(t => t._3.exists(g.contains)).toLong
+    }.sum
+    assert(got.map(_.getLong(1)).sum == pairVolume, "pair volume diverges")
+  }
+
   test("q69 covers exactly the train split with bounded ratios") {
     val out = operators.Sampling.q69(spark, sf)
     assert(out.columns.toSeq ==

@@ -26,6 +26,35 @@ class TextOpsSpec extends AnyFunSuite {
     assert(ratios.distinct.length > 10, "compression ratios are degenerate")
   }
 
+  test("q174 quality curve equals an exact per-bucket recompute from q60 + PII flags") {
+    def r4(x: Double) = math.floor(x * 10000.0 + 0.5) / 10000.0
+    val q = operators.TextOps.q60(spark, sf)
+      .select("doc_id", "n_tokens", "quality_score").collect()
+      .map(r => (r.getLong(0), r.getInt(1).toLong, r.getDouble(2)))
+    val clean = operators.TextOps.scrub(
+        Tables(spark, sf, "documents").select("doc_id", "text"))
+      .select("doc_id", "is_clean").collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    val buckets = q.groupBy(_._1 / 1000).toSeq.sortBy(_._1).map { case (b, rs) =>
+      val u = rs.map(r => math.floor(r._3 * 10000.0 + 0.5).toLong).sum
+      (b, rs.length.toLong, rs.map(_._2).sum, u,
+        rs.count(r => !clean(r._1)).toLong)
+    }
+    val cums = buckets.scanLeft((0L, 0L)) { case ((cd, cu), r) => (cd + r._2, cu + r._4) }
+    val expected = buckets.zip(cums.drop(1)).map { case ((b, n, nt, u, np), (cd, cu)) =>
+      b -> ((n, nt, r4(u / (10000.0 * n)), np * 1000000L / n, r4(cu / (10000.0 * cd))))
+    }.toMap
+    val got = operators.TextOps.q174(spark, sf).collect()
+    assert(got.length == expected.size)
+    got.foreach { r =>
+      val (n, nt, mq, ppm, cmq) = expected(r.getLong(0))
+      assert(r.getLong(1) == n && r.getLong(2) == nt, s"bucket ${r.getLong(0)} volumes")
+      assert(r.getDouble(3) == mq, s"bucket ${r.getLong(0)} mean quality")
+      assert(r.getLong(4) == ppm, s"bucket ${r.getLong(0)} pii ppm")
+      assert(r.getDouble(5) == cmq, s"bucket ${r.getLong(0)} cumulative mean")
+    }
+  }
+
   test("q99 separates repetitive text from prose") {
     import spark.implicits._
     val docs = Seq(
