@@ -1209,6 +1209,106 @@ object Dedup {
       .orderBy("vec_id")
   }
 
+  /** CROSS-SOURCE NEAR-DUP MATRIX — q95's exact-dup matrix lifted to
+    * the NEAR-dup axis: per unordered source pair, how many verified
+    * q41 Jaccard pairs cross them (diagonal = within-source), with
+    * each cell's integer-ppm share of all near-dup pairs. Exact
+    * copies concentrate in syndication mirrors; near-dups are where
+    * template families and lightly-rewritten content span crawls —
+    * the report that says which source pair's overlap is boilerplate
+    * rather than byte-identical mirroring, and the source-level
+    * rollup of the pair frame q154 routes on.
+    *
+    * Scale shape: the memoized near-dup-sized pair frame
+    * ([[pairCounts]]) + two doc→source equi-joins into a ≤#sources²
+    * aggregate; the 1-row total broadcasts back by left-join-true
+    * (q107 discipline). */
+  def q175(s: SparkSession, dir: String): DataFrame = {
+    val src = Tables(s, dir, "documents").select(col("doc_id"), col("source"))
+    val m = jaccardPairs(s, dir).filter(col("jacc_raw") >= JaccThr.toDouble)
+      .select("d1", "d2")
+      .join(src.select(col("doc_id").as("d1"), col("source").as("src1")), "d1")
+      .join(src.select(col("doc_id").as("d2"), col("source").as("src2")), "d2")
+      .groupBy(least(col("src1"), col("src2")).as("s1"),
+        greatest(col("src1"), col("src2")).as("s2"))
+      .agg(count(lit(1)).as("n_pairs"))
+    val tot = m.agg(sum("n_pairs").as("tot"))
+    m.join(broadcast(tot), lit(true), "left")
+      .select(col("s1"), col("s2"), col("n_pairs"),
+        expr("CASE WHEN tot IS NULL THEN NULL ELSE (n_pairs * 1000000) div tot END")
+          .as("share_ppm"))
+      .orderBy("s1", "s2")
+  }
+
+  private val q175Sql =
+    s"""WITH $shingleCte,
+       sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+       pairs AS (SELECT a.doc_id d1, b.doc_id d2, count(*) c
+                 FROM sh a JOIN sh b ON a.s=b.s AND a.doc_id < b.doc_id GROUP BY 1,2),
+       j AS (SELECT d1, d2
+             FROM pairs JOIN sz n1 ON d1=n1.doc_id JOIN sz n2 ON d2=n2.doc_id
+             WHERE c*1.0/(n1.n + n2.n - c) >= $JaccThr),
+       m AS (SELECT least(a.source, b.source) AS s1,
+                    greatest(a.source, b.source) AS s2,
+                    CAST(count(*) AS BIGINT) AS n_pairs
+             FROM j JOIN documents a ON j.d1 = a.doc_id
+                    JOIN documents b ON j.d2 = b.doc_id
+             GROUP BY 1, 2),
+       tp AS (SELECT CAST(sum(n_pairs) AS BIGINT) AS tot FROM m)
+       SELECT s1, s2, n_pairs,
+              CASE WHEN tot IS NULL THEN NULL
+                   ELSE CAST((n_pairs * 1000000) // tot AS BIGINT) END AS share_ppm
+       FROM m LEFT JOIN tp ON true
+       ORDER BY s1, s2"""
+
+  /** NEAR-DUP CLUSTER PURITY — the composition audit of q65's
+    * components: per multi-doc cluster, its size, distinct languages
+    * and sources, and the modal-language share in integer ppm. A
+    * template family syndicated across sources or "translated"
+    * boilerplate shows up as low-purity clusters — exactly the
+    * components whose canonical-keep decision (q68/q161) silently
+    * collapses cross-language/cross-source variety, and the
+    * cluster-level reason q134's population audit reads the way it
+    * does. Only the max COUNT is reported (never which language), so
+    * no cross-engine argmax tie-break exists to diverge.
+    *
+    * Scale shape: the cached edge-sized label frame (multi-doc
+    * members by construction) + one doc-keyed join; two two-level
+    * hash aggregates on the cluster key; no windows. */
+  def q176(s: SparkSession, dir: String): DataFrame = {
+    val d = clusterLabels(s, dir)
+      .join(Tables(s, dir, "documents").select("doc_id", "lang", "source"), "doc_id")
+    val base = d.groupBy("cluster_id").agg(
+      count(lit(1)).as("n_docs"),
+      countDistinct("lang").as("n_langs"),
+      countDistinct("source").as("n_sources"))
+    val modal = d.groupBy("cluster_id", "lang").agg(count(lit(1)).as("c"))
+      .groupBy("cluster_id").agg(max("c").as("modal"))
+    base.join(modal, "cluster_id")
+      .select(col("cluster_id"), col("n_docs"), col("n_langs"), col("n_sources"),
+        expr("(modal * 1000000) div n_docs").as("modal_lang_ppm"))
+      .orderBy("cluster_id")
+  }
+
+  private val q176Sql =
+    s"""WITH RECURSIVE $shingleCte,
+       $clusterCte,
+       cs AS (SELECT cluster_id FROM cl GROUP BY 1 HAVING count(*) >= 2),
+       d AS (SELECT cl.doc_id, cl.cluster_id, doc.lang, doc.source
+             FROM cl JOIN cs ON cl.cluster_id = cs.cluster_id
+                     JOIN documents doc ON cl.doc_id = doc.doc_id),
+       base AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_docs,
+                  CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+                  CAST(count(DISTINCT source) AS BIGINT) AS n_sources
+                FROM d GROUP BY 1),
+       ml AS (SELECT cluster_id, CAST(max(c) AS BIGINT) AS modal
+              FROM (SELECT cluster_id, lang, count(*) AS c FROM d GROUP BY 1, 2)
+              GROUP BY 1)
+       SELECT base.cluster_id, n_docs, n_langs, n_sources,
+              CAST((modal * 1000000) // n_docs AS BIGINT) AS modal_lang_ppm
+       FROM base JOIN ml ON base.cluster_id = ml.cluster_id
+       ORDER BY base.cluster_id"""
+
   /** Cross-source duplication matrix — which ingestion sources
     * duplicate which: for every unordered source pair, how many
     * DISTINCT texts appear in both (the crawl-overlap report that
@@ -1461,6 +1561,8 @@ object Dedup {
     Q("q164_dedup_weights", q164, Some(q164Sql)),
     Q("q165_soft_dedup_sample", q165, Some(q165Sql)),
     Q("q167_effective_corpus", q167, Some(q167Sql)),
+    Q("q175_source_neardup_matrix", q175, Some(q175Sql)),
+    Q("q176_cluster_purity", q176, Some(q176Sql)),
     Q("q138_incremental_dedup", q138, Some(q138Sql)),
     Q("q144_dedup_eval", q144, None),
     Q("q145_index_stats", q145, Some(q145Sql)),

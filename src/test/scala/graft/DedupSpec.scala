@@ -54,6 +54,51 @@ class DedupSpec extends AnyFunSuite {
       s"over-merged: $nClusters clusters for $nDocs docs / $nPairs pairs")
   }
 
+  test("q175 source matrix recomputes exactly from q41 pairs and conserves pair volume") {
+    val src = Tables(spark, sf, "documents").select("doc_id", "source").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val pairs = operators.Dedup.q41(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty, "no near-dup pairs at this SF: vacuous")
+    val cells = pairs.groupBy { case (a, b) =>
+      val (s1, s2) = (src(a), src(b))
+      (if (s1 <= s2) s1 else s2, if (s1 <= s2) s2 else s1)
+    }.map { case (k, v) => k -> v.size.toLong }
+    val tot = pairs.length.toLong
+    val got = operators.Dedup.q175(spark, sf).collect()
+    assert(got.length == cells.size)
+    got.foreach { r =>
+      val k = (r.getString(0), r.getString(1))
+      assert(r.getLong(2) == cells(k), s"cell $k count")
+      assert(r.getLong(3) == cells(k) * 1000000L / tot, s"cell $k share")
+    }
+    assert(got.map(_.getLong(2)).sum == tot, "matrix does not conserve the pair volume")
+  }
+
+  test("q176 cluster purity recomputes exactly from q65 labels and sees mixed clusters") {
+    val meta = Tables(spark, sf, "documents").select("doc_id", "lang", "source").collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getString(2)))).toMap
+    val clusters = operators.Dedup.q65(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._2).filter(_._2.length >= 2) // multi-doc components only
+    assert(clusters.nonEmpty, "no multi-doc clusters at this SF: vacuous")
+    val got = operators.Dedup.q176(spark, sf).collect()
+    assert(got.length == clusters.size)
+    got.foreach { r =>
+      val members = clusters(r.getLong(0)).map(_._1)
+      val langs = members.map(meta(_)._1)
+      assert(r.getLong(1) == members.length.toLong, s"cluster ${r.getLong(0)} size")
+      assert(r.getLong(2) == langs.distinct.length.toLong, s"cluster ${r.getLong(0)} langs")
+      assert(r.getLong(3) == members.map(meta(_)._2).distinct.length.toLong,
+        s"cluster ${r.getLong(0)} sources")
+      val modal = langs.groupBy(identity).values.map(_.length).max.toLong
+      assert(r.getLong(4) == modal * 1000000L / members.length, s"cluster ${r.getLong(0)} purity")
+    }
+    // the corpus's lang column is content-independent, so near-dup
+    // clusters genuinely mix languages — the report is non-trivial
+    assert(got.exists(_.getLong(2) > 1), "every cluster single-language: vacuous purity read")
+  }
+
   test("q65 labels equal a driver-side union-find over the same pair list") {
     // the pointer-jump acceleration must not change the HashMin
     // result: both converge to min(component id). Union-find with
