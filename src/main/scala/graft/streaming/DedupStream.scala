@@ -183,6 +183,72 @@ object DedupStream {
   }
 
   /** docs (doc_id, text) stream → near-dup hits against history. */
+  /** PER-TRIGGER CANDIDATE-BUDGET GUARD — the n-gram twin of
+    * [[EmbedDedupStream.guardedIngest]], completing the r6
+    * prescription for BOTH online dedup streams. The embedding guard
+    * measures band skew against a 2^bits uniform floor; MinHash band
+    * keys live in a 64-bit hash space with no such floor, so the
+    * equivalent statistic here is the trigger's EXACT candidate
+    * volume (Σ |bucket|·(|bucket|−1)/2 over its band buckets — what
+    * the matcher would verify) against a LINEAR budget of
+    * `candBudgetPerDoc`·n. Normal traffic generates O(bands) true
+    * partners per doc; a boilerplate trigger (one template crawled
+    * thousands of times per window) generates bands·n²/2 — the
+    * stream-shaped q44 quadratic, which [[BucketCap]] would
+    * otherwise silently truncate, LOSING true pairs instead of
+    * slowing down. Tripped triggers park under
+    * `quarantine/batch=<id>` for the batch-side route (q40's exact
+    * dedup handles template floods linearly); admitted ones land
+    * under `pass/batch=<id>` for the matcher. Batch-partitioned
+    * dynamic overwrite + decision log throughout (the IngestStream
+    * idempotent-replay discipline). */
+  /** Default linear candidate budget: 2 true partners per band per
+    * document (2·Bands = 64) — an order of magnitude above normal
+    * traffic's observed collision rate, an order below a template
+    * flood's n²/2 blowup at any realistic trigger size. */
+  private[graft] val CandBudgetPerDoc = 64L
+
+  def guardedIngest(docs: DataFrame, passPath: String, quarantinePath: String,
+      logPath: String, checkpoint: String,
+      candBudgetPerDoc: Long = CandBudgetPerDoc)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val s = batch.sparkSession
+        import s.implicits._
+        val b = batch.select("doc_id", "text").localCheckpoint()
+        val n = b.count()
+        if (n > 0) {
+          // the trigger's exact candidate volume under the stream's
+          // own banding — one flatMap + one bounded agg, never the
+          // verify pass it predicts
+          val cands = b.as[(Long, String)].flatMap { case (_, text) =>
+              bandKeys(shingleHashes(text)).toSeq
+            }.toDF("k")
+            .groupBy("k").agg(org.apache.spark.sql.functions.count(
+              org.apache.spark.sql.functions.lit(1)).as("sz"))
+            .agg(org.apache.spark.sql.functions.sum(
+              org.apache.spark.sql.functions.expr("sz * (sz - 1) div 2")).as("c"))
+            .collect()(0) match {
+              case r if r.isNullAt(0) => 0L
+              case r => r.getLong(0)
+            }
+          val admitted = cands <= candBudgetPerDoc * n
+          b.withColumn("batch", org.apache.spark.sql.functions.lit(id))
+            .write.mode("overwrite").partitionBy("batch")
+            .option("partitionOverwriteMode", "dynamic")
+            .parquet(if (admitted) passPath else quarantinePath)
+          Seq((id, n, cands, candBudgetPerDoc * n, admitted))
+            .toDF("batch", "n_docs", "cand_pairs", "budget", "admitted")
+            .write.mode("overwrite").partitionBy("batch")
+            .option("partitionOverwriteMode", "dynamic")
+            .parquet(logPath)
+        }
+        ()
+      }
+      .start()
+
   def neardupStream(docs: Dataset[(Long, String)]): Dataset[DupHit] = {
     import docs.sparkSession.implicits._
     docs

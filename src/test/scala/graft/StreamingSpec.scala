@@ -1179,6 +1179,55 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("candidate-budget guard quarantines a template-flood trigger, admits normal docs, replays idempotently") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    TestSpark.withTmpDir("textguard") { root =>
+      val pass = s"$root/pass"; val quar = s"$root/quar"
+      val dlog = s"$root/log"; val ckpt = s"$root/ckpt"
+      // batch 0: 60 distinct corpus documents (normal traffic);
+      // batch 1: 60 copies of ONE template — every band bucket holds
+      // all 60, candidate volume 32·n(n−1)/2 ≫ the 64·n budget
+      val normal = Tables(spark, sf, "documents").select("doc_id", "text")
+        .collect().take(60).map(r => (r.getLong(0), r.getString(1)))
+      val tmpl = (1 to 60).map(i => s"template $i").mkString(" ")
+      val flood = (0 until 60).map(i => (20000L + i, tmpl))
+      def start(mem: MemoryStream[(Long, String)]) =
+        streaming.DedupStream.guardedIngest(
+          mem.toDF().toDF("doc_id", "text"), pass, quar, dlog, ckpt)
+      val mem = MemoryStream[(Long, String)]
+      val q = start(mem)
+      mem.addData(normal.toSeq); q.processAllAvailable()
+      mem.addData(flood.toSeq); q.processAllAvailable()
+      q.stop()
+      assert(spark.read.parquet(pass).collect().map(_.getLong(0)).toSet ==
+        normal.map(_._1).toSet, "pass area does not hold exactly the normal trigger")
+      assert(spark.read.parquet(quar).collect().map(_.getLong(0)).toSet ==
+        flood.map(_._1).toSet, "quarantine does not hold exactly the flood trigger")
+      val log = spark.read.parquet(dlog).collect()
+        .map(r => r.getAs[Long]("batch") ->
+          ((r.getAs[Long]("cand_pairs"), r.getAs[Long]("budget"),
+            r.getAs[Boolean]("admitted")))).toMap
+      assert(log(0L)._3 && log(0L)._1 <= log(0L)._2, s"normal trigger misjudged: ${log(0L)}")
+      // identical texts share every band: 32·60·59/2 = 56640 candidates
+      assert(!log(1L)._3 && log(1L)._1 == 32L * 60 * 59 / 2,
+        s"flood trigger's candidate volume misread: ${log(1L)}")
+      // dropped commit re-runs the flood trigger; dynamic overwrite
+      // leaves both areas identical
+      val before = (spark.read.parquet(pass).collect().map(_.toString).sorted,
+        spark.read.parquet(quar).collect().map(_.toString).sorted)
+      dropLatestCommit(ckpt)
+      val mem2 = MemoryStream[(Long, String)]
+      mem2.addData(normal.toSeq); mem2.addData(flood.toSeq)
+      val q2 = start(mem2); q2.processAllAvailable(); q2.stop()
+      assert(spark.read.parquet(pass).collect().map(_.toString).sorted
+        .sameElements(before._1), "replay changed the pass area")
+      assert(spark.read.parquet(quar).collect().map(_.toString).sorted
+        .sameElements(before._2), "replay changed the quarantine")
+    }
+  }
+
   test("online hybrid retrieval serves q160's ranking per trigger and replays idempotently") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
