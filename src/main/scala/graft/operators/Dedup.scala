@@ -31,15 +31,23 @@ object Dedup {
     * list_filter(string_split(...))). */
   val tokensExpr = "filter(split(text, ' '), x -> x != '')"
 
-  /** Distinct word 3-gram shingles per document. */
-  private def shingled(s: SparkSession, dir: String): DataFrame =
-    Tables(s, dir, "documents")
+  /** Distinct word 3-gram shingles over ANY (doc_id, text) frame —
+    * ONE expression tree shared by the batch operators and the
+    * persisted signature index ([[graft.sources.SigIndex]]), the
+    * FreqStream shared-expression discipline: index build, delta
+    * ingest, and batch backfill cannot drift on what a shingle is. */
+  private[graft] def shingledOf(docs: DataFrame): DataFrame =
+    docs
       .withColumn("tk", expr(tokensExpr))
       .select(col("doc_id"), explode(expr(
         """CASE WHEN size(tk) >= 3
            THEN array_distinct(transform(sequence(1, size(tk)-2),
                 i -> concat_ws(' ', element_at(tk,i), element_at(tk,i+1), element_at(tk,i+2))))
            ELSE array() END""")).as("s"))
+
+  /** Distinct word 3-gram shingles per document. */
+  private def shingled(s: SparkSession, dir: String): DataFrame =
+    shingledOf(Tables(s, dir, "documents"))
 
   /** Shingles surviving the document-frequency cap, applied as an
     * anti join against the over-cap ("hot") set. The hot set is
@@ -1235,7 +1243,9 @@ object Dedup {
     val tot = m.agg(sum("n_pairs").as("tot"))
     m.join(broadcast(tot), lit(true), "left")
       .select(col("s1"), col("s2"), col("n_pairs"),
-        expr("CASE WHEN tot IS NULL THEN NULL ELSE (n_pairs * 1000000) div tot END")
+        // pair counts are quadratic-class: multiply through
+        // DECIMAL(38,0), never bare long (the q142 wrap rule)
+        expr("CASE WHEN tot IS NULL THEN NULL ELSE (CAST(n_pairs AS DECIMAL(38,0)) * 1000000) div tot END")
           .as("share_ppm"))
       .orderBy("s1", "s2")
   }
@@ -1257,7 +1267,7 @@ object Dedup {
        tp AS (SELECT CAST(sum(n_pairs) AS BIGINT) AS tot FROM m)
        SELECT s1, s2, n_pairs,
               CASE WHEN tot IS NULL THEN NULL
-                   ELSE CAST((n_pairs * 1000000) // tot AS BIGINT) END AS share_ppm
+                   ELSE CAST((n_pairs::HUGEINT * 1000000) // tot AS BIGINT) END AS share_ppm
        FROM m LEFT JOIN tp ON true
        ORDER BY s1, s2"""
 

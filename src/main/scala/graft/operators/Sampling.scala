@@ -195,6 +195,27 @@ object Sampling {
 
   private val gramSql = (0 until GramN).map(j => s"tk[i+$j]").mkString(" || ' ' || ")
 
+  /** The capped-gram inverted index (doc_id, bucket, gram), MEMOIZED
+    * per (session, dir) — the Dedup.pairsCache pattern: q69 and q173
+    * each consume this frame twice (train/eval sides), and the
+    * tokenize→explode→df-cap-anti-join subtree is a pure function of
+    * the corpus at `dir`, so ONE localCheckpoint serves all four
+    * consumers and the gram definition cannot drift between the two
+    * operators (the oracle side shares [[deconCtes]] the same way). */
+  private val gramsCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  private def cappedGrams(s: SparkSession, dir: String): DataFrame =
+    gramsCache.getOrElseUpdate((s, dir), {
+      val grams0 = Tables(s, dir, "documents")
+        .withColumn("bucket", expr(BucketExpr))
+        .withColumn("tk", expr(Dedup.tokensExpr))
+        .select(col("doc_id"), col("bucket"), explode(expr(gramExpr)).as("s"))
+      val hot = grams0.groupBy("s").agg(count(lit(1)).as("df"))
+        .filter(col("df") > GramCap).select("s")
+      grams0.join(hot, Seq("s"), "left_anti").localCheckpoint(false)
+    })
+
   /** Eval-set decontamination: flag TRAIN-split documents sharing any
     * (DF-capped) 8-gram with any val/test document — the leakage scan
     * every training pipeline runs before a corpus ships, catching the
@@ -204,17 +225,11 @@ object Sampling {
     * train side joins the DISTINCT eval gram set (each train gram
     * matches at most one eval row, so the hit count needs no
     * dedup) — linear in corpus grams, never doc×doc. The capped gram
-    * index is consumed twice (train/eval sides); localCheckpoint
-    * materializes the tokenize→explode→anti-join subtree once. */
+    * index is the shared memoized [[cappedGrams]] frame. */
   def q69(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables(s, dir, "documents")
       .withColumn("bucket", expr(BucketExpr))
-      .withColumn("tk", expr(Dedup.tokensExpr))
-    val grams0 = docs.select(col("doc_id"), col("bucket"),
-      explode(expr(gramExpr)).as("s"))
-    val hot = grams0.groupBy("s").agg(count(lit(1)).as("df"))
-      .filter(col("df") > GramCap).select("s")
-    val grams = grams0.join(hot, Seq("s"), "left_anti").localCheckpoint(false)
+    val grams = cappedGrams(s, dir)
     val train = grams.filter(col("bucket") < TrainLt).select("doc_id", "s")
     val evalSet = grams.filter(col("bucket") >= TrainLt).select("s").distinct()
     val sz = train.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
@@ -267,8 +282,8 @@ object Sampling {
     * an eval owner reads before trusting a score, and the per-item
     * detail behind q159's split-level matrix.
     *
-    * Scale shape: the SAME capped inverted index as q69 (shared
-    * checkpointed gram frame); the attribution join is
+    * Scale shape: the SAME capped inverted index as q69 (the shared
+    * memoized [[cappedGrams]] frame); the attribution join is
     * match-multiplied (df_train × df_eval per gram, both ≤ GramCap)
     * so it takes the shuffle_merge hint (the q54/q84 rule), then
     * pair-distinct bounded by true (train, eval) contamination
@@ -276,12 +291,7 @@ object Sampling {
   def q173(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables(s, dir, "documents")
       .withColumn("bucket", expr(BucketExpr))
-      .withColumn("tk", expr(Dedup.tokensExpr))
-    val grams0 = docs.select(col("doc_id"), col("bucket"),
-      explode(expr(gramExpr)).as("s"))
-    val hot = grams0.groupBy("s").agg(count(lit(1)).as("df"))
-      .filter(col("df") > GramCap).select("s")
-    val grams = grams0.join(hot, Seq("s"), "left_anti").localCheckpoint(false)
+    val grams = cappedGrams(s, dir)
     val train = grams.filter(col("bucket") < TrainLt)
       .select(col("doc_id").as("train_id"), col("s"))
     val ev = grams.filter(col("bucket") >= TrainLt).select("doc_id", "s")

@@ -1266,11 +1266,13 @@ object TextOps {
     *
     * Scale shape: two map-only passes (q60 score + PII flags) joined
     * on doc_id, one map-side-combined groupBy to the n/1000-row
-    * bucket frame; the cumulative windows run over THAT frame only
-    * (q109's documented bound — the corpus is never windowed). */
+    * bucket frame; the cumulatives run over THAT frame via the
+    * two-phase range-partitioned core (ops.globalCumsumN, both sums
+    * in one pass) — unlike the q123-family's domain-bounded
+    * histograms, this frame's cardinality TRACKS corpus size, so a
+    * one-task Window.orderBy would eventually be the bottleneck. */
   def q174(s: SparkSession, dir: String): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window.orderBy("bucket")
-    q60(s, dir).select("doc_id", "n_tokens", "quality_score")
+    val buckets = q60(s, dir).select("doc_id", "n_tokens", "quality_score")
       .join(scrub(Tables(s, dir, "documents").select("doc_id", "text"))
         .select("doc_id", "is_clean"), "doc_id")
       .withColumn("q4", expr("CAST(floor(quality_score*10000.0 + 0.5) AS BIGINT)"))
@@ -1279,8 +1281,9 @@ object TextOps {
         sum("n_tokens").as("n_tokens"),
         sum("q4").as("uq"),
         sum(when(col("is_clean"), 0L).otherwise(1L)).as("n_pii"))
-      .withColumn("cum_docs", sum("n_docs").over(w))
-      .withColumn("cum_uq", sum("uq").over(w))
+    ops.globalCumsumN(buckets,
+        Seq((col("n_docs"), "cum_docs", None), (col("uq"), "cum_uq", None)),
+        col("bucket"))
       .select(col("bucket"), col("n_docs"), col("n_tokens"),
         ops.r4(col("uq") / (lit(10000.0) * col("n_docs"))).as("mean_quality"),
         expr("(n_pii * 1000000) div n_docs").as("pii_ppm"),

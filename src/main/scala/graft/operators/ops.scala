@@ -138,23 +138,43 @@ object ops {
     * window semantics), which a grouped histogram satisfies by
     * construction. */
   def groupedGlobalCumsum(df: DataFrame, grp: String, value: Column, out: String,
-      totOut: String, sort: Column*): DataFrame = {
+      totOut: String, sort: Column*): DataFrame =
+    groupedGlobalCumsumN(df, grp, Seq((value, out, Some(totOut))), sort: _*)
+
+  /** N-value [[groupedGlobalCumsum]]: several exact cumulative sums
+    * over ONE range partitioning / ONE checkpoint (q174 needs both
+    * cum_docs and cum_uq — two single-value calls would pay the
+    * seeded-range checkpoint twice). Each entry is (value, cumOut,
+    * optional group-total out). */
+  def groupedGlobalCumsumN(df: DataFrame, grp: String,
+      vals: Seq[(Column, String, Option[String])], sort: Column*): DataFrame = {
     val nPart = df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt
     val ranged = df.repartitionByRange(nPart, (col(grp) +: sort): _*)
       .withColumn("_pid", spark_partition_id())
       .localCheckpoint(false)
-    val parts = ranged.groupBy(col("_pid"), col(grp)).agg(sum(value).as("_s"))
-    val offs = parts
-      .withColumn("_off", coalesce(sum("_s").over(
-        Window.partitionBy(grp).orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .withColumn(totOut, sum("_s").over(Window.partitionBy(grp)))
-      .select(col("_pid"), col(grp), col("_off"), col(totOut))
-    ranged
-      .withColumn("_lcs", sum(value).over(
-        Window.partitionBy(col("_pid"), col(grp)).orderBy(sort: _*)))
-      .join(broadcast(offs), Seq("_pid", grp))
-      .withColumn(out, col("_lcs") + col("_off"))
-      .drop("_pid", "_lcs", "_off")
+    val parts = ranged.groupBy(col("_pid"), col(grp)).agg(
+      sum(vals.head._1).as("_s0"),
+      vals.tail.zipWithIndex.map { case ((v, _, _), i) => sum(v).as(s"_s${i + 1}") }: _*)
+    val wOff = Window.partitionBy(grp).orderBy("_pid")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offs0 = vals.indices.foldLeft(parts) { (f, i) =>
+      val withOff = f.withColumn(s"_off$i", coalesce(sum(s"_s$i").over(wOff), lit(0L)))
+      vals(i)._3 match {
+        case Some(t) => withOff.withColumn(t, sum(s"_s$i").over(Window.partitionBy(grp)))
+        case None    => withOff
+      }
+    }
+    val offs = offs0.select((col("_pid") +: col(grp) +:
+      (vals.indices.map(i => col(s"_off$i")) ++
+        vals.flatMap(_._3).map(col))): _*)
+    val wLoc = Window.partitionBy(col("_pid"), col(grp)).orderBy(sort: _*)
+    val local = vals.zipWithIndex.foldLeft(ranged) { case (f, ((v, _, _), i)) =>
+      f.withColumn(s"_lcs$i", sum(v).over(wLoc))
+    }
+    val joined = local.join(broadcast(offs), Seq("_pid", grp))
+    vals.zipWithIndex.foldLeft(joined) { case (f, ((_, out, _), i)) =>
+      f.withColumn(out, col(s"_lcs$i") + col(s"_off$i"))
+    }.drop("_pid" +: (vals.indices.flatMap(i => Seq(s"_lcs$i", s"_off$i"))): _*)
   }
 
   /** Ungrouped [[groupedGlobalCumsum]]: exact cumulative sum over a
@@ -171,6 +191,12 @@ object ops {
   def globalCumsum(df: DataFrame, value: Column, out: String, totOut: String,
       sort: Column*): DataFrame =
     groupedGlobalCumsum(df.withColumn("_g", lit(1)), "_g", value, out, totOut, sort: _*)
+      .drop("_g")
+
+  /** Ungrouped [[groupedGlobalCumsumN]]. */
+  def globalCumsumN(df: DataFrame, vals: Seq[(Column, String, Option[String])],
+      sort: Column*): DataFrame =
+    groupedGlobalCumsumN(df.withColumn("_g", lit(1)), "_g", vals, sort: _*)
       .drop("_g")
 
   def globalNtile(df: DataFrame, k: Int, out: String, sort: Column*): DataFrame = {

@@ -1,0 +1,252 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, ops}
+
+/** PERSISTED NEAR-DUP SIGNATURE INDEX — the third member of the
+  * persisted-index family (dense: [[AnnIndex]]; lexical ranking:
+  * [[LexIndex]]; near-dup admission: this), and the artifact
+  * `operators.Dedup.q138`'s docstring names as the production shape:
+  * "the old index is the persisted artifact" that a daily crawl
+  * increment probes WITHOUT re-tokenizing or re-capping the 100 TB
+  * corpus. What is persisted is exactly the batch family's capped
+  * shingle inverted index (reference Ajay6601/Ecommerce-Analytics
+  * has no dedup surface; this extends the training-data-pipeline
+  * family): postings live as shingle-hash-bucket-partitioned parquet
+  * (`path/post/sb=<b>/…`), each posting carrying its document's
+  * capped set size `n` DENORMALIZED — the Jaccard verdict needs no
+  * corpus-global statistic at probe time (unlike BM25's df), so the
+  * probe is one equi-join against at-rest postings plus per-batch
+  * arithmetic. The build-time over-cap ("hot") shingle set persists
+  * beside the postings (`path/hot/sb=<b>/…`) because probes and
+  * delta ingest must cap NEW documents' shingle sets against the
+  * SAME frozen list the residents were capped against.
+  *
+  * Shingling is [[graft.operators.Dedup.shingledOf]] — the ONE
+  * expression tree the batch operators use (the FreqStream shared-
+  * expression discipline), so index build, delta ingest, and q41/q138
+  * backfills cannot drift on what a shingle is.
+  *
+  * FROZEN-HOT DISCIPLINE (the frozen-quantizer / frozen-vocabulary
+  * analog, but with a PROOF the others lack): document frequency is
+  * MONOTONE under corpus growth — a shingle over the cap at base
+  * build can only gain occurrences — so the frozen hot list never
+  * wrongly drops a shingle, and appends stay exact. Only the
+  * converse drifts: a shingle that crossed the cap AFTER base build
+  * (a new boilerplate template) keeps accumulating delta postings
+  * and match-multiplies every probe on that key — [[hotGate]] is the
+  * measured-drift trigger (the refitGate/coverageGate analog), and
+  * [[compact]] reconciles by re-applying the cap over the union,
+  * which SourcesSpec proves IDENTICAL to a from-scratch rebuild
+  * (hot_base ⊆ hot_union by monotonicity makes the fold lossless).
+  *
+  * Contract: delta batches carry doc_ids disjoint from residents
+  * (re-sent TRIGGERS are fine — dynamic overwrite rewrites exactly
+  * their own batch partition, the idempotent-replay discipline).
+  */
+object DupIndex {
+
+  /** Shingle-hash bucket count — the partition-pruning granularity
+    * and the LSM file-layout unit, sized like [[LexIndex.NBuckets]].
+    * A full-corpus backfill touches all buckets (the join is still
+    * against PRECOMPUTED postings — the win is never re-tokenizing
+    * the corpus); a small serving trigger's shingles hash into few
+    * buckets and the scan prunes to those directories. */
+  val NBuckets = 64L
+
+  private def bucket(sh: Column) = pmod(xxhash64(sh), lit(NBuckets))
+
+  private def post(path: String) = s"$path/post"
+  private def hotP(path: String) = s"$path/hot"
+
+  // explicit read schemas: a healthy natural corpus can have ZERO
+  // over-cap shingles, and a zero-row partitioned write leaves
+  // nothing for schema inference
+  private val hotSchema = org.apache.spark.sql.types.StructType.fromDDL(
+    "s STRING, sb BIGINT")
+  private val postSchema = org.apache.spark.sql.types.StructType.fromDDL(
+    "s STRING, doc_id BIGINT, n BIGINT, sb BIGINT")
+  // delta layout adds the batch partition column; the explicit schema
+  // also covers the existing-but-empty delta dir an all-dup first
+  // trigger leaves behind (only _SUCCESS — nothing to infer from)
+  private val deltaSchema = org.apache.spark.sql.types.StructType.fromDDL(
+    "s STRING, doc_id BIGINT, n BIGINT, batch BIGINT, sb BIGINT")
+
+  private def readHot(s: SparkSession, basePath: String): DataFrame =
+    s.read.schema(hotSchema).parquet(hotP(basePath)).select("s")
+
+  /** Tokenize + shingle + df-cap + write the bucket-partitioned
+    * postings and the frozen hot list. `n` is recounted AFTER the
+    * cap (a doc's capped set size == its posting count — the
+    * invariant [[compact]]'s rebuild-equivalence rests on). */
+  def write(s: SparkSession, dir: String, path: String): Unit =
+    writeFrom(s, graft.Tables(s, dir, "documents"), path)
+
+  /** [[write]] over any (doc_id, text) frame — specs build bases
+    * from corpus subsets to exercise the delta path. */
+  def writeFrom(s: SparkSession, docs: DataFrame, path: String): Unit = {
+    val sh = Dedup.shingledOf(docs)
+    val hot = sh.groupBy("s").agg(count(lit(1)).as("df"))
+      .filter(col("df") > Dedup.DfCap).select("s")
+    writePostings(sh.join(hot, Seq("s"), "left_anti"), post(path))
+    hot.withColumn("sb", bucket(col("s")))
+      .write.mode(SaveMode.Overwrite).partitionBy("sb").parquet(hotP(path))
+  }
+
+  /** Attach per-doc capped sizes + bucket column and write `kept`
+    * (doc_id, s) as sb-partitioned postings. */
+  private def writePostings(kept: DataFrame, outPath: String): Unit = {
+    val k = kept.localCheckpoint(false) // 2 consumers: sizes + rows
+    val sz = k.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    k.join(sz, "doc_id")
+      .withColumn("sb", bucket(col("s")))
+      .select("sb", "s", "doc_id", "n")
+      .write.mode(SaveMode.Overwrite).partitionBy("sb").parquet(outPath)
+  }
+
+  /** DELTA APPEND — a crawl increment lands capped against the
+    * FROZEN hot list under `deltaPath/batch=<id>/sb=<b>/` via
+    * dynamic overwrite (a replayed trigger rewrites exactly its own
+    * batch partition). `n` is the batch-doc's frozen-cap set size —
+    * exact by hot monotonicity, see the object doc. */
+  def appendDelta(s: SparkSession, basePath: String, deltaPath: String,
+      batch: DataFrame, batchId: Long): Unit = {
+    val kept = Dedup.shingledOf(batch)
+      .join(readHot(s, basePath), Seq("s"), "left_anti")
+      .localCheckpoint(false)
+    val sz = kept.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    kept.join(sz, "doc_id")
+      .withColumn("sb", bucket(col("s")))
+      .withColumn("batch", lit(batchId))
+      .select("batch", "sb", "s", "doc_id", "n")
+      .write.mode(SaveMode.Overwrite).partitionBy("batch", "sb")
+      .option("partitionOverwriteMode", "dynamic")
+      .parquet(deltaPath)
+  }
+
+  /** Resident postings of base (+ delta when present — resolved via
+    * Hadoop's FileSystem, the [[AnnIndex]] remote-FS rule). `sbs` is
+    * the probe batch's shingle-bucket set (≤ [[NBuckets]] values,
+    * driver-bounded): `sb.isin` is a PARTITION filter on both roots,
+    * so a bucket-sparse trigger reads only its own directories.
+    * `excludeBatch` drops one delta `batch=` partition — the
+    * streaming admission face probes a replayed trigger against the
+    * state BEFORE its own (already-written) delta partition, or the
+    * replay would surface intra-trigger pairs the first run never
+    * saw ([[graft.streaming.AdmitStream]]). */
+  private def residents(s: SparkSession, basePath: String,
+      deltaPath: Option[String], sbs: Seq[Long],
+      excludeBatch: Option[Long]): DataFrame = {
+    val base = s.read.schema(postSchema).parquet(post(basePath))
+      .filter(col("sb").isin(sbs: _*))
+      .select("sb", "s", "doc_id", "n")
+    deltaPath.filter { p =>
+      val hp = new org.apache.hadoop.fs.Path(p)
+      hp.getFileSystem(s.sparkContext.hadoopConfiguration).exists(hp)
+    } match {
+      case Some(p) =>
+        val d0 = s.read.schema(deltaSchema).parquet(p)
+          .filter(col("sb").isin(sbs: _*))
+        val d = excludeBatch.map(b => d0.filter(col("batch") =!= lit(b)))
+          .getOrElse(d0)
+        base.unionByName(d.select("sb", "s", "doc_id", "n"))
+      case None => base
+    }
+  }
+
+  /** Probe: per batch document, the q138 verdict against the index
+    * residents — `dup_of_corpus` (a resident partner at Jaccard ≥
+    * JaccThr; partner = min qualifying doc_id with its exact
+    * Jaccard, q138's rule) or `novel`. In-batch (intra-trigger)
+    * duplicates are the stream guards' and q40's job — this face
+    * answers only new-vs-corpus, the admission question.
+    *
+    * Scale shape: the batch's shingles cap against the frozen hot
+    * list, then ONE equi-join against the at-rest postings (shared
+    * shingles fan out ≤ DfCap — the same bound as the batch family;
+    * no corpus re-tokenize, no corpus², and the sb layout prunes the
+    * scan for bucket-sparse triggers); verdict selection is one
+    * aggregate, no self-rejoin. */
+  def probe(s: SparkSession, basePath: String, batch: DataFrame,
+      deltaPath: Option[String] = None,
+      excludeBatch: Option[Long] = None): DataFrame = {
+    val bsh = Dedup.shingledOf(batch)
+      .join(readHot(s, basePath), Seq("s"), "left_anti")
+      .select(col("doc_id").as("new_id"), col("s"))
+      .localCheckpoint(false) // 3 consumers: sizes + buckets + join
+    // the trigger's bucket footprint: ≤ NBuckets longs, the partition
+    // pruning set (the LexIndex tbs idiom — NEVER the shingles
+    // themselves, which are corpus-sized on a backfill batch)
+    val sbs = bsh.select(bucket(col("s")).as("sb")).distinct()
+      .collect().map(_.getLong(0)).toSeq
+    val nNew = bsh.groupBy("new_id").agg(count(lit(1)).as("n_new"))
+    val cand = bsh.join(residents(s, basePath, deltaPath, sbs, excludeBatch), "s")
+      .filter(col("new_id") =!= col("doc_id")) // replayed batch vs its own delta rows
+      .groupBy(col("new_id"), col("doc_id"))
+      .agg(count(lit(1)).as("c"), max("n").as("n_old"))
+      .join(nNew, "new_id")
+      .withColumn("jr", col("c") * lit(1.0) / (col("n_new") + col("n_old") - col("c")))
+      .filter(col("jr") >= Dedup.JaccThr.toDouble)
+    val verdicts = cand.groupBy("new_id").agg(
+      min("doc_id").as("partner"),
+      expr("min_by(jr, doc_id)").as("j"))
+    batch.select(col("doc_id"))
+      .join(verdicts, col("doc_id") === col("new_id"), "left")
+      .select(col("doc_id"),
+        when(col("partner").isNotNull, "dup_of_corpus").otherwise("novel").as("verdict"),
+        col("partner").as("partner_id"),
+        ops.r6(col("j")).as("jaccard"))
+      .orderBy("doc_id")
+  }
+
+  /** HOT-DRIFT GATE — compact-vs-keep-appending decided from
+    * MEASURED delta skew (the refitGate / coverageGate analog): over
+    * the accumulated delta postings, per-shingle document frequency;
+    * a shingle whose DELTA-side df alone exceeds the cap is a
+    * template that went hot after base build — every future probe
+    * match-multiplies on it (the stream-shaped q44 quadratic the
+    * DedupStream candidate budget guards against per trigger, here
+    * accumulated at rest). One bounded aggregate; no probe, no join.
+    * Emits the decision row: newly-hot count, worst df, and the
+    * candidate mass Σ df·(df−1)/2 those keys would inject into a
+    * probe. */
+  def hotGate(s: SparkSession, deltaPath: String): DataFrame =
+    s.read.schema(deltaSchema).parquet(deltaPath)
+      .groupBy("s").agg(count(lit(1)).as("df"))
+      .agg(count(lit(1)).as("n_delta_shingles"),
+        // coalesced: an EMPTY delta (all-dup triggers so far) must
+        // read as a clean gate row, not a null the caller NPEs on
+        coalesce(sum(when(col("df") > Dedup.DfCap, 1L).otherwise(0L)), lit(0L))
+          .as("n_newly_hot"),
+        coalesce(max("df"), lit(0L)).as("max_df"),
+        // pair mass through DECIMAL: df is cap-unbounded here by
+        // definition of the statistic (the q142 wrap rule)
+        coalesce(sum((col("df").cast("decimal(38,0)") * (col("df") - lit(1))) / lit(2)),
+          lit(0).cast("decimal(38,0)"))
+          .cast("decimal(38,0)").as("cand_mass"))
+      .withColumn("rebuild", col("n_newly_hot") > 0L)
+
+  /** COMPACTION — fold the delta into a fresh base at `outPath`,
+    * re-applying the df cap over the UNION: recount df, drop the
+    * newly-hot shingles, recount per-doc sizes from the surviving
+    * postings, and merge the hot lists. By df monotonicity
+    * (hot_base ⊆ hot_union) this is IDENTICAL to [[writeFrom]] over
+    * the union corpus — SourcesSpec asserts postings and hot-list
+    * equality row-for-row, so the LSM fold provably loses nothing
+    * and the serving tier can swap roots blind. */
+  def compact(s: SparkSession, basePath: String, deltaPath: String,
+      outPath: String): Unit = {
+    val all = residents(s, basePath, Some(deltaPath),
+        (0L until NBuckets).toSeq, excludeBatch = None)
+      .select("s", "doc_id").localCheckpoint(false) // 3 consumers below
+    val newlyHot = all.groupBy("s").agg(count(lit(1)).as("df"))
+      .filter(col("df") > Dedup.DfCap).select("s")
+    writePostings(all.join(newlyHot, Seq("s"), "left_anti"), post(outPath))
+    readHot(s, basePath)
+      .unionByName(newlyHot)
+      .withColumn("sb", bucket(col("s")))
+      .write.mode(SaveMode.Overwrite).partitionBy("sb").parquet(hotP(outPath))
+  }
+}

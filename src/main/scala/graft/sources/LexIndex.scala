@@ -61,7 +61,7 @@ object LexIndex {
     val tkE = graft.operators.Dedup.tokensExpr
     val st = docs.agg(count(lit(1)).as("n"),
       sum(expr(s"size($tkE)").cast("long")).as("sdl")).collect()(0)
-    val stats = LexStats(st.getLong(0), st.getLong(1))
+    val stats = LexStats(st.getLong(0), if (st.isNullAt(1)) 0L else st.getLong(1))
     val post = docs.select(
         col("doc_id"),
         expr(s"size($tkE)").cast("double").as("dl"),
@@ -182,9 +182,12 @@ object LexIndex {
       .agg(count(lit(1)).as("n_occurrences"),
         sum(when(col("_in").isNull, 0L).otherwise(1L)).as("n_covered"))
       .select(col("n_occurrences"), col("n_covered"),
-        expr("CASE WHEN n_occurrences = 0 THEN 0 ELSE (n_covered * 1000000) div n_occurrences END")
+        // ppm shares multiply through DECIMAL/BigInt, never bare long
+        // (the q142 wrap class: occurrence sums reach 1e13+ at scale)
+        expr("CASE WHEN n_occurrences = 0 THEN 0 ELSE (CAST(n_covered AS DECIMAL(38,0)) * 1000000) div n_occurrences END")
           .as("cov_ppm_batch"),
-        lit(if (stats.sumDl == 0L) 0L else covI * 1000000L / stats.sumDl)
+        lit(if (stats.sumDl == 0L) 0L
+            else (BigInt(covI) * 1000000 / BigInt(stats.sumDl)).toLong)
           .as("cov_ppm_index"),
         // covB/totB < (Num/Den)·covI/totI, cross-multiplied exactly
         (col("n_covered").cast("decimal(38,0)") * lit(stats.sumDl) * lit(CovDriftDen) <

@@ -182,7 +182,12 @@ object DedupStream {
         })
   }
 
-  /** docs (doc_id, text) stream → near-dup hits against history. */
+  /** Default linear candidate budget: 2 true partners per band per
+    * document (2·Bands = 64) — an order of magnitude above normal
+    * traffic's observed collision rate, an order below a template
+    * flood's n²/2 blowup at any realistic trigger size. */
+  private[graft] val CandBudgetPerDoc = 64L
+
   /** PER-TRIGGER CANDIDATE-BUDGET GUARD — the n-gram twin of
     * [[EmbedDedupStream.guardedIngest]], completing the r6
     * prescription for BOTH online dedup streams. The embedding guard
@@ -202,12 +207,6 @@ object DedupStream {
     * under `pass/batch=<id>` for the matcher. Batch-partitioned
     * dynamic overwrite + decision log throughout (the IngestStream
     * idempotent-replay discipline). */
-  /** Default linear candidate budget: 2 true partners per band per
-    * document (2·Bands = 64) — an order of magnitude above normal
-    * traffic's observed collision rate, an order below a template
-    * flood's n²/2 blowup at any realistic trigger size. */
-  private[graft] val CandBudgetPerDoc = 64L
-
   def guardedIngest(docs: DataFrame, passPath: String, quarantinePath: String,
       logPath: String, checkpoint: String,
       candBudgetPerDoc: Long = CandBudgetPerDoc)
@@ -249,6 +248,7 @@ object DedupStream {
       }
       .start()
 
+  /** docs (doc_id, text) stream → near-dup hits against history. */
   def neardupStream(docs: Dataset[(Long, String)]): Dataset[DupHit] = {
     import docs.sparkSession.implicits._
     docs

@@ -320,9 +320,11 @@ class PlanGuardSpec extends AnyFunSuite {
     // the broadcast offset join. The multi-group queries keep a
     // trailing presentation orderBy, whose rangepartitioning is
     // additionally asserted.
+    // q174's bucket frame is corpus-tracking (nDocs/1000 rows), so it
+    // rides the N-value variant (globalCumsumN) — same guard shape.
     for (q <- Seq("q123_exact_percentiles", "q125_purchase_cadence",
         "q139_ship_latency", "q141_robust_anomaly", "q145_index_stats",
-        "q148_session_funnel")) {
+        "q148_session_funnel", "q174_quality_curve")) {
       val p = plan(q)
       assert(p.contains("Scan ExistingRDD"),
         s"$q lost the two-phase cumsum's checkpoint barrier: $p")

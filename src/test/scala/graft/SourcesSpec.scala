@@ -423,4 +423,142 @@ class SourcesSpec extends AnyFunSuite {
     assert(zRows * 2 <= aRows,
       s"no 2-D skipping: z-ordered scan emitted $zRows vs single-key $aRows")
   }
+
+  // ---- persisted near-dup signature index (DupIndex) ----
+
+  /** In-memory exact reference for DupIndex.probe's contract:
+    * base-frozen cap, exact Jaccard, min qualifying partner. A
+    * different substrate (Scala collections) than the index path. */
+  private def dupRef(base: Seq[(Long, String)], batch: Seq[(Long, String)],
+      excludeSelf: Boolean = false): Map[Long, Option[(Long, Double)]] = {
+    def shingles(text: String): Set[String] = {
+      val tk = text.split(' ').filter(_.nonEmpty)
+      if (tk.length >= 3) tk.sliding(3).map(_.mkString(" ")).toSet else Set.empty
+    }
+    val baseSets = base.map { case (id, t) => id -> shingles(t) }
+    val df = baseSets.flatMap(_._2).groupBy(identity).map { case (s, xs) => s -> xs.size }
+    val hot = df.filter(_._2 > operators.Dedup.DfCap).keySet
+    val cap = baseSets.map { case (id, s) => id -> (s -- hot) }
+    batch.map { case (bid, t) =>
+      val bs = shingles(t) -- hot
+      val hits = cap.iterator
+        .filter { case (oid, _) => !excludeSelf || oid != bid }
+        .map { case (oid, os) =>
+          val c = (bs & os).size
+          val j = if (bs.isEmpty && os.isEmpty) 0.0
+                  else c.toDouble / (bs.size + os.size - c)
+          (oid, j)
+        }
+        .filter(_._2 >= operators.Dedup.JaccThr.toDouble).toSeq
+      bid -> hits.sortBy(_._1).headOption
+    }.toMap
+  }
+
+  test("dup index probe equals the exact frozen-cap Jaccard reference on the corpus split") {
+    import spark.implicits._
+    val docs = Tables(spark, sf, "documents").select("doc_id", "text")
+    val isNew = pmod(col("doc_id"), lit(10)) === 7 // q138's batch split
+    val base = docs.filter(!isNew)
+    val batch = docs.filter(isNew)
+    val dir = tmp("dupidx")
+    sources.DupIndex.writeFrom(spark, base, dir)
+    val got = sources.DupIndex.probe(spark, dir, batch).collect()
+    val ref = dupRef(base.as[(Long, String)].collect().toSeq,
+      batch.as[(Long, String)].collect().toSeq)
+    assert(got.length == ref.size)
+    var dups = 0
+    got.foreach { r =>
+      val id = r.getLong(0)
+      ref(id) match {
+        case Some((partner, j)) =>
+          dups += 1
+          assert(r.getString(1) == "dup_of_corpus" && r.getLong(2) == partner,
+            s"doc $id: got (${r.getString(1)}, ${r.get(2)}), want dup_of_corpus/$partner")
+          assert(math.abs(r.getDouble(3) - j) < 1e-6, s"doc $id jaccard ${r.getDouble(3)} vs $j")
+        case None =>
+          assert(r.getString(1) == "novel" && r.isNullAt(2), s"doc $id: false dup ${r.get(2)}")
+      }
+    }
+    assert(dups > 0, "vacuous: no dup_of_corpus verdicts in the corpus split")
+  }
+
+  test("dup index delta: probe sees appended batches, replay is idempotent, cross-delta dups surface") {
+    import spark.implicits._
+    val docs = Tables(spark, sf, "documents").select("doc_id", "text")
+      .as[(Long, String)].collect().toSeq
+    val base = docs.filter(_._1 < 400)
+    val d1 = docs.filter(d => d._1 >= 400 && d._1 < 450)
+    // batch 2 contains a shuffled near-copy of a batch-1 doc: dup
+    // must surface across DELTAS, not just against base
+    val twinOf = d1.head
+    val twinText = { val w = twinOf._2.split(' '); (w.take(3) ++ w).mkString(" ") }
+    val d2 = docs.filter(d => d._1 >= 450 && d._1 < 470) :+ (90000L, twinText)
+    val dir = tmp("dupbase"); val delta = tmp("dupdelta")
+    sources.DupIndex.writeFrom(spark, base.toDF("doc_id", "text"), dir)
+    sources.DupIndex.appendDelta(spark, dir, delta, d1.toDF("doc_id", "text"), 1L)
+    sources.DupIndex.appendDelta(spark, dir, delta, d2.toDF("doc_id", "text"), 2L)
+    val probe1 = sources.DupIndex.probe(spark, dir,
+      d2.toDF("doc_id", "text"), Some(delta)).collect()
+    // the planted twin is caught (self-match excluded even though
+    // batch 2 already sits in the delta); its partner is whatever
+    // the exact reference says the min qualifying resident is — the
+    // batch-1 original, or a smaller-id near-dup of it in base
+    val twin = probe1.find(_.getLong(0) == 90000L).get
+    assert(twin.getString(1) == "dup_of_corpus", s"twin missed: ${twin.mkString(",")}")
+    // replayed trigger (same batch id) leaves the probe identical
+    sources.DupIndex.appendDelta(spark, dir, delta, d2.toDF("doc_id", "text"), 2L)
+    val probe2 = sources.DupIndex.probe(spark, dir,
+      d2.toDF("doc_id", "text"), Some(delta)).collect()
+    assert(probe1.map(_.toString).sorted.sameElements(probe2.map(_.toString).sorted),
+      "replayed delta batch changed probe output")
+    // and the delta probe agrees with the exact reference over
+    // base + both deltas as the resident set
+    val ref = dupRef(base ++ d1 ++ d2, d2, excludeSelf = true)
+    probe1.foreach { r =>
+      val id = r.getLong(0)
+      (ref(id), r.getString(1)) match {
+        case (Some((p, _)), v) => assert(v == "dup_of_corpus" && r.getLong(2) == p,
+          s"doc $id: got $v/${r.get(2)}, want $p")
+        case (None, v) => assert(v == "novel", s"doc $id: false dup")
+      }
+    }
+  }
+
+  test("dup index hot gate trips on an accumulated template and compaction equals a rebuild") {
+    import spark.implicits._
+    // base: 600 docs sharing a template shingle (df 600 <= cap, so
+    // NOT hot at build); delta: 1100 more with the same template
+    // (delta-side df 1100 > cap -> gate trips; union df 1700 -> the
+    // shingle must go hot at compaction)
+    def mk(id: Long) =
+      (id, s"tpl aa bb cc u${id}x u${id}y u${id}z w${id}a w${id}b")
+    val base = (0L until 600L).map(mk)
+    val delta = (1000L until 2100L).map(mk)
+    val bdir = tmp("hotbase"); val ddir = tmp("hotdelta")
+    val cdir = tmp("compacted"); val rdir = tmp("rebuilt")
+    sources.DupIndex.writeFrom(spark, base.toDF("doc_id", "text"), bdir)
+    sources.DupIndex.appendDelta(spark, bdir, ddir, delta.toDF("doc_id", "text"), 1L)
+    val gate = sources.DupIndex.hotGate(spark, ddir).collect()(0)
+    assert(gate.getAs[Boolean]("rebuild") && gate.getAs[Long]("n_newly_hot") >= 1L,
+      s"gate missed the accumulated template: $gate")
+    // a clean tail batch does not trip
+    val clean = (5000L until 5050L).map(mk). map { case (id, t) => (id, t.replace("tpl aa bb cc", s"p$id q$id r$id")) }
+    val cdelta = tmp("cleandelta")
+    sources.DupIndex.appendDelta(spark, bdir, cdelta, clean.toDF("doc_id", "text"), 1L)
+    assert(!sources.DupIndex.hotGate(spark, cdelta).collect()(0).getAs[Boolean]("rebuild"))
+    // compaction == from-scratch rebuild, postings and hot list both
+    sources.DupIndex.compact(spark, bdir, ddir, cdir)
+    sources.DupIndex.writeFrom(spark, (base ++ delta).toDF("doc_id", "text"), rdir)
+    def postRows(d: String) = spark.read.parquet(s"$d/post")
+      .select("sb", "s", "doc_id", "n")
+    def hotRows(d: String) = spark.read.parquet(s"$d/hot").select("sb", "s")
+    assert(postRows(cdir).exceptAll(postRows(rdir)).isEmpty &&
+      postRows(rdir).exceptAll(postRows(cdir)).isEmpty,
+      "compacted postings differ from rebuild")
+    assert(hotRows(cdir).exceptAll(hotRows(rdir)).isEmpty &&
+      hotRows(rdir).exceptAll(hotRows(cdir)).isEmpty,
+      "compacted hot list differs from rebuild")
+    // the template went hot: it appears in the compacted hot list
+    assert(spark.read.parquet(s"$cdir/hot").filter(col("s") === "tpl aa bb").count() == 1)
+  }
 }
