@@ -1,0 +1,92 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+import graft.sources.DupIndex
+
+/** ONLINE CORPUS ADMISSION — the streaming face of the persisted
+  * near-dup signature index ([[graft.sources.DupIndex]]), completing
+  * the persisted-index triad's online story: dense → [[IngestStream]]
+  * / [[ProbeStream]], lexical → [[RetrieveStream]], near-dup
+  * admission → this. Each trigger of crawled documents gets q138's
+  * verdict (dup_of_corpus + partner + exact Jaccard / novel) against
+  * base + ALL PRIOR ADMITTED TRIGGERS, and only its novel documents
+  * are appended to the index delta — so the next trigger dedups
+  * against them and the at-rest corpus keeps exactly one copy per
+  * near-dup family, without ever re-tokenizing the residents.
+  *
+  * Differs from [[DedupStream.neardupStream]] (in-memory MinHash
+  * state, pairs within the stream's own history) the way ProbeStream
+  * differs from the in-memory kNN: state here is the PERSISTED index
+  * — it survives restarts with no stream-state rebuild, is shared
+  * with the batch family (one `Dedup.shingledOf` tree), and is
+  * served/compacted by the same artifact the batch backfill probes.
+  * Intra-trigger duplicates are upstream's job (the stream guards /
+  * batch q40) — both copies of a twin born in ONE trigger read as
+  * novel and both are admitted, documented contract of
+  * [[DupIndex.probe]].
+  *
+  * REPLAY: verdicts land batch-partitioned with dynamic overwrite
+  * (the ProbeStream sink discipline). The probe EXCLUDES the
+  * trigger's own delta partition (`excludeBatch`) — on a crash
+  * replay the delta already holds `batch=<id>`, and probing against
+  * it would surface intra-trigger pairs the first run never saw;
+  * with the exclusion, verdicts are a pure function of (base, prior
+  * batches, trigger) and the re-run rewrites both its verdict and
+  * delta partitions byte-identically.
+  *
+  * Every non-empty trigger appends one DECISION-LOG row (the
+  * IngestStream pattern): admission counts plus [[DupIndex.hotGate]]
+  * priced over the delta AS THIS TRIGGER LEAVES IT — the rebuild
+  * signal (a template accumulating across triggers crosses the df
+  * cap in the delta long before probes degrade). Gate cost is one
+  * aggregate over the accumulated delta, bounded by compaction
+  * cadence (a rebuild via [[DupIndex.compact]] resets the delta).
+  *
+  * StreamingSpec proves: verdicts equal an exact sequential
+  * frozen-cap Jaccard reference (base-twin AND cross-trigger-twin
+  * both flagged with the right partner), only novel docs' postings
+  * land in the delta, a dropped-commit replay leaves verdicts and
+  * delta identical, and the post-restart trigger still dedups
+  * against pre-crash admissions.
+  */
+object AdmitStream {
+
+  /** Start the admission sink: `docs` is a streaming frame with
+    * (doc_id long, text string) rows; `basePath` a built
+    * [[DupIndex]]. */
+  def admitSink(docs: DataFrame, basePath: String, deltaPath: String,
+      verdictPath: String, logPath: String, checkpoint: String): StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val s = batch.sparkSession
+        val b = batch.select("doc_id", "text").localCheckpoint()
+        if (b.count() > 0) {
+          val verdicts = DupIndex.probe(s, basePath, b, Some(deltaPath),
+              excludeBatch = Some(id))
+            .localCheckpoint(false) // 3 consumers: sink + novel + log
+          verdicts.withColumn("batch", lit(id))
+            .write.mode("overwrite").partitionBy("batch")
+            .option("partitionOverwriteMode", "dynamic")
+            .parquet(verdictPath)
+          val novel = b.join(
+            verdicts.filter(col("verdict") === "novel").select("doc_id"), "doc_id")
+          DupIndex.appendDelta(s, basePath, deltaPath, novel, id)
+          val adm = verdicts.agg(
+            count(lit(1)).as("n_docs"),
+            sum(when(col("verdict") === "novel", 1L).otherwise(0L)).as("n_novel"))
+          adm.join(DupIndex.hotGate(s, deltaPath), lit(true), "left")
+            .withColumn("batch", lit(id))
+            .select("batch", "n_docs", "n_novel", "n_delta_shingles",
+              "n_newly_hot", "max_df", "cand_mass", "rebuild")
+            .write.mode("overwrite").partitionBy("batch")
+            .option("partitionOverwriteMode", "dynamic")
+            .parquet(logPath)
+        }
+        ()
+      }
+      .start()
+}

@@ -1349,4 +1349,120 @@ class StreamingSpec extends AnyFunSuite {
         "compaction changed probe results")
     }
   }
+
+  test("admission stream: verdicts equal the exact sequential reference, only novels land, crash replay is idempotent") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val docs = Tables(spark, sf, "documents").select("doc_id", "text")
+      .as[(Long, String)].collect().toSeq.sortBy(_._1)
+    val base = docs.filter(_._1 < 300)
+    def near(t: String) = { val w = t.split(' '); (w.take(3) ++ w).mkString(" ") }
+    def synth(id: Long) = (id, (0 to 9).map(i => s"zzq${id}t$i").mkString(" "))
+    // trigger 1: natural docs + a near-copy of a BASE doc + a
+    // guaranteed-novel synthetic; trigger 2: natural docs + a
+    // near-copy of THAT synthetic (cross-trigger dedup must catch
+    // it) + a second synthetic for the post-crash trigger to copy
+    val t1docs = (docs.filter(d => d._1 >= 300 && d._1 < 330) :+
+      ((80001L, near(base.head._2)))) :+ synth(80005L)
+    val t2docs = (docs.filter(d => d._1 >= 330 && d._1 < 350) :+
+      ((80002L, near(synth(80005L)._2)))) :+ synth(80006L)
+    val t3docs = Seq((80003L, near(synth(80006L)._2)))
+
+    // exact SEQUENTIAL reference — frozen base hot cap, residents
+    // grow by each trigger's novels only (a different substrate
+    // than the index path: Scala sets)
+    val thr = operators.Dedup.JaccThr.toDouble
+    def shingles(t: String): Set[String] = {
+      val tk = t.split(' ').filter(_.nonEmpty)
+      if (tk.length >= 3) tk.sliding(3).map(_.mkString(" ")).toSet
+      else Set.empty
+    }
+    val hot = base.iterator.flatMap(d => shingles(d._2)).toSeq
+      .groupBy(identity).collect { case (sh, xs) if xs.size > operators.Dedup.DfCap => sh }.toSet
+    def capped(t: String) = shingles(t) -- hot
+    val residents = scala.collection.mutable.Map(
+      base.map { case (id, t) => id -> capped(t) }: _*)
+    def refVerdicts(trigger: Seq[(Long, String)]): Map[Long, Option[(Long, Double)]] = {
+      val out = trigger.map { case (id, t) =>
+        val bs = capped(t)
+        val hits = residents.iterator.map { case (oid, os) =>
+          val c = (bs & os).size
+          val j = if (bs.isEmpty || os.isEmpty) 0.0
+                  else c.toDouble / (bs.size + os.size - c)
+          (oid, j)
+        }.filter(_._2 >= thr).toSeq
+        id -> hits.sortBy(_._1).headOption
+      }.toMap
+      trigger.foreach { case (id, t) =>
+        if (out(id).isEmpty) residents(id) = capped(t)
+      }
+      out
+    }
+
+    TestSpark.withTmpDir("admit-stream") { tmp =>
+      val basePath = s"$tmp/base"; val delta = s"$tmp/delta"
+      val verd = s"$tmp/verdicts"; val log = s"$tmp/log"; val ckpt = s"$tmp/ckpt"
+      sources.DupIndex.writeFrom(spark, base.toDF("doc_id", "text"), basePath)
+      val mem = MemoryStream[(Long, String)]
+      def start() = streaming.AdmitStream.admitSink(
+        mem.toDF().toDF("doc_id", "text"), basePath, delta, verd, log, ckpt)
+      val q1 = start()
+      mem.addData(t1docs); q1.processAllAvailable()
+      val ref1 = refVerdicts(t1docs)
+      mem.addData(t2docs); q1.processAllAvailable(); q1.stop()
+      val ref2 = refVerdicts(t2docs)
+      def checkBatch(batchId: Long, ref: Map[Long, Option[(Long, Double)]]): Unit = {
+        val got = spark.read.parquet(verd).filter(col("batch") === batchId)
+          .select("doc_id", "verdict", "partner_id", "jaccard").collect()
+        assert(got.length == ref.size, s"batch $batchId: ${got.length} vs ${ref.size} rows")
+        got.foreach { r =>
+          val id = r.getLong(0)
+          (ref(id), r.getString(1)) match {
+            case (Some((p, j)), v) =>
+              assert(v == "dup_of_corpus" && r.getLong(2) == p,
+                s"doc $id: got $v/${r.get(2)}, want dup_of_corpus/$p")
+              assert(math.abs(r.getDouble(3) - j) < 1e-6,
+                s"doc $id jaccard ${r.getDouble(3)} vs $j")
+            case (None, v) =>
+              assert(v == "novel", s"doc $id: false dup ${r.get(2)}")
+          }
+        }
+      }
+      checkBatch(0L, ref1); checkBatch(1L, ref2)
+      // the planted twins are non-vacuous: base twin flagged, and the
+      // trigger-2 twin's partner IS the trigger-1 synthetic
+      assert(ref1(80001L).isDefined, "base twin not flagged by the reference")
+      assert(ref2(80002L).exists(_._1 == 80005L),
+        s"cross-trigger twin partner: ${ref2(80002L)}")
+      // only novel docs' postings entered the delta
+      val novelIds = (ref1 ++ ref2).collect { case (id, None) => id }.toSet
+      val deltaIds = spark.read.parquet(delta).select("doc_id").distinct()
+        .collect().map(_.getLong(0)).toSet
+      assert(deltaIds.subsetOf(novelIds),
+        s"dup docs leaked into the delta: ${deltaIds -- novelIds}")
+      // decision log: one row per trigger with the right admission counts
+      val l0 = spark.read.parquet(log).filter(col("batch") === 0L).collect()(0)
+      assert(l0.getAs[Long]("n_docs") == t1docs.size &&
+        l0.getAs[Long]("n_novel") == ref1.count(_._2.isEmpty) &&
+        !l0.getAs[Boolean]("rebuild"), s"batch-0 log row: $l0")
+      // crash window: offsets say batch 1 ran, commits do not — the
+      // restart re-runs it; excludeBatch makes the re-probe identical
+      val vBefore = spark.read.parquet(verd).collect().map(_.toString).sorted
+      val dBefore = spark.read.parquet(delta).collect().map(_.toString).sorted
+      dropLatestCommit(ckpt)
+      val q2 = start(); q2.processAllAvailable()
+      assert(spark.read.parquet(verd).collect().map(_.toString).sorted
+        .sameElements(vBefore), "replayed trigger changed the verdicts")
+      assert(spark.read.parquet(delta).collect().map(_.toString).sorted
+        .sameElements(dBefore), "replayed trigger changed the delta")
+      // the stream's second life still dedups against pre-crash
+      // admissions: trigger 3's twin of the trigger-2 synthetic
+      mem.addData(t3docs); q2.processAllAvailable(); q2.stop()
+      val ref3 = refVerdicts(t3docs)
+      checkBatch(2L, ref3)
+      assert(ref3(80003L).exists(_._1 == 80006L),
+        s"post-restart cross-trigger partner: ${ref3(80003L)}")
+    }
+  }
 }
