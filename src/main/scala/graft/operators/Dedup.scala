@@ -970,10 +970,13 @@ object Dedup {
       .orderBy("source")
   }
 
-  private val q167Sql =
-    s"""WITH RECURSIVE $shingleCte,
-       $clusterCte,
-       cs AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS cluster_size
+  /** q167's per-source effective-mass CTE chain (expects `sh`/`cl`
+    * from [[shingleCte]]/[[clusterCte]] in scope): final CTE `eff` =
+    * (source, n_docs, raw_sum HUGEINT, wtok HUGEINT) — the exact
+    * integer moments q167 and the epoch scheduler
+    * ([[Sampling.q177]]'s oracle) both derive from, spelled ONCE. */
+  private[operators] val effCte =
+    """cs AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS cluster_size
               FROM cl GROUP BY 1),
        w AS (SELECT cl.doc_id, 1000000 // cluster_size AS weight_ppm
              FROM cl JOIN cs ON cl.cluster_id = cs.cluster_id),
@@ -981,12 +984,21 @@ object Dedup {
                  len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_tokens
                FROM documents),
        j AS (SELECT t.source, t.n_tokens::HUGEINT AS n_tokens, w.weight_ppm
-             FROM tok t JOIN w ON t.doc_id = w.doc_id)
-       SELECT source, count(*) AS n_docs,
-         CAST(sum(n_tokens) AS BIGINT) AS raw_tokens,
-         CAST(sum(n_tokens * weight_ppm) // 1000000 AS BIGINT) AS effective_tokens,
-         CAST(sum(n_tokens * weight_ppm) // sum(n_tokens) AS BIGINT) AS deflation_ppm
-       FROM j GROUP BY source ORDER BY source"""
+             FROM tok t JOIN w ON t.doc_id = w.doc_id),
+       eff AS (SELECT source, count(*) AS n_docs,
+                 sum(n_tokens) AS raw_sum,
+                 sum(n_tokens * weight_ppm) AS wtok
+               FROM j GROUP BY source)"""
+
+  private val q167Sql =
+    s"""WITH RECURSIVE $shingleCte,
+       $clusterCte,
+       $effCte
+       SELECT source, n_docs,
+         CAST(raw_sum AS BIGINT) AS raw_tokens,
+         CAST(wtok // 1000000 AS BIGINT) AS effective_tokens,
+         CAST(wtok // raw_sum AS BIGINT) AS deflation_ppm
+       FROM eff ORDER BY source"""
 
   /** INVERTED-INDEX HEALTH REPORT — the observability face of the
     * dedup index every other operator in this module rides: distinct

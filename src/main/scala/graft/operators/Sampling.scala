@@ -1472,6 +1472,102 @@ object Sampling {
            - (1000000 // $NShards) AS BIGINT) AS skew_ppm
        FROM h ORDER BY shard"""
 
+  /** Epoch-plan knobs, spelled ONCE into both engines (the JaccThr
+    * rule): the training token budget is [[SchedBudgetMul]] × the
+    * corpus's total EFFECTIVE tokens (a 2-epoch-average run — some
+    * upsampling is forced somewhere, which is what a scheduler is
+    * for), and no source repeats more than [[SchedMaxEpochsPpm]]/1e6
+    * passes (the standard repeat-cap: past ~4 epochs marginal data
+    * value decays and memorization risk grows). */
+  private[graft] val SchedBudgetMul = 2L
+  private[graft] val SchedMaxEpochsPpm = 4000000L
+
+  /** TRAINING EPOCH SCHEDULER — the per-source repeat plan a mixture
+    * owner ships (the Llama/Gopher-style "how many passes over each
+    * source at this token budget" table), closing the sampling
+    * family's loop: q167 prices each source's EFFECTIVE (dedup-
+    * deflated) mass, q100 tempers shares, q72/q172 admit documents —
+    * this operator turns those into the actual schedule. Per source:
+    * sqrt-tempered target tokens out of the global budget (the q100
+    * smoothing applied to effective mass, so low-resource sources
+    * are upsampled), the implied repeat factor in integer ppm,
+    * whether the repeat cap bound it, the planned tokens actually
+    * schedulable, and the shortfall the cap leaves unfilled (the
+    * number that says "buy more of THIS source").
+    *
+    * Numerics (the q142 class): budget × isq ≈ 5e13·2·7e6 ≈ 7e20
+    * overflows long — all products run through DECIMAL(38,0)
+    * (DuckDB HUGEINT) with ONE integer `div` each; planned tokens
+    * re-derive exactly from the cap branch (never re-divided, so no
+    * compounding floor drift); `floor(sqrt(x))` is the q100 spelling,
+    * identical in both engines. A zero-effective source (possible
+    * under weight floors) schedules zero with NULL epochs.
+    *
+    * Scale shape: q167's #sources-row frame (cached labels + one
+    * corpus projection) + one broadcast totals join; everything past
+    * the q167 scan is constant-sized. */
+  def q177(s: SparkSession, dir: String): DataFrame = {
+    val eff = Dedup.q167(s, dir)
+      .select(col("source"), col("n_docs"), col("raw_tokens"), col("effective_tokens"))
+      .withColumn("isq", expr("CAST(floor(sqrt(effective_tokens)) AS BIGINT)"))
+    val tot = eff.agg(sum("effective_tokens").as("te"), sum("isq").as("ts"))
+    eff.join(broadcast(tot), lit(true), "left")
+      .withColumn("target_tokens", expr(
+        s"CAST((CAST(te AS DECIMAL(38,0)) * $SchedBudgetMul * isq) div ts AS BIGINT)"))
+      .withColumn("epochs_ppm", expr(
+        """CASE WHEN effective_tokens = 0 THEN NULL
+           ELSE CAST((CAST(target_tokens AS DECIMAL(38,0)) * 1000000)
+                     div effective_tokens AS BIGINT) END"""))
+      .withColumn("capped",
+        col("epochs_ppm").isNotNull && col("epochs_ppm") > lit(SchedMaxEpochsPpm))
+      .withColumn("epochs_plan_ppm", expr(
+        s"CAST(CASE WHEN epochs_ppm IS NULL THEN 0 ELSE least(epochs_ppm, $SchedMaxEpochsPpm) END AS BIGINT)"))
+      .withColumn("planned_tokens", expr(
+        s"""CAST(CASE WHEN epochs_ppm IS NULL THEN 0
+            WHEN epochs_ppm > $SchedMaxEpochsPpm
+              THEN effective_tokens * ${SchedMaxEpochsPpm / 1000000L}
+            ELSE target_tokens END AS BIGINT)"""))
+      .withColumn("shortfall_tokens", col("target_tokens") - col("planned_tokens"))
+      .select("source", "n_docs", "raw_tokens", "effective_tokens",
+        "target_tokens", "epochs_ppm", "capped", "epochs_plan_ppm",
+        "planned_tokens", "shortfall_tokens")
+      .orderBy("source")
+  }
+
+  /** Oracle = q167's shared effective-mass CTE ([[Dedup.effCte]]) +
+    * the schedule arithmetic in HUGEINT. lazy: reads Dedup's CTEs
+    * (the q134Sql init-cycle class). */
+  private lazy val q177Sql =
+    s"""WITH RECURSIVE ${Dedup.shingleCte},
+       ${Dedup.clusterCte},
+       ${Dedup.effCte},
+       ep_i AS (SELECT source, n_docs,
+               CAST(raw_sum AS BIGINT) AS raw_tokens,
+               CAST(wtok // 1000000 AS BIGINT) AS effective_tokens,
+               CAST(floor(sqrt(CAST(wtok // 1000000 AS BIGINT))) AS BIGINT) AS isq
+             FROM eff),
+       ep_t AS (SELECT sum(effective_tokens) AS te, sum(isq) AS ts FROM ep_i),
+       ep_p AS (SELECT ep_i.*, CAST((te::HUGEINT * $SchedBudgetMul * isq) // ts AS BIGINT)
+               AS target_tokens FROM ep_i, ep_t),
+       ep_q AS (SELECT *, CASE WHEN effective_tokens = 0 THEN NULL
+               ELSE CAST((target_tokens::HUGEINT * 1000000) // effective_tokens AS BIGINT)
+             END AS epochs_ppm FROM ep_p)
+       SELECT source, n_docs, raw_tokens, effective_tokens, target_tokens,
+         epochs_ppm,
+         epochs_ppm IS NOT NULL AND epochs_ppm > $SchedMaxEpochsPpm AS capped,
+         CAST(CASE WHEN epochs_ppm IS NULL THEN 0
+              ELSE least(epochs_ppm, $SchedMaxEpochsPpm) END AS BIGINT) AS epochs_plan_ppm,
+         CAST(CASE WHEN epochs_ppm IS NULL THEN 0
+              WHEN epochs_ppm > $SchedMaxEpochsPpm
+                THEN effective_tokens * ${SchedMaxEpochsPpm / 1000000L}
+              ELSE target_tokens END AS BIGINT) AS planned_tokens,
+         CAST(target_tokens -
+           CASE WHEN epochs_ppm IS NULL THEN 0
+                WHEN epochs_ppm > $SchedMaxEpochsPpm
+                  THEN effective_tokens * ${SchedMaxEpochsPpm / 1000000L}
+                ELSE target_tokens END AS BIGINT) AS shortfall_tokens
+       FROM ep_q ORDER BY source"""
+
   val qs: Seq[Q] = Seq(
     Q("q66_train_split", q66, Some(q66Sql)),
     Q("q67_stratified_sample", q67, Some(q67Sql)),
@@ -1496,5 +1592,6 @@ object Sampling {
     Q("q161_cluster_safe_split", q161, Some(q161Sql)),
     Q("q170_shard_manifest", q170, Some(q170Sql)),
     Q("q172_dedup_aware_mix", q172, Some(q172Sql)),
-    Q("q173_contamination_attribution", q173, Some(q173Sql)))
+    Q("q173_contamination_attribution", q173, Some(q173Sql)),
+    Q("q177_epoch_plan", q177, Some(q177Sql)))
 }

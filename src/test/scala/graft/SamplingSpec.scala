@@ -296,6 +296,46 @@ class SamplingSpec extends AnyFunSuite {
       s"doc ${r.getLong(0)} effective not deflated"))
   }
 
+  test("q177 epoch plan recomputes exactly from q167's effective masses") {
+    val eff = operators.Dedup.q167(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    def isqrt(x: Long) = math.floor(math.sqrt(x.toDouble)).toLong
+    val te = eff.map(_._4).sum
+    val ts = eff.map(e => isqrt(e._4)).sum
+    val got = operators.Sampling.q177(spark, sf).collect()
+    assert(got.nonEmpty && got.length == eff.length)
+    val bySrc = eff.map(e => e._1 -> e).toMap
+    got.foreach { r =>
+      val (src, nd, raw, ef) = bySrc(r.getString(0))
+      assert(r.getLong(1) == nd && r.getLong(2) == raw && r.getLong(3) == ef,
+        s"$src q167 columns drifted")
+      val target = (BigInt(te) * 2 * isqrt(ef) / BigInt(ts)).toLong
+      assert(r.getLong(4) == target, s"$src target ${r.getLong(4)} vs $target")
+      if (ef == 0L) {
+        assert(r.isNullAt(5) && !r.getBoolean(6) &&
+          r.getLong(7) == 0L && r.getLong(8) == 0L &&
+          r.getLong(9) == target, s"$src zero-effective branch")
+      } else {
+        val ep = (BigInt(target) * 1000000 / ef).toLong
+        assert(r.getLong(5) == ep, s"$src epochs_ppm")
+        assert(r.getBoolean(6) == (ep > 4000000L), s"$src capped")
+        assert(r.getLong(7) == math.min(ep, 4000000L), s"$src plan ppm")
+        val planned = if (ep > 4000000L) ef * 4L else target
+        assert(r.getLong(8) == planned && r.getLong(9) == target - planned,
+          s"$src planned/shortfall")
+      }
+    }
+    // budget conservation: Σ target = 2·TE minus only per-source
+    // integer-floor loss (< 1 token each)
+    val sumT = got.map(_.getLong(4)).sum
+    assert(sumT <= 2L * te && 2L * te - sumT < eff.length.toLong,
+      s"target mass $sumT vs budget ${2L * te}")
+    // the schedule actually upsamples somewhere (budget 2x effective
+    // forces mean epochs 2): some source plans above one pass
+    assert(got.exists(r => !r.isNullAt(5) && r.getLong(7) > 1000000L),
+      "no source upsampled: vacuous schedule")
+  }
+
   test("q74 matches a brute-force sequential packing recomputation") {
     def bucket(text: String): Long = {
       val md = java.security.MessageDigest.getInstance("MD5")
