@@ -1331,6 +1331,94 @@ object Dedup {
        FROM base JOIN ml ON base.cluster_id = ml.cluster_id
        ORDER BY base.cluster_id"""
 
+  /** DUPLICATION×QUALITY PROFILE — per cluster-size BAND (x1 /
+    * x2-3 / x4-7 / x8+), document and token volume, corpus share,
+    * mean q60 quality, and PII incidence: the audit that answers
+    * "is duplicated content systematically worse?" BEFORE a dedup
+    * policy ships. If the x8+ band's mean quality sags and its PII
+    * rate climbs (boilerplate/templates duplicate most), hard
+    * canonical-keep (q65) is safe; if heavy bands hold quality,
+    * soft weighting (q164/q165) preserves mass a hard drop would
+    * burn. Complements q134 (kept-vs-dropped bias, a 2-row view) by
+    * resolving WHERE in the duplication spectrum quality moves.
+    *
+    * Numerics: quality in q134's re-integerized r4 units
+    * (floor(q·10⁴+0.5) longs summed, ONE divide); shares through
+    * DECIMAL(38,0) (the q142 class); all else integer.
+    *
+    * Scale shape: cached q65 labels (edge-sized) left-joined onto
+    * two map-only passes (q60 score + PII flags), singleton fallback
+    * by coalesce (the q167 idiom — singletons never enter the label
+    * loop); one map-side-combined groupBy to ≤4 band rows; the share
+    * join is a 1-row broadcast. */
+  def q178(s: SparkSession, dir: String): DataFrame = {
+    val labels = clusterLabels(s, dir)
+    val sizes = labels.groupBy("cluster_id").agg(count(lit(1)).as("cluster_size"))
+    val byBand = TextOps.q60(s, dir).select("doc_id", "n_tokens", "quality_score")
+      .join(TextOps.scrub(Tables(s, dir, "documents").select("doc_id", "text"))
+        .select("doc_id", "is_clean"), "doc_id")
+      .join(labels, Seq("doc_id"), "left")
+      .withColumn("cluster_id", coalesce(col("cluster_id"), col("doc_id")))
+      .join(sizes, Seq("cluster_id"), "left")
+      .withColumn("cluster_size", coalesce(col("cluster_size"), lit(1L)))
+      .withColumn("band", expr(
+        """CASE WHEN cluster_size = 1 THEN 'x1'
+                WHEN cluster_size <= 3 THEN 'x2-3'
+                WHEN cluster_size <= 7 THEN 'x4-7'
+                ELSE 'x8+' END"""))
+      .withColumn("q4", expr("CAST(floor(quality_score*10000.0 + 0.5) AS BIGINT)"))
+      .groupBy("band")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct("cluster_id").as("n_clusters"),
+        sum("n_tokens").as("n_tokens"),
+        sum("q4").as("uq"),
+        sum(when(col("is_clean"), 0L).otherwise(1L)).as("n_pii"))
+    val tot = byBand.agg(sum("n_docs").as("td"))
+    byBand.join(broadcast(tot), lit(true), "left")
+      .select(col("band"), col("n_docs"), col("n_clusters"), col("n_tokens"),
+        ops.r4(col("uq") / (lit(10000.0) * col("n_docs"))).as("mean_quality"),
+        expr("(n_pii * 1000000) div n_docs").as("pii_ppm"),
+        expr("CASE WHEN td IS NULL THEN NULL ELSE (CAST(n_docs AS DECIMAL(38,0)) * 1000000) div td END")
+          .as("share_ppm"))
+      .orderBy("band")
+  }
+
+  // lazy: reads TextOps fragments (the q134Sql init-cycle class)
+  private lazy val q178Sql =
+    s"""WITH RECURSIVE $shingleCte,
+       $clusterCte,
+       dq_cs AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS cluster_size
+                 FROM cl GROUP BY 1),
+       dq_q AS (SELECT doc_id, len(tk) AS n_tokens,
+                  CAST(floor((${TextOps.QualityScoreSql})*10000.0 + 0.5) AS BIGINT) AS q4
+                FROM t),
+       dq_p AS (SELECT doc_id,
+                  len(regexp_extract_all(text, '${TextOps.EmailRe}')) +
+                  len(regexp_extract_all(text, '${TextOps.PhoneRe}')) = 0 AS is_clean
+                FROM documents),
+       dq_b AS (SELECT CASE WHEN cluster_size = 1 THEN 'x1'
+                            WHEN cluster_size <= 3 THEN 'x2-3'
+                            WHEN cluster_size <= 7 THEN 'x4-7'
+                            ELSE 'x8+' END AS band,
+                  q.n_tokens, q.q4, p.is_clean, c.cluster_id
+                FROM dq_q q JOIN dq_p p ON q.doc_id = p.doc_id
+                     JOIN cl c ON q.doc_id = c.doc_id
+                     JOIN dq_cs ON c.cluster_id = dq_cs.cluster_id),
+       dq_g AS (SELECT band, CAST(count(*) AS BIGINT) AS n_docs,
+                  CAST(count(DISTINCT cluster_id) AS BIGINT) AS n_clusters,
+                  CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+                  CAST(sum(q4) AS BIGINT) AS uq,
+                  sum(CASE WHEN is_clean THEN 0 ELSE 1 END) AS n_pii
+                FROM dq_b GROUP BY 1),
+       dq_t AS (SELECT sum(n_docs) AS td FROM dq_g)
+       SELECT band, n_docs, n_clusters, n_tokens,
+              ${ops.R4("uq/(10000.0*n_docs)")} AS mean_quality,
+              CAST((n_pii * 1000000) // n_docs AS BIGINT) AS pii_ppm,
+              CASE WHEN td IS NULL THEN NULL
+                   ELSE CAST((n_docs::HUGEINT * 1000000) // td AS BIGINT) END AS share_ppm
+       FROM dq_g LEFT JOIN dq_t ON true
+       ORDER BY band"""
+
   /** Cross-source duplication matrix — which ingestion sources
     * duplicate which: for every unordered source pair, how many
     * DISTINCT texts appear in both (the crawl-overlap report that
@@ -1585,6 +1673,7 @@ object Dedup {
     Q("q167_effective_corpus", q167, Some(q167Sql)),
     Q("q175_source_neardup_matrix", q175, Some(q175Sql)),
     Q("q176_cluster_purity", q176, Some(q176Sql)),
+    Q("q178_dup_quality", q178, Some(q178Sql)),
     Q("q138_incremental_dedup", q138, Some(q138Sql)),
     Q("q144_dedup_eval", q144, None),
     Q("q145_index_stats", q145, Some(q145Sql)),

@@ -486,6 +486,44 @@ class DedupSpec extends AnyFunSuite {
     assert(got.values.map(_._2).sum == nTotal)
   }
 
+  test("q178 duplication-quality profile equals an exact recompute from q65 + q60 + scrub") {
+    val labels = operators.Dedup.q65(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val csize = labels.values.toSeq.groupBy(identity)
+      .map { case (c, xs) => c -> xs.size.toLong }
+    val qual = operators.TextOps.q60(spark, sf)
+      .select("doc_id", "n_tokens", "quality_score").collect()
+      .map(r => (r.getLong(0), r.getInt(1).toLong,
+        math.floor(r.getDouble(2) * 1e4 + 0.5).toLong))
+    val clean = operators.TextOps
+      .scrub(Tables(spark, sf, "documents").select("doc_id", "text"))
+      .select("doc_id", "is_clean").collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    def band(sz: Long) =
+      if (sz == 1L) "x1" else if (sz <= 3L) "x2-3" else if (sz <= 7L) "x4-7" else "x8+"
+    val rows = qual.map { case (id, nt, q4) =>
+      val cid = labels(id)
+      (band(csize(cid)), cid, nt, q4, clean(id))
+    }
+    val td = rows.length.toLong
+    val want = rows.groupBy(_._1).map { case (b, rs) =>
+      val n = rs.length.toLong
+      val uq = rs.map(_._4).sum
+      b -> ((n, rs.map(_._2).distinct.length.toLong, rs.map(_._3).sum,
+        math.floor(uq / (1e4 * n) * 1e4 + 0.5) / 1e4,
+        rs.count(!_._5).toLong * 1000000L / n,
+        (BigInt(n) * 1000000 / td).toLong))
+    }
+    val got = operators.Dedup.q178(spark, sf).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getLong(5), r.getLong(6)))).toMap
+    assert(got == want,
+      s"first diff: ${got.find(kv => want.get(kv._1) != Some(kv._2))}")
+    assert(got.values.map(_._1).sum == td, "bands do not conserve docs")
+    assert(got.contains("x1") && got.size >= 2,
+      "corpus lacks band diversity: vacuous")
+  }
+
   test("q138 incremental verdicts derive exactly from the full q41 pair set") {
     val got = operators.Dedup.q138(spark, sf).collect()
       .map(r => r.getLong(0) -> ((r.getString(1),
