@@ -305,6 +305,20 @@ class PlanGuardSpec extends AnyFunSuite {
       "q171 plans an all-pairs join")
   }
 
+  test("r7 schedule/audit operators keep their scale shapes") {
+    // q177/q178: everything past the (cached-label + corpus scan)
+    // joins is a #sources/#bands-row frame; the totals join must be
+    // a 1-row BROADCAST (left-on-true, the q107 empty-frame rule) —
+    // never a cartesian, never a data-sized window
+    for (q <- Seq("q177_epoch_plan", "q178_dup_quality")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q plans a cartesian")
+      assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+        s"$q lost its broadcast totals join: $p")
+      assert(!p.contains("Window"), s"$q plans a window")
+    }
+  }
+
   test("histogram-selection queries ride the two-phase cumsum core, never a one-task ordered window") {
     // r7: q125/q139/q141/q145/q148 migrated onto q123's
     // range-partitioned cumulative (ops.globalCumsum /
