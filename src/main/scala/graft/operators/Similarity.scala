@@ -1123,7 +1123,21 @@ object Similarity {
     * SF — the non-vacuous-path rule. */
   private[graft] val HybDfMaxPpm = 500000L
 
-  private[graft] def lexRank(s: SparkSession, dir: String): DataFrame = {
+  /** The two corpus-shaped retrieval branches are pure functions of
+    * (session, dir) and BOTH q160 and q163 compute them — MEMOIZED
+    * like fitCache/labelsCache/pairsCache. The cached frames are
+    * tiny (≤ HybK×QueryMax rows) so the localCheckpoint is the
+    * cheap-barrier case of the CLAUDE.md measure-don't-assume rule;
+    * custom-frame consumers (the persisted-index probe, specs) go
+    * through [[lexRankOf]], uncached. */
+  private val rankCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String, String), DataFrame]
+
+  private[graft] def lexRank(s: SparkSession, dir: String): DataFrame =
+    rankCache.getOrElseUpdate((s, dir, "lex"),
+      lexRankUncached(s, dir).localCheckpoint(false))
+
+  private def lexRankUncached(s: SparkSession, dir: String): DataFrame = {
     val tkE = Dedup.tokensExpr
     val docs = Tables(s, dir, "documents")
     val stats = docs.agg(
@@ -1196,7 +1210,11 @@ object Similarity {
   /** The dense (exact cosine) branch: (query_id, doc_id, vec_rank)
     * top-[[HybK]] per query — q50's broadcast-query scan with the
     * integer micro-cosine rank key. */
-  private[graft] def vecRank(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def vecRank(s: SparkSession, dir: String): DataFrame =
+    rankCache.getOrElseUpdate((s, dir, "vec"),
+      vecRankUncached(s, dir).localCheckpoint(false))
+
+  private def vecRankUncached(s: SparkSession, dir: String): DataFrame = {
     val e = withNorm(Tables(s, dir, "embeddings"))
     val q = e.filter(col("vec_id") < QueryMax)
       .select(col("vec_id").as("query_id"), col("ed").as("qe"), col("nrm").as("qn"))
@@ -1389,8 +1407,9 @@ object Similarity {
       .distinct()
       .localCheckpoint(false)
     val nt = truth.agg(count(lit(1)).as("n_truth"))
-    val lex = lexRank(s, dir).localCheckpoint(false)
-    val vec = vecRank(s, dir).localCheckpoint(false)
+    // already checkpointed by the rank cache
+    val lex = lexRank(s, dir)
+    val vec = vecRank(s, dir)
     def row(name: String, ranked: DataFrame): DataFrame =
       ranked.select("query_id", "doc_id")
         .join(truth, Seq("query_id", "doc_id"), "left_semi")
