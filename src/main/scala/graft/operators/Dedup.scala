@@ -33,7 +33,7 @@ object Dedup {
 
   /** Distinct word 3-gram shingles over ANY (doc_id, text) frame —
     * ONE expression tree shared by the batch operators and the
-    * persisted signature index ([[graft.sources.SigIndex]]), the
+    * persisted signature index ([[graft.sources.DupIndex]]), the
     * FreqStream shared-expression discipline: index build, delta
     * ingest, and batch backfill cannot drift on what a shingle is. */
   private[graft] def shingledOf(docs: DataFrame): DataFrame =
@@ -1373,6 +1373,10 @@ object Dedup {
         sum("n_tokens").as("n_tokens"),
         sum("q4").as("uq"),
         sum(when(col("is_clean"), 0L).otherwise(1L)).as("n_pii"))
+      // ≤4-row frame, two consumers (totals + report) on an
+      // expensive lineage (q60 scan + scrub + label joins): tiny
+      // checkpoint retires a duplicate corpus scan (the q79/q84 rule)
+      .localCheckpoint(false)
     val tot = byBand.agg(sum("n_docs").as("td"))
     byBand.join(broadcast(tot), lit(true), "left")
       .select(col("band"), col("n_docs"), col("n_clusters"), col("n_tokens"),

@@ -1507,13 +1507,20 @@ object Sampling {
     * corpus projection) + one broadcast totals join; everything past
     * the q167 scan is constant-sized. */
   def q177(s: SparkSession, dir: String): DataFrame = {
+    // #sources-row frame, TWO consumers (totals + the schedule join)
+    // on an expensive lineage (q167's corpus projection + label
+    // joins re-execute per consumer — no cross-consumer CSE): tiny
+    // checkpoint retires a duplicate corpus scan (the q79/q84 rule)
     val eff = Dedup.q167(s, dir)
       .select(col("source"), col("n_docs"), col("raw_tokens"), col("effective_tokens"))
       .withColumn("isq", expr("CAST(floor(sqrt(effective_tokens)) AS BIGINT)"))
+      .localCheckpoint(false)
     val tot = eff.agg(sum("effective_tokens").as("te"), sum("isq").as("ts"))
     eff.join(broadcast(tot), lit(true), "left")
       .withColumn("target_tokens", expr(
-        s"CAST((CAST(te AS DECIMAL(38,0)) * $SchedBudgetMul * isq) div ts AS BIGINT)"))
+        s"""CASE WHEN ts = 0 THEN 0
+            ELSE CAST((CAST(te AS DECIMAL(38,0)) * $SchedBudgetMul * isq) div ts AS BIGINT)
+            END"""))
       .withColumn("epochs_ppm", expr(
         """CASE WHEN effective_tokens = 0 THEN NULL
            ELSE CAST((CAST(target_tokens AS DECIMAL(38,0)) * 1000000)
@@ -1523,9 +1530,12 @@ object Sampling {
       .withColumn("epochs_plan_ppm", expr(
         s"CAST(CASE WHEN epochs_ppm IS NULL THEN 0 ELSE least(epochs_ppm, $SchedMaxEpochsPpm) END AS BIGINT)"))
       .withColumn("planned_tokens", expr(
+        // the capped branch keeps the ppm arithmetic exact (a
+        // non-multiple-of-1e6 cap must not silently truncate to a
+        // whole epoch count) — eff × cap through DECIMAL, ONE div
         s"""CAST(CASE WHEN epochs_ppm IS NULL THEN 0
             WHEN epochs_ppm > $SchedMaxEpochsPpm
-              THEN effective_tokens * ${SchedMaxEpochsPpm / 1000000L}
+              THEN (CAST(effective_tokens AS DECIMAL(38,0)) * $SchedMaxEpochsPpm) div 1000000
             ELSE target_tokens END AS BIGINT)"""))
       .withColumn("shortfall_tokens", col("target_tokens") - col("planned_tokens"))
       .select("source", "n_docs", "raw_tokens", "effective_tokens",
@@ -1547,8 +1557,9 @@ object Sampling {
                CAST(floor(sqrt(CAST(wtok // 1000000 AS BIGINT))) AS BIGINT) AS isq
              FROM eff),
        ep_t AS (SELECT sum(effective_tokens) AS te, sum(isq) AS ts FROM ep_i),
-       ep_p AS (SELECT ep_i.*, CAST((te::HUGEINT * $SchedBudgetMul * isq) // ts AS BIGINT)
-               AS target_tokens FROM ep_i, ep_t),
+       ep_p AS (SELECT ep_i.*, CASE WHEN ts = 0 THEN 0
+                 ELSE CAST((te::HUGEINT * $SchedBudgetMul * isq) // ts AS BIGINT)
+               END AS target_tokens FROM ep_i, ep_t),
        ep_q AS (SELECT *, CASE WHEN effective_tokens = 0 THEN NULL
                ELSE CAST((target_tokens::HUGEINT * 1000000) // effective_tokens AS BIGINT)
              END AS epochs_ppm FROM ep_p)
@@ -1559,12 +1570,12 @@ object Sampling {
               ELSE least(epochs_ppm, $SchedMaxEpochsPpm) END AS BIGINT) AS epochs_plan_ppm,
          CAST(CASE WHEN epochs_ppm IS NULL THEN 0
               WHEN epochs_ppm > $SchedMaxEpochsPpm
-                THEN effective_tokens * ${SchedMaxEpochsPpm / 1000000L}
+                THEN (effective_tokens::HUGEINT * $SchedMaxEpochsPpm) // 1000000
               ELSE target_tokens END AS BIGINT) AS planned_tokens,
          CAST(target_tokens -
            CASE WHEN epochs_ppm IS NULL THEN 0
                 WHEN epochs_ppm > $SchedMaxEpochsPpm
-                  THEN effective_tokens * ${SchedMaxEpochsPpm / 1000000L}
+                  THEN (effective_tokens::HUGEINT * $SchedMaxEpochsPpm) // 1000000
                 ELSE target_tokens END AS BIGINT) AS shortfall_tokens
        FROM ep_q ORDER BY source"""
 

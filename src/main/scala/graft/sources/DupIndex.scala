@@ -87,9 +87,13 @@ object DupIndex {
   /** [[write]] over any (doc_id, text) frame — specs build bases
     * from corpus subsets to exercise the delta path. */
   def writeFrom(s: SparkSession, docs: DataFrame, path: String): Unit = {
-    val sh = Dedup.shingledOf(docs)
+    // the corpus tokenize+shingle subtree has three consumers (hot
+    // agg, anti-join, and the hot-list write's own lineage) — ONE
+    // checkpoint, or a 100 TB base build scans the corpus thrice
+    val sh = Dedup.shingledOf(docs).localCheckpoint(false)
     val hot = sh.groupBy("s").agg(count(lit(1)).as("df"))
       .filter(col("df") > Dedup.DfCap).select("s")
+      .localCheckpoint(false) // tiny; 2 consumers: anti join + write
     writePostings(sh.join(hot, Seq("s"), "left_anti"), post(path))
     hot.withColumn("sb", bucket(col("s")))
       .write.mode(SaveMode.Overwrite).partitionBy("sb").parquet(hotP(path))
@@ -202,19 +206,40 @@ object DupIndex {
   }
 
   /** HOT-DRIFT GATE — compact-vs-keep-appending decided from
-    * MEASURED delta skew (the refitGate / coverageGate analog): over
-    * the accumulated delta postings, per-shingle document frequency;
-    * a shingle whose DELTA-side df alone exceeds the cap is a
-    * template that went hot after base build — every future probe
-    * match-multiplies on it (the stream-shaped q44 quadratic the
+    * MEASURED drift (the refitGate / coverageGate analog): per
+    * delta shingle, the UNION document frequency (delta occurrences
+    * + base occurrences of the same shingle) against the cap — a
+    * template that went hot after base build match-multiplies every
+    * future probe on its key (the stream-shaped q44 quadratic the
     * DedupStream candidate budget guards against per trigger, here
-    * accumulated at rest). One bounded aggregate; no probe, no join.
-    * Emits the decision row: newly-hot count, worst df, and the
-    * candidate mass Σ df·(df−1)/2 those keys would inject into a
-    * probe. */
-  def hotGate(s: SparkSession, deltaPath: String): DataFrame =
-    s.read.schema(deltaSchema).parquet(deltaPath)
-      .groupBy("s").agg(count(lit(1)).as("df"))
+    * accumulated at rest). Every delta shingle is non-hot at base
+    * by construction (delta capping is against the frozen hot
+    * list), so union df > cap is EXACTLY "crossed the cap after
+    * base build" — counting delta-side df alone would blind the
+    * gate to a template sitting just under the cap at build (base
+    * 990 + delta 900 is hot at 1890 yet each side is under 1000).
+    * The base lookup is pruned to the delta's shingle buckets
+    * (partition filter) and grouped over that slice only; pass
+    * basePath = None for the delta-local statistic. Emits the
+    * decision row: newly-hot count, worst union df, and the pair
+    * mass Σ df·(df−1)/2 those keys would inject into a probe. */
+  def hotGate(s: SparkSession, deltaPath: String,
+      basePath: Option[String] = None): DataFrame = {
+    val delta = s.read.schema(deltaSchema).parquet(deltaPath)
+    val ddf = delta.groupBy("sb", "s").agg(count(lit(1)).as("df_delta"))
+    val withDf = basePath match {
+      case Some(bp) =>
+        // bucket footprint off the raw read: sb is a partition
+        // column, so this action reads directory names, not postings
+        val sbs = delta.select("sb").distinct().collect().map(_.getLong(0)).toSeq
+        val bdf = s.read.schema(postSchema).parquet(post(bp))
+          .filter(col("sb").isin(sbs: _*))
+          .groupBy("sb", "s").agg(count(lit(1)).as("df_base"))
+        ddf.join(bdf, Seq("sb", "s"), "left")
+          .withColumn("df", col("df_delta") + coalesce(col("df_base"), lit(0L)))
+      case None => ddf.withColumn("df", col("df_delta"))
+    }
+    withDf
       .agg(count(lit(1)).as("n_delta_shingles"),
         // coalesced: an EMPTY delta (all-dup triggers so far) must
         // read as a clean gate row, not a null the caller NPEs on
@@ -227,6 +252,7 @@ object DupIndex {
           lit(0).cast("decimal(38,0)"))
           .cast("decimal(38,0)").as("cand_mass"))
       .withColumn("rebuild", col("n_newly_hot") > 0L)
+  }
 
   /** COMPACTION — fold the delta into a fresh base at `outPath`,
     * re-applying the df cap over the UNION: recount df, drop the

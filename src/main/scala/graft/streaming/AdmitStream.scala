@@ -78,7 +78,7 @@ object AdmitStream {
           val adm = verdicts.agg(
             count(lit(1)).as("n_docs"),
             sum(when(col("verdict") === "novel", 1L).otherwise(0L)).as("n_novel"))
-          adm.join(DupIndex.hotGate(s, deltaPath), lit(true), "left")
+          adm.join(DupIndex.hotGate(s, deltaPath, Some(basePath)), lit(true), "left")
             .withColumn("batch", lit(id))
             .select("batch", "n_docs", "n_novel", "n_delta_shingles",
               "n_newly_hot", "max_df", "cand_mass", "rebuild")

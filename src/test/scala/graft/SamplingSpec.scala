@@ -320,7 +320,8 @@ class SamplingSpec extends AnyFunSuite {
         assert(r.getLong(5) == ep, s"$src epochs_ppm")
         assert(r.getBoolean(6) == (ep > 4000000L), s"$src capped")
         assert(r.getLong(7) == math.min(ep, 4000000L), s"$src plan ppm")
-        val planned = if (ep > 4000000L) ef * 4L else target
+        val planned =
+          if (ep > 4000000L) (BigInt(ef) * 4000000L / 1000000L).toLong else target
         assert(r.getLong(8) == planned && r.getLong(9) == target - planned,
           s"$src planned/shortfall")
       }
