@@ -218,23 +218,19 @@ object DupIndex {
     * base build" — counting delta-side df alone would blind the
     * gate to a template sitting just under the cap at build (base
     * 990 + delta 900 is hot at 1890 yet each side is under 1000).
-    * The base lookup is pruned to the delta's shingle buckets
-    * (partition filter) and grouped over that slice only; pass
-    * basePath = None for the delta-local statistic. Emits the
-    * decision row: newly-hot count, worst union df, and the pair
-    * mass Σ df·(df−1)/2 those keys would inject into a probe. */
+    * The base side is the PRECOMPUTED [[baseDf]] frame — static
+    * between compactions, so a long-lived sink prices it once
+    * (IngestStream's idxStats discipline) instead of re-aggregating
+    * the base postings per trigger; pass None for the delta-local
+    * statistic. Emits the decision row: newly-hot count, worst
+    * union df, and the pair mass Σ df·(df−1)/2 those keys would
+    * inject into a probe. */
   def hotGate(s: SparkSession, deltaPath: String,
-      basePath: Option[String] = None): DataFrame = {
-    val delta = s.read.schema(deltaSchema).parquet(deltaPath)
-    val ddf = delta.groupBy("sb", "s").agg(count(lit(1)).as("df_delta"))
-    val withDf = basePath match {
-      case Some(bp) =>
-        // bucket footprint off the raw read: sb is a partition
-        // column, so this action reads directory names, not postings
-        val sbs = delta.select("sb").distinct().collect().map(_.getLong(0)).toSeq
-        val bdf = s.read.schema(postSchema).parquet(post(bp))
-          .filter(col("sb").isin(sbs: _*))
-          .groupBy("sb", "s").agg(count(lit(1)).as("df_base"))
+      baseDfPre: Option[DataFrame] = None): DataFrame = {
+    val ddf = s.read.schema(deltaSchema).parquet(deltaPath)
+      .groupBy("sb", "s").agg(count(lit(1)).as("df_delta"))
+    val withDf = baseDfPre match {
+      case Some(bdf) =>
         ddf.join(bdf, Seq("sb", "s"), "left")
           .withColumn("df", col("df_delta") + coalesce(col("df_base"), lit(0L)))
       case None => ddf.withColumn("df", col("df_delta"))
@@ -253,6 +249,17 @@ object DupIndex {
           .cast("decimal(38,0)").as("cand_mass"))
       .withColumn("rebuild", col("n_newly_hot") > 0L)
   }
+
+  /** Per-shingle BASE document frequency (sb, s, df_base) — the
+    * [[hotGate]] comparand. Static between compactions: a serving
+    * tier computes it once per index root (checkpointed), never per
+    * trigger. By the frozen-hot discipline every posting shingle is
+    * ≤ cap here, so the frame is bounded by the base's distinct
+    * non-hot shingles. */
+  def baseDf(s: SparkSession, basePath: String): DataFrame =
+    s.read.schema(postSchema).parquet(post(basePath))
+      .groupBy("sb", "s").agg(count(lit(1)).as("df_base"))
+      .localCheckpoint(false)
 
   /** COMPACTION — fold the delta into a fresh base at `outPath`,
     * re-applying the df cap over the UNION: recount df, drop the

@@ -58,7 +58,12 @@ object AdmitStream {
     * (doc_id long, text string) rows; `basePath` a built
     * [[DupIndex]]. */
   def admitSink(docs: DataFrame, basePath: String, deltaPath: String,
-      verdictPath: String, logPath: String, checkpoint: String): StreamingQuery =
+      verdictPath: String, logPath: String, checkpoint: String): StreamingQuery = {
+    // the hot gate's base comparand: static between compactions,
+    // priced ONCE at sink start (the IngestStream idxStats
+    // discipline) — per-trigger cost must not include re-aggregating
+    // the base postings
+    lazy val baseDfPre = DupIndex.baseDf(docs.sparkSession, basePath)
     docs.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, id: Long) =>
@@ -78,7 +83,7 @@ object AdmitStream {
           val adm = verdicts.agg(
             count(lit(1)).as("n_docs"),
             sum(when(col("verdict") === "novel", 1L).otherwise(0L)).as("n_novel"))
-          adm.join(DupIndex.hotGate(s, deltaPath, Some(basePath)), lit(true), "left")
+          adm.join(DupIndex.hotGate(s, deltaPath, Some(baseDfPre)), lit(true), "left")
             .withColumn("batch", lit(id))
             .select("batch", "n_docs", "n_novel", "n_delta_shingles",
               "n_newly_hot", "max_df", "cand_mass", "rebuild")
@@ -89,4 +94,5 @@ object AdmitStream {
         ()
       }
       .start()
+  }
 }
