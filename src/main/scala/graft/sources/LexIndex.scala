@@ -170,13 +170,29 @@ object LexIndex {
     * occurrences) never trips — there is no coverage to lose. */
   def coverageGate(s: SparkSession, basePath: String, stats: LexStats,
       batch: DataFrame): DataFrame = {
-    val tkE = graft.operators.Dedup.tokensExpr
+    val (covI, vocab) = gateMoment(s, basePath)
+    coverageGateOf(covI, vocab, stats, batch)
+  }
+
+  /** The index side of the gate (covered-occurrence sum + frozen
+    * vocabulary) — constant between compactions, so a streaming sink
+    * ([[graft.streaming.LexIngestStream]]) prices it ONCE instead of
+    * re-aggregating the postings per trigger (the IngestStream
+    * idxStats / DupIndex baseDf discipline). */
+  def gateMoment(s: SparkSession, basePath: String): (Long, DataFrame) = {
     val idx = s.read.parquet(basePath)
     val covI = idx.agg(sum(col("tf").cast("long"))).collect()(0) match {
       case r if r.isNullAt(0) => 0L
       case r => r.getLong(0)
     }
-    val vocab = idx.select("tok").distinct()
+    (covI, idx.select("tok").distinct().localCheckpoint(false))
+  }
+
+  /** [[coverageGate]] against a precomputed index moment — ONE
+    * arithmetic spelling for the one-shot and streaming gates. */
+  def coverageGateOf(covI: Long, vocab: DataFrame, stats: LexStats,
+      batch: DataFrame): DataFrame = {
+    val tkE = graft.operators.Dedup.tokensExpr
     batch.select(explode(expr(tkE)).as("tok"))
       .join(broadcast(vocab.withColumn("_in", lit(1))), Seq("tok"), "left")
       .agg(count(lit(1)).as("n_occurrences"),

@@ -1350,6 +1350,70 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("gated lexical ingestion: same-domain triggers land and serve, drifted trigger parks, crash replay idempotent") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val docs = Tables(spark, sf, "documents").select("doc_id", "text")
+    val baseDocs = docs.filter(col("doc_id") < 20 || col("doc_id") % 2 === 0)
+    val t1 = docs.filter(col("doc_id") >= 20 && col("doc_id") % 4 === 1)
+      .as[(Long, String)].collect().toSeq
+    val t2 = docs.filter(col("doc_id") >= 20 && col("doc_id") % 4 === 3)
+      .as[(Long, String)].collect().toSeq
+    val drift = Seq((900000L, (1 to 50).map(i => s"zz$i").mkString(" ")))
+    TestSpark.withTmpDir("lexingest") { root =>
+      val base = s"$root/base"; val delta = s"$root/delta"
+      val quar = s"$root/quar"; val log = s"$root/log"; val ckpt = s"$root/ckpt"
+      val st0 = sources.LexIndex.writeFrom(spark, baseDocs, base)
+      val mem = MemoryStream[(Long, String)]
+      def start() = streaming.LexIngestStream.ingestSink(
+        mem.toDF().toDF("doc_id", "text"), base, delta, quar, log, st0, ckpt)
+      val q1 = start()
+      mem.addData(t1); q1.processAllAvailable()
+      mem.addData(drift); q1.processAllAvailable()
+      mem.addData(t2); q1.processAllAvailable(); q1.stop()
+      // routing: same-domain batches 0/2 in the delta, the
+      // novel-vocab batch 1 parked
+      def batches(p: String) = spark.read.parquet(p)
+        .select(col("batch").cast("long")).distinct()
+        .collect().map(_.getLong(0)).toSet
+      assert(batches(delta) == Set(0L, 2L), s"delta batches: ${batches(delta)}")
+      assert(batches(quar) == Set(1L), s"quarantine batches: ${batches(quar)}")
+      // folded stats = base + the two ADMITTED triggers' exact moments
+      val stats = streaming.LexIngestStream.foldStats(spark, log, st0)
+      val admitted = t1 ++ t2
+      val wantDl = admitted.map(_._2.split(' ').count(_.nonEmpty).toLong).sum
+      assert(stats.nDocs == st0.nDocs + admitted.size &&
+        stats.sumDl == st0.sumDl + wantDl,
+        s"folded stats $stats vs base $st0 + ${admitted.size} docs / $wantDl tokens")
+      // the streamed delta serves EXACTLY like the batch-API path:
+      // probeWithDelta parity against appendDelta-built state
+      val delta2 = s"$root/delta2"
+      sources.LexIndex.appendDelta(spark, delta2, t1.toDF("doc_id", "text"), 0L)
+      sources.LexIndex.appendDelta(spark, delta2, t2.toDF("doc_id", "text"), 2L)
+      val qtok = docs.filter(col("doc_id") < 20)
+        .select(col("doc_id").as("query_id"),
+          explode(expr(operators.Dedup.tokensExpr)).as("tok")).distinct()
+      val got = sources.LexIndex.probeWithDelta(spark, base, delta, stats, qtok, 10)
+      val want = sources.LexIndex.probeWithDelta(spark, base, delta2, stats, qtok, 10)
+      assert(got.count() > 0, "streamed-delta probe returned nothing: vacuous")
+      assert(got.exceptAll(want).count() == 0 && want.exceptAll(got).count() == 0,
+        "streamed delta serves differently than the batch-API delta")
+      // crash window: re-run batch 2 — delta, quarantine, and log
+      // must come back byte-identical (dynamic overwrite + the
+      // log-folded stats cannot double-count)
+      def snap(p: String) = spark.read.parquet(p).collect().map(_.toString).sorted
+      val (dB, qB, lB) = (snap(delta), snap(quar), snap(log))
+      dropLatestCommit(ckpt)
+      val q2 = start(); q2.processAllAvailable(); q2.stop()
+      assert(snap(delta).sameElements(dB), "replay changed the delta")
+      assert(snap(quar).sameElements(qB), "replay changed the quarantine")
+      assert(snap(log).sameElements(lB), "replay changed the decision log")
+      assert(streaming.LexIngestStream.foldStats(spark, log, st0) == stats,
+        "replay double-folded the serving stats")
+    }
+  }
+
   test("admission stream: verdicts equal the exact sequential reference, only novels land, crash replay is idempotent") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
