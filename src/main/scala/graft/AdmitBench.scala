@@ -24,6 +24,10 @@ object AdmitBench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       Runtime.getRuntime.availableProcessors.toString).toInt
     val spark = GraftSession.local(cpus)
+    // recentProgress retains 100 entries by default — a silent cap
+    // that would undercount rows/batches past 100 triggers
+    spark.conf.set("spark.sql.streaming.numRecentProgressUpdates",
+      (chunks + 8).toString)
     val root = java.nio.file.Files.createTempDirectory("graft_admit").toString
     val docs = Tables(spark, dir, "documents").select("doc_id", "text")
     val isNew = pmod(col("doc_id"), lit(10)) === 7

@@ -178,14 +178,16 @@ object LexIndex {
     * vocabulary) — constant between compactions, so a streaming sink
     * ([[graft.streaming.LexIngestStream]]) prices it ONCE instead of
     * re-aggregating the postings per trigger (the IngestStream
-    * idxStats / DupIndex baseDf discipline). */
+    * idxStats / DupIndex baseDf discipline). The vocab frame is LAZY
+    * here — a one-shot caller consumes it once and must not pay a
+    * checkpoint; the long-lived sink checkpoints it itself. */
   def gateMoment(s: SparkSession, basePath: String): (Long, DataFrame) = {
     val idx = s.read.parquet(basePath)
     val covI = idx.agg(sum(col("tf").cast("long"))).collect()(0) match {
       case r if r.isNullAt(0) => 0L
       case r => r.getLong(0)
     }
-    (covI, idx.select("tok").distinct().localCheckpoint(false))
+    (covI, idx.select("tok").distinct())
   }
 
   /** [[coverageGate]] against a precomputed index moment — ONE

@@ -51,7 +51,10 @@ object LexIngestStream {
   def ingestSink(docs: DataFrame, basePath: String, deltaPath: String,
       quarantinePath: String, logPath: String, stats: LexStats,
       checkpoint: String): StreamingQuery = {
-    lazy val (covI, vocab) = LexIndex.gateMoment(docs.sparkSession, basePath)
+    lazy val (covI, vocab) = {
+      val (c, v) = LexIndex.gateMoment(docs.sparkSession, basePath)
+      (c, v.localCheckpoint(false)) // N triggers consume the vocab
+    }
     docs.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, id: Long) =>
@@ -88,9 +91,16 @@ object LexIngestStream {
     * trigger overwrote its own log row, so the fold counts it once). */
   def foldStats(s: org.apache.spark.sql.SparkSession, logPath: String,
       base: LexStats): LexStats = {
-    val r = s.read.parquet(logPath)
-      .agg(sum("n_docs_admitted"), sum("sum_dl_admitted")).collect()(0)
-    LexStats(base.nDocs + (if (r.isNullAt(0)) 0L else r.getLong(0)),
-      base.sumDl + (if (r.isNullAt(1)) 0L else r.getLong(1)))
+    // no log yet (sink started, no non-empty trigger committed) is a
+    // legitimate serving state = base stats — resolved through
+    // Hadoop's FileSystem (the DupIndex.residents remote-FS rule)
+    val hp = new org.apache.hadoop.fs.Path(logPath)
+    if (!hp.getFileSystem(s.sparkContext.hadoopConfiguration).exists(hp)) base
+    else {
+      val r = s.read.parquet(logPath)
+        .agg(sum("n_docs_admitted"), sum("sum_dl_admitted")).collect()(0)
+      LexStats(base.nDocs + (if (r.isNullAt(0)) 0L else r.getLong(0)),
+        base.sumDl + (if (r.isNullAt(1)) 0L else r.getLong(1)))
+    }
   }
 }

@@ -538,14 +538,16 @@ class SourcesSpec extends AnyFunSuite {
     val cdir = tmp("compacted"); val rdir = tmp("rebuilt")
     sources.DupIndex.writeFrom(spark, base.toDF("doc_id", "text"), bdir)
     sources.DupIndex.appendDelta(spark, bdir, ddir, delta.toDF("doc_id", "text"), 1L)
-    val gate = sources.DupIndex.hotGate(spark, ddir, Some(sources.DupIndex.baseDf(spark, bdir))).collect()(0)
+    // priced once per root, the production discipline
+    val bdf = Some(sources.DupIndex.baseDf(spark, bdir))
+    val gate = sources.DupIndex.hotGate(spark, ddir, bdf).collect()(0)
     assert(gate.getAs[Boolean]("rebuild") && gate.getAs[Long]("n_newly_hot") >= 1L,
       s"gate missed the accumulated template: $gate")
     // a clean tail batch does not trip
     val clean = (5000L until 5050L).map(mk). map { case (id, t) => (id, t.replace("tpl aa bb cc", s"p$id q$id r$id")) }
     val cdelta = tmp("cleandelta")
     sources.DupIndex.appendDelta(spark, bdir, cdelta, clean.toDF("doc_id", "text"), 1L)
-    assert(!sources.DupIndex.hotGate(spark, cdelta, Some(sources.DupIndex.baseDf(spark, bdir))).collect()(0)
+    assert(!sources.DupIndex.hotGate(spark, cdelta, bdf).collect()(0)
       .getAs[Boolean]("rebuild"))
     // the gate counts UNION df: a template at 995 in base (under the
     // 1000 cap, so in postings) + 50 in the delta is hot at 1045 —
