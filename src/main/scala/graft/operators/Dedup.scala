@@ -417,7 +417,21 @@ object Dedup {
     * over the closed-over plane matrix (96×6 planes × 64 dims as
     * column literals would defeat codegen; the scan stays
     * embarrassingly parallel). */
-  def q44(s: SparkSession, dir: String): DataFrame = {
+  /** q44's verified near-dup pair frame, MEMOIZED per (session, dir)
+    * — the pairsCache pattern on the embedding axis: q44 itself,
+    * q101 (agreement), q110's drop set, and q163's truth side all
+    * consume it, and the band join + exact verify is a pure function
+    * of the corpus. Near-dup-sized, one checkpoint serves all. */
+  private val semPairsCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  private[graft] def semPairs(s: SparkSession, dir: String): DataFrame =
+    semPairsCache.getOrElseUpdate((s, dir), semPairsUncached(s, dir).localCheckpoint(false))
+
+  def q44(s: SparkSession, dir: String): DataFrame =
+    semPairs(s, dir).orderBy("id1", "id2")
+
+  private def semPairsUncached(s: SparkSession, dir: String): DataFrame = {
     import graft.functions.VectorOps.{dotp, l2norm}
     import s.implicits._
     val e = Tables(s, dir, "embeddings")
@@ -450,7 +464,6 @@ object Dedup {
       .withColumn("cos", dotp(col("e1"), col("e2")) / (col("n1") * col("n2")))
       .filter(col("cos") >= CosThr.toDouble)
       .select(col("id1"), col("id2"), ops.r4(col("cos")).as("cosine"))
-      .orderBy("id1", "id2")
   }
 
   /** LSH GEOMETRY DIAGNOSTICS — the capacity-planning report behind
@@ -1217,7 +1230,7 @@ object Dedup {
     val route = if (medSkew >= RouteSkewX1000) "cells" else "banding"
     val verdicts =
       if (route == "banding") {
-        val dropped = q44(s, dir).select(col("id2").as("vec_id")).distinct()
+        val dropped = semPairs(s, dir).select(col("id2").as("vec_id")).distinct()
           .withColumn("is_dup", lit(true))
         Tables(s, dir, "embeddings").select(col("vec_id"))
           .join(dropped, Seq("vec_id"), "left")
@@ -1485,7 +1498,7 @@ object Dedup {
     * the join. */
   def q101(s: SparkSession, dir: String): DataFrame = {
     val lex = q41(s, dir).select(col("d1"), col("d2"), lit(true).as("lex"))
-    val sem = q44(s, dir)
+    val sem = semPairs(s, dir)
       .select(col("id1").as("d1"), col("id2").as("d2"), lit(true).as("sem"))
     lex.join(sem, Seq("d1", "d2"), "full_outer")
       .select(

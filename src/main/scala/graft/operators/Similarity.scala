@@ -1399,7 +1399,7 @@ object Similarity {
     * fused-candidates ⊆ lex ∪ vec containment. */
   def q163(s: SparkSession, dir: String): DataFrame = {
     val lexPairs = Dedup.q41(s, dir).select("d1", "d2")
-    val semPairs = Dedup.q44(s, dir).select(col("id1").as("d1"), col("id2").as("d2"))
+    val semPairs = Dedup.semPairs(s, dir).select(col("id1").as("d1"), col("id2").as("d2"))
     val und = lexPairs.union(semPairs).distinct()
     val truth = und.union(und.select(col("d2").as("d1"), col("d1").as("d2")))
       .filter(col("d1") < QueryMax)
