@@ -215,7 +215,20 @@ object Dedup {
     * row-buffer budget, a count per pair never does). A candidate
     * pair sharing zero capped shingles drops out of the inner join —
     * its Jaccard is 0, below any threshold, so nothing is lost. */
-  def q42(s: SparkSession, dir: String): DataFrame = {
+  /** q42's verified pair frame, MEMOIZED per (session, dir) — the
+    * semPairs pattern on the MinHash axis: q42 itself and the q144
+    * eval both consume it (the 128-perm signature pass is the
+    * expensive subtree). */
+  private val mhPairsCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  private def mhPairs(s: SparkSession, dir: String): DataFrame =
+    mhPairsCache.getOrElseUpdate((s, dir), mhPairsUncached(s, dir).localCheckpoint(false))
+
+  def q42(s: SparkSession, dir: String): DataFrame =
+    mhPairs(s, dir).orderBy("d1", "d2")
+
+  private def mhPairsUncached(s: SparkSession, dir: String): DataFrame = {
     val sh = cappedShingles(s, dir)
     val perms = 128
     val hashed = sh.select(col("doc_id"), xxhash64(col("s")).as("h1"))
@@ -242,7 +255,6 @@ object Dedup {
       .withColumn("jacc_raw", col("c") * lit(1.0) / (col("n1") + col("n2") - col("c")))
       .filter(col("jacc_raw") >= JaccThr.toDouble)
       .select(col("d1"), col("d2"), ops.r6(col("jacc_raw")).as("jaccard"))
-      .orderBy("d1", "d2")
   }
 
   /** SimHash(64) per document (unigram token hashing, majority vote
@@ -1121,7 +1133,7 @@ object Dedup {
     * hash-seeded (its own rationale). */
   def q144(s: SparkSession, dir: String): DataFrame = {
     val truth = q41(s, dir).select("d1", "d2").localCheckpoint(false)
-    val found = q42(s, dir).select("d1", "d2").localCheckpoint(false)
+    val found = mhPairs(s, dir).select("d1", "d2") // cache = the barrier
     val matched = found.join(truth, Seq("d1", "d2"), "left_semi")
       .agg(count(lit(1)).as("n_matched"))
     truth.agg(count(lit(1)).as("n_truth"))
