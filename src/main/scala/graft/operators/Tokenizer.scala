@@ -105,7 +105,26 @@ object Tokenizer {
     out.toSeq
   }
 
+  /** The trained merge table, MEMOIZED per (session, dir) — the
+    * label/pair-cache pattern, but DRIVER-SIDE (the table is a
+    * ≤BpeMerges-row local Seq by construction): the 16-round
+    * training loop is a pure function of the corpus and BOTH q89
+    * and q92's encoder consume it. */
+  private val mergesCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), Seq[(Int, String, String, String, Long)]]
+
+  private[graft] def trainedMerges(s: SparkSession,
+      dir: String): Seq[(Int, String, String, String, Long)] =
+    mergesCache.getOrElseUpdate((s, dir), trainMerges(s, dir))
+
   def q89(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    trainedMerges(s, dir).toDF("rank", "left", "right", "merged", "pair_count")
+      .orderBy("rank")
+  }
+
+  private def trainMerges(s: SparkSession,
+      dir: String): Seq[(Int, String, String, String, Long)] = {
     import s.implicits._
     // One corpus pass: word histogram. Explode the tokens expression
     // directly (the q69 form — a withColumn-computed array under
@@ -152,8 +171,7 @@ object Tokenizer {
       }
     }
     words.unpersist()
-    merges.toSeq.toDF("rank", "left", "right", "merged", "pair_count")
-      .orderBy("rank")
+    merges.toSeq
   }
 
   /** Encode a word with a trained merge list: the merges apply in
@@ -185,7 +203,7 @@ object Tokenizer {
     * single-threaded and compares exactly). */
   def q92(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val merges = q89(s, dir).collect().map(r => (r.getString(1), r.getString(2))).toSeq
+    val merges = trainedMerges(s, dir).map(m => (m._2, m._3))
     val bc = s.sparkContext.broadcast(merges)
     val lw = Tables(s, dir, "documents")
       .select(col("lang"), explode(expr(Dedup.tokensExpr)).as("w"))
