@@ -289,7 +289,21 @@ object MlOps {
   /** Fitted KMeans(4) over standardized RFM space: clustered rows
     * plus the learned centroids — shared by q33 (memberships) and
     * q35 (distance-based anomaly score). */
-  private def kmeansRfm(s: SparkSession, dir: String): (DataFrame, Array[Array[Double]]) = {
+  /** The fitted RFM KMeans (clustered frame + centroids), MEMOIZED
+    * per (session, dir) — q33 and q35 each trained their own model;
+    * one fit now serves both (and makes their cluster ids
+    * consistent within a session by construction). The clustered
+    * frame is checkpointed: two consumers, MLlib-fit lineage. */
+  private val kmeansCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), (DataFrame, Array[Array[Double]])]
+
+  private def kmeansRfm(s: SparkSession, dir: String): (DataFrame, Array[Array[Double]]) =
+    kmeansCache.getOrElseUpdate((s, dir), {
+      val (df, cents) = kmeansRfmUncached(s, dir)
+      (df.localCheckpoint(false), cents)
+    })
+
+  private def kmeansRfmUncached(s: SparkSession, dir: String): (DataFrame, Array[Array[Double]]) = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.feature.{StandardScaler, VectorAssembler}
     val feats = rfm(s, dir).select(
