@@ -20,8 +20,17 @@ import org.apache.spark.sql.functions._
 object MlOps {
 
   /** Per-customer recency/frequency/monetary features (shared by the
-    * quartile scorer q30 and the MLlib clusterer q33). */
-  private def rfm(s: SparkSession, dir: String): DataFrame = {
+    * quartile scorer q30 and the MLlib clusterer q33), MEMOIZED per
+    * (session, dir): both consumers re-aggregated orders; the frame
+    * is customer-dimension-sized (bounded at any corpus scale), so
+    * one checkpoint serves both. */
+  private val rfmCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  private def rfm(s: SparkSession, dir: String): DataFrame =
+    rfmCache.getOrElseUpdate((s, dir), rfmUncached(s, dir).localCheckpoint(false))
+
+  private def rfmUncached(s: SparkSession, dir: String): DataFrame = {
     val o = Tables(s, dir, "orders")
     val maxd = o.agg(max("o_orderdate").as("md"))
     o.groupBy("o_custkey").agg(
