@@ -214,21 +214,24 @@ object Dedup {
     * docs with 10⁵+ shingles; `collect_set` rows that wide blow the
     * row-buffer budget, a count per pair never does). A candidate
     * pair sharing zero capped shingles drops out of the inner join —
-    * its Jaccard is 0, below any threshold, so nothing is lost. */
-  /** q42's verified pair frame, MEMOIZED per (session, dir) — the
+    * its Jaccard is 0, below any threshold, so nothing is lost.
+    *
+    * The verified pair frame is MEMOIZED per (session, dir) — the
     * semPairs pattern on the MinHash axis: q42 itself and the q144
     * eval both consume it (the 128-perm signature pass is the
-    * expensive subtree). */
+    * expensive subtree). PlanGuard asserts the join shape on the
+    * UNCACHED core: the cache's checkpoint hides it from q42's own
+    * plan (the CLAUDE.md checkpoint-hides-subtree lesson). */
+  def q42(s: SparkSession, dir: String): DataFrame =
+    mhPairs(s, dir).orderBy("d1", "d2")
+
   private val mhPairsCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
 
   private def mhPairs(s: SparkSession, dir: String): DataFrame =
     mhPairsCache.getOrElseUpdate((s, dir), mhPairsUncached(s, dir).localCheckpoint(false))
 
-  def q42(s: SparkSession, dir: String): DataFrame =
-    mhPairs(s, dir).orderBy("d1", "d2")
-
-  private def mhPairsUncached(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def mhPairsUncached(s: SparkSession, dir: String): DataFrame = {
     val sh = cappedShingles(s, dir)
     val perms = 128
     val hashed = sh.select(col("doc_id"), xxhash64(col("s")).as("h1"))
@@ -428,22 +431,25 @@ object Dedup {
     * the test SFs. Signatures are computed in one mapPartitions pass
     * over the closed-over plane matrix (96×6 planes × 64 dims as
     * column literals would defeat codegen; the scan stays
-    * embarrassingly parallel). */
-  /** q44's verified near-dup pair frame, MEMOIZED per (session, dir)
-    * — the pairsCache pattern on the embedding axis: q44 itself,
-    * q101 (agreement), q110's drop set, and q163's truth side all
-    * consume it, and the band join + exact verify is a pure function
-    * of the corpus. Near-dup-sized, one checkpoint serves all. */
+    * embarrassingly parallel).
+    *
+    * The verified pair frame is MEMOIZED per (session, dir) — the
+    * pairsCache pattern on the embedding axis: q44 itself, q101
+    * (agreement), q110's drop set, and q163's truth side all consume
+    * it, and the band join + exact verify is a pure function of the
+    * corpus. Near-dup-sized, one checkpoint serves all. PlanGuard
+    * asserts the join shape on the UNCACHED core: the cache's
+    * checkpoint hides it from q44's own plan. */
+  def q44(s: SparkSession, dir: String): DataFrame =
+    semPairs(s, dir).orderBy("id1", "id2")
+
   private val semPairsCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
 
   private[graft] def semPairs(s: SparkSession, dir: String): DataFrame =
     semPairsCache.getOrElseUpdate((s, dir), semPairsUncached(s, dir).localCheckpoint(false))
 
-  def q44(s: SparkSession, dir: String): DataFrame =
-    semPairs(s, dir).orderBy("id1", "id2")
-
-  private def semPairsUncached(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def semPairsUncached(s: SparkSession, dir: String): DataFrame = {
     import graft.functions.VectorOps.{dotp, l2norm}
     import s.implicits._
     val e = Tables(s, dir, "embeddings")

@@ -49,8 +49,10 @@ object MlOps {
     // Rank slim (key, metric) projections and join the scores back:
     // nesting globalNtile calls would replicate the whole upstream
     // subtree ~2x per level (40+ joins in the physical plan); this
-    // keeps each ranking tree shallow and lets AQE reuse the cust
-    // aggregation exchange across all three.
+    // keeps each ranking tree shallow. The rfm cache's checkpoint is
+    // what bounds the three consumers to one orders aggregation —
+    // don't drop it as redundant (there is no exchange left for AQE
+    // to reuse; the checkpoint IS the barrier).
     def score(metric: String, asc: Boolean, out: String): DataFrame = {
       val m = if (asc) col(metric).asc else col(metric).desc
       ops.globalNtile(cust.select(col("o_custkey"), col(metric)), 4, out, m, col("o_custkey"))
