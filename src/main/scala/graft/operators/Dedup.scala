@@ -1385,9 +1385,7 @@ object Dedup {
   def q178(s: SparkSession, dir: String): DataFrame = {
     val labels = clusterLabels(s, dir)
     val sizes = labels.groupBy("cluster_id").agg(count(lit(1)).as("cluster_size"))
-    val byBand = TextOps.q60(s, dir).select("doc_id", "n_tokens", "quality_score")
-      .join(TextOps.scrub(Tables(s, dir, "documents").select("doc_id", "text"))
-        .select("doc_id", "is_clean"), "doc_id")
+    val byBand = TextOps.docQuality(s, dir)
       .join(labels, Seq("doc_id"), "left")
       .withColumn("cluster_id", coalesce(col("cluster_id"), col("doc_id")))
       .join(sizes, Seq("cluster_id"), "left")
@@ -1397,7 +1395,6 @@ object Dedup {
                 WHEN cluster_size <= 3 THEN 'x2-3'
                 WHEN cluster_size <= 7 THEN 'x4-7'
                 ELSE 'x8+' END"""))
-      .withColumn("q4", expr("CAST(floor(quality_score*10000.0 + 0.5) AS BIGINT)"))
       .groupBy("band")
       .agg(count(lit(1)).as("n_docs"),
         countDistinct("cluster_id").as("n_clusters"),
@@ -1424,13 +1421,7 @@ object Dedup {
        $clusterCte,
        dq_cs AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS cluster_size
                  FROM cl GROUP BY 1),
-       dq_q AS (SELECT doc_id, len(tk) AS n_tokens,
-                  CAST(floor((${TextOps.QualityScoreSql})*10000.0 + 0.5) AS BIGINT) AS q4
-                FROM t),
-       dq_p AS (SELECT doc_id,
-                  len(regexp_extract_all(text, '${TextOps.EmailRe}')) +
-                  len(regexp_extract_all(text, '${TextOps.PhoneRe}')) = 0 AS is_clean
-                FROM documents),
+       ${TextOps.docQualityCte},
        dq_b AS (SELECT CASE WHEN cluster_size = 1 THEN 'x1'
                             WHEN cluster_size <= 3 THEN 'x2-3'
                             WHEN cluster_size <= 7 THEN 'x4-7'
@@ -1445,13 +1436,13 @@ object Dedup {
                   CAST(sum(q4) AS BIGINT) AS uq,
                   sum(CASE WHEN is_clean THEN 0 ELSE 1 END) AS n_pii
                 FROM dq_b GROUP BY 1),
-       dq_t AS (SELECT sum(n_docs) AS td FROM dq_g)
+       dq_tot AS (SELECT sum(n_docs) AS td FROM dq_g)
        SELECT band, n_docs, n_clusters, n_tokens,
               ${ops.R4("uq/(10000.0*n_docs)")} AS mean_quality,
               CAST((n_pii * 1000000) // n_docs AS BIGINT) AS pii_ppm,
               CASE WHEN td IS NULL THEN NULL
                    ELSE CAST((n_docs::HUGEINT * 1000000) // td AS BIGINT) END AS share_ppm
-       FROM dq_g LEFT JOIN dq_t ON true
+       FROM dq_g LEFT JOIN dq_tot ON true
        ORDER BY band"""
 
   /** Cross-source duplication matrix — which ingestion sources

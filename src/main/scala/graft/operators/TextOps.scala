@@ -1271,11 +1271,34 @@ object TextOps {
     * in one pass) — unlike the q123-family's domain-bounded
     * histograms, this frame's cardinality TRACKS corpus size, so a
     * one-task Window.orderBy would eventually be the bottleneck. */
-  def q174(s: SparkSession, dir: String): DataFrame = {
-    val buckets = q60(s, dir).select("doc_id", "n_tokens", "quality_score")
+  /** Per-doc (doc_id, n_tokens, q4, is_clean) — the quality+PII
+    * assembly SHARED by q174's ingestion curve and Dedup.q178's
+    * duplication audit (the effCte discipline: q4 re-integerization
+    * and the PII flag spelled ONCE on each engine; the oracle twin
+    * is [[docQualityCte]]). */
+  private[operators] def docQuality(s: SparkSession, dir: String): DataFrame =
+    q60(s, dir).select("doc_id", "n_tokens", "quality_score")
       .join(scrub(Tables(s, dir, "documents").select("doc_id", "text"))
         .select("doc_id", "is_clean"), "doc_id")
       .withColumn("q4", expr("CAST(floor(quality_score*10000.0 + 0.5) AS BIGINT)"))
+      .select("doc_id", "n_tokens", "q4", "is_clean")
+
+  /** [[docQuality]]'s oracle twin: CTEs dq_q (doc_id, n_tokens, q4)
+    * + dq_p (doc_id, is_clean); dq_* prefixed per the CLAUDE.md
+    * composed-CTE rule. */
+  private[operators] lazy val docQualityCte =
+    s"""dq_t AS (SELECT doc_id, list_filter(string_split(text,' '), x -> x<>'') AS tk
+                 FROM documents),
+       dq_q AS (SELECT doc_id, len(tk) AS n_tokens,
+                  CAST(floor(($QualityScoreSql)*10000.0 + 0.5) AS BIGINT) AS q4
+                FROM dq_t),
+       dq_p AS (SELECT doc_id,
+                  len(regexp_extract_all(text, '$EmailRe')) +
+                  len(regexp_extract_all(text, '$PhoneRe')) = 0 AS is_clean
+                FROM documents)"""
+
+  def q174(s: SparkSession, dir: String): DataFrame = {
+    val buckets = docQuality(s, dir)
       .groupBy(expr(s"doc_id div $DriftBucket").as("bucket"))
       .agg(count(lit(1)).as("n_docs"),
         sum("n_tokens").as("n_tokens"),
@@ -1292,21 +1315,13 @@ object TextOps {
   }
 
   private val q174Sql =
-    s"""WITH t AS (SELECT doc_id, list_filter(string_split(text,' '), x -> x<>'') AS tk
-                   FROM documents),
-       q AS (SELECT doc_id, len(tk) AS n_tokens,
-               CAST(floor(($QualityScoreSql)*10000.0 + 0.5) AS BIGINT) AS q4
-             FROM t),
-       p AS (SELECT doc_id,
-               len(regexp_extract_all(text, '$EmailRe')) +
-               len(regexp_extract_all(text, '$PhoneRe')) = 0 AS is_clean
-             FROM documents),
+    s"""WITH $docQualityCte,
        b AS (SELECT q.doc_id // $DriftBucket AS bucket,
                CAST(count(*) AS BIGINT) AS n_docs,
                CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
                CAST(sum(q4) AS BIGINT) AS uq,
                CAST(sum(CASE WHEN is_clean THEN 0 ELSE 1 END) AS BIGINT) AS n_pii
-             FROM q JOIN p ON q.doc_id = p.doc_id GROUP BY 1),
+             FROM dq_q q JOIN dq_p p ON q.doc_id = p.doc_id GROUP BY 1),
        c AS (SELECT *,
                CAST(sum(n_docs) OVER (ORDER BY bucket) AS BIGINT) AS cum_docs,
                CAST(sum(uq) OVER (ORDER BY bucket) AS BIGINT) AS cum_uq

@@ -48,6 +48,20 @@ object LexIndex {
   private def bucket(tok: org.apache.spark.sql.Column) =
     pmod(xxhash64(tok), lit(NBuckets))
 
+  // explicit read schemas (the DupIndex discipline): a df-capped
+  // write over a tiny-vocab corpus can keep ZERO postings, and a
+  // zero-row partitioned write leaves only _SUCCESS — nothing for
+  // schema inference
+  private val postSchema = org.apache.spark.sql.types.StructType.fromDDL(
+    "tok STRING, doc_id BIGINT, dl DOUBLE, tf DOUBLE, df DOUBLE, tb BIGINT")
+  private val deltaSchema = org.apache.spark.sql.types.StructType.fromDDL(
+    "tok STRING, doc_id BIGINT, dl DOUBLE, tf DOUBLE, batch BIGINT, tb BIGINT")
+
+  private def pathExists(s: SparkSession, p: String): Boolean = {
+    val hp = new org.apache.hadoop.fs.Path(p)
+    hp.getFileSystem(s.sparkContext.hadoopConfiguration).exists(hp)
+  }
+
   /** Tokenize + df-cap + write the bucket-partitioned postings;
     * returns the stats metadata. One corpus tokenize pass feeds both
     * the posting frame and (by shared-lineage re-execution, the q31
@@ -130,12 +144,19 @@ object LexIndex {
       bucket(col("tok")).as("tb")).localCheckpoint(false)
     val toks = q.select("tok").distinct().collect().map(_.getString(0)).toSeq
     val tbs = q.select("tb").distinct().collect().map(_.getLong(0)).toSeq
-    def slice(path: String) = s.read.parquet(path)
-      .filter(col("tb").isin(tbs: _*) && col("tok").isin(toks: _*))
-      .select("tok", "doc_id", "dl", "tf")
-    val base = slice(basePath).localCheckpoint(false) // 2 consumers: vocab + union
+    def slice(path: String, schema: org.apache.spark.sql.types.StructType) =
+      s.read.schema(schema).parquet(path)
+        .filter(col("tb").isin(tbs: _*) && col("tok").isin(toks: _*))
+        .select("tok", "doc_id", "dl", "tf")
+    val base = slice(basePath, postSchema).localCheckpoint(false) // 2 consumers: vocab + union
+    // a sink whose every trigger so far was quarantined (or empty)
+    // has no delta yet — base-only serving is the correct answer,
+    // not PATH_NOT_FOUND (the DupIndex.residents rule)
+    val delta =
+      if (pathExists(s, deltaPath)) slice(deltaPath, deltaSchema)
+      else base.limit(0)
     val all = base.unionByName(
-      slice(deltaPath).join(base.select("tok").distinct(), Seq("tok"), "left_semi"))
+      delta.join(base.select("tok").distinct(), Seq("tok"), "left_semi"))
     val dfNow = all.groupBy("tok").agg(count(lit(1)).cast("double").as("df"))
     val scored = all.join(broadcast(dfNow), "tok")
       .join(broadcast(q.select("query_id", "tok")), "tok")
@@ -182,7 +203,7 @@ object LexIndex {
     * here — a one-shot caller consumes it once and must not pay a
     * checkpoint; the long-lived sink checkpoints it itself. */
   def gateMoment(s: SparkSession, basePath: String): (Long, DataFrame) = {
-    val idx = s.read.parquet(basePath)
+    val idx = s.read.schema(postSchema).parquet(basePath)
     val covI = idx.agg(sum(col("tf").cast("long"))).collect()(0) match {
       case r if r.isNullAt(0) => 0L
       case r => r.getLong(0)
@@ -198,7 +219,11 @@ object LexIndex {
     batch.select(explode(expr(tkE)).as("tok"))
       .join(broadcast(vocab.withColumn("_in", lit(1))), Seq("tok"), "left")
       .agg(count(lit(1)).as("n_occurrences"),
-        sum(when(col("_in").isNull, 0L).otherwise(1L)).as("n_covered"))
+        // coalesced: a zero-occurrence batch (all-empty text, the
+        // corpus family's ~5% null/empty class) must read as a clean
+        // pass row, not NULLs the streaming caller unboxes blind
+        coalesce(sum(when(col("_in").isNull, 0L).otherwise(1L)), lit(0L))
+          .as("n_covered"))
       .select(col("n_occurrences"), col("n_covered"),
         // ppm shares multiply through DECIMAL/BigInt, never bare long
         // (the q142 wrap class: occurrence sums reach 1e13+ at scale)
@@ -227,7 +252,7 @@ object LexIndex {
     // bounded by the serving contract: tokens + buckets to the driver
     val toks = q.select("tok").distinct().collect().map(_.getString(0)).toSeq
     val tbs = q.select("tb").distinct().collect().map(_.getLong(0)).toSeq
-    val scored = s.read.parquet(path)
+    val scored = s.read.schema(postSchema).parquet(path)
       // tb.isin is a PARTITION filter on the bucket directories; the
       // tok.isin prunes within the read buckets
       .filter(col("tb").isin(tbs: _*) && col("tok").isin(toks: _*))
