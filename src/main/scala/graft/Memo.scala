@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Session memoization with STALENESS-PROOF keys.
+  *
+  * The per-(session, dir) memo family (labels/pairs/fit/grams/rank/
+  * merges/kmeans/rfm caches — SURVEY's session-memoization policy)
+  * had one documented footgun: regenerating a corpus UNDER THE SAME
+  * PATH within a session left every cache silently stale. The fix is
+  * to key on the corpus SNAPSHOT, not the path string: a fingerprint
+  * of the directory's file inventory (path, length, mtime of every
+  * data file, combined order-independently). Regenerating the corpus
+  * rewrites its parquet files, the fingerprint changes, and the next
+  * cache access is a MISS that recomputes from the new data — the
+  * old entry is left behind (bounded: one per corpus snapshot
+  * actually queried, and these frames are dimension/near-dup-sized
+  * by the cache-admission policy).
+  *
+  * Fingerprint cost is one recursive listing of the corpus dir
+  * (tens of files locally; a bounded namenode listing on a remote
+  * FS) per cache ACCESS — noise next to the frames these caches
+  * guard (shingle self-joins, label-propagation loops, Lloyd fits).
+  */
+object Memo {
+
+  /** Snapshot fingerprint of a data directory: FNV-1a over each
+    * file's (path, length, mtime), summed across files so listing
+    * order cannot perturb it. Missing dir fingerprints as "absent"
+    * (a later write then changes the key). Resolved through Hadoop's
+    * FileSystem — the AnnIndex remote-FS rule. */
+  def fingerprint(s: SparkSession, dir: String): String = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return "absent"
+    var acc = 0L
+    val it = fs.listFiles(p, true)
+    while (it.hasNext) {
+      val st = it.next()
+      var h = 0xcbf29ce484222325L
+      def mix(x: Long): Unit = { h ^= x; h *= 0x100000001b3L }
+      mix(st.getPath.toString.hashCode.toLong)
+      mix(st.getLen)
+      mix(st.getModificationTime)
+      acc += h
+    }
+    java.lang.Long.toHexString(acc)
+  }
+
+  /** A memo keyed by (session, dir, sub-key, dir fingerprint) — the
+    * one cache shape every per-corpus memo in the repo uses. `sub`
+    * distinguishes variants over the same corpus (rankCache's
+    * "lex"/"vec", fitCache's cell-size mode). */
+  final class DirMemo[V] {
+    private val m = scala.collection.concurrent.TrieMap
+      .empty[(SparkSession, String, String, String), V]
+
+    def getOrElseUpdate(s: SparkSession, dir: String, sub: String = "")(v: => V): V =
+      m.getOrElseUpdate((s, dir, sub, fingerprint(s, dir)), v)
+  }
+}

@@ -202,11 +202,10 @@ object Sampling {
     * the corpus at `dir`, so ONE localCheckpoint serves all four
     * consumers and the gram definition cannot drift between the two
     * operators (the oracle side shares [[deconCtes]] the same way). */
-  private val gramsCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  private val gramsCache = new graft.Memo.DirMemo[DataFrame]
 
   private def cappedGrams(s: SparkSession, dir: String): DataFrame =
-    gramsCache.getOrElseUpdate((s, dir), {
+    gramsCache.getOrElseUpdate(s, dir) {
       val grams0 = Tables(s, dir, "documents")
         .withColumn("bucket", expr(BucketExpr))
         .withColumn("tk", expr(Dedup.tokensExpr))
@@ -214,7 +213,7 @@ object Sampling {
       val hot = grams0.groupBy("s").agg(count(lit(1)).as("df"))
         .filter(col("df") > GramCap).select("s")
       grams0.join(hot, Seq("s"), "left_anti").localCheckpoint(false)
-    })
+    }
 
   /** Eval-set decontamination: flag TRAIN-split documents sharing any
     * (DF-capped) 8-gram with any val/test document — the leakage scan

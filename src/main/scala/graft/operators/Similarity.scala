@@ -432,15 +432,14 @@ object Similarity {
     * per vector), and every consumer already checkpointed it locally
     * before sharing existed. Keyed by (session, dir, mode) so a new
     * session or a different dataset refits. */
-  private val fitCache =
-    new java.util.concurrent.ConcurrentHashMap[String, (DataFrame, Array[Array[Double]])]()
+  private val fitCache = new graft.Memo.DirMemo[(DataFrame, Array[Array[Double]])]
 
   private[operators] def ivfCells(s: SparkSession, dir: String,
       cellSize: Option[Int] = None): (DataFrame, Array[Array[Double]]) =
-    fitCache.computeIfAbsent(s"${System.identityHashCode(s)}|$dir|$cellSize", _ => {
+    fitCache.getOrElseUpdate(s, dir, cellSize.toString) {
       val (cells, cents) = ivfCellsOf(s, Tables(s, dir, "embeddings"), cellSize)
       (cells.localCheckpoint(false), cents)
-    })
+    }
 
   /** `cellSize = None` → k = ⌈√n⌉ cells (q52's single-query operating
     * point); `Some(B)` → FIXED expected cell size: k = ⌈n/B⌉, the
@@ -495,6 +494,14 @@ object Similarity {
     val e = withNorm(e0).select(col("vec_id"), col("ed"), col("nrm"))
     val typed = e.as[(Long, Seq[Float], Double)]
     val n = typed.count()
+    // empty fit frame (a spec's custom corpus, a fully-quarantined
+    // ingest): degrade to an empty assignment + no centroids instead
+    // of throwing — the seed collect below has nothing to seed from,
+    // and treeReduce throws outright on a zero-partition RDD (the
+    // NoveltyStream rdd.reduce class)
+    if (n == 0L)
+      return (s.emptyDataset[(Long, Int, Int, Seq[Float], Double)]
+        .toDF("vec_id", "cid", "cid2", "ed", "nrm"), Array.empty[Array[Double]])
     val kTarget = kTargetFor(n, cellSize)
     // floor of 16 for probe selectivity, capped at n so the lowest-id
     // init below always yields exactly k centroids
@@ -1130,11 +1137,10 @@ object Similarity {
     * cheap-barrier case of the CLAUDE.md measure-don't-assume rule;
     * custom-frame consumers (the persisted-index probe, specs) go
     * through [[lexRankOf]], uncached. */
-  private val rankCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String, String), DataFrame]
+  private val rankCache = new graft.Memo.DirMemo[DataFrame]
 
   private[graft] def lexRank(s: SparkSession, dir: String): DataFrame =
-    rankCache.getOrElseUpdate((s, dir, "lex"),
+    rankCache.getOrElseUpdate(s, dir, "lex")(
       lexRankUncached(s, dir).localCheckpoint(false))
 
   private def lexRankUncached(s: SparkSession, dir: String): DataFrame = {
@@ -1211,7 +1217,7 @@ object Similarity {
     * top-[[HybK]] per query — q50's broadcast-query scan with the
     * integer micro-cosine rank key. */
   private[graft] def vecRank(s: SparkSession, dir: String): DataFrame =
-    rankCache.getOrElseUpdate((s, dir, "vec"),
+    rankCache.getOrElseUpdate(s, dir, "vec")(
       vecRankUncached(s, dir).localCheckpoint(false))
 
   private def vecRankUncached(s: SparkSession, dir: String): DataFrame = {

@@ -110,12 +110,12 @@ object Tokenizer {
     * ≤BpeMerges-row local Seq by construction): the 16-round
     * training loop is a pure function of the corpus and BOTH q89
     * and q92's encoder consume it. */
-  private val mergesCache = scala.collection.concurrent.TrieMap
-    .empty[(SparkSession, String), Seq[(Int, String, String, String, Long)]]
+  private val mergesCache =
+    new graft.Memo.DirMemo[Seq[(Int, String, String, String, Long)]]
 
   private[graft] def trainedMerges(s: SparkSession,
       dir: String): Seq[(Int, String, String, String, Long)] =
-    mergesCache.getOrElseUpdate((s, dir), trainMerges(s, dir))
+    mergesCache.getOrElseUpdate(s, dir)(trainMerges(s, dir))
 
   def q89(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._

@@ -224,10 +224,28 @@ object DupIndex {
     * the base postings per trigger; pass None for the delta-local
     * statistic. Emits the decision row: newly-hot count, worst
     * union df, and the pair mass Σ df·(df−1)/2 those keys would
-    * inject into a probe. */
+    * inject into a probe.
+    *
+    * `sbs` scopes the gate to a bucket subset (a PARTITION filter on
+    * the delta root): the streaming face passes its trigger's own
+    * delta-partition footprint, so per-trigger gate cost tracks the
+    * trigger's bucket slice instead of the whole accumulated delta
+    * (the r8 ADVICE fix — the full sweep stayed linear in time since
+    * the last compaction even for tiny triggers). Scoped detection
+    * is still complete ACROSS triggers: a shingle crosses the cap
+    * only on a trigger that appends rows to it, and that trigger's
+    * footprint contains its bucket — so every crossing trips the
+    * gate of the trigger that caused it, and a maintenance sweep
+    * (`sbs = None`, [[graft.sources.Maintenance]]) needs no
+    * re-detection, only the logged verdicts. `n_delta_rows` prices
+    * the aggregation itself, so operators can tie compaction cadence
+    * to measured gate cost. */
   def hotGate(s: SparkSession, deltaPath: String,
-      baseDfPre: Option[DataFrame] = None): DataFrame = {
-    val ddf = s.read.schema(deltaSchema).parquet(deltaPath)
+      baseDfPre: Option[DataFrame] = None,
+      sbs: Option[Seq[Long]] = None): DataFrame = {
+    val scan0 = s.read.schema(deltaSchema).parquet(deltaPath)
+    val scan = sbs.fold(scan0)(bs => scan0.filter(col("sb").isin(bs: _*)))
+    val ddf = scan
       .groupBy("sb", "s").agg(count(lit(1)).as("df_delta"))
     val withDf = baseDfPre match {
       case Some(bdf) =>
@@ -237,6 +255,9 @@ object DupIndex {
     }
     withDf
       .agg(count(lit(1)).as("n_delta_shingles"),
+        // the gate's own measured cost driver: delta posting rows
+        // aggregated this sweep (scoped sweeps report their slice)
+        coalesce(sum(col("df_delta")), lit(0L)).as("n_delta_rows"),
         // coalesced: an EMPTY delta (all-dup triggers so far) must
         // read as a clean gate row, not a null the caller NPEs on
         coalesce(sum(when(col("df") > Dedup.DfCap, 1L).otherwise(0L)), lit(0L))
@@ -256,6 +277,15 @@ object DupIndex {
     * trigger. By the frozen-hot discipline every posting shingle is
     * ≤ cap here, so the frame is bounded by the base's distinct
     * non-hot shingles. */
+  /** Distinct shingle buckets of ONE delta batch partition — the
+    * trigger-scoped [[hotGate]] footprint. Prunes to `batch=<id>`
+    * (partition filter), so the cost is one listing + a ≤NBuckets
+    * distinct over the trigger's own rows. */
+  def deltaBuckets(s: SparkSession, deltaPath: String, batchId: Long): Seq[Long] =
+    s.read.schema(deltaSchema).parquet(deltaPath)
+      .filter(col("batch") === lit(batchId))
+      .select("sb").distinct().collect().map(_.getLong(0)).toSeq
+
   def baseDf(s: SparkSession, basePath: String): DataFrame =
     s.read.schema(postSchema).parquet(post(basePath))
       .groupBy("sb", "s").agg(count(lit(1)).as("df_base"))

@@ -142,11 +142,9 @@ object LexIndex {
       stats: LexStats, qtok: DataFrame, k: Int): DataFrame = {
     val q = qtok.select(col("query_id"), col("tok"),
       bucket(col("tok")).as("tb")).localCheckpoint(false)
-    val toks = q.select("tok").distinct().collect().map(_.getString(0)).toSeq
-    val tbs = q.select("tb").distinct().collect().map(_.getLong(0)).toSeq
+    val (toks, tbs) = probeFootprint(q)
     def slice(path: String, schema: org.apache.spark.sql.types.StructType) =
-      s.read.schema(schema).parquet(path)
-        .filter(col("tb").isin(tbs: _*) && col("tok").isin(toks: _*))
+      tokSlice(s.read.schema(schema).parquet(path), toks, tbs)
         .select("tok", "doc_id", "dl", "tf")
     val base = slice(basePath, postSchema).localCheckpoint(false) // 2 consumers: vocab + union
     // a sink whose every trigger so far was quarantined (or empty)
@@ -158,8 +156,8 @@ object LexIndex {
     val all = base.unionByName(
       delta.join(base.select("tok").distinct(), Seq("tok"), "left_semi"))
     val dfNow = all.groupBy("tok").agg(count(lit(1)).cast("double").as("df"))
-    val scored = all.join(broadcast(dfNow), "tok")
-      .join(broadcast(q.select("query_id", "tok")), "tok")
+    val scored = all.join(hintSmall(dfNow, toks), "tok")
+      .join(hintSmall(q.select("query_id", "tok"), toks), "tok")
       .filter(col("doc_id") =!= col("query_id"))
       .withColumn("c_u", Similarity.bm25CU(
         lit(stats.nDocs.toDouble), lit(stats.sumDl.toDouble),
@@ -249,18 +247,46 @@ object LexIndex {
       qtok: DataFrame, k: Int): DataFrame = {
     val q = qtok.select(col("query_id"), col("tok"),
       bucket(col("tok")).as("tb")).localCheckpoint(false)
-    // bounded by the serving contract: tokens + buckets to the driver
-    val toks = q.select("tok").distinct().collect().map(_.getString(0)).toSeq
-    val tbs = q.select("tb").distinct().collect().map(_.getLong(0)).toSeq
-    val scored = s.read.schema(postSchema).parquet(path)
-      // tb.isin is a PARTITION filter on the bucket directories; the
-      // tok.isin prunes within the read buckets
-      .filter(col("tb").isin(tbs: _*) && col("tok").isin(toks: _*))
-      .join(broadcast(q.select("query_id", "tok")), "tok")
+    val (toks, tbs) = probeFootprint(q)
+    val scored = tokSlice(s.read.schema(postSchema).parquet(path), toks, tbs)
+      .join(hintSmall(q.select("query_id", "tok"), toks), "tok")
       .filter(col("doc_id") =!= col("query_id"))
       .withColumn("c_u", Similarity.bm25CU(
         lit(stats.nDocs.toDouble), lit(stats.sumDl.toDouble),
         col("df"), col("tf"), col("dl")))
     Similarity.lexRankOf(scored, k)
   }
+
+  /** Hard cap on the distinct query tokens a probe will COLLECT to
+    * the driver and inline as a scan-pushdown `isin` literal (and on
+    * broadcast-hinting the query side of the scoring join). A
+    * serving trigger sits far below it; a backfill-sized query batch
+    * used to blow up the driver and the plan here (the DupIndex.probe
+    * docstring warns against collecting the keys — this face now
+    * practices it). Above the cap, `None`: the tb partition filter
+    * (≤ [[NBuckets]] values, always driver-bounded) still prunes
+    * directories, the query-token restriction happens in the scoring
+    * join itself, and join strategy is left to AQE's size estimates
+    * instead of a forced broadcast of an unbounded frame. */
+  val ProbeTokMax = 4096
+
+  /** The probe's driver-bounded footprint: distinct buckets (always),
+    * distinct tokens only while they fit [[ProbeTokMax]]. */
+  private def probeFootprint(q: DataFrame): (Option[Seq[String]], Seq[Long]) = {
+    val toks = q.select("tok").distinct().limit(ProbeTokMax + 1)
+      .collect().map(_.getString(0)).toSeq
+    (if (toks.length <= ProbeTokMax) Some(toks) else None,
+      q.select("tb").distinct().collect().map(_.getLong(0)).toSeq)
+  }
+
+  /** tb.isin is a PARTITION filter on the bucket directories; the
+    * tok.isin (bounded probes only) prunes within the read buckets. */
+  private def tokSlice(scan: DataFrame, toks: Option[Seq[String]],
+      tbs: Seq[Long]): DataFrame = {
+    val tb = scan.filter(col("tb").isin(tbs: _*))
+    toks.fold(tb)(ts => tb.filter(col("tok").isin(ts: _*)))
+  }
+
+  private def hintSmall(df: DataFrame, toks: Option[Seq[String]]): DataFrame =
+    if (toks.isDefined) broadcast(df) else df
 }

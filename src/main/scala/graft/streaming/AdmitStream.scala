@@ -83,10 +83,19 @@ object AdmitStream {
           val adm = verdicts.agg(
             count(lit(1)).as("n_docs"),
             sum(when(col("verdict") === "novel", 1L).otherwise(0L)).as("n_novel"))
-          adm.join(DupIndex.hotGate(s, deltaPath, Some(baseDfPre)), lit(true), "left")
+          // gate scoped to the trigger's own delta-partition bucket
+          // footprint: per-trigger cost tracks the trigger's slice,
+          // not the whole accumulated delta, and every cap crossing
+          // still trips on the trigger that caused it (the crossing
+          // occurrence lives in that trigger's buckets — see
+          // DupIndex.hotGate). An all-dup trigger wrote no delta
+          // rows: empty footprint, clean gate row by construction.
+          val sbs = DupIndex.deltaBuckets(s, deltaPath, id)
+          adm.join(DupIndex.hotGate(s, deltaPath, Some(baseDfPre), Some(sbs)),
+              lit(true), "left")
             .withColumn("batch", lit(id))
             .select("batch", "n_docs", "n_novel", "n_delta_shingles",
-              "n_newly_hot", "max_df", "cand_mass", "rebuild")
+              "n_delta_rows", "n_newly_hot", "max_df", "cand_mass", "rebuild")
             .write.mode("overwrite").partitionBy("batch")
             .option("partitionOverwriteMode", "dynamic")
             .parquet(logPath)

@@ -577,4 +577,20 @@ class SimilaritySpec extends AnyFunSuite {
     assert(hit.length == 1 && hit(0).getLong(1) == 7L && hit(0).getBoolean(3),
       s"planted twin not flagged: ${hit.toSeq}")
   }
+
+  test("ivf fit over an empty frame degrades to an empty assignment, not a throw") {
+    // the r8 ADVICE guard: the exact tree-merge throws on a
+    // zero-partition RDD (the NoveltyStream rdd.reduce class) and the
+    // seed collect has nothing to seed from — an empty custom frame
+    // (spec corpora, a fully-quarantined ingest) must return cleanly
+    import spark.implicits._
+    val empty = Seq.empty[(Long, Seq[Float])].toDF("vec_id", "embedding")
+    val (cells, cents) = operators.Similarity.ivfCellsOf(spark, empty)
+    assert(cells.count() == 0L && cents.isEmpty)
+    assert(cells.columns.toSeq == Seq("vec_id", "cid", "cid2", "ed", "nrm"))
+    // and the filtered-to-empty corpus shape (partitions > 0, rows = 0)
+    val filtered = Tables(spark, sf, "embeddings").filter(lit(false))
+    val (c2, k2) = operators.Similarity.ivfCellsOf(spark, filtered)
+    assert(c2.count() == 0L && k2.isEmpty)
+  }
 }

@@ -212,6 +212,22 @@ class SourcesSpec extends AnyFunSuite {
         .map(_.toString).find(_.contains("parquet")).get
       assert(scan.contains("PartitionFilters") && scan.contains("tb"),
         s"posting scan is not bucket-pruned: $scan")
+      // a backfill-sized query batch (> ProbeTokMax distinct tokens)
+      // must NOT inline a driver-collected token list into the plan
+      // (the r8 ADVICE fix) — and must return the same rows: the
+      // junk tokens have no postings, and the token restriction
+      // happens in the scoring join either way
+      import spark.implicits._
+      val junk = spark.range(sources.LexIndex.ProbeTokMax + 200L)
+        .select(lit(0L).as("query_id"),
+          concat(lit("zzqjunk"), col("id")).as("tok"))
+      val big = sources.LexIndex.probe(spark, path, stats, qtok.unionByName(junk), 10)
+      assert(big.exceptAll(got).count() == 0 && got.exceptAll(big).count() == 0,
+        "over-cap probe diverges from the bounded probe on the same real tokens")
+      val bigDelta = sources.LexIndex.probeWithDelta(spark, path, s"$root/nodelta",
+        stats, qtok.unionByName(junk), 10)
+      assert(bigDelta.exceptAll(got).count() == 0 && got.exceptAll(bigDelta).count() == 0,
+        "over-cap delta probe diverges from the bounded probe")
     }
   }
 
@@ -543,6 +559,22 @@ class SourcesSpec extends AnyFunSuite {
     val gate = sources.DupIndex.hotGate(spark, ddir, bdf).collect()(0)
     assert(gate.getAs[Boolean]("rebuild") && gate.getAs[Long]("n_newly_hot") >= 1L,
       s"gate missed the accumulated template: $gate")
+    assert(gate.getAs[Long]("n_delta_rows") > 0L, "gate cost metric missing")
+    // the TRIGGER-SCOPED gate (the streaming face's form): scoping to
+    // the batch's own delta-partition buckets still trips — the
+    // crossing occurrence lives in those buckets by construction
+    val sbs1 = sources.DupIndex.deltaBuckets(spark, ddir, 1L)
+    assert(sbs1.nonEmpty && sbs1.size <= sources.DupIndex.NBuckets)
+    val scoped = sources.DupIndex.hotGate(spark, ddir, bdf, Some(sbs1)).collect()(0)
+    assert(scoped.getAs[Boolean]("rebuild") &&
+      scoped.getAs[Long]("n_newly_hot") == gate.getAs[Long]("n_newly_hot"),
+      s"trigger-scoped gate missed the crossing its own trigger caused: $scoped")
+    // a scope disjoint from the delta's buckets reads a clean row
+    // (and proves the scope is a real partition filter, not a no-op)
+    val other = (0L until sources.DupIndex.NBuckets).filterNot(sbs1.contains)
+    val off = sources.DupIndex.hotGate(spark, ddir, bdf, Some(other)).collect()(0)
+    assert(!off.getAs[Boolean]("rebuild") && off.getAs[Long]("n_delta_rows") == 0L,
+      s"disjoint-bucket scope still read delta rows: $off")
     // a clean tail batch does not trip
     val clean = (5000L until 5050L).map(mk). map { case (id, t) => (id, t.replace("tpl aa bb cc", s"p$id q$id r$id")) }
     val cdelta = tmp("cleandelta")
