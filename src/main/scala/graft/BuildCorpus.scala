@@ -1,0 +1,150 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, Sampling, Similarity, TextOps}
+
+/** END-TO-END CORPUS BUILD — the one artifact-producing job a user of
+  * this library ships, composing the already-verified operator stages
+  * the way the reference composes loader→Kafka→Flink→Mongo
+  * (reference Ajay6601/Ecommerce-Analytics `data_loader.py` +
+  * `flink_processing`; this is its LLM-training-pipeline analog):
+  *
+  *   q108 intake validation → q85 normalize (STAGED corpus: the one
+  *   intermediate materialization, so every downstream operator runs
+  *   against normalized text) → q154 embedding dedup route + q168
+  *   semantic decon (logged) → q68 gate (PII-clean ∧ exact+near-dup
+  *   canonical ∧ quality, split) → q69 exact-gram + q86 fuzzy
+  *   decontamination (flagged train docs dropped) → q72's mixture
+  *   admission → q74 packing → content-hash SHARDS + q170 manifest +
+  *   q79 data card + a per-stage DECISION LOG.
+  *
+  * Artifact layout under `out`:
+  *   staged/documents.parquet    normalized corpus (+ embeddings copy)
+  *   shards/shard=<k>/…          packed train docs with (bin_id,
+  *                               bin_offset) — the shipped training set
+  *   corpus/documents.parquet    the shipped docs as a corpus dir (the
+  *                               card's input, and a re-auditable table)
+  *   manifest.parquet            per-shard doc/token/byte balance audit
+  *   card.parquet                per-language release data card
+  *   decisions.parquet           one row per stage: counts in/out + detail
+  *
+  * Every stage is the EXISTING operator (same expression trees, same
+  * thresholds), so the composed artifact cannot drift from the
+  * operator suite — BuildCorpusSpec asserts the shipped rows equal
+  * the operator chain applied stepwise against an independently
+  * staged copy. Scale shape: one staged materialization (the
+  * standard normalize-once trade), then each stage is the
+  * scale-audited operator; shards are written partitioned by the
+  * content-hash shard key so 1000 readers consume them independently.
+  *
+  * usage: runMain graft.BuildCorpus <inDir> <outDir>
+  */
+object BuildCorpus {
+
+  def main(args: Array[String]): Unit = {
+    val spark = GraftSession.local(Runtime.getRuntime.availableProcessors)
+    val log = run(spark, args(0), args(1))
+    log.collect().foreach(r => println(s"[build] ${r.mkString(" | ")}"))
+    spark.stop()
+  }
+
+  /** Build the corpus artifact at `out` from the raw tables at `in`;
+    * returns the decision log (also persisted at out/decisions.parquet). */
+  def run(s: SparkSession, in: String, out: String): DataFrame = {
+    import s.implicits._
+    val decisions = scala.collection.mutable.ArrayBuffer
+      .empty[(Int, String, Long, Long, String)]
+
+    // 0. intake: the schema/content gate, logged verbatim (a real
+    // deployment quarantines on dirty intake; the artifact records it)
+    val intake = TextOps.q108(s, in).collect()(0)
+    val nDocs = intake.getAs[Long]("n_docs")
+    decisions += ((0, "intake", nDocs, intake.getAs[Long]("n_clean"),
+      s"dup_id=${intake.getAs[Long]("n_dup_id")} ctrl=${intake.getAs[Long]("n_ctrl_chars")}"))
+
+    // 1. normalize → the staged corpus every later stage reads (the
+    // one intermediate materialization; n_chars re-derived so the
+    // staged table satisfies its own intake contract)
+    val staged = s"$out/staged"
+    val norm = TextOps.q85(s, in)
+    val nChanged = norm.filter(col("changed")).count()
+    Tables(s, in, "documents").select("doc_id", "lang", "source")
+      .join(norm.select(col("doc_id"), col("text_norm").as("text")), "doc_id")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .select("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode(SaveMode.Overwrite).parquet(s"$staged/documents.parquet")
+    Tables(s, in, "embeddings")
+      .write.mode(SaveMode.Overwrite).parquet(s"$staged/embeddings.parquet")
+    decisions += ((1, "normalize", nDocs, nChanged, "q85 -> staged/"))
+
+    // 2. embedding-side audit, logged: the q154 router's verdict
+    // (banding vs cells, measured skew) and q168's eval-proximity
+    // flags — the dense-side story of what the text gates below do
+    val route = Dedup.q154(s, staged).localCheckpoint(false)
+    val routeRow = route.select(first("route"), first("med_skew_x1000")).collect()(0)
+    decisions += ((2, "embedding_route", route.count(),
+      route.filter(col("kept")).count(),
+      s"route=${routeRow.getString(0)} med_skew_x1000=${routeRow.getLong(1)}"))
+    val semDecon = Similarity.q168(s, staged)
+    decisions += ((3, "semantic_decon", semDecon.count(),
+      semDecon.filter(!col("contaminated")).count(), "q168 vs eval vectors"))
+
+    // 3. the gate: exact-dup canonical ∧ near-dup canonical ∧ clean ∧
+    // quality, with the content-keyed split
+    val gate = Sampling.q68(s, staged).localCheckpoint(false)
+    val gateTrain = gate.filter(col("split") === "train").select("doc_id")
+    val nGateTrain = gateTrain.count()
+    decisions += ((4, "gate_keep", nDocs, nGateTrain,
+      s"q68 kept_all_splits=${gate.count()}"))
+
+    // 4. decontamination: exact 8-gram (q69) ∪ fuzzy shingle-jaccard
+    // (q86) flags over the staged corpus; flagged train docs drop
+    val drop = Sampling.q69(s, staged).filter(col("contaminated")).select("doc_id")
+      .unionByName(Sampling.q86(s, staged).filter(col("contaminated")).select("doc_id"))
+      .distinct().localCheckpoint(false)
+    val nDropped = gateTrain.join(drop, Seq("doc_id"), "left_semi").count()
+    decisions += ((5, "decontaminate", nGateTrain, nGateTrain - nDropped,
+      s"q69|q86 flagged_in_gate=$nDropped"))
+
+    // 5. mixture admission + packing over the survivors (q75's core
+    // with the drop set composed in)
+    val packed = Sampling.assembleWith(s, staged, drop).localCheckpoint(false)
+    val nPacked = packed.count()
+
+    // 6. shards: the shipped rows, content-hash sharded so the split
+    // coordinate and the shard coordinate stay independent (q170's
+    // ShardExpr), carrying the packing layout
+    val stDocs = Tables(s, staged, "documents")
+    val shipped = stDocs
+      .join(packed, "doc_id")
+      .withColumn("shard", expr(Sampling.ShardExpr))
+      .select("shard", "doc_id", "text", "lang", "source",
+        "n_tokens", "bin_id", "bin_offset")
+      .localCheckpoint(false) // 4 consumers: shards, corpus, manifest, stats
+    shipped.write.mode(SaveMode.Overwrite).partitionBy("shard")
+      .parquet(s"$out/shards")
+    shipped.select(col("doc_id"), col("text"), col("lang"), col("source"),
+        length(col("text")).cast("long").as("n_chars"))
+      .write.mode(SaveMode.Overwrite).parquet(s"$out/corpus/documents.parquet")
+    val nBins = shipped.agg(countDistinct("bin_id")).collect()(0).getLong(0)
+    decisions += ((6, "mix_pack", nGateTrain - nDropped, nPacked, s"bins=$nBins"))
+
+    // 7. manifest over the SHIPPED rows (q170's aggregation), card
+    // over the shipped corpus dir (q79)
+    Sampling.manifestOf(shipped.select(col("shard"), col("n_tokens"),
+        octet_length(col("text")).cast("long").as("n_bytes")))
+      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$out/manifest.parquet")
+    TextOps.q79(s, s"$out/corpus")
+      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$out/card.parquet")
+    val tokens = shipped.agg(coalesce(sum("n_tokens"), lit(0L))).collect()(0).getLong(0)
+    decisions += ((7, "shards", nPacked, Sampling.NShards.toLong, s"tokens=$tokens"))
+
+    val log = decisions.toSeq
+      .toDF("stage_id", "stage", "n_in", "n_out", "detail")
+      .orderBy("stage_id")
+    log.coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$out/decisions.parquet")
+    log
+  }
+}

@@ -768,8 +768,19 @@ object Sampling {
     * core: the gate subtree contains q65's iterative loop and feeds
     * two actions (histogram + admission join) — without the barrier
     * the cluster computation would execute twice. */
-  def q75(s: SparkSession, dir: String): DataFrame = {
-    val keep = q68(s, dir).filter(col("split") === "train").select("doc_id")
+  def q75(s: SparkSession, dir: String): DataFrame =
+    assembleCore(s, dir, q68(s, dir).filter(col("split") === "train").select("doc_id"))
+
+  /** q75 with the decontamination stage composed in: gate-kept train
+    * docs MINUS `drop` (q69/q86 flags) feed the mixture — the
+    * [[graft.BuildCorpus]] assembly point. q75 itself passes the gate
+    * set through unchanged, so its plan (and oracle) is untouched. */
+  private[graft] def assembleWith(s: SparkSession, dir: String, drop: DataFrame): DataFrame =
+    assembleCore(s, dir,
+      q68(s, dir).filter(col("split") === "train").select("doc_id")
+        .join(drop, Seq("doc_id"), "left_anti"))
+
+  private def assembleCore(s: SparkSession, dir: String, keep: DataFrame): DataFrame = {
     val d = Tables(s, dir, "documents")
       .select(col("doc_id"), col("lang"), expr(BucketExpr).as("bucket"),
         expr(s"size(${Dedup.tokensExpr})").cast("long").as("n_tokens"))
@@ -1438,11 +1449,16 @@ object Sampling {
     * scan collapsed to an NShards-row frame; windows see only that
     * frame. */
   def q170(s: SparkSession, dir: String): DataFrame =
-    Tables(s, dir, "documents")
+    manifestOf(Tables(s, dir, "documents")
       .select(expr(ShardExpr).as("shard"),
         expr(s"size(${Dedup.tokensExpr})").cast("long").as("n_tokens"),
-        octet_length(col("text")).cast("long").as("n_bytes"))
-      .groupBy("shard")
+        octet_length(col("text")).cast("long").as("n_bytes")))
+
+  /** The manifest aggregation over ANY (shard, n_tokens, n_bytes)
+    * row frame — shared by q170 (whole-corpus audit) and the
+    * [[graft.BuildCorpus]] artifact manifest (shipped rows only). */
+  private[graft] def manifestOf(d: DataFrame): DataFrame =
+    d.groupBy("shard")
       .agg(count(lit(1)).as("n_docs"),
         sum("n_tokens").as("n_tokens"), sum("n_bytes").as("n_bytes"))
       .withColumn("docs_share_ppm",

@@ -29,9 +29,14 @@ object AnnIndex {
 
   /** Fit (deterministic Lloyd, shared with q52) + write the
     * cell-partitioned index; returns the centroid metadata. */
-  def write(s: SparkSession, dir: String, path: String): Array[Array[Double]] = {
-    val (cells, cents) =
-      graft.operators.Similarity.ivfCellsOf(s, graft.Tables(s, dir, "embeddings"))
+  def write(s: SparkSession, dir: String, path: String): Array[Array[Double]] =
+    writeFrom(s, graft.Tables(s, dir, "embeddings"), path)
+
+  /** [[write]] over any (vec_id, embedding) frame — the REBUILD face
+    * ([[Maintenance]] refits over base + delta + quarantine after a
+    * gate trip; specs build bases from corpus subsets). */
+  def writeFrom(s: SparkSession, emb: DataFrame, path: String): Array[Array[Double]] = {
+    val (cells, cents) = graft.operators.Similarity.ivfCellsOf(s, emb)
     cells.select("vec_id", "ed", "nrm", "cid")
       .write.mode(SaveMode.Overwrite).partitionBy("cid").parquet(path)
     cents

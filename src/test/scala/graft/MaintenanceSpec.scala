@@ -1,0 +1,194 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+/** The triad maintenance driver (SURVEY §2.H): decision logs in, due
+  * compactions/rebuilds out, new roots provably equal to from-scratch
+  * rebuilds over the union corpus.
+  */
+class MaintenanceSpec extends AnyFunSuite {
+  import TestSpark.{spark, sf, withTmpDir}
+  import spark.implicits._
+
+  test("ann maintenance: quarantine trip in the log -> refit rebuild equal to from-scratch; quiet deep delta -> compact") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    withTmpDir("maint-ann") { root =>
+      val base = s"$root/base"; val delta = s"$root/delta"
+      val quar = s"$root/quar"; val dlog = s"$root/log"
+      val cents = sources.AnnIndex.write(spark, sf, base)
+      val all = Tables(spark, sf, "embeddings").select("vec_id", "embedding")
+        .collect().map(r => (r.getLong(0), r.getSeq[Float](1)))
+      val twins = all.take(30).map { case (i, v) => (i + 200000L, v) }
+      val shifted = all.slice(30, 60).map { case (i, v) => (i + 300000L, v.map(x => x + 5.0f)) }
+      // nothing ingested yet: the sweep is a no-op on every index
+      val dupB = s"$root/dupbase"
+      sources.DupIndex.writeFrom(spark,
+        Seq((1L, "a b c d e f")).toDF("doc_id", "text"), dupB)
+      val lexB = s"$root/lexbase"
+      sources.LexIndex.writeFrom(spark,
+        Seq((1L, "a b c d e f")).toDF("doc_id", "text"), lexB)
+      val quiet = sources.Maintenance.sweep(spark,
+        sources.Maintenance.Roots(base, delta, quar, dlog, s"$root/o1"),
+        sources.Maintenance.Roots(dupB, s"$root/dupdelta", "", s"$root/duplog", s"$root/o2"),
+        sources.Maintenance.Roots(lexB, s"$root/lexdelta", "", s"$root/lexlog", s"$root/o3"),
+        Seq((1L, "a b c d e f")).toDF("doc_id", "text"))
+      assert(quiet.forall(_.action == "noop"), s"quiet sweep acted: $quiet")
+
+      // ingest: batch 0 same-geometry (delta), batch 1 drifted
+      // (quarantined, refit=true logged)
+      val mem = MemoryStream[(Long, Seq[Float])]
+      val q = streaming.IngestStream.ingestSink(
+        mem.toDF().toDF("vec_id", "embedding"), base, delta, quar, dlog, cents,
+        s"$root/ckpt")
+      mem.addData(twins.toSeq)
+      q.processAllAvailable()
+      mem.addData(shifted.toSeq)
+      q.processAllAvailable()
+      q.stop()
+
+      val out = s"$root/rebuilt"
+      val (v, newCents) = sources.Maintenance.maintainAnn(spark, base, delta, quar, dlog, out)
+      assert(v.action == "rebuild" && v.trips == 1L, s"gate trip not acted on: $v")
+      // the rebuilt root holds base + delta + quarantine rows
+      val ids = spark.read.parquet(out).select("vec_id").as[Long].collect().toSet
+      assert(shifted.forall { case (i, _) => ids(i) }, "quarantined rows missing from rebuild")
+      assert(twins.forall { case (i, _) => ids(i) }, "delta rows missing from rebuild")
+      assert(all.forall { case (i, _) => ids(i) }, "base rows missing from rebuild")
+      // probes equal a from-scratch rebuild over the union corpus
+      val ref = s"$root/ref"
+      val refCents = sources.AnnIndex.writeFrom(spark,
+        sources.Maintenance.annCorpus(spark, base, delta, quar), ref)
+      val queries = (all.take(10) ++ shifted.take(10)).map { case (i, v) => (i, v.toArray) }
+      val got = sources.AnnIndex.probe(spark, out, newCents.get, queries, nprobe = 4, k = 5)
+      val want = sources.AnnIndex.probe(spark, ref, refCents, queries, nprobe = 4, k = 5)
+      assert(got.exceptAll(want).count() == 0 && want.exceptAll(got).count() == 0,
+        "maintenance rebuild probes differ from a from-scratch rebuild")
+      // and the drifted family is now first-class: a drifted query's
+      // nearest neighbors are its own batch-mates, not forced matches
+      // against the old geometry
+      val driftedHits = got.filter(col("query_id") >= 300000L)
+        .filter(col("rank") === 1)
+      assert(driftedHits.count() == 10 &&
+        driftedHits.filter(col("neighbor_id") < 300000L).count() < 10,
+        "rebuilt index still quantizes the drifted family away")
+
+      // quiet index, deep delta: 8 appended batches with no trip -> fold
+      val base2 = s"$root/base2"; val delta2 = s"$root/delta2"
+      val cents2 = sources.AnnIndex.write(spark, sf, base2)
+      (0 until 8).foreach { b =>
+        sources.AnnIndex.appendDelta(spark, delta2, cents2,
+          twins.take(5).map { case (i, vv) => (i + 1000L * b, vv) }.toSeq
+            .toDF("vec_id", "embedding"), b.toLong)
+      }
+      val out2 = s"$root/folded"
+      val (v2, none2) = sources.Maintenance.maintainAnn(
+        spark, base2, delta2, s"$root/noquar", s"$root/nolog", out2)
+      assert(v2.action == "compact" && v2.deltaBatches == 8L && none2.isEmpty, s"$v2")
+      val gotF = sources.AnnIndex.probe(spark, out2, cents2, queries.take(10), 4, 5)
+      val wantF = sources.AnnIndex.probeWithDelta(spark, base2, delta2, cents2,
+        queries.take(10), 4, 5)
+      assert(gotF.exceptAll(wantF).count() == 0 && wantF.exceptAll(gotF).count() == 0,
+        "delta fold changed probe results")
+    }
+  }
+
+  test("dup maintenance: admission log's hot-template trip -> compaction equal to a from-scratch rebuild over the union") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    withTmpDir("maint-dup") { root =>
+      def mk(id: Long) =
+        (id, s"tpl aa bb cc u${id}x u${id}y u${id}z w${id}a w${id}b")
+      // template at df 990 in base (under the 1000 cap); a 60-doc
+      // trigger pushes the union df over -> the trigger's scoped hot
+      // gate logs rebuild=true
+      val baseDocs = (0L until 990L).map(mk)
+      val trig = (5000L until 5060L).map(mk)
+      val base = s"$root/base"; val delta = s"$root/delta"
+      val verd = s"$root/verd"; val dlog = s"$root/log"
+      sources.DupIndex.writeFrom(spark, baseDocs.toDF("doc_id", "text"), base)
+      val mem = MemoryStream[(Long, String)]
+      val q = streaming.AdmitStream.admitSink(
+        mem.toDF().toDF("doc_id", "text"), base, delta, verd, dlog, s"$root/ckpt")
+      mem.addData(trig)
+      q.processAllAvailable()
+      q.stop()
+      val logRow = spark.read.parquet(dlog).collect()(0)
+      assert(logRow.getAs[Boolean]("rebuild"), s"admission gate did not trip: $logRow")
+
+      val out = s"$root/compacted"
+      val v = sources.Maintenance.maintainDup(spark, base, delta, dlog, out)
+      assert(v.action == "rebuild" && v.trips == 1L, s"$v")
+      // from-scratch rebuild over base docs + the ADMITTED trigger docs
+      val admitted = spark.read.parquet(verd).filter(col("verdict") === "novel")
+        .select("doc_id").as[Long].collect().toSet
+      val union = (baseDocs ++ trig.filter(t => admitted(t._1))).toDF("doc_id", "text")
+      val ref = s"$root/ref"
+      sources.DupIndex.writeFrom(spark, union, ref)
+      def postRows(d: String) =
+        spark.read.parquet(s"$d/post").select("sb", "s", "doc_id", "n")
+      def hotRows(d: String) = spark.read.parquet(s"$d/hot").select("sb", "s")
+      assert(postRows(out).exceptAll(postRows(ref)).isEmpty &&
+        postRows(ref).exceptAll(postRows(out)).isEmpty,
+        "maintained postings differ from a from-scratch rebuild")
+      assert(hotRows(out).exceptAll(hotRows(ref)).isEmpty &&
+        hotRows(ref).exceptAll(hotRows(out)).isEmpty,
+        "maintained hot list differs from a from-scratch rebuild")
+      // the template is hot in the new root: future probes never
+      // match-multiply on it
+      assert(spark.read.parquet(s"$out/hot").filter(col("s") === "tpl aa bb").count() == 1)
+    }
+  }
+
+  test("lex maintenance: parked drift batch -> rebuild over the grown corpus equal to from-scratch; probes serve the new vocabulary") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    withTmpDir("maint-lex") { root =>
+      val docs = Tables(spark, sf, "documents").select("doc_id", "text")
+      val baseDocs = docs.filter(col("doc_id") < 20 || col("doc_id") % 2 === 0)
+        .localCheckpoint(false)
+      val t1 = docs.filter(col("doc_id") >= 20 && col("doc_id") % 4 === 1)
+        .as[(Long, String)].collect().toSeq
+      val drift = (0 until 30).map(i =>
+        (900000L + i, (1 to 40).map(j => s"zz${i % 7}w$j").mkString(" ")))
+      val base = s"$root/base"; val delta = s"$root/delta"
+      val quar = s"$root/quar"; val dlog = s"$root/log"
+      val st0 = sources.LexIndex.writeFrom(spark, baseDocs, base)
+      val mem = MemoryStream[(Long, String)]
+      val q = streaming.LexIngestStream.ingestSink(
+        mem.toDF().toDF("doc_id", "text"), base, delta, quar, dlog, st0, s"$root/ckpt")
+      mem.addData(t1)     // same-domain: admitted to the delta
+      q.processAllAvailable()
+      mem.addData(drift)  // novel vocabulary: parked, rebuild=true
+      q.processAllAvailable()
+      q.stop()
+      assert(spark.read.parquet(dlog).filter(col("rebuild")).count() == 1L,
+        "drift trigger did not trip the coverage gate")
+
+      // the grown corpus: residents + admitted + parked (the caller
+      // owns the documents; the index holds only capped postings)
+      val corpus = baseDocs
+        .unionByName(t1.toDF("doc_id", "text"))
+        .unionByName(drift.toDF("doc_id", "text"))
+        .localCheckpoint(false)
+      val out = s"$root/rebuilt"
+      val (v, newStats) = sources.Maintenance.maintainLex(spark, base, delta, dlog, corpus, out)
+      assert(v.action == "rebuild" && v.trips == 1L, s"$v")
+      val ref = s"$root/ref"
+      val refStats = sources.LexIndex.writeFrom(spark, corpus, ref)
+      assert(newStats.get == refStats, "rebuilt stats differ from from-scratch")
+      def posts(p: String) = spark.read.parquet(p).select("tok", "doc_id", "dl", "tf", "df")
+      assert(posts(out).exceptAll(posts(ref)).isEmpty &&
+        posts(ref).exceptAll(posts(out)).isEmpty,
+        "maintained postings differ from a from-scratch rebuild")
+      // the parked family's vocabulary now serves: a drift-token query
+      // retrieves drift docs
+      val qtok = Seq((999999L, "zz0w1"), (999999L, "zz0w2")).toDF("query_id", "tok")
+      val got = sources.LexIndex.probe(spark, out, newStats.get, qtok, 5)
+      assert(got.count() > 0 &&
+        got.filter(col("doc_id") < 900000L).count() == 0,
+        "rebuilt lexical index does not serve the parked vocabulary")
+    }
+  }
+}
