@@ -224,6 +224,10 @@ object Events {
         col("v_us").isNotNull && col("us") >= col("v_us"), col("us"))).over(bySess))
       .withColumn("p_us", min(when(col("event_type") === "purchase" &&
         col("c_us").isNotNull && col("us") >= col("c_us"), col("us"))).over(bySess))
+    // two consumers (stats agg + the cumsum core) but NO barrier:
+    // measured r8 — a localCheckpoint here moved best-of-5 by <4%
+    // (exchange reuse does dedup this one), so the q31-class "big
+    // materialization loses" side of the CLAUDE.md barrier rule
     val perSess = anchored.groupBy("user_id", "session_seq")
       .agg(count(lit(1)).as("depth"),
         max("v_us").as("v"), max("c_us").as("c"), max("p_us").as("p"))

@@ -228,6 +228,15 @@ class SourcesSpec extends AnyFunSuite {
         stats, qtok.unionByName(junk), 10)
       assert(bigDelta.exceptAll(got).count() == 0 && got.exceptAll(bigDelta).count() == 0,
         "over-cap delta probe diverges from the bounded probe")
+      // and the over-cap plan keeps the tb partition filter but does
+      // NOT inline the collected token list into the scan
+      val bigScan = sources.LexIndex.probe(spark, path, stats, qtok.unionByName(junk), 10)
+        .queryExecution.executedPlan.collectLeaves()
+        .map(_.toString).find(_.contains("parquet")).get
+      assert(bigScan.contains("PartitionFilters") && bigScan.contains("tb"),
+        s"over-cap probe lost the bucket pruning: $bigScan")
+      assert(!bigScan.contains("zzqjunk"),
+        "over-cap probe inlined the driver-collected token list into the plan")
     }
   }
 
