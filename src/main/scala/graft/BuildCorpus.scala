@@ -66,18 +66,47 @@ object BuildCorpus {
 
     // 1. normalize → the staged corpus every later stage reads (the
     // one intermediate materialization; n_chars re-derived so the
-    // staged table satisfies its own intake contract)
+    // staged table satisfies its own intake contract). Rows the
+    // contract can't REPAIR are QUARANTINED, not shipped: normalize
+    // fixes control bytes / whitespace / case, but a null or
+    // duplicated id, null language, or text that normalizes to
+    // nothing has no defensible downstream semantics (a null text
+    // would NPE the tokenizers; a duplicated id makes every
+    // doc_id join fan out). Quarantined rows land at out/quarantine
+    // with their reason — re-ingestable after upstream repair.
     val staged = s"$out/staged"
-    val norm = TextOps.q85(s, in)
-    val nChanged = norm.filter(col("changed")).count()
-    Tables(s, in, "documents").select("doc_id", "lang", "source")
-      .join(norm.select(col("doc_id"), col("text_norm").as("text")), "doc_id")
+    // q85's normalization CORE as a direct projection (ONE expression
+    // tree with the operator — TextOps.normalizeCol), never a join
+    // back on doc_id: a duplicated intake id would fan the join out
+    // and double every copy, and a null id would drop out of it
+    val keyed = Tables(s, in, "documents")
+      .select(col("doc_id"), col("lang"), col("source"),
+        TextOps.normalizeCol(col("text")).as("text"),
+        (TextOps.normalizeCol(col("text")) =!= col("text")).as("changed"))
       .withColumn("n_chars", length(col("text")).cast("long"))
+      // one id-keyed shuffle prices the dup check — the intake audit
+      // already paid an exact count(DISTINCT doc_id) for the same fact
+      .withColumn("id_n", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))))
+      .withColumn("quarantine_reason",
+        when(col("doc_id").isNull, "null_id")
+          .when(col("id_n") > 1, "dup_id")
+          .when(col("text").isNull, "null_text")
+          .when(col("text") === "", "empty_after_normalize")
+          .when(col("lang").isNull, "null_lang"))
+      .localCheckpoint(false) // 3 consumers: quarantine, staged, count
+    keyed.filter(col("quarantine_reason").isNotNull)
+      .select("doc_id", "text", "lang", "source", "quarantine_reason")
+      .write.mode(SaveMode.Overwrite).parquet(s"$out/quarantine")
+    val stagedDocs = keyed.filter(col("quarantine_reason").isNull)
       .select("doc_id", "text", "lang", "source", "n_chars")
-      .write.mode(SaveMode.Overwrite).parquet(s"$staged/documents.parquet")
+    stagedDocs.write.mode(SaveMode.Overwrite).parquet(s"$staged/documents.parquet")
+    val nStaged = s.read.parquet(s"$staged/documents.parquet").count()
+    val nChanged = keyed.filter(col("changed")).count()
     Tables(s, in, "embeddings")
       .write.mode(SaveMode.Overwrite).parquet(s"$staged/embeddings.parquet")
-    decisions += ((1, "normalize", nDocs, nChanged, "q85 -> staged/"))
+    decisions += ((1, "normalize", nDocs, nStaged,
+      s"q85 changed=$nChanged quarantined=${nDocs - nStaged} -> staged/"))
 
     // 2. embedding-side audit, logged: the q154 router's verdict
     // (banding vs cells, measured skew) and q168's eval-proximity
@@ -96,7 +125,7 @@ object BuildCorpus {
     val gate = Sampling.q68(s, staged).localCheckpoint(false)
     val gateTrain = gate.filter(col("split") === "train").select("doc_id")
     val nGateTrain = gateTrain.count()
-    decisions += ((4, "gate_keep", nDocs, nGateTrain,
+    decisions += ((4, "gate_keep", nStaged, nGateTrain,
       s"q68 kept_all_splits=${gate.count()}"))
 
     // 4. decontamination: exact 8-gram (q69) ∪ fuzzy shingle-jaccard

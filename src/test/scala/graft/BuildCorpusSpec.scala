@@ -84,4 +84,60 @@ class BuildCorpusSpec extends AnyFunSuite {
         "mixture admitted everything: the budget stage is vacuous here")
     }
   }
+
+  test("dirty intake: repairable rows are normalized through, unrepairable rows quarantine with reasons") {
+    import spark.implicits._
+    withTmpDir("buildcorpus-dirty") { root =>
+      val in = s"$root/in"; val out = s"$root/out"
+      def words(seed: Int) = {
+        val r = new scala.util.Random(seed * 2654435761L + 17)
+        (0 until 45).map(_ => s"w${r.nextInt(40)}").mkString(" ")
+      }
+      val good = (0L until 60L).map(i => (Some(i), Some(words(i.toInt)), Some("en"), "src1"))
+      val dirty = Seq(
+        (Some(100L), Some("CTRL\u0001\u0002 " + words(7)), Some("en"), "src2"), // repairable
+        (Some(101L), None: Option[String], Some("en"), "src2"),                  // null_text
+        (Some(102L), Some(""), Some("en"), "src2"),                              // empty
+        (Some(103L), Some("  "), Some("en"), "src2"),                // -> empty_after_normalize
+        (Some(104L), Some(words(9)), None: Option[String], "src2"),              // null_lang
+        (Some(105L), Some(words(11)), Some("en"), "src2"),                       // dup_id pair
+        (Some(105L), Some(words(12)), Some("en"), "src2"),
+        (None: Option[Long], Some(words(13)), Some("en"), "src2"))               // null_id
+      (good ++ dirty).toDF("doc_id", "text", "lang", "source")
+        .withColumn("n_chars", length(col("text")).cast("long"))
+        .write.parquet(s"$in/documents.parquet")
+      (0L until 40L).map(i => (i, Seq.fill(64)((i % 7).toFloat / 7f + 0.1f)))
+        .toDF("vec_id", "embedding")
+        .write.parquet(s"$in/embeddings.parquet")
+
+      val log = BuildCorpus.run(spark, in, out).collect()
+        .map(r => r.getString(1) -> ((r.getLong(2), r.getLong(3)))).toMap
+      // the intake audit saw everything; the staged corpus holds the
+      // 60 clean docs + the one REPAIRED (control-byte) doc
+      assert(log("intake")._1 == 68L)
+      assert(log("normalize") == ((68L, 61L)), s"normalize row: ${log("normalize")}")
+      val staged = spark.read.parquet(s"$out/staged/documents.parquet")
+      assert(staged.count() == 61L)
+      val repaired = staged.filter(col("doc_id") === 100L).collect()
+      assert(repaired.length == 1 && repaired(0).getAs[String]("text").startsWith("ctrl w"),
+        s"control-byte doc not repaired: ${repaired.toSeq}")
+      // staged output satisfies its own intake contract
+      val re = operators.TextOps.validateDocs(staged).collect()(0)
+      assert(re.getAs[Long]("n_clean") == 61L, s"staged corpus fails its own intake: $re")
+      // quarantine: exactly the unrepairable rows, each with its reason
+      val quar = spark.read.parquet(s"$out/quarantine")
+        .select("doc_id", "quarantine_reason").collect()
+        .map(r => (if (r.isNullAt(0)) -1L else r.getLong(0)) -> r.getString(1))
+      assert(quar.length == 7, s"quarantine: ${quar.toSeq}")
+      val byReason = quar.groupBy(_._2).view.mapValues(_.map(_._1).toSet).toMap
+      assert(byReason("null_text") == Set(101L))
+      assert(byReason("empty_after_normalize") == Set(102L, 103L))
+      assert(byReason("null_lang") == Set(104L))
+      assert(byReason("dup_id") == Set(105L))
+      assert(byReason("null_id") == Set(-1L))
+      // and the pipeline still completes end-to-end on the survivors
+      assert(spark.read.parquet(s"$out/shards").count() > 0)
+      assert(log("shards")._1 > 0)
+    }
+  }
 }
