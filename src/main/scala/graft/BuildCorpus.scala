@@ -102,7 +102,9 @@ object BuildCorpus {
       .select("doc_id", "text", "lang", "source", "n_chars")
     stagedDocs.write.mode(SaveMode.Overwrite).parquet(s"$staged/documents.parquet")
     val nStaged = s.read.parquet(s"$staged/documents.parquet").count()
-    val nChanged = keyed.filter(col("changed")).count()
+    // changed-count over STAGED rows only: a quarantined row that
+    // also normalized differently must not double-book the ledger
+    val nChanged = keyed.filter(col("quarantine_reason").isNull && col("changed")).count()
     Tables(s, in, "embeddings")
       .write.mode(SaveMode.Overwrite).parquet(s"$staged/embeddings.parquet")
     decisions += ((1, "normalize", nDocs, nStaged,
@@ -116,9 +118,13 @@ object BuildCorpus {
     decisions += ((2, "embedding_route", route.count(),
       route.filter(col("kept")).count(),
       s"route=${routeRow.getString(0)} med_skew_x1000=${routeRow.getLong(1)}"))
-    val semDecon = Similarity.q168(s, staged)
-    decisions += ((3, "semantic_decon", semDecon.count(),
-      semDecon.filter(!col("contaminated")).count(), "q168 vs eval vectors"))
+    // ONE aggregate for both counts: two count() actions would run
+    // the eval-proximity join twice (r8 review finding)
+    val sd = Similarity.q168(s, staged).agg(
+      count(lit(1)).as("n"),
+      sum(when(!col("contaminated"), 1L).otherwise(0L)).as("ok")).collect()(0)
+    decisions += ((3, "semantic_decon", sd.getLong(0), sd.getLong(1),
+      "q168 vs eval vectors"))
 
     // 3. the gate: exact-dup canonical ∧ near-dup canonical ∧ clean ∧
     // quality, with the content-keyed split
@@ -138,8 +144,10 @@ object BuildCorpus {
       s"q69|q86 flagged_in_gate=$nDropped"))
 
     // 5. mixture admission + packing over the survivors (q75's core
-    // with the drop set composed in)
-    val packed = Sampling.assembleWith(s, staged, drop).localCheckpoint(false)
+    // over the ALREADY-CHECKPOINTED gate set minus the drop set — the
+    // composed gate legs must not execute a second time)
+    val packed = Sampling.assembleKept(s, staged,
+      gateTrain.join(drop, Seq("doc_id"), "left_anti")).localCheckpoint(false)
     val nPacked = packed.count()
 
     // 6. shards: the shipped rows, content-hash sharded so the split
@@ -167,8 +175,12 @@ object BuildCorpus {
       .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$out/manifest.parquet")
     TextOps.q79(s, s"$out/corpus")
       .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$out/card.parquet")
-    val tokens = shipped.agg(coalesce(sum("n_tokens"), lit(0L))).collect()(0).getLong(0)
-    decisions += ((7, "shards", nPacked, Sampling.NShards.toLong, s"tokens=$tokens"))
+    // MEASURED shard count, not the NShards constant: a sub-NShards
+    // shipment writes fewer content-hash shards (r8 review finding)
+    val shTot = shipped.agg(coalesce(sum("n_tokens"), lit(0L)).as("t"),
+      countDistinct("shard").as("sh")).collect()(0)
+    decisions += ((7, "shards", nPacked, shTot.getLong(1),
+      s"tokens=${shTot.getLong(0)} of_max_shards=${Sampling.NShards}"))
 
     val log = decisions.toSeq
       .toDF("stage_id", "stage", "n_in", "n_out", "detail")

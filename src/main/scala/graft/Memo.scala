@@ -64,21 +64,36 @@ object Memo {
   private def localFp(dir: String): String = {
     val root = java.nio.file.Paths.get(dir)
     if (!java.nio.file.Files.exists(root)) return "absent"
-    var acc = 0L
-    val st = java.nio.file.Files.walk(root)
-    try st.forEach { p =>
-      val a = java.nio.file.Files.readAttributes(
-        p, classOf[java.nio.file.attribute.BasicFileAttributes])
-      if (a.isRegularFile) {
-        var h = 0xcbf29ce484222325L
-        def mix(x: Long): Unit = { h ^= x; h *= 0x100000001b3L }
-        mix(p.toString.hashCode.toLong)
-        mix(a.size())
-        mix(a.lastModifiedTime().toMillis)
-        acc += h
-      }
-    } finally st.close()
-    java.lang.Long.toHexString(acc)
+    // this runs on every memo access, possibly while another job is
+    // rewriting the dir (Spark Overwrite's delete-then-write,
+    // _temporary commits): a file listed by walk() may be gone by the
+    // stat — skip it (the in-flight write changes the fingerprint
+    // anyway, so the access just resolves to a different snapshot
+    // key) rather than throwing out of an innocent cached-query call
+    try {
+      var acc = 0L
+      val st = java.nio.file.Files.walk(root)
+      try st.forEach { p =>
+        try {
+          val a = java.nio.file.Files.readAttributes(
+            p, classOf[java.nio.file.attribute.BasicFileAttributes])
+          if (a.isRegularFile) {
+            var h = 0xcbf29ce484222325L
+            def mix(x: Long): Unit = { h ^= x; h *= 0x100000001b3L }
+            mix(p.toString.hashCode.toLong)
+            mix(a.size())
+            mix(a.lastModifiedTime().toMillis)
+            acc += h
+          }
+        } catch { case _: java.io.IOException => /* vanished mid-walk */ }
+      } finally st.close()
+      java.lang.Long.toHexString(acc)
+    } catch {
+      // the walk itself can die on a dir deleted mid-iteration; a
+      // unique miss key is always SAFE (worst case: recompute)
+      case _: java.io.IOException | _: java.io.UncheckedIOException =>
+        s"unstable:${System.nanoTime()}"
+    }
   }
 
   private def hadoopFp(s: SparkSession, dir: String): String = {

@@ -780,6 +780,13 @@ object Sampling {
       q68(s, dir).filter(col("split") === "train").select("doc_id")
         .join(drop, Seq("doc_id"), "left_anti"))
 
+  /** [[assembleWith]] over an ALREADY-COMPUTED keep frame — the
+    * BuildCorpus path, which has the q68 gate checkpointed from its
+    * own gate stage and must not pay the composed gate legs a second
+    * time (r8 review finding). */
+  private[graft] def assembleKept(s: SparkSession, dir: String, keep: DataFrame): DataFrame =
+    assembleCore(s, dir, keep)
+
   private def assembleCore(s: SparkSession, dir: String, keep: DataFrame): DataFrame = {
     val d = Tables(s, dir, "documents")
       .select(col("doc_id"), col("lang"), expr(BucketExpr).as("bucket"),

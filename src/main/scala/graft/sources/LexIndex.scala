@@ -143,9 +143,16 @@ object LexIndex {
     val q = qtok.select(col("query_id"), col("tok"),
       bucket(col("tok")).as("tb")).localCheckpoint(false)
     val (toks, tbs) = probeFootprint(q)
-    def slice(path: String, schema: org.apache.spark.sql.types.StructType) =
-      tokSlice(s.read.schema(schema).parquet(path), toks, tbs)
+    // over-cap probes skip the isin pushdown but must STILL restrict
+    // the slices to query tokens BEFORE the checkpoints below — a
+    // distributed semi-join against the query-token frame, or the
+    // materialized slice is every posting in the probed buckets
+    def slice(path: String, schema: org.apache.spark.sql.types.StructType) = {
+      val sl = tokSlice(s.read.schema(schema).parquet(path), toks, tbs)
         .select("tok", "doc_id", "dl", "tf")
+      if (toks.isDefined) sl
+      else sl.join(q.select("tok").distinct(), Seq("tok"), "left_semi")
+    }
     val base = slice(basePath, postSchema).localCheckpoint(false) // 2 consumers: vocab + union
     // a sink whose every trigger so far was quarantined (or empty)
     // has no delta yet — base-only serving is the correct answer,

@@ -89,8 +89,12 @@ object Maintenance {
         try Some(s.read.parquet(p).select(col("vec_id"), col(c).as("embedding")))
         catch { case e: org.apache.spark.sql.AnalysisException
             if e.getMessage.contains("UNABLE_TO_INFER_SCHEMA") => None }
-    (part(basePath, "ed") ++ part(deltaPath, "ed") ++ part(quarantinePath, "embedding"))
-      .reduce(_ unionByName _)
+    val parts = (part(basePath, "ed") ++ part(deltaPath, "ed") ++
+      part(quarantinePath, "embedding")).toSeq
+    require(parts.nonEmpty,
+      s"ann rebuild found no vectors under any of $basePath / $deltaPath / " +
+        s"$quarantinePath — roots truncated or moved before maintenance ran?")
+    parts.reduce(_ unionByName _)
   }
 
   /** ANN maintenance: refit-rebuild on a tripped gate (returns the
@@ -130,11 +134,13 @@ object Maintenance {
     * and the cap must re-evaluate against current corpus stats).
     * Returns the new driver-held stats. */
   def maintainLex(s: SparkSession, basePath: String, deltaPath: String,
-      logPath: String, corpus: DataFrame,
+      logPath: String, corpus: => DataFrame,
       outPath: String): (Verdict, Option[LexIndex.LexStats]) = {
     val t = trips(s, logPath, "rebuild")
     val b = deltaBatches(s, deltaPath)
     if (t > 0L || b >= CompactBatches) {
+      // corpus is by-name: a caller assembling it eagerly (collects,
+      // eager checkpoints) pays nothing on a no-op sweep
       val st = LexIndex.writeFrom(s, corpus, outPath)
       (Verdict("lex", if (t > 0L) "rebuild" else "compact", t, b), Some(st))
     } else (Verdict("lex", "noop", 0L, b), None)
