@@ -45,40 +45,34 @@ object BuildCorpus {
 
   def main(args: Array[String]): Unit = {
     val spark = GraftSession.local(Runtime.getRuntime.availableProcessors)
-    val log = run(spark, args(0), args(1))
+    // usage: <in> <out>            — full build
+    //        <in> <out> <prev> <n> — increment n against the build at <prev>
+    val log =
+      if (args.length >= 4) incremental(spark, args(0), args(2), args(1), args(3).toLong)
+      else run(spark, args(0), args(1))
     log.collect().foreach(r => println(s"[build] ${r.mkString(" | ")}"))
     spark.stop()
   }
 
-  /** Build the corpus artifact at `out` from the raw tables at `in`;
-    * returns the decision log (also persisted at out/decisions.parquet). */
-  def run(s: SparkSession, in: String, out: String): DataFrame = {
-    import s.implicits._
-    val decisions = scala.collection.mutable.ArrayBuffer
-      .empty[(Int, String, Long, Long, String)]
-
-    // 0. intake: the schema/content gate, logged verbatim (a real
-    // deployment quarantines on dirty intake; the artifact records it)
+  /** Stages 0-1, shared by the full build and [[incremental]]:
+    * intake audit → normalize-or-quarantine into `out`/staged +
+    * `out`/quarantine. Rows the contract can't REPAIR are quarantined
+    * with reasons rather than shipped or crashed on: normalize fixes
+    * control bytes / whitespace / case, but a null or duplicated id,
+    * null language, or text that normalizes to nothing has no
+    * defensible downstream semantics (a null text would NPE the
+    * tokenizers; a duplicated id makes every doc_id join fan out).
+    * Normalization is q85's CORE as a direct projection
+    * ([[TextOps.normalizeCol]]) — never a doc_id join, which a
+    * duplicated intake id would fan out and a null id would drop
+    * from. Returns (n_intake_docs, n_staged_docs). */
+  private def intakeAndStage(s: SparkSession, in: String, out: String,
+      decisions: scala.collection.mutable.ArrayBuffer[(Int, String, Long, Long, String)])
+      : (Long, Long) = {
     val intake = TextOps.q108(s, in).collect()(0)
     val nDocs = intake.getAs[Long]("n_docs")
     decisions += ((0, "intake", nDocs, intake.getAs[Long]("n_clean"),
       s"dup_id=${intake.getAs[Long]("n_dup_id")} ctrl=${intake.getAs[Long]("n_ctrl_chars")}"))
-
-    // 1. normalize → the staged corpus every later stage reads (the
-    // one intermediate materialization; n_chars re-derived so the
-    // staged table satisfies its own intake contract). Rows the
-    // contract can't REPAIR are QUARANTINED, not shipped: normalize
-    // fixes control bytes / whitespace / case, but a null or
-    // duplicated id, null language, or text that normalizes to
-    // nothing has no defensible downstream semantics (a null text
-    // would NPE the tokenizers; a duplicated id makes every
-    // doc_id join fan out). Quarantined rows land at out/quarantine
-    // with their reason — re-ingestable after upstream repair.
-    val staged = s"$out/staged"
-    // q85's normalization CORE as a direct projection (ONE expression
-    // tree with the operator — TextOps.normalizeCol), never a join
-    // back on doc_id: a duplicated intake id would fan the join out
-    // and double every copy, and a null id would drop out of it
     val keyed = Tables(s, in, "documents")
       .select(col("doc_id"), col("lang"), col("source"),
         TextOps.normalizeCol(col("text")).as("text"),
@@ -98,17 +92,28 @@ object BuildCorpus {
     keyed.filter(col("quarantine_reason").isNotNull)
       .select("doc_id", "text", "lang", "source", "quarantine_reason")
       .write.mode(SaveMode.Overwrite).parquet(s"$out/quarantine")
-    val stagedDocs = keyed.filter(col("quarantine_reason").isNull)
+    keyed.filter(col("quarantine_reason").isNull)
       .select("doc_id", "text", "lang", "source", "n_chars")
-    stagedDocs.write.mode(SaveMode.Overwrite).parquet(s"$staged/documents.parquet")
-    val nStaged = s.read.parquet(s"$staged/documents.parquet").count()
+      .write.mode(SaveMode.Overwrite).parquet(s"$out/staged/documents.parquet")
+    val nStaged = s.read.parquet(s"$out/staged/documents.parquet").count()
     // changed-count over STAGED rows only: a quarantined row that
     // also normalized differently must not double-book the ledger
     val nChanged = keyed.filter(col("quarantine_reason").isNull && col("changed")).count()
-    Tables(s, in, "embeddings")
-      .write.mode(SaveMode.Overwrite).parquet(s"$staged/embeddings.parquet")
     decisions += ((1, "normalize", nDocs, nStaged,
       s"q85 changed=$nChanged quarantined=${nDocs - nStaged} -> staged/"))
+    (nDocs, nStaged)
+  }
+
+  /** Build the corpus artifact at `out` from the raw tables at `in`;
+    * returns the decision log (also persisted at out/decisions.parquet). */
+  def run(s: SparkSession, in: String, out: String): DataFrame = {
+    import s.implicits._
+    val decisions = scala.collection.mutable.ArrayBuffer
+      .empty[(Int, String, Long, Long, String)]
+    val staged = s"$out/staged"
+    val (nDocs, nStaged) = intakeAndStage(s, in, out, decisions)
+    Tables(s, in, "embeddings")
+      .write.mode(SaveMode.Overwrite).parquet(s"$staged/embeddings.parquet")
 
     // 2. embedding-side audit, logged: the q154 router's verdict
     // (banding vs cells, measured skew) and q168's eval-proximity
@@ -182,10 +187,153 @@ object BuildCorpus {
     decisions += ((7, "shards", nPacked, shTot.getLong(1),
       s"tokens=${shTot.getLong(0)} of_max_shards=${Sampling.NShards}"))
 
-    val log = decisions.toSeq
+    // 8. the ADMISSION ANCHOR for future increments: the staged
+    // corpus's persisted near-dup signature index (the DupIndex base
+    // [[incremental]] probes) — indexed over STAGED, not shipped:
+    // novelty is judged against everything the corpus has SEEN (a
+    // near-dup of a quality-dropped doc is still a duplicate, and
+    // would only be re-dropped at its own gate anyway)
+    graft.sources.DupIndex.writeFrom(s, stDocs.select("doc_id", "text"),
+      s"$out/dupindex")
+    decisions += ((8, "dup_index", nStaged, nStaged, "-> dupindex/ (admission base)"))
+
+    writeLog(s, decisions.toSeq, out)
+  }
+
+  private def writeLog(s: SparkSession,
+      decisions: Seq[(Int, String, Long, Long, String)], out: String): DataFrame = {
+    import s.implicits._
+    val log = decisions
       .toDF("stage_id", "stage", "n_in", "n_out", "detail")
       .orderBy("stage_id")
     log.coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$out/decisions.parquet")
     log
+  }
+
+  /** INCREMENTAL corpus build — the daily-crawl shape: a delta corpus
+    * at `in` is admitted against the PREVIOUS build at `prev` and
+    * shipped as its own artifact at `out`, without re-deduplicating,
+    * re-gating, or re-packing the prior corpus. Stages:
+    *
+    *  1. the shared intake/normalize/quarantine stage;
+    *  2. exact-dup admission: md5 anti-join against the prior STAGED
+    *     corpus (the sub-3-token class the shingle index cannot see);
+    *  3. near-dup admission: [[graft.sources.DupIndex.probe]] against
+    *     `prev`/dupindex + the accumulated increment delta — q138's
+    *     frozen-cap verdict, exactly the AdmitStream discipline
+    *     (probe EXCLUDES this increment's own delta partition, then
+    *     appends its novel docs' postings under `batch=incId` by
+    *     dynamic overwrite, so a replay of the SAME increment against
+    *     the same prior state is byte-identical and the NEXT
+    *     increment dedups against this one);
+    *  4. the q68 gate over the staged delta (intra-delta exact +
+    *     near-dup canonicals, quality, PII, content-keyed split);
+    *  5. decontamination against the EVAL SLICE: delta train docs
+    *     sharing any capped 8-gram with prior-corpus OR delta
+    *     val/test docs (the GramCap bounds the join's eval side; the
+    *     near-dup axis of cross-split leakage is already covered by
+    *     stage 3 — an eval near-dup in the prior corpus makes the
+    *     delta doc a dup_of_corpus);
+    *  6. packing into FRESH bins appended after the previous build's
+    *     last bin (no cross-increment bin splicing; no mixture
+    *     re-admission — a mixture rebalance is a full rebuild's job);
+    *  7. shards/manifest/card/decisions for the increment.
+    *
+    * Scale shape: O(delta) for every stage except the eval-slice
+    * gram join (O(delta + prior eval slice) — the slice, never the
+    * prior train mass) and the md5 anti-join's one column projection
+    * of the prior staged table. Out-of-order replay after LATER
+    * increments is not supported (standard LSM discipline — the
+    * probe's exclusion is of this increment's own partition only). */
+  def incremental(s: SparkSession, in: String, prev: String, out: String,
+      incId: Long): DataFrame = {
+    import graft.sources.DupIndex
+    val decisions = scala.collection.mutable.ArrayBuffer
+      .empty[(Int, String, Long, Long, String)]
+    val staged = s"$out/staged"
+    val (_, nStaged) = intakeAndStage(s, in, out, decisions)
+    val delta = Tables(s, staged, "documents").localCheckpoint(false)
+
+    // 2. exact-dup admission vs the prior staged corpus
+    val prevStaged = s.read.parquet(s"$prev/staged/documents.parquet")
+    val exactDup = delta
+      .select(col("doc_id"), md5(col("text").cast("binary")).as("h"))
+      .join(prevStaged.select(md5(col("text").cast("binary")).as("h")).distinct(),
+        Seq("h"), "left_semi")
+      .select("doc_id").localCheckpoint(false)
+    decisions += ((2, "exact_dup_vs_corpus", nStaged, nStaged - exactDup.count(),
+      "md5 anti-join vs prev staged"))
+
+    // 3. near-dup admission vs the persisted index (+ prior increments)
+    val verdicts = DupIndex.probe(s, s"$prev/dupindex", delta.select("doc_id", "text"),
+        Some(s"$prev/dupdelta"), excludeBatch = Some(incId))
+      .localCheckpoint(false) // 3 consumers: sink + novel + count
+    verdicts.withColumn("batch", lit(incId))
+      .write.mode(SaveMode.Overwrite).partitionBy("batch")
+      .option("partitionOverwriteMode", "dynamic").parquet(s"$out/verdicts")
+    val novelIds = verdicts.filter(col("verdict") === "novel").select("doc_id")
+    DupIndex.appendDelta(s, s"$prev/dupindex", s"$prev/dupdelta",
+      delta.join(novelIds, Seq("doc_id"), "left_semi").select("doc_id", "text"), incId)
+    decisions += ((3, "neardup_admission", nStaged, novelIds.count(),
+      s"DupIndex.probe batch=$incId"))
+
+    // 4. the intra-delta gate
+    val gate = Sampling.q68(s, staged).localCheckpoint(false)
+    val gateTrain = gate.filter(col("split") === "train").select("doc_id")
+    decisions += ((4, "gate_keep", nStaged, gateTrain.count(),
+      s"q68 kept_all_splits=${gate.count()}"))
+
+    // 5. decontamination vs the eval slice (prior + delta val/test)
+    val tk = expr(graft.operators.Dedup.tokensExpr)
+    def grams(d: DataFrame) = d
+      .withColumn("tk", tk)
+      .select(col("doc_id"), explode(expr(Sampling.gramExpr)).as("s"))
+    val isTrain = expr(Sampling.BucketExpr) < Sampling.TrainLt
+    val evGrams0 = grams(prevStaged.filter(!isTrain).select("doc_id", "text")
+      .unionByName(delta.filter(!isTrain).select("doc_id", "text")))
+    // GramCap over the eval slice bounds the join's build side — the
+    // hot-key discipline of q69, applied where the fan-out lives
+    val evGrams = evGrams0.groupBy("s").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= Sampling.GramCap).select("s")
+    val flagged = grams(delta.filter(isTrain).select("doc_id", "text"))
+      .join(evGrams, Seq("s"), "left_semi")
+      .select("doc_id").distinct().localCheckpoint(false)
+    val keep = gateTrain
+      .join(novelIds, Seq("doc_id"), "left_semi")
+      .join(exactDup, Seq("doc_id"), "left_anti")
+      .join(flagged, Seq("doc_id"), "left_anti")
+      .localCheckpoint(false)
+    decisions += ((5, "decontaminate", gateTrain.count(), keep.count(),
+      s"eval-slice grams flagged=${flagged.count()}"))
+
+    // 6. pack into fresh bins after the previous build's last bin
+    val binBase = s.read.parquet(s"$prev/shards")
+      .agg(coalesce(max("bin_id"), lit(-1L))).collect()(0).getLong(0) + 1L
+    val packed = Sampling.packKept(s, staged, keep, binBase).localCheckpoint(false)
+
+    // 7. the increment's shipped artifact
+    val shipped = delta.join(packed, "doc_id")
+      .withColumn("shard", expr(Sampling.ShardExpr))
+      .select("shard", "doc_id", "text", "lang", "source",
+        "n_tokens", "bin_id", "bin_offset")
+      .localCheckpoint(false)
+    shipped.write.mode(SaveMode.Overwrite).partitionBy("shard").parquet(s"$out/shards")
+    shipped.select(col("doc_id"), col("text"), col("lang"), col("source"),
+        length(col("text")).cast("long").as("n_chars"))
+      .write.mode(SaveMode.Overwrite).parquet(s"$out/corpus/documents.parquet")
+    Sampling.manifestOf(shipped.select(col("shard"), col("n_tokens"),
+        octet_length(col("text")).cast("long").as("n_bytes")))
+      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$out/manifest.parquet")
+    TextOps.q79(s, s"$out/corpus")
+      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$out/card.parquet")
+    val shTot = shipped.agg(coalesce(sum("n_tokens"), lit(0L)).as("t"),
+      countDistinct("shard").as("sh"), countDistinct("bin_id").as("b"),
+      count(lit(1)).as("n")).collect()(0)
+    decisions += ((6, "pack", keep.count(), shTot.getLong(3),
+      s"bins=${shTot.getLong(2)} bin_base=$binBase"))
+    decisions += ((7, "shards", shTot.getLong(3), shTot.getLong(1),
+      s"tokens=${shTot.getLong(0)} of_max_shards=${Sampling.NShards}"))
+
+    writeLog(s, decisions.toSeq, out)
   }
 }

@@ -787,6 +787,21 @@ object Sampling {
   private[graft] def assembleKept(s: SparkSession, dir: String, keep: DataFrame): DataFrame =
     assembleCore(s, dir, keep)
 
+  /** q74's packing core over an explicit keep frame with a bin-id
+    * BASE offset — the INCREMENTAL-build path: an increment packs
+    * into fresh bins appended after the previous build's last bin
+    * (no cross-increment bin splicing, no mixture re-admission — a
+    * mixture rebalance is a full rebuild's job by contract). */
+  private[graft] def packKept(s: SparkSession, dir: String, keep: DataFrame,
+      binBase: Long): DataFrame =
+    packCore(s,
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), expr(BucketExpr).as("bucket"),
+          expr(s"size(${Dedup.tokensExpr})").cast("long").as("n_tokens"))
+        .join(keep, "doc_id"))
+      .withColumn("bin_id", col("bin_id") + lit(binBase))
+      .orderBy("doc_id")
+
   private def assembleCore(s: SparkSession, dir: String, keep: DataFrame): DataFrame = {
     val d = Tables(s, dir, "documents")
       .select(col("doc_id"), col("lang"), expr(BucketExpr).as("bucket"),

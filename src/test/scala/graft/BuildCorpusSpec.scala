@@ -140,4 +140,101 @@ class BuildCorpusSpec extends AnyFunSuite {
       assert(log("shards")._1 > 0)
     }
   }
+
+  test("incremental build: admission against the previous build, eval-slice decon, fresh bins, replay, chaining") {
+    import spark.implicits._
+    withTmpDir("buildcorpus-inc") { root =>
+      // previous build = the even half of the driver corpus
+      val baseIn = s"$root/base"; val prev = s"$root/prev"
+      val docs = Tables(spark, sf, "documents")
+      docs.filter(col("doc_id") % 2 === 0)
+        .write.parquet(s"$baseIn/documents.parquet")
+      Tables(spark, sf, "embeddings").write.parquet(s"$baseIn/embeddings.parquet")
+      BuildCorpus.run(spark, baseIn, prev)
+
+      // plant: an exact copy, a near-dup, and an eval-quoting doc
+      val base = spark.read.parquet(s"$prev/staged/documents.parquet")
+        .withColumn("b", expr(operators.Sampling.BucketExpr))
+        .withColumn("ntk", size(split(col("text"), " ")))
+        .select("doc_id", "text", "b", "ntk").collect()
+      val copySrc = base.find(_.getInt(3) >= 20).get
+      val ndSrc = base.find(r => r.getInt(3) >= 30 && r.getLong(0) != copySrc.getLong(0)).get
+      val ndText = ndSrc.getString(1).split(" ").zipWithIndex
+        .map { case (t, i) => if (i % 20 == 19) s"zz$i" else t }.mkString(" ")
+      val evalSrc = base.find(r => r.getLong(2) >= operators.Sampling.TrainLt && r.getInt(3) >= 20).get
+      val quoted = evalSrc.getString(1).split(" ").slice(3, 11).mkString(" ")
+      def bucketOf(t: String): Long = Seq(t).toDF("text")
+        .select(expr(operators.Sampling.BucketExpr)).collect()(0).getLong(0)
+      val contText = (0 to 20).iterator
+        .map(k => (0 until 45).map(j => s"inc${j}k$k").mkString(" ") + " " + quoted)
+        .find(t => bucketOf(t) < operators.Sampling.TrainLt)
+        .getOrElse(fail("no train-bucket contamination candidate in 21 tries"))
+
+      val in1 = s"$root/in1"; val out1 = s"$root/out1"
+      val odd = docs.filter(col("doc_id") % 2 === 1)
+        .select("doc_id", "text", "lang", "source", "n_chars")
+      odd.unionByName(Seq(
+          (900001L, copySrc.getString(1), "en", "srcX"),
+          (900002L, ndText, "en", "srcX"),
+          (900003L, contText, "en", "srcX"))
+        .toDF("doc_id", "text", "lang", "source")
+        .withColumn("n_chars", length(col("text")).cast("long"))
+        .select("doc_id", "text", "lang", "source", "n_chars"))
+        .write.parquet(s"$in1/documents.parquet")
+      BuildCorpus.incremental(spark, in1, prev, out1, incId = 1L)
+
+      val verdicts = spark.read.parquet(s"$out1/verdicts")
+        .select("doc_id", "verdict", "partner_id").collect()
+        .map(r => r.getLong(0) -> ((r.getString(1), if (r.isNullAt(2)) -1L else r.getLong(2)))).toMap
+      // exact copy and near-dup are dups OF THE PRIOR CORPUS with the
+      // right partners; the contamination doc is novel
+      assert(verdicts(900001L) == (("dup_of_corpus", copySrc.getLong(0))), s"${verdicts(900001L)}")
+      assert(verdicts(900002L) == (("dup_of_corpus", ndSrc.getLong(0))), s"${verdicts(900002L)}")
+      assert(verdicts(900003L)._1 == "novel", s"${verdicts(900003L)}")
+      // ...and train-gate-kept, so its exclusion below is the DECON's doing
+      val g = operators.Sampling.q68(spark, s"$out1/staged")
+        .filter(col("doc_id") === 900003L).collect()
+      assert(g.length == 1 && g(0).getString(1) == "train",
+        s"contamination plant not train-gate-kept: ${g.toSeq} — decon assertion vacuous")
+      val shipped1 = spark.read.parquet(s"$out1/shards")
+      val ids1 = shipped1.select("doc_id").as[Long].collect().toSet
+      assert(!ids1(900001L) && !ids1(900002L), "a corpus duplicate shipped")
+      assert(!ids1(900003L), "the eval-quoting doc shipped past decontamination")
+      assert(ids1.nonEmpty, "increment shipped nothing: assertions vacuous")
+      // fresh bins strictly after the previous build's last bin
+      val prevMax = spark.read.parquet(s"$prev/shards")
+        .agg(max("bin_id")).collect()(0).getLong(0)
+      assert(shipped1.agg(min("bin_id")).collect()(0).getLong(0) > prevMax,
+        "increment bins overlap the previous build's")
+
+      // replay of the SAME increment against the same prior state is
+      // byte-identical (probe excludes its own delta partition)
+      val out1b = s"$root/out1b"
+      BuildCorpus.incremental(spark, in1, prev, out1b, incId = 1L)
+      def snap(p: String) = spark.read.parquet(p).collect().map(_.toString).sorted
+      assert(snap(s"$out1b/shards").sameElements(snap(s"$out1/shards")),
+        "replayed increment changed the shipped shards")
+      assert(snap(s"$out1b/verdicts").sameElements(snap(s"$out1/verdicts")),
+        "replayed increment changed the verdicts")
+
+      // chaining: increment 2 dedups against increment 1's ADMISSIONS
+      val adm = shipped1.select("doc_id", "text")
+        .filter(size(split(col("text"), " ")) >= 30).collect()(0)
+      val nd2 = adm.getString(1).split(" ").zipWithIndex
+        .map { case (t, i) => if (i % 20 == 7) s"yy$i" else t }.mkString(" ")
+      val in2 = s"$root/in2"; val out2 = s"$root/out2"
+      Seq((910001L, nd2, "en", "srcY"),
+          (910002L, (0 until 45).map(j => s"fresh$j").mkString(" "), "en", "srcY"))
+        .toDF("doc_id", "text", "lang", "source")
+        .withColumn("n_chars", length(col("text")).cast("long"))
+        .write.parquet(s"$in2/documents.parquet")
+      BuildCorpus.incremental(spark, in2, prev, out2, incId = 2L)
+      val v2 = spark.read.parquet(s"$out2/verdicts")
+        .select("doc_id", "verdict", "partner_id").collect()
+        .map(r => r.getLong(0) -> ((r.getString(1), if (r.isNullAt(2)) -1L else r.getLong(2)))).toMap
+      assert(v2(910001L) == (("dup_of_corpus", adm.getLong(0))),
+        s"increment 2 did not dedup against increment 1's admission: ${v2(910001L)}")
+      assert(v2(910002L)._1 == "novel")
+    }
+  }
 }
