@@ -217,7 +217,14 @@ object BuildCorpus {
     *
     *  1. the shared intake/normalize/quarantine stage;
     *  2. exact-dup admission: md5 anti-join against the prior STAGED
-    *     corpus (the sub-3-token class the shingle index cannot see);
+    *     corpus (the sub-3-token class the shingle index cannot see)
+    *     UNION prior increments' staged md5s — each increment persists
+    *     its staged docs' md5s under `prev`/md5delta/batch=<id> by
+    *     dynamic overwrite (the dupdelta discipline on the exact axis:
+    *     the read excludes this increment's own batch, so a replay
+    *     sees exactly the pre-trigger state), closing the r8-review
+    *     gap where a short exact duplicate of an increment-1 doc
+    *     shipped again in increment 2;
     *  3. near-dup admission: [[graft.sources.DupIndex.probe]] against
     *     `prev`/dupindex + the accumulated increment delta — q138's
     *     frozen-cap verdict, exactly the AdmitStream discipline
@@ -234,9 +241,14 @@ object BuildCorpus {
     *     near-dup axis of cross-split leakage is already covered by
     *     stage 3 — an eval near-dup in the prior corpus makes the
     *     delta doc a dup_of_corpus);
-    *  6. packing into FRESH bins appended after the previous build's
-    *     last bin (no cross-increment bin splicing; no mixture
-    *     re-admission — a mixture rebalance is a full rebuild's job);
+    *  6. packing into FRESH bins appended after the highest bin any
+    *     PRIOR increment (or the base build) has consumed — the
+    *     running last-bin is tracked in `prev`/nextbin/batch=<id>
+    *     markers (dynamic overwrite; read excludes own batch), so
+    *     chained increments' (bin_id, bin_offset) coordinates never
+    *     collide even though no increment rewrites `prev`/shards
+    *     (no cross-increment bin splicing; no mixture re-admission —
+    *     a mixture rebalance is a full rebuild's job);
     *  7. shards/manifest/card/decisions for the increment.
     *
     * Scale shape: O(delta) for every stage except the eval-slice
@@ -254,15 +266,26 @@ object BuildCorpus {
     val (_, nStaged) = intakeAndStage(s, in, out, decisions)
     val delta = Tables(s, staged, "documents").localCheckpoint(false)
 
-    // 2. exact-dup admission vs the prior staged corpus
+    // 2. exact-dup admission vs the prior staged corpus + prior
+    // increments' staged md5s (own batch excluded — replay purity)
     val prevStaged = s.read.parquet(s"$prev/staged/documents.parquet")
+    val priorMd5 = prevStaged
+      .select(md5(col("text").cast("binary")).as("h"))
+      .unionByName(readBatched(s, s"$prev/md5delta", "h STRING, batch BIGINT", incId)
+        .select("h"))
+      .distinct()
     val exactDup = delta
       .select(col("doc_id"), md5(col("text").cast("binary")).as("h"))
-      .join(prevStaged.select(md5(col("text").cast("binary")).as("h")).distinct(),
-        Seq("h"), "left_semi")
+      .join(priorMd5, Seq("h"), "left_semi")
       .select("doc_id").localCheckpoint(false)
     decisions += ((2, "exact_dup_vs_corpus", nStaged, nStaged - exactDup.count(),
-      "md5 anti-join vs prev staged"))
+      "md5 anti-join vs prev staged + prior increments"))
+    // persist THIS increment's staged md5s for the next increment —
+    // staged, not shipped (the dupindex-over-staged doctrine: novelty
+    // is judged against everything the corpus has SEEN)
+    delta.select(md5(col("text").cast("binary")).as("h"), lit(incId).as("batch"))
+      .write.mode(SaveMode.Overwrite).partitionBy("batch")
+      .option("partitionOverwriteMode", "dynamic").parquet(s"$prev/md5delta")
 
     // 3. near-dup admission vs the persisted index (+ prior increments)
     val verdicts = DupIndex.probe(s, s"$prev/dupindex", delta.select("doc_id", "text"),
@@ -306,9 +329,15 @@ object BuildCorpus {
     decisions += ((5, "decontaminate", gateTrain.count(), keep.count(),
       s"eval-slice grams flagged=${flagged.count()}"))
 
-    // 6. pack into fresh bins after the previous build's last bin
-    val binBase = s.read.parquet(s"$prev/shards")
+    // 6. pack into fresh bins after the highest bin the base build OR
+    // any PRIOR increment consumed: the base contributes max(bin_id)+1
+    // over prev/shards, each prior increment its persisted next_bin
+    // marker (own batch excluded, so a replay packs from the same base)
+    val shardNext = s.read.parquet(s"$prev/shards")
       .agg(coalesce(max("bin_id"), lit(-1L))).collect()(0).getLong(0) + 1L
+    val markerNext = readBatched(s, s"$prev/nextbin", "next_bin BIGINT, batch BIGINT", incId)
+      .agg(coalesce(max("next_bin"), lit(0L))).collect()(0).getLong(0)
+    val binBase = math.max(shardNext, markerNext)
     val packed = Sampling.packKept(s, staged, keep, binBase).localCheckpoint(false)
 
     // 7. the increment's shipped artifact
@@ -328,12 +357,33 @@ object BuildCorpus {
       .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$out/card.parquet")
     val shTot = shipped.agg(coalesce(sum("n_tokens"), lit(0L)).as("t"),
       countDistinct("shard").as("sh"), countDistinct("bin_id").as("b"),
-      count(lit(1)).as("n")).collect()(0)
+      count(lit(1)).as("n"),
+      // an empty shipment consumes no bins: next_bin stays at binBase
+      coalesce(max("bin_id"), lit(binBase - 1L)).as("mb")).collect()(0)
+    // the running last-bin marker the NEXT increment's binBase reads
+    import s.implicits._
+    Seq((shTot.getLong(4) + 1L, incId)).toDF("next_bin", "batch")
+      .write.mode(SaveMode.Overwrite).partitionBy("batch")
+      .option("partitionOverwriteMode", "dynamic").parquet(s"$prev/nextbin")
     decisions += ((6, "pack", keep.count(), shTot.getLong(3),
       s"bins=${shTot.getLong(2)} bin_base=$binBase"))
     decisions += ((7, "shards", shTot.getLong(3), shTot.getLong(1),
       s"tokens=${shTot.getLong(0)} of_max_shards=${Sampling.NShards}"))
 
     writeLog(s, decisions.toSeq, out)
+  }
+
+  /** Read a batch-partitioned side artifact under `prev`, EXCLUDING
+    * this increment's own batch (replay purity: a re-run of increment
+    * N must see exactly the state increments 1..N-1 left). Explicit
+    * schema — the path may not exist yet (first increment) or hold
+    * only an empty _SUCCESS from a zero-row batch. */
+  private def readBatched(s: SparkSession, path: String, ddl: String,
+      excludeBatch: Long): DataFrame = {
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(ddl)
+    val hp = new org.apache.hadoop.fs.Path(path)
+    if (!hp.getFileSystem(s.sparkContext.hadoopConfiguration).exists(hp))
+      s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    else s.read.schema(schema).parquet(path).filter(col("batch") =!= excludeBatch)
   }
 }

@@ -55,9 +55,13 @@ object Memo {
       case Some(v) => return s"pin:$v"
       case None =>
     }
-    val u = java.net.URI.create(dir.replace(" ", "%20"))
-    if (u.getScheme == null || u.getScheme == "file") localFp(
-      if (u.getScheme == null) dir else java.nio.file.Paths.get(u).toString)
+    // URI.create throws on paths holding other URI-illegal chars ('%',
+    // '[', …) — those are legal LOCAL paths the old string keys served
+    // fine, so a failed parse falls back to local, never to a crash
+    val u = try java.net.URI.create(dir.replace(" ", "%20"))
+      catch { case _: IllegalArgumentException => null }
+    if (u == null || u.getScheme == null) localFp(dir)
+    else if (u.getScheme == "file") localFp(java.nio.file.Paths.get(u).toString)
     else hadoopFp(s, dir)
   }
 
@@ -122,7 +126,33 @@ object Memo {
     private val m = scala.collection.concurrent.TrieMap
       .empty[(SparkSession, String, String, String), V]
 
-    def getOrElseUpdate(s: SparkSession, dir: String, sub: String = "")(v: => V): V =
-      m.getOrElseUpdate((s, dir, sub, fingerprint(s, dir)), v)
+    /** Live entry count — MemoSpec's eviction probe. */
+    private[graft] def entries: Int = m.size
+
+    def getOrElseUpdate(s: SparkSession, dir: String, sub: String = "")(v: => V): V = {
+      val fp = fingerprint(s, dir)
+      // a dir mid-rewrite fingerprints as a unique "unstable:" key —
+      // caching under it would insert an entry NOTHING can ever hit
+      // again (pure leak); compute and return without inserting
+      if (fp.startsWith("unstable:")) return v
+      m.get((s, dir, sub, fp)) match {
+        case Some(x) => x
+        case None =>
+          val x = v
+          // evict SUPERSEDED snapshots of this (session, dir, sub):
+          // their fingerprint can never be observed again (an in-place
+          // regeneration bumped mtimes), so holding them pins their
+          // localCheckpoint blocks for the session. Dropping the map
+          // reference is the whole fix — NO eager unpersist: a sibling
+          // cache may hold a frame DERIVED from the old entry's
+          // checkpoint (local checkpoints are unrecomputable; yanking
+          // blocks under a still-referenced child throws), so blocks
+          // are reclaimed by ContextCleaner once every reference is
+          // gone, exactly when that is safe.
+          m.keySet.filter(k => k._1 == s && k._2 == dir && k._3 == sub && k._4 != fp)
+            .foreach(m.remove)
+          m.putIfAbsent((s, dir, sub, fp), x).getOrElse(x)
+      }
+    }
   }
 }

@@ -218,23 +218,70 @@ class BuildCorpusSpec extends AnyFunSuite {
         "replayed increment changed the verdicts")
 
       // chaining: increment 2 dedups against increment 1's ADMISSIONS
+      // on BOTH axes — near-dup via the shared dupdelta, and the
+      // sub-shingle exact class via the persisted md5delta (a 2-token
+      // doc the shingle index cannot see: its inc-2 copy must fall to
+      // the exact_dup stage even though its verdict reads novel)
       val adm = shipped1.select("doc_id", "text")
         .filter(size(split(col("text"), " ")) >= 30).collect()(0)
       val nd2 = adm.getString(1).split(" ").zipWithIndex
         .map { case (t, i) => if (i % 20 == 7) s"yy$i" else t }.mkString(" ")
+      val shortText = "uqx uqy"
+      val in1b = s"$root/in1short"; val out1c = s"$root/out1short"
+      Seq((905001L, shortText, "en", "srcX"))
+        .toDF("doc_id", "text", "lang", "source")
+        .withColumn("n_chars", length(col("text")).cast("long"))
+        .write.parquet(s"$in1b/documents.parquet")
+      // run the short doc through as part of increment 1's replay
+      // surface won't do — it needs its OWN increment so the md5delta
+      // chain (not same-batch dedup) is what catches the inc-3 copy
+      BuildCorpus.incremental(spark, in1b, prev, out1c, incId = 2L)
       val in2 = s"$root/in2"; val out2 = s"$root/out2"
+      // fresh doc pinned to a TRAIN bucket so increment 2 ships ≥1 row
+      // (the bin-monotonicity check below must not go vacuous)
+      val freshText = (0 to 20).iterator
+        .map(k => (0 until 45).map(j => s"fresh${j}k$k").mkString(" "))
+        .find(t => bucketOf(t) < operators.Sampling.TrainLt)
+        .getOrElse(fail("no train-bucket fresh candidate in 21 tries"))
       Seq((910001L, nd2, "en", "srcY"),
-          (910002L, (0 until 45).map(j => s"fresh$j").mkString(" "), "en", "srcY"))
+          (910002L, freshText, "en", "srcY"),
+          (910003L, shortText, "en", "srcY"))
         .toDF("doc_id", "text", "lang", "source")
         .withColumn("n_chars", length(col("text")).cast("long"))
         .write.parquet(s"$in2/documents.parquet")
-      BuildCorpus.incremental(spark, in2, prev, out2, incId = 2L)
+      val log2 = BuildCorpus.incremental(spark, in2, prev, out2, incId = 3L).collect()
+        .map(r => r.getString(1) -> ((r.getLong(2), r.getLong(3)))).toMap
       val v2 = spark.read.parquet(s"$out2/verdicts")
         .select("doc_id", "verdict", "partner_id").collect()
         .map(r => r.getLong(0) -> ((r.getString(1), if (r.isNullAt(2)) -1L else r.getLong(2)))).toMap
       assert(v2(910001L) == (("dup_of_corpus", adm.getLong(0))),
         s"increment 2 did not dedup against increment 1's admission: ${v2(910001L)}")
       assert(v2(910002L)._1 == "novel")
+      // the exact axis: the short copy's verdict IS novel (no
+      // shingles), so only the md5 chain can drop it
+      assert(v2(910003L)._1 == "novel", s"${v2(910003L)}")
+      assert(log2("exact_dup_vs_corpus") == ((3L, 2L)),
+        s"inc-2's short exact dup of inc-1 not caught by the md5 chain: ${log2("exact_dup_vs_corpus")}")
+      // explicit schema: an empty increment's partitioned shards dir
+      // holds only _SUCCESS — nothing to infer from
+      val shSchema = org.apache.spark.sql.types.StructType
+        .fromDDL("doc_id BIGINT, bin_id BIGINT")
+      assert(!spark.read.schema(shSchema).parquet(s"$out2/shards")
+        .select("doc_id").as[Long].collect().contains(910003L),
+        "a chained short exact duplicate shipped")
+
+      // chained bin coordinates never collide: every later increment's
+      // bins sit strictly above every earlier one's (nextbin markers)
+      def binRange(p: String): Option[(Long, Long)] = {
+        val r = spark.read.schema(shSchema).parquet(s"$p/shards")
+          .agg(min("bin_id"), max("bin_id")).collect()(0)
+        if (r.isNullAt(0)) None else Some((r.getLong(0), r.getLong(1)))
+      }
+      val ranges = Seq(s"$prev", s"$out1", s"$out1c", s"$out2").flatMap(binRange)
+      assert(ranges.length >= 3, s"too many empty increments for the bin check: $ranges")
+      ranges.sliding(2).foreach { case Seq((_, hi), (lo, _)) =>
+        assert(lo > hi, s"chained increments' bins overlap: $ranges")
+      case _ => }
     }
   }
 }

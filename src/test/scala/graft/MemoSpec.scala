@@ -32,6 +32,32 @@ class MemoSpec extends AnyFunSuite {
     }
   }
 
+  test("superseded snapshots are evicted; URI-illegal paths fingerprint as local") {
+    withTmpDir("memo-evict") { dir =>
+      // a '%' in the path throws out of URI.create — must fall back to
+      // the local walk, not crash every memoized query over the dir
+      val pct = java.nio.file.Paths.get(dir, "100%done")
+      java.nio.file.Files.createDirectories(pct)
+      java.nio.file.Files.write(pct.resolve("a.txt"), "x".getBytes)
+      val f = Memo.fingerprint(spark, pct.toString)
+      assert(f != "absent" && Memo.fingerprint(spark, pct.toString) == f,
+        s"percent-path fingerprint unstable or absent: $f")
+
+      // eviction: an in-place regeneration must not accumulate one
+      // entry per superseded snapshot for the same (session, dir, sub)
+      val memo = new Memo.DirMemo[String]
+      var calls = 0
+      def access(tag: String) = memo.getOrElseUpdate(spark, dir, "t") { calls += 1; tag }
+      GenData.generate(spark, dir, 50, 30)
+      assert(access("g1") == "g1" && access("ignored") == "g1" && calls == 1)
+      GenData.generate(spark, dir, 80, 30)
+      assert(access("g2") == "g2" && calls == 2,
+        "regenerated dir served the stale entry")
+      assert(memo.entries == 1,
+        s"superseded snapshot entry not evicted: ${memo.entries} entries")
+    }
+  }
+
   test("regenerating a corpus in place invalidates the label/pair/fit memo family") {
     withTmpDir("memo-stale") { dir =>
       GenData.generate(spark, dir, 400, 300)
