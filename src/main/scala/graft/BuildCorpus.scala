@@ -92,15 +92,19 @@ object BuildCorpus {
     keyed.filter(col("quarantine_reason").isNotNull)
       .select("doc_id", "text", "lang", "source", "quarantine_reason")
       .write.mode(SaveMode.Overwrite).parquet(s"$out/quarantine")
+    // staged count + changed count OBSERVED on the write itself (over
+    // STAGED rows only: a quarantined row that also normalized
+    // differently must not double-book the ledger) — two extra count
+    // actions were pure job-scheduling cost on the composed job (r9)
+    val stObs = org.apache.spark.sql.Observation()
     keyed.filter(col("quarantine_reason").isNull)
+      .observe(stObs, count(lit(1)).as("n"),
+        coalesce(sum(when(col("changed"), 1L).otherwise(0L)), lit(0L)).as("ch"))
       .select("doc_id", "text", "lang", "source", "n_chars")
       .write.mode(SaveMode.Overwrite).parquet(s"$out/staged/documents.parquet")
-    val nStaged = s.read.parquet(s"$out/staged/documents.parquet").count()
-    // changed-count over STAGED rows only: a quarantined row that
-    // also normalized differently must not double-book the ledger
-    val nChanged = keyed.filter(col("quarantine_reason").isNull && col("changed")).count()
+    val nStaged = stObs.get("n").asInstanceOf[Long]
     decisions += ((1, "normalize", nDocs, nStaged,
-      s"q85 changed=$nChanged quarantined=${nDocs - nStaged} -> staged/"))
+      s"q85 changed=${stObs.get("ch").asInstanceOf[Long]} quarantined=${nDocs - nStaged} -> staged/"))
     (nDocs, nStaged)
   }
 
@@ -117,12 +121,14 @@ object BuildCorpus {
 
     // 2. embedding-side audit, logged: the q154 router's verdict
     // (banding vs cells, measured skew) and q168's eval-proximity
-    // flags — the dense-side story of what the text gates below do
-    val route = Dedup.q154(s, staged).localCheckpoint(false)
-    val routeRow = route.select(first("route"), first("med_skew_x1000")).collect()(0)
-    decisions += ((2, "embedding_route", route.count(),
-      route.filter(col("kept")).count(),
-      s"route=${routeRow.getString(0)} med_skew_x1000=${routeRow.getLong(1)}"))
+    // flags — the dense-side story of what the text gates below do.
+    // ONE agg (counts + verdict columns) — this frame's only consumer,
+    // so no barrier and no per-count scheduling jobs (r9)
+    val routeRow = Dedup.q154(s, staged).agg(count(lit(1)).as("n"),
+      coalesce(sum(when(col("kept"), 1L).otherwise(0L)), lit(0L)).as("k"),
+      first("route").as("r"), first("med_skew_x1000").as("sk")).collect()(0)
+    decisions += ((2, "embedding_route", routeRow.getLong(0), routeRow.getLong(1),
+      s"route=${routeRow.getString(2)} med_skew_x1000=${routeRow.getLong(3)}"))
     // ONE aggregate for both counts: two count() actions would run
     // the eval-proximity join twice (r8 review finding)
     val sd = Similarity.q168(s, staged).agg(
@@ -132,12 +138,16 @@ object BuildCorpus {
       "q168 vs eval vectors"))
 
     // 3. the gate: exact-dup canonical ∧ near-dup canonical ∧ clean ∧
-    // quality, with the content-keyed split
+    // quality, with the content-keyed split — both ledger counts in
+    // ONE agg over the checkpointed frame (r9)
     val gate = Sampling.q68(s, staged).localCheckpoint(false)
     val gateTrain = gate.filter(col("split") === "train").select("doc_id")
-    val nGateTrain = gateTrain.count()
+    val gateAgg = gate.agg(count(lit(1)).as("all"),
+      coalesce(sum(when(col("split") === "train", 1L).otherwise(0L)), lit(0L))
+        .as("tr")).collect()(0)
+    val nGateTrain = gateAgg.getLong(1)
     decisions += ((4, "gate_keep", nStaged, nGateTrain,
-      s"q68 kept_all_splits=${gate.count()}"))
+      s"q68 kept_all_splits=${gateAgg.getLong(0)}"))
 
     // 4. decontamination: exact 8-gram (q69) ∪ fuzzy shingle-jaccard
     // (q86) flags over the staged corpus; flagged train docs drop
@@ -150,10 +160,11 @@ object BuildCorpus {
 
     // 5. mixture admission + packing over the survivors (q75's core
     // over the ALREADY-CHECKPOINTED gate set minus the drop set — the
-    // composed gate legs must not execute a second time)
+    // composed gate legs must not execute a second time). No count
+    // action here: |packed| == |shipped| (inner join on staged's
+    // unique doc_ids), read off the stats agg below (r9)
     val packed = Sampling.assembleKept(s, staged,
       gateTrain.join(drop, Seq("doc_id"), "left_anti")).localCheckpoint(false)
-    val nPacked = packed.count()
 
     // 6. shards: the shipped rows, content-hash sharded so the split
     // coordinate and the shard coordinate stay independent (q170's
@@ -170,8 +181,6 @@ object BuildCorpus {
     shipped.select(col("doc_id"), col("text"), col("lang"), col("source"),
         length(col("text")).cast("long").as("n_chars"))
       .write.mode(SaveMode.Overwrite).parquet(s"$out/corpus/documents.parquet")
-    val nBins = shipped.agg(countDistinct("bin_id")).collect()(0).getLong(0)
-    decisions += ((6, "mix_pack", nGateTrain - nDropped, nPacked, s"bins=$nBins"))
 
     // 7. manifest over the SHIPPED rows (q170's aggregation), card
     // over the shipped corpus dir (q79)
@@ -180,10 +189,15 @@ object BuildCorpus {
       .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$out/manifest.parquet")
     TextOps.q79(s, s"$out/corpus")
       .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$out/card.parquet")
-    // MEASURED shard count, not the NShards constant: a sub-NShards
-    // shipment writes fewer content-hash shards (r8 review finding)
+    // ONE stats action over the checkpointed shipped rows feeds both
+    // ledger lines (MEASURED shard count, not the NShards constant: a
+    // sub-NShards shipment writes fewer content-hash shards)
     val shTot = shipped.agg(coalesce(sum("n_tokens"), lit(0L)).as("t"),
-      countDistinct("shard").as("sh")).collect()(0)
+      countDistinct("shard").as("sh"), countDistinct("bin_id").as("b"),
+      count(lit(1)).as("n")).collect()(0)
+    val nPacked = shTot.getLong(3)
+    decisions += ((6, "mix_pack", nGateTrain - nDropped, nPacked,
+      s"bins=${shTot.getLong(2)}"))
     decisions += ((7, "shards", nPacked, shTot.getLong(1),
       s"tokens=${shTot.getLong(0)} of_max_shards=${Sampling.NShards}"))
 
