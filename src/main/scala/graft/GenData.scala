@@ -18,7 +18,7 @@ import org.apache.spark.sql.functions._
   * Deterministic: every row derives from a hash-seeded RNG on its id,
   * so reruns and partitionings produce identical bytes.
   *
-  * usage: runMain graft.GenData <outDir> <nDocs> <nVecs> [events] [clusterW]
+  * usage: runMain graft.GenData <outDir> <nDocs> <nVecs> [events] [clusterW] [vocab]
   *
   * `clusterW` (default 0.3) is the embedding CLUSTER-MASS knob: the
   * centroid component's weight against the fixed 0.25 noise weight.
@@ -27,13 +27,26 @@ import org.apache.spark.sql.functions._
   * values interpolate toward an unclustered cloud, which is how the
   * q154 router's ~3× skew boundary is straddled on purpose
   * (DedupSpec's boundary-corpus spec).
+  *
+  * `vocab` (default "salad") selects the vocabulary family:
+  *  - "salad": the historical uniform draw over a tiny n^(1/3) vocab
+  *    (byte-identical to every pre-r9 corpus) — the family where the
+  *    lexical df cap provably binds (most tokens sit in >50% of docs)
+  *    and per-kept-token posting lists grow ∝ n;
+  *  - "zipf": a NATURAL-vocabulary family — vocabulary sized by
+  *    Heaps' law (V = 44·N^0.49 over N total tokens) with token
+  *    ranks drawn Zipf(s=1) via the exact inverse CDF r = ⌊V^u⌋, so
+  *    the corpus has real stopwords (df-capped out), a mid-frequency
+  *    body, and a long rare tail — the family WAND/max-score pruning
+  *    exists for, and the r8 verdict's missing stress axis.
   */
 object GenData {
   def main(args: Array[String]): Unit = {
     val spark = GraftSession.local(Runtime.getRuntime.availableProcessors)
     generate(spark, args(0), args(1).toInt, args(2).toInt,
       args.lift(3).map(_.toInt).filter(_ > 0),
-      args.lift(4).map(_.toDouble).getOrElse(0.3))
+      args.lift(4).map(_.toDouble).getOrElse(0.3),
+      args.lift(5).getOrElse("salad"))
     spark.stop()
   }
 
@@ -41,16 +54,34 @@ object GenData {
     * boundary corpora into tmp dirs without owning the session). */
   def generate(spark: org.apache.spark.sql.SparkSession, out: String,
       nDocs: Int, nVecs: Int, nEventsOpt: Option[Int] = None,
-      clusterW: Double = 0.3): Unit = {
+      clusterW: Double = 0.3, vocabMode: String = "salad"): Unit = {
     import spark.implicits._
 
-    val vocabN = math.max(31, (31 * math.cbrt(nDocs / 5000.0)).round.toInt)
-    val vocab = Array.tabulate(vocabN)(i => s"w$i")
+    require(vocabMode == "salad" || vocabMode == "zipf",
+      s"vocab mode must be salad|zipf, got $vocabMode")
+    val zipf = vocabMode == "zipf"
+    // salad: n^(1/3)-scaled tiny vocab (constant per-shingle df);
+    // zipf: Heaps'-law vocabulary over the expected token mass
+    val vocabN =
+      if (zipf) math.max(1000,
+        (44.0 * math.pow(nDocs * 55.0, 0.49)).round.toInt)
+      else math.max(31, (31 * math.cbrt(nDocs / 5000.0)).round.toInt)
+    val vocab: Int => String =
+      if (zipf) i => s"z$i" else { val v = Array.tabulate(vocabN)(i => s"w$i"); v(_) }
     val langs = Array("en", "de", "fr", "es", "ja")
+
+    def drawTok(rnd: scala.util.Random): String =
+      if (zipf) {
+        // Zipf(s=1) over ranks 1..V: P(rank ≤ r) = ln r / ln V, so the
+        // inverse CDF is r = V^u — exact, O(1), deterministic per seed
+        val r = math.min(vocabN.toDouble, math.max(1.0,
+          math.floor(math.pow(vocabN.toDouble, rnd.nextDouble()))))
+        vocab(r.toInt - 1)
+      } else vocab(rnd.nextInt(vocabN))
 
     def docText(rnd: scala.util.Random): String = {
       val n = 40 + rnd.nextInt(31)
-      Array.fill(n)(vocab(rnd.nextInt(vocabN))).mkString(" ")
+      Array.fill(n)(drawTok(rnd)).mkString(" ")
     }
     val docs = spark.range(nDocs.toLong).repartition(64).map { jid =>
       val id: Long = jid
@@ -62,7 +93,7 @@ object GenData {
         if (id % 625 == 1 && id > 0) docText(seeded(id - 1))
         else if (id % 500 == 3 && id > 0) {
           val base = docText(seeded(id - 1)).split(' ')
-          base.map(t => if (rnd.nextInt(10) == 0) vocab(rnd.nextInt(vocabN)) else t)
+          base.map(t => if (rnd.nextInt(10) == 0) drawTok(rnd) else t)
             .mkString(" ")
         } else docText(rnd)
       (id, text, langs(rnd.nextInt(langs.length)), s"src${rnd.nextInt(20)}", text.length.toLong)
@@ -118,7 +149,7 @@ object GenData {
       events.write.mode("overwrite").parquet(s"$out/events.parquet")
     }
 
-    println(s"[gen] $out docs=$nDocs vecs=$nVecs vocab=$vocabN clusterW=$clusterW" +
+    println(s"[gen] $out docs=$nDocs vecs=$nVecs vocab=$vocabN($vocabMode) clusterW=$clusterW" +
       nEventsOpt.map(e => s" events=$e").getOrElse(""))
   }
 }

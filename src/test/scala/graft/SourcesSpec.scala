@@ -619,4 +619,78 @@ class SourcesSpec extends AnyFunSuite {
     // the template went hot: it appears in the compacted hot list
     assert(spark.read.parquet(s"$cdir/hot").filter(col("s") === "tpl aa bb").count() == 1)
   }
+
+  test("max-score essential split: certified θ seeds and the ascending-σ prefix rule") {
+    import graft.sources.LexIndex.essentialSplit
+    val imps = Map(
+      "hot" -> Array(10L, 9L, 8L, 7L),
+      "mid" -> Array(50L, 40L),
+      "rare" -> Array(100L, 95L))
+    // k=1: θ̂ = max of the (k+1)-th impacts with ≥ k+1 postings
+    //   = max(9, 40, 95) = 95; ascending σ (10, 50, 100): 10 < 95,
+    //   10+50 < 95, 60+100 ≥ 95 → only "rare" is essential
+    val ess1 = essentialSplit(
+      Seq((7L, "hot"), (7L, "mid"), (7L, "rare"), (7L, "oov")), imps, k = 1)
+    assert(ess1.toSet == Set((7L, "rare")), s"$ess1")
+    // k=2: "mid" has only 2 impacts (< k+1) so it seeds 0;
+    //   θ̂ = max(8, 0, 0) = 8 — every indexed token is essential
+    //   ("hot" alone: run 0 + σ 10 ≥ 8)
+    val ess2 = essentialSplit(Seq((7L, "hot"), (7L, "mid"), (7L, "rare")), imps, k = 2)
+    assert(ess2.toSet == Set((7L, "hot"), (7L, "mid"), (7L, "rare")), s"$ess2")
+    // no seed at all (k deeper than every list): all indexed tokens
+    // essential, OOV never essential
+    val ess3 = essentialSplit(Seq((1L, "mid"), (1L, "oov")), imps, k = 5)
+    assert(ess3.toSet == Set((1L, "mid")), s"$ess3")
+    // per-query independence: query 2 (hot+mid) seeds its own
+    // θ̂ = max(9, 40) = 40, so "hot" (σ=10 < 40) is non-essential
+    // there — a doc matching only "hot" can't reach query 2's top-1
+    val ess4 = essentialSplit(Seq((1L, "rare"), (2L, "hot"), (2L, "mid")), imps, k = 1)
+    assert(ess4.toSet == Set((1L, "rare"), (2L, "mid")), s"$ess4")
+  }
+
+  test("max-score pruned probe equals the unpruned plan on a natural-vocabulary corpus") {
+    TestSpark.withTmpDir("lexwand") { root =>
+      // this corpus sits below the measured PruneMinVol engagement
+      // gate — force the pruned plan so parity is what's under test
+      sys.props("graft.lex.prune") = "on"
+      try lexWandBody(root)
+      finally sys.props.remove("graft.lex.prune")
+    }
+  }
+
+  private def lexWandBody(root: String): Unit = {
+    locally {
+      val dir = s"$root/corpus"
+      GenData.generate(spark, dir, 3000, 100, vocabMode = "zipf")
+      val path = s"$root/lex"
+      val stats = sources.LexIndex.write(spark, dir, path)
+      // q160's query contract (doc_id < 20, the QueryMax rule) so the
+      // in-memory lexRank comparison below is apples-to-apples
+      val qtok = Tables(spark, dir, "documents").filter(col("doc_id") < 20)
+        .select(col("doc_id").as("query_id"),
+          explode(expr(operators.Dedup.tokensExpr)).as("tok")).distinct()
+      val (pruned, unpruned) = sources.LexIndex.probePaths(spark, path, stats, qtok, 10)
+      // the natural vocabulary has prunable structure: the two-phase
+      // path must actually ENGAGE here (isDefined ⟹ the split left
+      // some non-essential token on some query and the candidate set
+      // fit the broadcast cap) — on the tiny-vocab driver corpus it
+      // may legitimately decline and fall back
+      assert(pruned.isDefined, "pruned path declined on the zipf corpus")
+      val got = pruned.get.localCheckpoint(false)
+      val want = unpruned.localCheckpoint(false)
+      assert(got.count() > 0, "pruned probe returned nothing: vacuous")
+      assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
+        "max-score pruning changed the ranking")
+      // drifted serving stats (delta-grown index) must DISABLE pruning:
+      // the persisted impacts no longer bound live contributions
+      val grown = sources.LexIndex.LexStats(stats.nDocs + 10, stats.sumDl + 500)
+      val (prunedGrown, _) = sources.LexIndex.probePaths(spark, path, stats.copy(nDocs = grown.nDocs), qtok, 10)
+      assert(prunedGrown.isEmpty, "pruned path engaged under drifted stats")
+      // and the public probe (pruned) still equals the in-memory
+      // lexical branch on this corpus — the q160 contract
+      val mem = operators.Similarity.lexRank(spark, dir)
+      assert(got.exceptAll(mem).isEmpty && mem.exceptAll(got).isEmpty,
+        "pruned probe diverges from the in-memory lexical branch")
+    }
+  }
 }
