@@ -125,7 +125,24 @@ object StreamBench {
         // spanned by one chunk's event-time width + watermark lag of
         // one batch (bounded by the same chunk width)
         8L + 2L * chunkSpanDays(spark, spool, chunks),
-        "open 7d-window horizon + 2x chunk span (batch-lagged watermark)"))
+        "open 7d-window horizon + 2x chunk span (batch-lagged watermark)"),
+      // the remaining emission modes (r9, closing the §4.2 coverage
+      // gap): per-closed-session APPEND with collected-struct state
+      // (sessionPath — same open-session row bound as sessions; the
+      // struct payload is bounded by per-session activity under the
+      // 30-min gap) and COMPLETE-mode republication whose state is
+      // structurally capped at ≤ #types·168 heatmap cells no matter
+      // how long the stream runs (season)
+      measure("session_paths",
+        EnrichStream.sessionPathStream(replay().filter(col("user_id").isNotNull))
+          .writeStream.format("noop").outputMode("append").start(),
+        2L * (ev.count() / chunks + 1L),
+        "open sessions <= events in ~2 replay chunks (rate x watermark horizon)"),
+      measure("season",
+        EnrichStream.seasonStream(replay())
+          .writeStream.format("noop").outputMode("complete").start(),
+        5L * 168L,
+        "structural cap: #event_types x 168 dow-hour cells"))
     results.foreach(r => println(r.json))
     spark.stop()
   }

@@ -459,6 +459,18 @@ object Sampling {
     * into the oracle SQL. */
   private val MixDen = 2
 
+  /** What a FULL rebuild's q72 admission would ship per language,
+    * given per-language available (gate-kept train) token sums —
+    * min(avail, budget) with the ONE MixDen constant; exact longs.
+    * The incremental build's mixture-drift gate
+    * ([[graft.BuildCorpus.mixtureGate]]) compares actual shipped
+    * shares against this ideal. */
+  private[graft] def idealMixTokens(avail: Seq[(String, Long)]): Seq[(String, Long)] = {
+    if (avail.isEmpty) return Seq.empty
+    val budget = avail.map(_._2).sum / (MixDen.toLong * avail.length)
+    avail.map { case (l, a) => l -> math.min(a, budget) }
+  }
+
   /** Token-budget mixture sampling: admit documents per language, in
     * deterministic content-hash order, until the language's token
     * budget (total_tokens div (MixDen × n_langs)) is reached — the

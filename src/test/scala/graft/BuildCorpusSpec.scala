@@ -151,6 +151,11 @@ class BuildCorpusSpec extends AnyFunSuite {
         .write.parquet(s"$baseIn/documents.parquet")
       Tables(spark, sf, "embeddings").write.parquet(s"$baseIn/embeddings.parquet")
       BuildCorpus.run(spark, baseIn, prev)
+      // mixture-drift gate, no increments yet: the base's own shipped
+      // mixture IS q72's admission, so drift is the ≤1-doc overshoot
+      val calm = BuildCorpus.mixtureGate(spark, prev).collect()(0)
+      assert(!calm.getAs[Boolean]("rebuild"),
+        s"the freshly built base tripped its own mixture gate: $calm")
 
       // plant: an exact copy, a near-dup, and an eval-quoting doc
       val base = spark.read.parquet(s"$prev/staged/documents.parquet")
@@ -282,6 +287,38 @@ class BuildCorpusSpec extends AnyFunSuite {
       ranges.sliding(2).foreach { case Seq((_, hi), (lo, _)) =>
         assert(lo > hi, s"chained increments' bins overlap: $ranges")
       case _ => }
+
+      // mixture-drift gate after the chain: the odd-half increment
+      // already doubled the corpus WITHOUT mixture re-admission (at
+      // this tiny SF its per-language noise is real drift — exactly
+      // what the gate exists to surface), so no calm assertion here;
+      // an all-one-language flood must push the drift FURTHER and
+      // trip the rebuild signal with that language as the worst
+      val preFlood = BuildCorpus.mixtureGate(spark, prev).collect()(0)
+        .getAs[Long]("drift_ppm")
+      val flood = (0 until 400).iterator.flatMap { i =>
+        val t = (0 until 45).map(j => s"flood${i}w$j").mkString(" ")
+        if (bucketOf(t) < operators.Sampling.TrainLt) Some((920000L + i, t)) else None
+      }.take(200).toSeq
+      assert(flood.length >= 100, "not enough train-bucket flood docs generated")
+      val in3 = s"$root/in3"; val out3 = s"$root/out3"
+      flood.toDF("doc_id", "text")
+        .withColumn("lang", lit("de")).withColumn("source", lit("srcF"))
+        .withColumn("n_chars", length(col("text")).cast("long"))
+        .select("doc_id", "text", "lang", "source", "n_chars")
+        .write.parquet(s"$in3/documents.parquet")
+      val log3 = BuildCorpus.incremental(spark, in3, prev, out3, incId = 4L).collect()
+        .map(r => r.getString(1) -> r.getString(4)).toMap
+      val tripped = BuildCorpus.mixtureGate(spark, prev).collect()(0)
+      assert(tripped.getAs[Boolean]("rebuild"),
+        s"the one-language flood did not trip the mixture gate: $tripped")
+      assert(tripped.getAs[Long]("drift_ppm") > BuildCorpus.MixDriftPpm)
+      assert(tripped.getAs[Long]("drift_ppm") > preFlood,
+        s"flood did not worsen the drift: $preFlood -> $tripped")
+      assert(tripped.getAs[String]("worst_lang") == "de",
+        s"flood language is not the worst drift: $tripped")
+      assert(log3("mixture_drift").contains("rebuild=true"),
+        s"increment decision log missed the drift: ${log3("mixture_drift")}")
     }
   }
 }

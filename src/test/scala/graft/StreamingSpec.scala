@@ -196,6 +196,45 @@ class StreamingSpec extends AnyFunSuite {
     val bound = 8L + 2L * StreamBench.chunkSpanDays(spark, spool, chunks)
     assert(roll.maxStateRows > 0 && roll.maxStateRows <= bound,
       s"rolling-active state ${roll.maxStateRows} outside (0, $bound]")
+
+    // the r9 emission-mode additions: per-closed-session append with
+    // collected-struct state (same open-session row bound as
+    // sessions), and complete-mode republication with the structural
+    // #types x 168 cell cap — flat no matter the stream length
+    val paths = StreamBench.measure("session_paths",
+      EnrichStream.sessionPathStream(replay().filter(col("user_id").isNotNull))
+        .writeStream.format("noop").outputMode("append").start(), 0L, "")
+    assert(paths.rows == total)
+    assert(paths.maxStateRows <= 2L * (total / chunks + 1L),
+      s"session-path state ${paths.maxStateRows} exceeds the rate x horizon bound")
+    val season = StreamBench.measure("season",
+      EnrichStream.seasonStream(replay())
+        .writeStream.format("noop").outputMode("complete").start(), 0L, "")
+    assert(season.rows == total)
+    assert(season.maxStateRows > 0 && season.maxStateRows <= 5L * 168L,
+      s"season state ${season.maxStateRows} exceeds the #types x 168 structural cap")
+  }
+
+  test("x30 stress replay: session state tracks RATE, not history (the x10 law at 3x the rate)") {
+    assume(new java.io.File("/tmp/estress_x30/events.parquet").isDirectory,
+      "x30 events stress corpus not present on this machine")
+    import streaming.EnrichStream
+    val chunks = 8
+    val spool = StreamBench.spoolEvents(spark, "/tmp/estress_x30", chunks)
+    val total = spark.read.schema(EnrichStream.rawSchema).parquet(spool).count()
+    val sess = StreamBench.measure("sessions",
+      EnrichStream.sessionizedStream(
+          EnrichStream.replaySource(spark, spool, 1).filter(col("user_id").isNotNull))
+        .writeStream.format("noop").outputMode("append").start(), 0L, "")
+    assert(sess.rows == total)
+    // same law as x10: open sessions <= events in ~2 replay chunks.
+    // 3x the event rate, same horizon -> state scales WITH the chunk
+    // (measured 377k vs 119k at x10, ratio to chunk ~1.0 both), never
+    // with the 3M-event history
+    assert(sess.maxStateRows <= 2L * (total / chunks + 1L),
+      s"x30 session state ${sess.maxStateRows} exceeds the rate x horizon bound")
+    assert(sess.maxStateRows < total / 4,
+      "x30 session state tracks history, not the open horizon")
   }
 
   test("streaming anomaly hours match a prefix-stats recomputation exactly") {
