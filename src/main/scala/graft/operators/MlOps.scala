@@ -523,10 +523,25 @@ object MlOps {
       .withColumn("label", when(col("is_keep"), 1.0).otherwise(0.0))
     val feat = new HashingTF().setInputCol("tk").setOutputCol("features")
       .setNumFeatures(1 << 15).transform(docs)
-    val model = lrCache.getOrElseUpdate(s, dir)(
-      new LogisticRegression().setMaxIter(20).setRegParam(1e-4)
+    val model = lrCache.getOrElseUpdate(s, dir) {
+      val fitted = new LogisticRegression().setMaxIter(20).setRegParam(1e-4)
         .setFeaturesCol("features").setLabelCol("label")
-        .fit(feat.filter(col("bucket") < Sampling.TrainLt)))
+        .fit(feat.filter(col("bucket") < Sampling.TrainLt))
+      // round-trip through disk to SHED the training summary: the
+      // summary pins the fitting SparkSession inside the scoring
+      // UDF's closure, and a session whose lazy ObservationManager
+      // has been forced (ANY Dataset.observe in the session — e.g.
+      // the corpus-build ledger metrics) is not java-serializable,
+      // so every later q105 scoring task would throw
+      // TaskNotSerializable. Summaries are never persisted; load()
+      // returns the clean coefficients-only scoring model. Memoized,
+      // so the write+read is paid once per corpus snapshot.
+      val tmp = java.nio.file.Files.createTempDirectory("graft-lr").toString
+      fitted.write.overwrite().save(tmp)
+      val clean = org.apache.spark.ml.classification.LogisticRegressionModel.load(tmp)
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+      clean
+    }
     (model, feat)
   }
 
