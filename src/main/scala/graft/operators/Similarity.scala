@@ -1559,6 +1559,54 @@ object Similarity {
                ORDER BY cosine DESC, eval_id) AS rn FROM p)
        WHERE rn = 1 ORDER BY vec_id"""
 
+  /** PROBE VOLUME PLAN (r9) — the max-score engagement gate's
+    * economics as a batch operator: per query doc (the QueryMax
+    * contract), how many distinct tokens it carries, how many the
+    * HybDfMaxPpm cap indexes vs drops, and the unpruned posting
+    * volume Σdf its lexical probe would scan+aggregate — exactly the
+    * number [[graft.sources.LexIndex.probePruned]]'s saved/essential
+    * gate prices from the _summary dfs. An operator answers "should
+    * pruning engage for THIS workload on THIS corpus" before an
+    * index is even built. All-integer (exact long df compare — at
+    * 100 TB the 1e6-scaled double compare of q160's build filter
+    * would leave 2^53; this operator is the integer-exact spelling).
+    *
+    * Scale shape: one corpus tokenize → vocab-sized df agg; the
+    * query side is QueryMax docs' tokens joined against it; no
+    * corpus-sized shuffle beyond the df agg itself. */
+  def q182(s: SparkSession, dir: String): DataFrame = {
+    val toks = graft.Tables(s, dir, "documents")
+      .select(col("doc_id"),
+        explode(expr(s"array_distinct(${Dedup.tokensExpr})")).as("token"))
+      .localCheckpoint(false) // 2 consumers: corpus df agg + query slice
+    val st = toks.groupBy("token").agg(count(lit(1)).as("df"))
+    val nd = graft.Tables(s, dir, "documents").agg(count(lit(1)).as("n_docs"))
+    val kept = col("df") * lit(1000000L) <= lit(HybDfMaxPpm) * col("n_docs")
+    toks.filter(col("doc_id") < QueryMax)
+      .withColumnRenamed("doc_id", "query_id")
+      .join(st, "token")
+      .join(broadcast(nd), lit(true), "left")
+      .groupBy("query_id")
+      .agg(count(lit(1)).as("n_toks"),
+        sum(when(kept, 1L).otherwise(0L)).as("n_indexed_toks"),
+        sum(when(kept, col("df")).otherwise(0L)).as("posting_volume"),
+        sum(when(kept, 0L).otherwise(1L)).as("n_capped_toks"))
+      .orderBy("query_id")
+  }
+
+  private val q182Sql =
+    s"""WITH pv_t AS (SELECT doc_id, unnest(list_distinct(list_filter(string_split(text,' '), x -> x<>''))) AS token FROM documents),
+       pv_st AS (SELECT token, count(*) AS df FROM pv_t GROUP BY token),
+       pv_nd AS (SELECT count(*) AS n_docs FROM documents)
+       SELECT doc_id AS query_id,
+         count(*) AS n_toks,
+         CAST(sum(CASE WHEN df * 1000000 <= $HybDfMaxPpm * n_docs THEN 1 ELSE 0 END) AS BIGINT) AS n_indexed_toks,
+         CAST(sum(CASE WHEN df * 1000000 <= $HybDfMaxPpm * n_docs THEN df ELSE 0 END) AS BIGINT) AS posting_volume,
+         CAST(sum(CASE WHEN df * 1000000 > $HybDfMaxPpm * n_docs THEN 1 ELSE 0 END) AS BIGINT) AS n_capped_toks
+       FROM pv_t JOIN pv_st USING (token), pv_nd
+       WHERE doc_id < $QueryMax
+       GROUP BY doc_id ORDER BY query_id"""
+
   lazy val qs: Seq[Q] = Seq(
     Q("q50_knn_brute", q50, Some(q50Sql)),
     Q("q51_knn_lsh", q51, None),
@@ -1575,5 +1623,6 @@ object Similarity {
     Q("q162_embedding_drift", q162, Some(q162Sql)),
     Q("q163_retrieval_eval", q163, None),
     Q("q166_label_probe", q166, Some(q166Sql)),
-    Q("q168_semantic_decon", q168, Some(q168Sql)))
+    Q("q168_semantic_decon", q168, Some(q168Sql)),
+    Q("q182_probe_volume", q182, Some(q182Sql)))
 }

@@ -1332,6 +1332,55 @@ object TextOps {
               ${ops.R4("cum_uq/(10000.0*cum_docs)")} AS cum_mean_quality
        FROM c ORDER BY bucket"""
 
+  /** VOCABULARY DF PROFILE (r9) — the natural-vs-synthetic vocabulary
+    * diagnostic behind the lexical family's scale story (SURVEY §4.2
+    * r9): the whole vocabulary histogrammed by ⌊log2 df⌋ — token
+    * count, occurrence mass (exact integer ppm share), and how many
+    * tokens the HybDfMaxPpm cap drops — so "where does the df cap
+    * bite on THIS corpus" is a query, not prose. q80 is the top-K
+    * head; this is the full distribution the max-score engagement
+    * gate's economics depend on (a Zipf corpus concentrates
+    * occurrence mass in few capped stopwords + a long low-df tail;
+    * the salad family piles everything into two buckets).
+    *
+    * Scale shape: one corpus tokenize → vocab-sized (token, df, occ)
+    * agg → ≤64-row log2 histogram; the share window runs over the
+    * histogram only (structurally bounded, the q127 class). The
+    * log2 bucket is `length(bin(df)) - 1` — exact integer digits,
+    * never float log (the q103 idiom; cross-engine float log2 would
+    * flip boundary buckets). */
+  def q181(s: SparkSession, dir: String): DataFrame = {
+    val st = Tables(s, dir, "documents")
+      .select(col("doc_id"), explode(expr(tk)).as("token"))
+      .groupBy("token")
+      .agg(countDistinct("doc_id").as("df"), count(lit(1)).as("occ"))
+    val nd = Tables(s, dir, "documents").agg(count(lit(1)).as("n_docs"))
+    st.join(broadcast(nd), lit(true), "left")
+      .groupBy((length(bin(col("df"))) - 1).cast("int").as("lg_df"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum("occ").as("n_occ"),
+        sum(when(col("df") * lit(1000000L) >
+            lit(Similarity.HybDfMaxPpm) * col("n_docs"), 1L).otherwise(0L))
+          .as("n_capped"))
+      .withColumn("occ_share_ppm",
+        expr("CAST((CAST(n_occ AS DECIMAL(38,0)) * 1000000) div (sum(n_occ) OVER ()) AS BIGINT)"))
+      .select("lg_df", "n_tokens", "n_occ", "n_capped", "occ_share_ppm")
+      .orderBy("lg_df")
+  }
+
+  private val q181Sql =
+    s"""WITH vp_t AS (SELECT doc_id, unnest(list_filter(string_split(text,' '), x -> x<>'')) AS token FROM documents),
+       vp_st AS (SELECT token, count(DISTINCT doc_id) AS df, count(*) AS occ FROM vp_t GROUP BY token),
+       vp_nd AS (SELECT count(*) AS n_docs FROM documents),
+       vp_h AS (SELECT CAST(len(bin(df)) - 1 AS INT) AS lg_df,
+                  count(*) AS n_tokens,
+                  CAST(sum(occ) AS BIGINT) AS n_occ,
+                  CAST(sum(CASE WHEN df * 1000000 > ${Similarity.HybDfMaxPpm} * vp_nd.n_docs THEN 1 ELSE 0 END) AS BIGINT) AS n_capped
+                FROM vp_st, vp_nd GROUP BY 1)
+       SELECT lg_df, n_tokens, n_occ, n_capped,
+         CAST((n_occ::HUGEINT * 1000000) // (SELECT sum(n_occ) FROM vp_h) AS BIGINT) AS occ_share_ppm
+       FROM vp_h ORDER BY lg_df"""
+
   val qs: Seq[Q] = Seq(
     Q("q60_text_quality", q60, Some(q60Sql)),
     Q("q61_lang_id", q61, Some(q61Sql)),
@@ -1355,5 +1404,6 @@ object TextOps {
     Q("q135_collocations", q135, Some(q135Sql)),
     Q("q152_langid_confusion", q152, Some(q152Sql)),
     Q("q169_quality_ladder", q169, Some(q169Sql)),
-    Q("q174_quality_curve", q174, Some(q174Sql)))
+    Q("q174_quality_curve", q174, Some(q174Sql)),
+    Q("q181_vocab_profile", q181, Some(q181Sql)))
 }

@@ -681,6 +681,17 @@ class SourcesSpec extends AnyFunSuite {
       assert(got.count() > 0, "pruned probe returned nothing: vacuous")
       assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
         "max-score pruning changed the ranking")
+      // plan shape: the candidate restriction must reach the scoring
+      // rows as a BROADCAST left-semi BEFORE the ranking aggregate —
+      // a shuffled semi join would re-pay exactly the |Q|·n exchange
+      // the pruning exists to remove (read off a FRESH uncheckpointed
+      // probe, post-execution, through the AQE leaves)
+      val (prunedPlan, _) = sources.LexIndex.probePaths(spark, path, stats, qtok, 10)
+      prunedPlan.get.collect()
+      val planStr = prunedPlan.get.queryExecution.executedPlan.toString
+      assert(planStr.contains("BroadcastHashJoin") && planStr.contains("LeftSemi"),
+        s"pruned probe's candidate semi-join is not broadcast:\n$planStr")
+
       // drifted serving stats (delta-grown index) must DISABLE pruning:
       // the persisted impacts no longer bound live contributions
       val grown = sources.LexIndex.LexStats(stats.nDocs + 10, stats.sumDl + 500)
