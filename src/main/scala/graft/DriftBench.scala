@@ -1,0 +1,170 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.sources.{AnnIndex, Maintenance}
+
+/** ANN SERVING UNDER DRIFT (SURVEY §4.2) — the measured answer to
+  * "what happens to recall when the ingested/served distribution
+  * walks away from the quantizer, and does the refit gate trip
+  * BEFORE recall quietly rots?" The harness:
+  *
+  *  1. builds the persisted IVF index from a GenData corpus's
+  *     embeddings (clusterW = 0.3, the fitted geometry);
+  *  2. streams a clusterW SWEEP through the gated ingest sink
+  *     ([[graft.streaming.IngestStream]]) — one spooled chunk per
+  *     micro-batch, each chunk's cluster mass stepping 0.30 → 0.00
+  *     (GenData's vector family with offset ids, so the drift knob
+  *     is the generator's own);
+  *  3. after every trigger, measures recall@k of the SERVING-
+  *     nprobe probe against the exact probe (nprobe = all cells —
+  *     same scorer, zero approximation) for that chunk's own query
+  *     vectors: queries drift WITH the corpus, the serving-under-
+  *     drift story;
+  *  4. after the sweep, runs [[Maintenance.maintainAnn]] — the
+  *     tripped gate's parked batches are exactly the refit corpus —
+  *     and re-measures the most-drifted chunk's recall on the new
+  *     root.
+  *
+  * Prints one JSON line: per-chunk (clusterW, gate verdict, admitted
+  * rows, recall), the trip point, and pre/post-refit recall for the
+  * final drift step. MaintenanceSpec carries the deterministic
+  * recall-recovers assertion; this is the scale datapoint.
+  *
+  * Usage: runMain graft.DriftBench [embDir] [chunkSize] [nprobe]
+  *   embDir default /tmp/stress_x100 (200k vectors).
+  */
+object DriftBench {
+
+  /** GenData's embedding formula with a caller-set cluster weight
+    * and id offset — the drift chunk generator. With the default
+    * `centSeed` the drifted vectors share the base corpus's cluster
+    * IDENTITIES and only the mass moves (the sweep's knob);
+    * MaintenanceSpec passes a different seed family for the
+    * new-DOMAIN drift class (new embedding model / new corpus — the
+    * quarantine-then-refit story). */
+  private[graft] def driftChunk(s: org.apache.spark.sql.SparkSession,
+      n: Int, idBase: Long, w: Double,
+      centSeed: Long = 1000L): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    val dim = 64
+    s.range(n.toLong).map { jid =>
+      val id: Long = idBase + jid
+      def gauss(seed: Long) = {
+        val r = new scala.util.Random(seed * 0x9e3779b97f4a7c15L + 3)
+        Array.fill(dim)(r.nextGaussian())
+      }
+      val label = (id % 10).toInt
+      val cent = gauss(centSeed + label)
+      val noise = gauss(7000 + id)
+      (id, Array.tabulate(dim)(i => (w * cent(i) + 0.25 * noise(i)).toFloat).toSeq)
+    }.toDF("vec_id", "embedding")
+  }
+
+  /** recall@k of the serving probe vs the exact probe (nprobe = all
+    * cells) over the same root(s) — cell-geometry recall, the number
+    * the quantizer owns. */
+  private[graft] def recallOf(s: org.apache.spark.sql.SparkSession, basePath: String,
+      deltaPath: Option[String], cents: Array[Array[Double]],
+      queries: Array[(Long, Array[Float])], nprobe: Int, k: Int): Double = {
+    def top(np: Int): Map[Long, Set[Long]] = {
+      val df = deltaPath match {
+        case Some(d) => AnnIndex.probeWithDelta(s, basePath, d, cents, queries, np, k)
+        case None => AnnIndex.probe(s, basePath, cents, queries, np, k)
+      }
+      df.select("query_id", "neighbor_id").collect()
+        .groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+    }
+    val approx = top(nprobe)
+    val exact = top(cents.length)
+    val byQ = exact.map { case (q, ex) =>
+      if (ex.isEmpty) 1.0
+      else approx.getOrElse(q, Set.empty).count(ex).toDouble / ex.size }
+    byQ.sum / math.max(1, byQ.size)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val dir = args.lift(0).getOrElse("/tmp/stress_x100")
+    val chunkSize = args.lift(1).map(_.toInt).getOrElse(5000)
+    val nprobe = args.lift(2).map(_.toInt).getOrElse(2)
+    val k = 10
+    val nQueries = 64
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      Runtime.getRuntime.availableProcessors.toString).toInt
+    val spark = GraftSession.local(cpus)
+    val root = java.nio.file.Files.createTempDirectory("graft_drift").toString
+
+    // 1. the fitted base
+    val t0 = System.nanoTime()
+    val basePath = s"$root/base"
+    val cents = AnnIndex.writeFrom(spark, Tables(spark, dir, "embeddings"), basePath)
+    val buildSecs = (System.nanoTime() - t0) / 1e9
+    val baseN = spark.read.parquet(basePath).count()
+
+    // 2. spool the drift sweep — one file per chunk, modtime order
+    val ws = Array(0.30, 0.25, 0.20, 0.15, 0.10, 0.05, 0.0)
+    val spool = java.nio.file.Files.createTempDirectory("graft_drift_spool")
+    val chunkQs = ws.zipWithIndex.map { case (w, i) =>
+      val ch = driftChunk(spark, chunkSize, 10000000L + i.toLong * 1000000L, w)
+        .localCheckpoint(false)
+      val tmp = spool.resolve("_tmp").toString
+      ch.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.move(part.toPath, spool.resolve(f"chunk$i%05d.parquet"))
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+      val qs = ch.limit(nQueries).collect()
+        .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+      ch.unpersist()
+      qs
+    }
+
+    // 3. the gated ingest, one chunk per trigger
+    val stream = spark.readStream
+      .schema("vec_id BIGINT, embedding ARRAY<FLOAT>")
+      .option("maxFilesPerTrigger", 1)
+      .parquet(spool.toString)
+    val (deltaP, quarP, logP) = (s"$root/delta", s"$root/quarantine", s"$root/log")
+    val t1 = System.nanoTime()
+    val q = streaming.IngestStream.ingestSink(stream, basePath, deltaP, quarP,
+      logP, cents, s"$root/ckpt")
+    q.processAllAvailable()
+    val ingestSecs = (System.nanoTime() - t1) / 1e9
+    q.stop()
+
+    // per-trigger verdicts, in admission (= batch id = drift) order
+    val log = spark.read.parquet(logP)
+      .select("batch", "n_rows", "refit").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+
+    // 4. per-chunk serving recall AFTER the full sweep (base + every
+    // admitted batch resident — the steady state a serving tier sees)
+    val rows = ws.indices.map { i =>
+      val rec = recallOf(spark, basePath, Some(deltaP), cents, chunkQs(i), nprobe, k)
+      val (nRows, refit) = log.getOrElse(i.toLong, (0L, false))
+      f"""{"chunk":$i,"cluster_w":${ws(i)}%.2f,"rows":$nRows,"refit":$refit,"recall":$rec%.3f}"""
+    }
+
+    // 5. the reconcile: refit-rebuild over base + delta + quarantine,
+    // then the most-drifted chunk's recall on the new root
+    val lastQ = chunkQs.last
+    val preRefit = recallOf(spark, basePath, Some(deltaP), cents, lastQ, nprobe, k)
+    val t2 = System.nanoTime()
+    val (verdict, newCents) = Maintenance.maintainAnn(spark, basePath, deltaP,
+      quarP, logP, s"$root/rebuilt")
+    val refitSecs = (System.nanoTime() - t2) / 1e9
+    val postRefit = newCents match {
+      case Some(nc) => recallOf(spark, s"$root/rebuilt", None, nc, lastQ, nprobe, k)
+      case None => -1.0
+    }
+
+    println(
+      s"""{"pipeline":"ann_drift","base_vecs":$baseN,"cells":${cents.length},""" +
+        f""""build_secs":$buildSecs%.1f,"chunk_rows":$chunkSize,"nprobe":$nprobe,"k":$k,""" +
+        f""""ingest_secs":$ingestSecs%.1f,"chunks":[${rows.mkString(",")}],""" +
+        s""""maintenance":"${verdict.action}","trips":${verdict.trips},""" +
+        f""""refit_secs":$refitSecs%.1f,"drifted_recall_pre":$preRefit%.3f,""" +
+        f""""drifted_recall_post":$postRefit%.3f}""")
+    spark.stop()
+  }
+}

@@ -18,7 +18,7 @@ import org.apache.spark.sql.functions._
   * Deterministic: every row derives from a hash-seeded RNG on its id,
   * so reruns and partitionings produce identical bytes.
   *
-  * usage: runMain graft.GenData <outDir> <nDocs> <nVecs> [events] [clusterW] [vocab]
+  * usage: runMain graft.GenData <outDir> <nDocs> <nVecs> [events] [clusterW] [vocab] [media]
   *
   * `clusterW` (default 0.3) is the embedding CLUSTER-MASS knob: the
   * centroid component's weight against the fixed 0.25 noise weight.
@@ -46,7 +46,8 @@ object GenData {
     generate(spark, args(0), args(1).toInt, args(2).toInt,
       args.lift(3).map(_.toInt).filter(_ > 0),
       args.lift(4).map(_.toDouble).getOrElse(0.3),
-      args.lift(5).getOrElse("salad"))
+      args.lift(5).getOrElse("salad"),
+      args.lift(6).map(_.toInt).filter(_ > 0))
     spark.stop()
   }
 
@@ -54,7 +55,8 @@ object GenData {
     * boundary corpora into tmp dirs without owning the session). */
   def generate(spark: org.apache.spark.sql.SparkSession, out: String,
       nDocs: Int, nVecs: Int, nEventsOpt: Option[Int] = None,
-      clusterW: Double = 0.3, vocabMode: String = "salad"): Unit = {
+      clusterW: Double = 0.3, vocabMode: String = "salad",
+      nMediaOpt: Option[Int] = None): Unit = {
     import spark.implicits._
 
     require(vocabMode == "salad" || vocabMode == "zipf",
@@ -149,7 +151,135 @@ object GenData {
       events.write.mode("overwrite").parquet(s"$out/events.parquet")
     }
 
+    // Optional 7th arg: a MEDIA table — media.parquet (doc_id,
+    // payload BINARY) with three deterministic payload classes by
+    // doc_id % 3: REAL PNG streams (0), stub-class byte blobs (1,
+    // first byte '0' → the jpeg stub class, so they enter the image
+    // banding join as background noise), REAL 16-bit-PCM WAV streams
+    // (2). The multimodal near-dup family (q155/q157/q171) probes
+    // this table when present, so the REAL header/PCM decode paths —
+    // not just the driver corpus's ASCII stub class — are what the
+    // x10/x30 stress measures. Real streams carry LEVEL-STRUCTURED
+    // signals: 64 per-window levels drive the envelope hash's cells
+    // directly, so near-dup twins are planted by re-rolling exactly
+    // k of the 64 windows of the previous same-class payload
+    // (k=3 → hamming well under the ≤8 gate; k=24 "far" variants
+    // land far above it). Within a class, group index g = id div 3:
+    //   g % 41 == 1 → near twin of g-1;  g % 41 == 2 → near twin of
+    //   g-1 on OTHER windows (chains {g-2,g-1,g} into one family);
+    //   g % 59 == 5 → far variant of g-1 (a non-pair control).
+    // All seeded per id — reruns and partitionings byte-identical.
+    nMediaOpt.foreach { nMedia =>
+      val media = spark.range(nMedia.toLong).repartition(64).map { jid =>
+        val id: Long = jid
+        (id, mediaPayload(id))
+      }.toDF("doc_id", "payload")
+      media.write.mode("overwrite").parquet(s"$out/media.parquet")
+    }
+
     println(s"[gen] $out docs=$nDocs vecs=$nVecs vocab=$vocabN($vocabMode) clusterW=$clusterW" +
-      nEventsOpt.map(e => s" events=$e").getOrElse(""))
+      nEventsOpt.map(e => s" events=$e").getOrElse("") +
+      nMediaOpt.map(m => s" media=$m").getOrElse(""))
+  }
+
+  // ---- media payload synthesis (deterministic, level-structured) ----
+
+  private def rng(seed: Long) = new scala.util.Random(seed * 0x9e3779b97f4a7c15L + 101)
+
+  /** 64 per-window signal levels — the envelope hash's direct
+    * inputs. Twins re-roll `reroll` windows (indices 8..55, clear of
+    * the header-dominated leading windows) with the TWIN's seed. */
+  private def winLevels(gid: Long, lo: Int, span: Int,
+      twinOf: Option[(Long, Int)]): Array[Int] = {
+    val baseGid = twinOf.map(_._1).getOrElse(gid)
+    val r = rng(baseGid * 3 + 7)
+    val lv = Array.fill(64)(lo + r.nextInt(span))
+    twinOf.foreach { case (_, k) =>
+      val rt = rng(gid * 3 + 7)
+      var i = 0
+      while (i < k) { lv(8 + rt.nextInt(48)) = lo + rt.nextInt(span); i += 1 }
+    }
+    lv
+  }
+
+  /** (twin target, #re-rolled windows) for a class-local group id:
+    * the planted-family rules documented at the call site. */
+  private def twinPlan(gid: Long): Option[(Long, Int)] =
+    if (gid % 41 == 1 && gid > 0) Some((gid - 1, 3))
+    else if (gid % 41 == 2 && gid > 1) Some((gid - 2, 3)) // chain via g-2's base
+    else if (gid % 59 == 5 && gid > 0) Some((gid - 1, 24))
+    else None
+
+  private def le16b(v: Int): Array[Byte] = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+  private def le32b(v: Long): Array[Byte] = Array((v & 0xff).toByte,
+    ((v >> 8) & 0xff).toByte, ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+  private def be32b(v: Long): Array[Byte] = Array(((v >> 24) & 0xff).toByte,
+    ((v >> 16) & 0xff).toByte, ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+
+  private[graft] def mediaPayload(id: Long): Array[Byte] = {
+    val gid = id / 3
+    val plan = twinPlan(gid)
+    (id % 3) match {
+      case 0 => // real PNG: sig + IHDR(w,h) + level-structured body
+        val srcGid = plan.map(_._1).getOrElse(gid)
+        val rb = rng(srcGid * 3 + 11) // body length follows the base
+        val bodyLen = 2048 + rb.nextInt(2048)
+        val w = 256L + (srcGid % 512); val h = 256L + ((srcGid * 7) % 512)
+        val head = Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a,
+            0, 0, 0, 13).map(_.toByte) ++
+          "IHDR".getBytes ++ be32b(w) ++ be32b(h) ++
+          Array[Byte](8, 2, 0, 0, 0) ++ be32b(0L) // depth/color/crc filler
+        val n = head.length + bodyLen
+        val lv = winLevels(gid, 20, 200, plan)
+        val out = new Array[Byte](n)
+        System.arraycopy(head, 0, out, 0, head.length)
+        val rj = rng(srcGid * 5 + 13) // jitter follows the base (twins share it)
+        var x = head.length
+        while (x < n) {
+          val wdw = (x.toLong * 64L / n).toInt
+          out(x) = (math.min(255, math.max(0, lv(wdw) + rj.nextInt(9) - 4))).toByte
+          x += 1
+        }
+        out
+      case 2 => // real WAV: RIFF/fmt(16-bit PCM)/data, level-structured |PCM|
+        val srcGid = plan.map(_._1).getOrElse(gid)
+        val rb = rng(srcGid * 3 + 29)
+        val nSamp = 4096 + rb.nextInt(4096)
+        val rate = 8000L + (srcGid % 5) * 8000L
+        val dataLen = nSamp * 2
+        val head = "RIFF".getBytes ++ le32b(36L + dataLen) ++ "WAVE".getBytes ++
+          "fmt ".getBytes ++ le32b(16L) ++ le16b(1) ++ le16b(1) ++
+          le32b(rate) ++ le32b(rate * 2) ++ le16b(2) ++ le16b(16) ++
+          "data".getBytes ++ le32b(dataLen.toLong)
+        val lv = winLevels(gid, 500, 15000, plan)
+        val out = new Array[Byte](head.length + dataLen)
+        System.arraycopy(head, 0, out, 0, head.length)
+        val rj = rng(srcGid * 5 + 31)
+        var k = 0
+        while (k < nSamp) {
+          val wdw = (k.toLong * 64L / nSamp).toInt
+          val amp = lv(wdw) + rj.nextInt(129) - 64
+          val v = if (rj.nextBoolean()) amp else -amp
+          val b = le16b(v & 0xffff)
+          out(head.length + 2 * k) = b(0); out(head.length + 2 * k + 1) = b(1)
+          k += 1
+        }
+        out
+      case _ => // stub-class blob: printable bytes, jpeg stub class
+        val srcGid = plan.map(_._1).getOrElse(gid)
+        val rb = rng(srcGid * 3 + 47)
+        val n = 512 + rb.nextInt(1024)
+        val lv = winLevels(gid, 33, 93, plan) // printable 33..125
+        val out = new Array[Byte](n)
+        out(0) = '0'.toByte // 48 % 3 == 0 → jpeg stub class
+        val rj = rng(srcGid * 5 + 53)
+        var x = 1
+        while (x < n) {
+          val wdw = (x.toLong * 64L / n).toInt
+          out(x) = (math.min(126, math.max(32, lv(wdw) + rj.nextInt(5) - 2))).toByte
+          x += 1
+        }
+        out
+    }
   }
 }

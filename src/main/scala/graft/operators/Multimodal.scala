@@ -340,6 +340,26 @@ object Multimodal {
     * that is the usual ~12% distortion budget of aHash dedup. */
   private[graft] val PhashHam = 8
 
+  /** The near-dup family's payload source: a deployment's media
+    * lives in a BINARY `media.parquet` (doc_id, payload) table —
+    * probed when present, so real PNG/WAV byte streams (GenData's
+    * media mode) flow through the REAL decode paths at stress scale.
+    * The driver corpora ship no media table, so there the documents'
+    * text bytes stand in (the stub class), exactly as before —
+    * q70/q73/q156/q158 stay on the documents table unconditionally
+    * (their oracles pin the stub arithmetic). */
+  private[graft] def payloads(s: SparkSession, dir: String): Dataset[(Long, Array[Byte])] = {
+    import s.implicits._
+    val mp = s"$dir/media.parquet"
+    val hp = new org.apache.hadoop.fs.Path(mp)
+    if (hp.getFileSystem(s.sparkContext.hadoopConfiguration).exists(hp))
+      s.read.parquet(mp).select(col("doc_id"), col("payload"))
+        .as[(Long, Array[Byte])]
+    else Tables(s, dir, "documents")
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      .as[(Long, Array[Byte])]
+  }
+
   /** PERCEPTUAL-HASH IMAGE NEAR-DUP — q43's guaranteed-recall
     * block-combination banding ([[Dedup.hamming64Pairs]]) over
     * [[phash64]] instead of the token simhash: the banding geometry
@@ -355,12 +375,8 @@ object Multimodal {
     * no pair-distinct shuffle). Hash-dependent → rows-only;
     * MultimodalSpec plants twins under synthesized real PNG headers
     * and asserts exhaustive recall. */
-  def q155(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    q155Of(Tables(s, dir, "documents")
-      .select(col("doc_id"), col("text").cast("binary").as("payload"))
-      .as[(Long, Array[Byte])])
-  }
+  def q155(s: SparkSession, dir: String): DataFrame =
+    q155Of(payloads(s, dir))
 
   /** q155 core over any (id, payload) dataset — shared with the
     * planted-twin spec so it exercises the exact executor path. */
@@ -453,12 +469,8 @@ object Multimodal {
     * skew/match-multiplication story. Hash-dependent → rows-only;
     * MultimodalSpec plants perturbed-PCM twins under real WAV headers
     * and asserts exhaustive hamming recall + no cross-modal leakage. */
-  def q157(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    q157Of(Tables(s, dir, "documents")
-      .select(col("doc_id"), col("text").cast("binary").as("payload"))
-      .as[(Long, Array[Byte])])
-  }
+  def q157(s: SparkSession, dir: String): DataFrame =
+    q157Of(payloads(s, dir))
 
   /** q157 core over any (id, payload) dataset — shared with the
     * planted-twin spec so it exercises the exact executor path. */
@@ -576,12 +588,8 @@ object Multimodal {
     * banding machinery, then an edge-sized iteration. Hash-dependent
     * → rows-only; MultimodalSpec union-finds q155's own pairs and
     * plants a chained twin family under synthesized PNG headers. */
-  def q171(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    q171Of(Tables(s, dir, "documents")
-      .select(col("doc_id"), col("text").cast("binary").as("payload"))
-      .as[(Long, Array[Byte])])
-  }
+  def q171(s: SparkSession, dir: String): DataFrame =
+    q171Of(payloads(s, dir))
 
   /** q171 core over any (id, payload) dataset — spec entry point. */
   private[graft] def q171Of(ds: Dataset[(Long, Array[Byte])]): DataFrame = {

@@ -60,7 +60,7 @@ object LexIndex {
   private val deltaSchema = org.apache.spark.sql.types.StructType.fromDDL(
     "tok STRING, doc_id BIGINT, dl DOUBLE, tf DOUBLE, batch BIGINT, tb BIGINT")
   private val summSchema = org.apache.spark.sql.types.StructType.fromDDL(
-    "tok STRING, df BIGINT, topimps ARRAY<BIGINT>, tb BIGINT")
+    "tok STRING, df BIGINT, topimps ARRAY<BIGINT>, topdocs ARRAY<BIGINT>, tb BIGINT")
 
   /** Side-table paths under the index root. The leading underscore
     * hides them from the posting scans' file listing (the
@@ -120,6 +120,13 @@ object LexIndex {
         graft.functions.TopK.topkL(TopImpsN + 1)(col("imp"), col("doc_id")).as("top"))
       .select(col("tok"), col("df"),
         expr("transform(top, x -> x.score)").as("topimps"),
+        // the seed DOC IDS matching topimps index-for-index: the r11
+        // θ̂ refinement accumulates per-doc partial sums across the
+        // query's tokens' seed lists driver-side (a LOWER bound on
+        // each doc's true score), lifting θ̂ far above the single-
+        // token bound on multi-token queries. Pre-r11 summaries read
+        // NULL here (explicit schema) → refinement simply off.
+        expr("transform(top, x -> x.id)").as("topdocs"),
         bucket(col("tok")).as("tb"))
       .write.mode(SaveMode.Overwrite).partitionBy("tb").parquet(summaryP(path))
     Seq((stats.nDocs, stats.sumDl)).toDF("n_docs", "sum_dl")
@@ -379,12 +386,13 @@ object LexIndex {
     * document-at-a-time pointer walks don't map to a distributed
     * scan, the essential/non-essential term split does):
     *
-    *  1. θ̂ seeding, driver-side, integer micro-units: for each query,
-    *     θ̂ = max over its tokens of the token's (k+1)-th best posting
-    *     impact (persisted in _summary). k+1 docs carry impact ≥ θ̂
-    *     on that token alone; at most one is the query's own doc, so
-    *     ≥ k foreign docs have FULL score ≥ θ̂ — θ̂ is a certified
-    *     lower bound on the true k-th best score.
+    *  1. θ̂ seeding, driver-side, integer micro-units: the max of the
+    *     single-token bound (the token's (k+1)-th best persisted
+    *     posting impact — k+1 docs carry ≥ it on that token alone,
+    *     at most one the query's own) and the r11 seed-doc bound
+    *     (k-th best per-doc partial sum across the query tokens'
+    *     persisted seed lists — see [[essentialSplit]]). Both are
+    *     certified lower bounds on the true k-th best foreign score.
     *  2. essential split, driver-side: tokens sorted ascending by
     *     σ(t) = max posting impact; the largest prefix with Σσ < θ̂
     *     is non-essential — a doc matching ONLY those tokens scores
@@ -423,10 +431,12 @@ object LexIndex {
     if (!buildStats(s, path).contains(stats)) return None
     val summRows = s.read.schema(summSchema).parquet(summaryP(path))
       .filter(col("tb").isin(tbs: _*)).filter(col("tok").isin(toks.get: _*))
-      .select("tok", "df", "topimps").collect()
+      .select("tok", "df", "topimps", "topdocs").collect()
     val summ = summRows.map(r => r.getString(0) -> r.getSeq[Long](2).toArray).toMap
+    val seeds = summRows.iterator.filter(!_.isNullAt(3))
+      .map(r => r.getString(0) -> r.getSeq[Long](3).toArray).toMap
     val dfOf = summRows.map(r => r.getString(0) -> r.getLong(1)).toMap
-    val ess = essentialSplit(pairs, summ, k)
+    val ess = essentialSplit(pairs, summ, k, seeds)
     val essSet = ess.toSet
     // exact pair-level volumes off the summary dfs: saved = what dies
     // map-side; essential = the candidate pass's scan + broadcast
@@ -461,15 +471,52 @@ object LexIndex {
     * persisted seeds, then the ascending-σ prefix rule. Returns the
     * ESSENTIAL (query_id, tok) pairs; tokens absent from the index
     * (σ = 0: OOV or df-capped) are never essential — they have no
-    * postings to read. All arithmetic in exact longs. */
+    * postings to read. All arithmetic in exact longs.
+    *
+    * θ̂ is the max of two certified lower bounds on the k-th best
+    * FOREIGN score: (a) the single-token bound — some token's
+    * (k+1)-th best posting impact (k+1 docs carry ≥ it on that token
+    * alone; at most one is the query's own); (b) the r11 SEED-DOC
+    * bound — per-doc partial sums accumulated across the query
+    * tokens' persisted (impact, doc) seed lists, self-doc dropped
+    * exactly, k-th largest partial taken. Every partial is a sum of
+    * a subset of its doc's non-negative contributions, hence a lower
+    * bound on that doc's true score, so ≥ k foreign docs truly score
+    * ≥ θ̂₂. On multi-token queries (b) sits far above (a), growing
+    * the non-essential prefix — the crossover lever `seedDocs`
+    * empty (pre-r11 summary) falls back to (a) alone. */
   private[graft] def essentialSplit(pairs: Seq[(Long, String)],
-      topimps: Map[String, Array[Long]], k: Int): Seq[(Long, String)] =
+      topimps: Map[String, Array[Long]], k: Int,
+      seedDocs: Map[String, Array[Long]] = Map.empty): Seq[(Long, String)] =
     pairs.groupBy(_._1).toSeq.flatMap { case (qid, ps) =>
       val toks = ps.map(_._2).distinct
       val sigma = toks.flatMap(t => topimps.get(t).flatMap(_.headOption).map(t -> _))
-      val theta = toks.iterator.map(t =>
+      val theta1 = toks.iterator.map(t =>
         topimps.get(t).filter(_.length > k).map(_(k)).getOrElse(0L))
         .foldLeft(0L)(math.max)
+      val theta2 = if (seedDocs.isEmpty) 0L else {
+        val acc = scala.collection.mutable.LongMap.empty[Long]
+        toks.foreach { t =>
+          (topimps.get(t), seedDocs.get(t)) match {
+            case (Some(imps), Some(docs)) =>
+              val m = math.min(imps.length, docs.length)
+              var i = 0
+              while (i < m) {
+                val d = docs(i)
+                if (d != qid) acc(d) = acc.getOrElse(d, 0L) + imps(i)
+                i += 1
+              }
+            case _ => ()
+          }
+        }
+        if (acc.size < k) 0L
+        else {
+          val vs = acc.values.toArray
+          java.util.Arrays.sort(vs)
+          vs(vs.length - k)
+        }
+      }
+      val theta = math.max(theta1, theta2)
       if (theta <= 0L) sigma.map(ts => qid -> ts._1) // no seed: all indexed toks essential
       else {
         val asc = sigma.sortBy(ts => (ts._2, ts._1)) // deterministic order

@@ -241,6 +241,42 @@ class BuildCorpusSpec extends AnyFunSuite {
       // surface won't do — it needs its OWN increment so the md5delta
       // chain (not same-batch dedup) is what catches the inc-3 copy
       BuildCorpus.incremental(spark, in1b, prev, out1c, incId = 2L)
+
+      // MID-CHAIN CRASH REPLAY: the orchestrator lost increment 2's
+      // done-marker AFTER its side state landed under prev, and
+      // re-runs the whole increment before starting increment 3. The
+      // re-run must be a pure function of pre-trigger state: the
+      // shipped artifact is byte-identical, every batch-partitioned
+      // side artifact under prev (md5delta, dupdelta, nextbin,
+      // mixdelta) is unchanged (dynamic overwrite rewrites exactly
+      // batch=2 with the same rows), and the mixture gate reads the
+      // same — so the chain continues as if the crash never happened
+      // and increment 3's assertions below double as the proof.
+      def sideSnap(): Map[String, Array[String]] =
+        Seq("md5delta", "dupdelta", "nextbin", "mixdelta")
+          .map(a => a -> snap(s"$prev/$a")).toMap
+      val sidePre = sideSnap()
+      val gatePre = BuildCorpus.mixtureGate(spark, prev).collect()(0).toString
+      val out1cr = s"$root/out1short-replay"
+      BuildCorpus.incremental(spark, in1b, prev, out1cr, incId = 2L)
+      val sidePost = sideSnap()
+      sidePre.keys.foreach { a =>
+        assert(sidePost(a).sameElements(sidePre(a)),
+          s"crash replay of increment 2 mutated prev/$a")
+      }
+      // increment 2's shipment is empty (its one doc is 2 tokens —
+      // quality-dropped): the partitioned shards dir holds only
+      // _SUCCESS, so the comparison needs the explicit shipped schema
+      val shipSchema = org.apache.spark.sql.types.StructType.fromDDL(
+        "doc_id BIGINT, text STRING, lang STRING, source STRING, " +
+          "n_tokens BIGINT, bin_id BIGINT, bin_offset BIGINT, shard BIGINT")
+      def snapShip(p: String) = spark.read.schema(shipSchema).parquet(p)
+        .collect().map(_.toString).sorted
+      assert(snapShip(s"$out1cr/shards").sameElements(snapShip(s"$out1c/shards")),
+        "crash-replayed increment 2 changed its shipped shards")
+      assert(BuildCorpus.mixtureGate(spark, prev).collect()(0).toString == gatePre,
+        "crash replay of increment 2 moved the mixture gate")
+
       val in2 = s"$root/in2"; val out2 = s"$root/out2"
       // fresh doc pinned to a TRAIN bucket so increment 2 ships ≥1 row
       // (the bin-monotonicity check below must not go vacuous)
@@ -319,6 +355,36 @@ class BuildCorpusSpec extends AnyFunSuite {
         s"flood language is not the worst drift: $tripped")
       assert(log3("mixture_drift").contains("rebuild=true"),
         s"increment decision log missed the drift: ${log3("mixture_drift")}")
+
+      // COMPACTION OVER THE CHAINED LINEAGE == FRESH FULL BUILD:
+      // fold all four increments' dupdelta batches (incl. the
+      // crash-replayed batch 2) into a fresh base and prove it
+      // row-identical — postings AND hot list — to writeFrom over
+      // the union corpus the chain actually admitted (base staged +
+      // every increment's NOVEL staged docs). This is Maintenance's
+      // reconcile action exercised over real chained BuildCorpus
+      // lineage, so the serving tier can swap roots blind after any
+      // chain length.
+      val unionDocs = spark.read.parquet(s"$prev/staged/documents.parquet")
+        .select("doc_id", "text")
+        .unionByName(Seq(out1, out1c, out2, out3).map { o =>
+          spark.read.parquet(s"$o/staged/documents.parquet")
+            .join(spark.read.parquet(s"$o/verdicts")
+              .filter(col("verdict") === "novel").select("doc_id"),
+              Seq("doc_id"), "left_semi")
+            .select("doc_id", "text")
+        }.reduce(_ unionByName _))
+      graft.sources.DupIndex.compact(spark, s"$prev/dupindex",
+        s"$prev/dupdelta", s"$root/compacted")
+      graft.sources.DupIndex.writeFrom(spark, unionDocs, s"$root/rebuilt")
+      assert(snap(s"$root/compacted/post").sameElements(snap(s"$root/rebuilt/post")),
+        "chained compaction's postings differ from a fresh full build")
+      // hot roots can be empty partitioned writes — explicit schema
+      def snapHot(p: String) = spark.read.schema(
+          org.apache.spark.sql.types.StructType.fromDDL("s STRING, sb BIGINT"))
+        .parquet(p).collect().map(_.toString).sorted
+      assert(snapHot(s"$root/compacted/hot").sameElements(snapHot(s"$root/rebuilt/hot")),
+        "chained compaction's hot list differs from a fresh full build")
     }
   }
 }

@@ -94,6 +94,59 @@ class MaintenanceSpec extends AnyFunSuite {
     }
   }
 
+  test("ann drift: tripped gate routes to refit and drifted-query serving recall recovers") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    withTmpDir("maint-drift") { root =>
+      // fitted geometry: GenData's clustered family (DriftBench's
+      // chunk generator, the harness's exact executor path)
+      val base = s"$root/base"
+      val cents = sources.AnnIndex.writeFrom(spark,
+        DriftBench.driftChunk(spark, 4000, 0L, 0.3), base)
+      // new-DOMAIN drift: strongly clustered around a DIFFERENT
+      // centroid family (new embedding model) — the class the refit
+      // gate exists for
+      val drifted = DriftBench.driftChunk(spark, 800, 5000000L, 0.45,
+        centSeed = 5000L).localCheckpoint(false)
+      val rows = drifted.collect().map(r =>
+        (r.getLong(0), r.getSeq[Float](1)))
+      val (deltaP, quarP, logP) = (s"$root/delta", s"$root/quar", s"$root/log")
+      val mem = MemoryStream[(Long, Seq[Float])]
+      val q = streaming.IngestStream.ingestSink(
+        mem.toDF().toDF("vec_id", "embedding"), base, deltaP, quarP, logP,
+        cents, s"$root/ckpt")
+      mem.addData(rows.toSeq)
+      q.processAllAvailable()
+      q.stop()
+      // the gate tripped and PARKED the batch (nothing landed in delta)
+      val log = spark.read.parquet(logP).collect()
+      assert(log.length == 1 && log(0).getAs[Boolean]("refit"),
+        s"new-domain batch did not trip the gate: ${log.toSeq}")
+      assert(spark.read.parquet(quarP).count() == 800L)
+      assert(!new java.io.File(deltaP).exists() ||
+        spark.read.parquet(deltaP).count() == 0L)
+
+      // serving recall for the drifted queries under the OLD root
+      // (quarantine is not probeable — the drifted domain is simply
+      // quantized against alien cells), then under the refit root
+      val queries = rows.take(32).map { case (i, v) => i -> v.toArray }
+      val pre = DriftBench.recallOf(spark, base, Some(deltaP), cents,
+        queries, nprobe = 2, k = 10)
+      val out = s"$root/rebuilt"
+      val (v, newCents) = sources.Maintenance.maintainAnn(
+        spark, base, deltaP, quarP, logP, out)
+      assert(v.action == "rebuild" && v.trips == 1L, s"$v")
+      val post = DriftBench.recallOf(spark, out, None, newCents.get,
+        queries, nprobe = 2, k = 10)
+      // post-refit the drifted domain is first-class: its queries'
+      // true neighbors (their own tight cluster) live in the probed
+      // cells. pre-refit those same queries rank residents through
+      // cells fitted to another geometry entirely.
+      assert(post > pre, f"refit did not improve drifted recall: $pre%.3f -> $post%.3f")
+      assert(post >= 0.8, f"post-refit drifted recall too low: $post%.3f")
+    }
+  }
+
   test("dup maintenance: admission log's hot-template trip -> compaction equal to a from-scratch rebuild over the union") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext

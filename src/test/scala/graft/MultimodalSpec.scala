@@ -368,4 +368,86 @@ class MultimodalSpec extends AnyFunSuite {
     assert(rows.exists(_.getBoolean(2)) && rows.exists(!_.getBoolean(2)),
       "media gate is vacuous at this SF")
   }
+
+  test("GenData media corpus: q155/q157/q171 probe media.parquet end-to-end with exhaustive recall on planted families") {
+    import TestSpark.withTmpDir
+    import operators.Multimodal
+    withTmpDir("mmgen") { root =>
+      // 1200 payloads = 400 real PNGs / 400 stub blobs / 400 real WAVs
+      // with GenData's planted near-twin + chain + far-variant rules
+      GenData.generate(spark, root, 50, 20, None, 0.3, "salad", Some(1200))
+      val payloads = spark.read.parquet(s"$root/media.parquet")
+        .collect().map(r => r.getLong(0) -> r.getAs[Array[Byte]](1))
+      assert(payloads.length == 1200)
+      // the REAL decode paths engage: every id%3==0 parses as genuine
+      // PNG (planted dims), every id%3==2 as genuine WAV with PCM
+      // samples; id%3==1 falls to the stub (jpeg class by first byte)
+      val metas = payloads.map { case (id, b) => (id, Multimodal.decode(id, b), b) }
+      metas.foreach { case (id, m, b) =>
+        if (id % 3 == 0) assert(m.format == "png" && m.width >= 256L && m.height >= 256L,
+          s"media $id did not parse as a real PNG: $m")
+        else if (id % 3 == 2) {
+          assert(m.format == "wav" && m.width >= 8000L, s"media $id did not parse as a real WAV: $m")
+          assert(Multimodal.wavSamples(b).exists(_.length >= 4096),
+            s"planted WAV $id failed PCM decode")
+        } else assert(m.format == "jpeg", s"stub blob $id classified $m")
+      }
+      // exact truth: phash over the image-classified set (real PNGs +
+      // stub jpegs), ehash over decoded |PCM| for the WAVs — the same
+      // private primitives the operators use
+      val imgH = metas.collect { case (id, m, b)
+          if m.format == "png" || m.format == "jpeg" => id -> Multimodal.phash64(b) }
+      val wavH = metas.collect { case (id, m, b) if m.format == "wav" =>
+        id -> Multimodal.ehash64(Multimodal.wavSamples(b).get) }
+      def pairsOf(hs: Array[(Long, Long)], ham: Int) = (for {
+        (i1, h1) <- hs; (i2, h2) <- hs if i1 < i2
+        if java.lang.Long.bitCount(h1 ^ h2) <= ham
+      } yield (i1, i2)).toSet
+      val wantImg = pairsOf(imgH, Multimodal.PhashHam)
+      val wantWav = pairsOf(wavH, Multimodal.EhashHam)
+      // the DIR-level operators route through media.parquet (not the
+      // documents table) and recover the exact pair sets
+      val gotImg = Multimodal.q155(spark, root).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val gotWav = Multimodal.q157(spark, root).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(gotImg == wantImg,
+        s"q155 extra=${(gotImg -- wantImg).take(3)} missing=${(wantImg -- gotImg).take(3)}")
+      assert(gotWav == wantWav,
+        s"q157 extra=${(gotWav -- wantWav).take(3)} missing=${(wantWav -- gotWav).take(3)}")
+      // cross-modal isolation: no WAV id in the image pairs, no image
+      // id in the audio pairs
+      val wavIds = wavH.map(_._1).toSet
+      assert(gotImg.forall { case (a, b) => !wavIds(a) && !wavIds(b) })
+      val imgIds = imgH.map(_._1).toSet
+      assert(gotWav.forall { case (a, b) => !imgIds(a) && !imgIds(b) })
+      // planted-family non-vacuity: the k=3 window re-rolls land a
+      // healthy majority of planted twins inside the hamming gate on
+      // BOTH modalities (boundary cells can flip a few past it — the
+      // exact-truth equality above is the correctness assertion)
+      def planted(c: Long) = (0L until 400L).flatMap { g =>
+        if (g % 41 == 1 && g > 0) Some((3L * (g - 1) + c, 3L * g + c))
+        else if (g % 41 == 2 && g > 1) Some((3L * (g - 2) + c, 3L * g + c))
+        else None
+      }.toSet
+      val (pImg, pWav) = (planted(0L), planted(2L))
+      assert(pImg.size >= 15 && pWav.size >= 15)
+      assert((pImg & wantImg).size * 2 >= pImg.size,
+        s"planted PNG twins mostly blew past hamming: ${(pImg & wantImg).size}/${pImg.size}")
+      assert((pWav & wantWav).size * 2 >= pWav.size,
+        s"planted WAV twins mostly blew past hamming: ${(pWav & wantWav).size}/${pWav.size}")
+      // q171 family formation over the generated corpus == union-find
+      // over the exact image pairs (chained g-2/g-1/g plants close
+      // into one family through the shared base)
+      val lab = unionFind(imgIds.toSeq, wantImg.toSeq)
+      val bySize = lab.values.groupBy(identity).map { case (f, xs) => f -> xs.size.toLong }
+      val wantFam = imgIds.map { id =>
+        val f = lab(id); (id, f, bySize(f), id == f) }.toSet
+      val gotFam = Multimodal.q171(spark, root).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3))).toSet
+      assert(gotFam == wantFam,
+        s"q171 extra=${(gotFam -- wantFam).take(3)} missing=${(wantFam -- gotFam).take(3)}")
+      assert(wantFam.exists(_._3 >= 3), "no chained family of size >= 3 formed")
+    }
+  }
 }

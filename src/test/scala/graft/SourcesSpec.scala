@@ -648,6 +648,37 @@ class SourcesSpec extends AnyFunSuite {
     assert(ess4.toSet == Set((1L, "rare"), (2L, "mid")), s"$ess4")
   }
 
+  test("seed-doc θ refinement: partial sums flip the split, self-doc dropped exactly, short seed lists never false-certify") {
+    import graft.sources.LexIndex.essentialSplit
+    // doc 1 tops BOTH tokens: its partial sum 20+100 = 120 dwarfs
+    // every single-token bound
+    val imps = Map("a" -> Array(20L, 18L), "b" -> Array(100L, 15L))
+    val seeds = Map("a" -> Array(1L, 2L), "b" -> Array(1L, 3L))
+    // WITHOUT seeds, k=1: θ̂₁ = max(a(1)=18, b(1)=15) = 18; ascending
+    // σ (a=20, b=100): 0+20 ≥ 18 → "a" essential, so "b" too —
+    // nothing saved
+    val noSeed = essentialSplit(Seq((9L, "a"), (9L, "b")), imps, k = 1)
+    assert(noSeed.toSet == Set((9L, "a"), (9L, "b")), s"$noSeed")
+    // WITH seeds: foreign partials d1=120, d2=18, d3=15 → θ̂₂ = 120;
+    // now 0+20 < 120 → "a" non-essential, "b" (20+100 ≥ 120)
+    // essential — the refinement's pure win: same index, same query,
+    // HALF the candidate scan
+    val withSeed = essentialSplit(Seq((9L, "a"), (9L, "b")), imps, k = 1, seeds)
+    assert(withSeed.toSet == Set((9L, "b")), s"$withSeed")
+    // SELF-DOC: the query IS doc 1 — its own 120 partial must not
+    // certify θ̂ (the k foreign docs it promises would include
+    // itself). Foreign partials: d2=18, d3=15 → θ̂₂ = 18 = θ̂₁ → the
+    // conservative all-essential split returns
+    val self = essentialSplit(Seq((1L, "a"), (1L, "b")), imps, k = 1, seeds)
+    assert(self.toSet == Set((1L, "a"), (1L, "b")), s"$self")
+    // fewer than k distinct foreign seed docs → θ̂₂ degrades to 0,
+    // never a false certificate (θ̂₁ = 0 too at k=2: both lists have
+    // exactly 2 impacts, k+1 = 3 > length)
+    val tiny = essentialSplit(Seq((1L, "a")), imps, k = 2,
+      Map("a" -> Array(1L, 2L)))
+    assert(tiny.toSet == Set((1L, "a")), s"$tiny")
+  }
+
   test("max-score pruned probe equals the unpruned plan on a natural-vocabulary corpus") {
     TestSpark.withTmpDir("lexwand") { root =>
       // this corpus sits below the measured PruneMinVol engagement
