@@ -45,6 +45,20 @@ object BuildCorpus {
 
   def main(args: Array[String]): Unit = {
     val spark = GraftSession.local(Runtime.getRuntime.availableProcessors)
+    // stage profiling for scale runs (the Dbg listener, env-gated):
+    // SPARK_GRAFT_STAGE_MIN=<secs> prints every stage over the floor
+    sys.env.get("SPARK_GRAFT_STAGE_MIN").map(_.toDouble).foreach { minStage =>
+      spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+        override def onStageCompleted(
+            sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+          val si = sc.stageInfo
+          val dur = (si.completionTime.get - si.submissionTime.get) / 1000.0
+          if (dur > minStage)
+            println(f"[stage] id=${si.stageId} tasks=${si.numTasks} time=$dur%.2fs " +
+              si.name.takeWhile(_ != '\n').take(80))
+        }
+      })
+    }
     // usage: <in> <out>            — full build
     //        <in> <out> <prev> <n> — increment n against the build at <prev>
     val log =
@@ -52,6 +66,23 @@ object BuildCorpus {
       else run(spark, args(0), args(1))
     log.collect().foreach(r => println(s"[build] ${r.mkString(" | ")}"))
     spark.stop()
+  }
+
+  /** Decision-ledger accumulator: each append stamps the wall
+    * seconds since the previous stage landed, so a scale run's
+    * [build] printout doubles as the stage profile (the r11 x300
+    * attribution need — Spark stage names are all lazy-frame
+    * lambdas, the ledger rows are the semantic stages). */
+  private final class Ledger {
+    private val buf = scala.collection.mutable.ArrayBuffer
+      .empty[(Int, String, Long, Long, String, Double)]
+    private var t0 = System.nanoTime()
+    def +=(row: (Int, String, Long, Long, String)): Unit = {
+      val now = System.nanoTime()
+      buf += ((row._1, row._2, row._3, row._4, row._5, (now - t0) / 1e9))
+      t0 = now
+    }
+    def rows: Seq[(Int, String, Long, Long, String, Double)] = buf.toSeq
   }
 
   /** Stages 0-1, shared by the full build and [[incremental]]:
@@ -67,7 +98,7 @@ object BuildCorpus {
     * duplicated intake id would fan out and a null id would drop
     * from. Returns (n_intake_docs, n_staged_docs). */
   private def intakeAndStage(s: SparkSession, in: String, out: String,
-      decisions: scala.collection.mutable.ArrayBuffer[(Int, String, Long, Long, String)])
+      decisions: Ledger)
       : (Long, Long) = {
     val intake = TextOps.q108(s, in).collect()(0)
     val nDocs = intake.getAs[Long]("n_docs")
@@ -112,8 +143,7 @@ object BuildCorpus {
     * returns the decision log (also persisted at out/decisions.parquet). */
   def run(s: SparkSession, in: String, out: String): DataFrame = {
     import s.implicits._
-    val decisions = scala.collection.mutable.ArrayBuffer
-      .empty[(Int, String, Long, Long, String)]
+    val decisions = new Ledger
     val staged = s"$out/staged"
     val (nDocs, nStaged) = intakeAndStage(s, in, out, decisions)
     Tables(s, in, "embeddings")
@@ -218,7 +248,7 @@ object BuildCorpus {
       stDocs.join(gateTrain.join(drop, Seq("doc_id"), "left_anti"), "doc_id"),
       shipped, s"$out/mixstats", batch = None)
 
-    writeLog(s, decisions.toSeq, out)
+    writeLog(s, decisions.rows, out)
   }
 
   /** Per-language (avail_tokens, shipped_tokens) row set: avail from
@@ -293,10 +323,10 @@ object BuildCorpus {
   }
 
   private def writeLog(s: SparkSession,
-      decisions: Seq[(Int, String, Long, Long, String)], out: String): DataFrame = {
+      decisions: Seq[(Int, String, Long, Long, String, Double)], out: String): DataFrame = {
     import s.implicits._
     val log = decisions
-      .toDF("stage_id", "stage", "n_in", "n_out", "detail")
+      .toDF("stage_id", "stage", "n_in", "n_out", "detail", "secs")
       .orderBy("stage_id")
     log.coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$out/decisions.parquet")
     log
@@ -352,8 +382,7 @@ object BuildCorpus {
   def incremental(s: SparkSession, in: String, prev: String, out: String,
       incId: Long): DataFrame = {
     import graft.sources.DupIndex
-    val decisions = scala.collection.mutable.ArrayBuffer
-      .empty[(Int, String, Long, Long, String)]
+    val decisions = new Ledger
     val staged = s"$out/staged"
     val (_, nStaged) = intakeAndStage(s, in, out, decisions)
     val delta = Tables(s, staged, "documents").localCheckpoint(false)
@@ -482,7 +511,7 @@ object BuildCorpus {
     } else decisions += ((8, "mixture_drift", 0L, 0L,
       "no mixstats at prev (pre-r9 base) — gate unavailable until rebuild"))
 
-    writeLog(s, decisions.toSeq, out)
+    writeLog(s, decisions.rows, out)
   }
 
   /** Read a batch-partitioned side artifact under `prev`, EXCLUDING

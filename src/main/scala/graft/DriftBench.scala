@@ -86,7 +86,14 @@ object DriftBench {
   def main(args: Array[String]): Unit = {
     val dir = args.lift(0).getOrElse("/tmp/stress_x100")
     val chunkSize = args.lift(1).map(_.toInt).getOrElse(5000)
-    val nprobe = args.lift(2).map(_.toInt).getOrElse(2)
+    // nprobe must track cells-per-cluster, not be a constant: this
+    // family's exact top-10 are cluster mates spread across the
+    // cluster's ~cells/10 sub-cells, so a 2-cell probe of a 448-cell
+    // index reads ~4% of the right cluster and recall floors at
+    // ~0.15-0.2 EVERYWHERE (measured) — no drift contrast. 16 is
+    // ~1/3 of one cluster's cells at x100, the serving point q143's
+    // recall gate would pick.
+    val nprobe = args.lift(2).map(_.toInt).getOrElse(16)
     val k = 10
     val nQueries = 64
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
@@ -101,11 +108,17 @@ object DriftBench {
     val buildSecs = (System.nanoTime() - t0) / 1e9
     val baseN = spark.read.parquet(basePath).count()
 
-    // 2. spool the drift sweep — one file per chunk, modtime order
-    val ws = Array(0.30, 0.25, 0.20, 0.15, 0.10, 0.05, 0.0)
+    // 2. spool the drift sweep — one file per chunk, modtime order.
+    // Chunks 0-6 are the MASS drift (cluster weight stepping toward
+    // an unclustered cloud — the gate should hold until the geometry
+    // is truly gone); the final chunk is the NEW-DOMAIN class (fresh
+    // centroid family at full mass — new embedding model), the one
+    // the quarantine-then-refit loop exists for.
+    val ws = Array((0.30, 1000L), (0.25, 1000L), (0.20, 1000L), (0.15, 1000L),
+      (0.10, 1000L), (0.05, 1000L), (0.0, 1000L), (0.45, 5000L))
     val spool = java.nio.file.Files.createTempDirectory("graft_drift_spool")
-    val chunkQs = ws.zipWithIndex.map { case (w, i) =>
-      val ch = driftChunk(spark, chunkSize, 10000000L + i.toLong * 1000000L, w)
+    val chunkQs = ws.zipWithIndex.map { case ((w, cs), i) =>
+      val ch = driftChunk(spark, chunkSize, 10000000L + i.toLong * 1000000L, w, cs)
         .localCheckpoint(false)
       val tmp = spool.resolve("_tmp").toString
       ch.coalesce(1).write.mode("overwrite").parquet(tmp)
@@ -132,9 +145,11 @@ object DriftBench {
     val ingestSecs = (System.nanoTime() - t1) / 1e9
     q.stop()
 
-    // per-trigger verdicts, in admission (= batch id = drift) order
+    // per-trigger verdicts, in admission (= batch id = drift) order;
+    // batch is a PARTITION column — read-side inference types it int,
+    // so cast before getLong
     val log = spark.read.parquet(logP)
-      .select("batch", "n_rows", "refit").collect()
+      .select(col("batch").cast("long"), col("n_rows"), col("refit")).collect()
       .map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
 
     // 4. per-chunk serving recall AFTER the full sweep (base + every
@@ -142,7 +157,8 @@ object DriftBench {
     val rows = ws.indices.map { i =>
       val rec = recallOf(spark, basePath, Some(deltaP), cents, chunkQs(i), nprobe, k)
       val (nRows, refit) = log.getOrElse(i.toLong, (0L, false))
-      f"""{"chunk":$i,"cluster_w":${ws(i)}%.2f,"rows":$nRows,"refit":$refit,"recall":$rec%.3f}"""
+      f"""{"chunk":$i,"cluster_w":${ws(i)._1}%.2f,"cent_seed":${ws(i)._2},""" +
+        f""""rows":$nRows,"refit":$refit,"recall":$rec%.3f}"""
     }
 
     // 5. the reconcile: refit-rebuild over base + delta + quarantine,

@@ -72,7 +72,13 @@ object Dedup {
       val sh = shingled(s, dir)
       val hot = sh.groupBy("s").agg(count(lit(1)).as("df"))
         .filter(col("df") > DfCap).select("s")
-      sh.join(hot, Seq("s"), "left_anti").localCheckpoint(false)
+      // SERIALIZED blocks: this is a corpus-TOKEN-sized checkpoint
+      // (the r11 x300 lesson — deserialized string rows hold 3-5x
+      // their serialized bytes on-heap, and a handful of token-sized
+      // caches plus concurrent join sorts OOM'd a 64 GiB heap; SER
+      // evicts cleanly and costs one deserialize per consumer scan)
+      sh.join(hot, Seq("s"), "left_anti").localCheckpoint(false,
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     }
 
   /** Tokenize + raw (uncapped) shingle CTEs — the prefix q145's
@@ -122,10 +128,29 @@ object Dedup {
   private def pairCounts(s: SparkSession, dir: String): DataFrame =
     pairsCache.getOrElseUpdate(s, dir) {
       val sh = cappedShingles(s, dir)
+      // r11: the x300 composed build OOM'd this stage at the
+      // session's 32 shuffle partitions (64 GiB heap): the self-join
+      // sort and the pair partial-agg each hold candidate-volume/32
+      // per task, and candidate volume grows ~linearly with the
+      // corpus (df held ~constant by the cap). Scale the exchange
+      // with the corpus instead of the session default — a parquet
+      // row count is metadata-only, and driver-SF corpora resolve to
+      // the session default (identical behavior where the oracle
+      // watches). Both join legs share ONE repartition-by-shingle
+      // exchange, and the pair agg keys on the join output's
+      // (d1, d2) partitioning instead of re-exchanging into 32.
+      // raw-parquet count, NOT Tables(): the rebalance repartition
+      // would turn a footer-metadata count into a real shuffle job
+      val parts = math.max(s.sparkContext.defaultParallelism,
+        math.min(1024L,
+          s.read.parquet(s"$dir/documents.parquet").count() / 10000L).toInt)
+      val shP = sh.repartition(parts, col("s"))
       val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-      sh.as("a").join(sh.as("b"),
+      shP.as("a").join(shP.as("b"),
           col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
-        .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+        .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+        .repartition(parts, col("d1"), col("d2"))
+        .groupBy(col("d1"), col("d2"))
         .agg(count(lit(1)).as("c"))
         .join(sz.withColumnRenamed("doc_id", "d1").withColumnRenamed("n", "n1"), "d1")
         .join(sz.withColumnRenamed("doc_id", "d2").withColumnRenamed("n", "n2"), "d2")

@@ -212,7 +212,10 @@ object Sampling {
         .select(col("doc_id"), col("bucket"), explode(expr(gramExpr)).as("s"))
       val hot = grams0.groupBy("s").agg(count(lit(1)).as("df"))
         .filter(col("df") > GramCap).select("s")
-      grams0.join(hot, Seq("s"), "left_anti").localCheckpoint(false)
+      // SERIALIZED blocks — corpus-token-sized (the Dedup
+      // cappedShingles rationale; r11 x300 OOM lesson)
+      grams0.join(hot, Seq("s"), "left_anti").localCheckpoint(false,
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     }
 
   /** Eval-set decontamination: flag TRAIN-split documents sharing any

@@ -248,6 +248,50 @@ object AnnIndex {
           .as("refit"))
   }
 
+  /** recallGate default floor: recall@k below 0.6 on sampled
+    * traffic means the quantizer no longer places neighbors where
+    * the probe looks — rebuild. */
+  val RecallFloorPpm = 600000L
+
+  /** SAMPLED-RECALL GATE — the serving-quality monitor [[refitGate]]
+    * is not (the r11 drift measurement, SURVEY §4.2): MASS drift —
+    * the corpus's cluster structure dissolving in place — erodes
+    * serving recall to ~0.40 before the 2× geometry ratio trips,
+    * because mean quantization error moves slowly while neighbor
+    * placement scatters. This gate measures what a tier actually
+    * serves: recall@k of the nprobe probe against the exact probe
+    * (nprobe = all cells — the same scorer, zero approximation)
+    * over a bounded query sample (the QueryMax rule; sampled per
+    * maintenance sweep, not per trigger). Every probe returns
+    * exactly k rows per query, so the micro ratio equals the
+    * per-query mean; hits/denominator sum as longs and the ppm is
+    * one BigInt cross-multiply (the q142 rule). `refit` is strict:
+    * recall_ppm < floorPpm. */
+  def recallGate(s: SparkSession, basePath: String, deltaPath: Option[String],
+      cents: Array[Array[Double]], queries: Array[(Long, Array[Float])],
+      nprobe: Int, k: Int, floorPpm: Long = RecallFloorPpm): DataFrame = {
+    import s.implicits._
+    def top(np: Int): Map[Long, Set[Long]] = {
+      val df = deltaPath match {
+        case Some(d) => probeWithDelta(s, basePath, d, cents, queries, np, k)
+        case None => probe(s, basePath, cents, queries, np, k)
+      }
+      df.select("query_id", "neighbor_id").collect()
+        .groupBy(_.getLong(0))
+        .map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+    }
+    val approx = top(nprobe)
+    val exact = top(cents.length)
+    val hits = exact.iterator.map { case (q, ex) =>
+      approx.getOrElse(q, Set.empty[Long]).count(ex).toLong }.sum
+    val denom = exact.valuesIterator.map(_.size.toLong).sum
+    val ppm =
+      if (denom == 0L) 1000000L
+      else (BigInt(hits) * 1000000 / BigInt(denom)).toLong
+    Seq((queries.length.toLong, denom, hits, ppm, ppm < floorPpm))
+      .toDF("n_queries", "n_exact", "n_hit", "recall_ppm", "refit")
+  }
+
   /** Bounded TopK ranking of a scored candidate frame. */
   private def rank(s: SparkSession, cand: DataFrame, k: Int): DataFrame = {
     import graft.functions.TopK

@@ -89,8 +89,10 @@ object DupIndex {
   def writeFrom(s: SparkSession, docs: DataFrame, path: String): Unit = {
     // the corpus tokenize+shingle subtree has three consumers (hot
     // agg, anti-join, and the hot-list write's own lineage) — ONE
-    // checkpoint, or a 100 TB base build scans the corpus thrice
-    val sh = Dedup.shingledOf(docs).localCheckpoint(false)
+    // checkpoint, or a 100 TB base build scans the corpus thrice.
+    // SERIALIZED blocks: corpus-token-sized (the r11 x300 OOM class)
+    val sh = Dedup.shingledOf(docs).localCheckpoint(false,
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     val hot = sh.groupBy("s").agg(count(lit(1)).as("df"))
       .filter(col("df") > Dedup.DfCap).select("s")
       .localCheckpoint(false) // tiny; 2 consumers: anti join + write
@@ -102,7 +104,8 @@ object DupIndex {
   /** Attach per-doc capped sizes + bucket column and write `kept`
     * (doc_id, s) as sb-partitioned postings. */
   private def writePostings(kept: DataFrame, outPath: String): Unit = {
-    val k = kept.localCheckpoint(false) // 2 consumers: sizes + rows
+    val k = kept.localCheckpoint(false, // 2 consumers: sizes + rows
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     val sz = k.groupBy("doc_id").agg(count(lit(1)).as("n"))
     k.join(sz, "doc_id")
       .withColumn("sb", bucket(col("s")))

@@ -366,19 +366,32 @@ object LexIndex {
   /** Engagement gates, both computed driver-side from the _summary
     * dfs (exact, no posting scan). Pruning's saving is the SAVED
     * pair-level posting volume (Σ df over non-essential indexed
-    * (query, token) pairs — the rows that die map-side instead of
-    * shuffling into the aggregate); its cost is ∝ the ESSENTIAL
-    * pair-level volume (the extra candidate scan + broadcast).
-    * Engage when saved ≥ [[PruneMinSaved]] AND saved ≥
-    * [[PruneSavedFactor]]·essential. MEASURED (LexBench, 20-query
-    * triggers, local[32]): zipf x10/x30 saved-volume ≈0.7M/2.0M →
-    * declines (pruned had lost 4.4→7.1 / 6.0→7.6 s/trigger); zipf
-    * x100 ≈6.5M mostly-saved → engages and WINS 11.4→7.8; salad x30
-    * (uniform σ: essential ≈ everything, saved ≈ nothing) → the
-    * factor gate declines where a raw-volume gate had engaged and
-    * lost 11.7→15.5. At the 100 TB design point a trigger's saved
-    * volume is orders past both gates. */
-  val PruneMinSaved = 4000000L
+    * (query, token) pairs); its cost is ∝ the ESSENTIAL pair-level
+    * volume (the extra candidate scan + broadcast) plus ~2 fixed
+    * jobs. Engage when saved ≥ [[PruneMinSaved]] AND saved ≥
+    * [[PruneSavedFactor]]·essential.
+    *
+    * r11 RE-MEASURE (LexBench A/B, 20-query triggers, local[32],
+    * regenerated zipf corpora, seed-refined θ̂ making the split
+    * maximally favorable to pruning): pruned-on LOSES at every
+    * tested scale — 3.7 vs 3.1 (x10), 6.3 vs 3.4 (x30), 5.5 vs 3.9
+    * (x100) s/trigger. The structural reason: [[Similarity
+    * .lexRankOf]]'s bounded TopK aggregate takes map-side PARTIALS,
+    * so the per-row shuffle the two-phase plan kills was never paid
+    * — doomed rows die in the partial hash update (~ns each), while
+    * the rescore phase re-reads every query token's postings
+    * regardless (exactness needs candidate docs' non-essential
+    * contributions, so no posting IO is ever saved). What remains
+    * savable is the dead rows' score-compute + hash-update, which
+    * only matters when the saved volume reaches ~10⁹ rows/trigger —
+    * the floor is set THERE now. The r9 4M floor came from one
+    * x100 pass whose 31% win did not survive re-measurement on
+    * regenerated corpora (host conditions, not plan structure —
+    * both A/B arms re-read 2026-08-16). The two-phase machinery
+    * (and the θ̂ certificates) stay: parity-proved, forceable via
+    * graft.lex.prune=on, and the designed path for posting volumes
+    * this harness cannot reach. */
+  val PruneMinSaved = 1000000000L
   val PruneSavedFactor = 4L
 
   /** MAX-SCORE TWO-PHASE PRUNED PROBE (WAND's batch-shaped sibling —

@@ -144,6 +144,26 @@ class MaintenanceSpec extends AnyFunSuite {
       // cells fitted to another geometry entirely.
       assert(post > pre, f"refit did not improve drifted recall: $pre%.3f -> $post%.3f")
       assert(post >= 0.8, f"post-refit drifted recall too low: $post%.3f")
+
+      // the SAMPLED-RECALL GATE (the r11 complement to the MSE
+      // refit gate — mass drift erodes recall before geometry error
+      // trips): integer-ppm recall over the same probes, with strict
+      // less-than trip semantics pinned at the boundary
+      val preG = sources.AnnIndex.recallGate(spark, base, Some(deltaP),
+        cents, queries, nprobe = 2, k = 10).collect()(0)
+      val postG = sources.AnnIndex.recallGate(spark, out, None,
+        newCents.get, queries, nprobe = 2, k = 10).collect()(0)
+      assert(postG.getAs[Long]("recall_ppm") > preG.getAs[Long]("recall_ppm"),
+        s"refit did not lift the gate's measured recall: $preG -> $postG")
+      assert(postG.getAs[Long]("recall_ppm") >= 800000L &&
+        !postG.getAs[Boolean]("refit"),
+        s"refit root still below the recall floor: $postG")
+      val pp = preG.getAs[Long]("recall_ppm")
+      def tripAt(floor: Long): Boolean = sources.AnnIndex.recallGate(spark,
+          base, Some(deltaP), cents, queries, 2, 10, floorPpm = floor)
+        .collect()(0).getAs[Boolean]("refit")
+      assert(!tripAt(pp), "gate tripped at floor == measured ppm (must be strict <)")
+      assert(tripAt(pp + 1), "gate silent at floor just above measured ppm")
     }
   }
 
