@@ -324,8 +324,15 @@ object Dedup {
     // simhash expression into every one of the 45 key structs (×2
     // block refs ≈ 5.8k CASE terms) and optimizer+AQE replans take
     // minutes. Behind the barrier simhash is a plain attribute; the
-    // shuffle itself is linear in docs × 16 bytes.
-    val sims = hashes.repartition(col("doc_id"))
+    // shuffle itself is linear in docs × 16 bytes. EXPLICIT count
+    // (r11): a column-only repartition is AQE-coalescible, and the
+    // hash frame is tiny in BYTES — AQE folded it to ONE partition,
+    // so the 45× combo explode and the banding exchange's shuffle
+    // write ran single-task (~5 s of the media-x30 profile at 100k
+    // hashes, growing with the corpus). An explicit count pins the
+    // barrier at defaultParallelism and the explode parallelizes.
+    val sims = hashes.repartition(
+      hashes.sparkSession.sparkContext.defaultParallelism, col("doc_id"))
     import graft.functions.SimHashOps.{BlockOffsets, BlockSizes, canonicalCombo}
     def block(i: Int): Column =
       shiftright(col("simhash"), BlockOffsets(i)).bitwiseAND(lit((1L << BlockSizes(i)) - 1))
