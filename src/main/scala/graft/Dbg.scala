@@ -19,9 +19,14 @@ object Dbg {
       override def onStageCompleted(
           sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
         val si = sc.stageInfo
-        val dur = (si.completionTime.get - si.submissionTime.get) / 1000.0
-        if (dur > minStage)
-          println(f"[stage] id=${si.stageId} tasks=${si.numTasks} time=$dur%.2fs ${si.name.takeWhile(_ != '\n').take(60)}")
+        // either Option can be None (stage failed before submission /
+        // resubmitted) — a get would throw inside the listener and
+        // silently drop the profile row
+        for (sub <- si.submissionTime; end <- si.completionTime) {
+          val dur = (end - sub) / 1000.0
+          if (dur > minStage)
+            println(f"[stage] id=${si.stageId} tasks=${si.numTasks} time=$dur%.2fs ${si.name.takeWhile(_ != '\n').take(60)}")
+        }
       }
     })
     val q = SparkEntry.all.find(_.name == name)

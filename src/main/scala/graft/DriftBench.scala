@@ -44,8 +44,8 @@ object DriftBench {
     * new-DOMAIN drift class (new embedding model / new corpus — the
     * quarantine-then-refit story). */
   private[graft] def driftChunk(s: org.apache.spark.sql.SparkSession,
-      n: Int, idBase: Long, w: Double,
-      centSeed: Long = 1000L): org.apache.spark.sql.DataFrame = {
+      n: Int, idBase: Long, w: Double, centSeed: Long = 1000L,
+      noise: Double = 0.25): org.apache.spark.sql.DataFrame = {
     import s.implicits._
     val dim = 64
     s.range(n.toLong).map { jid =>
@@ -56,8 +56,8 @@ object DriftBench {
       }
       val label = (id % 10).toInt
       val cent = gauss(centSeed + label)
-      val noise = gauss(7000 + id)
-      (id, Array.tabulate(dim)(i => (w * cent(i) + 0.25 * noise(i)).toFloat).toSeq)
+      val nz = gauss(7000 + id)
+      (id, Array.tabulate(dim)(i => (w * cent(i) + noise * nz(i)).toFloat).toSeq)
     }.toDF("vec_id", "embedding")
   }
 
@@ -66,22 +66,8 @@ object DriftBench {
     * the quantizer owns. */
   private[graft] def recallOf(s: org.apache.spark.sql.SparkSession, basePath: String,
       deltaPath: Option[String], cents: Array[Array[Double]],
-      queries: Array[(Long, Array[Float])], nprobe: Int, k: Int): Double = {
-    def top(np: Int): Map[Long, Set[Long]] = {
-      val df = deltaPath match {
-        case Some(d) => AnnIndex.probeWithDelta(s, basePath, d, cents, queries, np, k)
-        case None => AnnIndex.probe(s, basePath, cents, queries, np, k)
-      }
-      df.select("query_id", "neighbor_id").collect()
-        .groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
-    }
-    val approx = top(nprobe)
-    val exact = top(cents.length)
-    val byQ = exact.map { case (q, ex) =>
-      if (ex.isEmpty) 1.0
-      else approx.getOrElse(q, Set.empty).count(ex).toDouble / ex.size }
-    byQ.sum / math.max(1, byQ.size)
-  }
+      queries: Array[(Long, Array[Float])], nprobe: Int, k: Int): Double =
+    AnnIndex.recallStats(s, basePath, deltaPath, cents, queries, nprobe, k)._3
 
   def main(args: Array[String]): Unit = {
     val dir = args.lift(0).getOrElse("/tmp/stress_x100")
@@ -139,8 +125,12 @@ object DriftBench {
       .parquet(spool.toString)
     val (deltaP, quarP, logP) = (s"$root/delta", s"$root/quarantine", s"$root/log")
     val t1 = System.nanoTime()
+    // recallEvery = 1: the harness measures EVERY trigger so the
+    // per-chunk rows below show exactly when each gate first trips
+    // (production samples sparser — the default cadence)
     val q = streaming.IngestStream.ingestSink(stream, basePath, deltaP, quarP,
-      logP, cents, s"$root/ckpt")
+      logP, cents, s"$root/ckpt", recallEvery = 1, recallNprobe = nprobe,
+      recallK = k)
     q.processAllAvailable()
     val ingestSecs = (System.nanoTime() - t1) / 1e9
     q.stop()
@@ -149,17 +139,27 @@ object DriftBench {
     // batch is a PARTITION column — read-side inference types it int,
     // so cast before getLong
     val log = spark.read.parquet(logP)
-      .select(col("batch").cast("long"), col("n_rows"), col("refit")).collect()
-      .map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+      .select(col("batch").cast("long"), col("n_rows"), col("refit"),
+        col("recall_ppm"), col("recall_refit")).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getBoolean(2), r.getLong(3), r.getBoolean(4)))).toMap
 
     // 4. per-chunk serving recall AFTER the full sweep (base + every
-    // admitted batch resident — the steady state a serving tier sees)
+    // admitted batch resident — the steady state a serving tier
+    // sees), next to the AT-TRIGGER gate verdicts: `gate_ppm` is the
+    // recall the sampled gate measured the moment the chunk landed
     val rows = ws.indices.map { i =>
       val rec = recallOf(spark, basePath, Some(deltaP), cents, chunkQs(i), nprobe, k)
-      val (nRows, refit) = log.getOrElse(i.toLong, (0L, false))
+      val (nRows, refit, gatePpm, recRefit) =
+        log.getOrElse(i.toLong, (0L, false, -1L, false))
       f"""{"chunk":$i,"cluster_w":${ws(i)._1}%.2f,"cent_seed":${ws(i)._2},""" +
-        f""""rows":$nRows,"refit":$refit,"recall":$rec%.3f}"""
+        f""""rows":$nRows,"refit":$refit,"gate_ppm":$gatePpm,""" +
+        f""""recall_refit":$recRefit,"recall":$rec%.3f}"""
     }
+    def firstTrip(sel: ((Long, Boolean, Long, Boolean)) => Boolean): Long =
+      ws.indices.map(_.toLong).find(i => log.get(i).exists(sel)).getOrElse(-1L)
+    val mseTrip = firstTrip(_._2)
+    val recTrip = firstTrip(_._4)
 
     // 5. the reconcile: refit-rebuild over base + delta + quarantine,
     // then the most-drifted chunk's recall on the new root
@@ -178,6 +178,7 @@ object DriftBench {
       s"""{"pipeline":"ann_drift","base_vecs":$baseN,"cells":${cents.length},""" +
         f""""build_secs":$buildSecs%.1f,"chunk_rows":$chunkSize,"nprobe":$nprobe,"k":$k,""" +
         f""""ingest_secs":$ingestSecs%.1f,"chunks":[${rows.mkString(",")}],""" +
+        s""""first_mse_trip":$mseTrip,"first_recall_trip":$recTrip,""" +
         s""""maintenance":"${verdict.action}","trips":${verdict.trips},""" +
         f""""refit_secs":$refitSecs%.1f,"drifted_recall_pre":$preRefit%.3f,""" +
         f""""drifted_recall_post":$postRefit%.3f}""")

@@ -14,10 +14,24 @@ final case class Q(
     oracle: Option[String])
 
 object Tables {
+
+  /** The `<dir>/<name>.parquet` layout assumption, in ONE place —
+    * consumers needing the raw (un-rebalanced) file go through here
+    * so a layout change cannot silently desynchronize them from the
+    * reader below. */
+  def rawPath(dir: String, name: String): String = s"$dir/$name.parquet"
+
+  /** Footer-metadata-only row count of a raw table file. Deliberately
+    * NOT `Tables(...).count()`: the rebalance repartition would turn
+    * a metadata read into a real shuffle job — this is the sizing
+    * probe exchange-scaling consumers (Dedup.pairCounts) use. */
+  def rawCount(spark: SparkSession, dir: String, name: String): Long =
+    spark.read.parquet(rawPath(dir, name)).count()
+
   def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
     val df =
       if (name == "events") events(spark, dir)
-      else spark.read.parquet(s"$dir/$name.parquet")
+      else spark.read.parquet(rawPath(dir, name))
     // The LLM-pipeline tables feed explode-heavy pipelines (shingles,
     // token hashing, LSH signatures) whose cost is 10-100x the scan:
     // a single-row-group file scans as ONE task and serializes all of
@@ -48,7 +62,7 @@ object Tables {
     * DuckDB's ts::TIMESTAMP value.
     */
   def events(spark: SparkSession, dir: String): DataFrame =
-    normalizeEventsTs(spark.read.parquet(s"$dir/events.parquet"))
+    normalizeEventsTs(spark.read.parquet(rawPath(dir, "events")))
 
   /** The ONE type-dispatch for the events ts column, shared by the
     * batch reader above and the streaming source

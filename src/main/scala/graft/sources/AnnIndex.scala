@@ -34,9 +34,14 @@ object AnnIndex {
 
   /** [[write]] over any (vec_id, embedding) frame — the REBUILD face
     * ([[Maintenance]] refits over base + delta + quarantine after a
-    * gate trip; specs build bases from corpus subsets). */
-  def writeFrom(s: SparkSession, emb: DataFrame, path: String): Array[Array[Double]] = {
-    val (cells, cents) = graft.operators.Similarity.ivfCellsOf(s, emb)
+    * gate trip; specs build bases from corpus subsets). `cellSize`
+    * overrides the √n default with a target residents-per-cell — the
+    * knob a deployment sizes cells with (cell bytes vs executor
+    * memory, probe fan-out vs recall), passed through to the fit's
+    * mode dispatch. */
+  def writeFrom(s: SparkSession, emb: DataFrame, path: String,
+      cellSize: Option[Int] = None): Array[Array[Double]] = {
+    val (cells, cents) = graft.operators.Similarity.ivfCellsOf(s, emb, cellSize)
     cells.select("vec_id", "ed", "nrm", "cid")
       .write.mode(SaveMode.Overwrite).partitionBy("cid").parquet(path)
     cents
@@ -253,6 +258,47 @@ object AnnIndex {
     * the probe looks — rebuild. */
   val RecallFloorPpm = 600000L
 
+  /** Hard bound on the query sample any recall measurement accepts:
+    * both probes collect every (query, k) pair to the driver, so an
+    * unbounded caller would turn the gate into a driver-memory
+    * hazard. 512 queries × 2 probes × k rows is a few MB at any k a
+    * serving tier uses — enforced, not just documented. */
+  val QueryMax = 512
+
+  /** The ONE recall@k computation (serving nprobe vs exact = all
+    * cells, same scorer) — shared by [[recallGate]] (micro hits /
+    * denom for the integer-ppm gate) and the drift harness's
+    * macro-averaged report ([[graft.DriftBench.recallOf]] delegates
+    * here), so the two recall definitions cannot drift apart.
+    * Returns (hits, denom, macroMean); every probe returns exactly
+    * k rows per query, so micro == macro whenever no query's exact
+    * set is empty. */
+  private[graft] def recallStats(s: SparkSession, basePath: String,
+      deltaPath: Option[String], cents: Array[Array[Double]],
+      queries: Array[(Long, Array[Float])], nprobe: Int, k: Int): (Long, Long, Double) = {
+    require(queries.length <= QueryMax,
+      s"recall sample ${queries.length} exceeds QueryMax=$QueryMax — both probes " +
+        "collect to the driver; sample the traffic, don't stream it through the gate")
+    def top(np: Int): Map[Long, Set[Long]] = {
+      val df = deltaPath match {
+        case Some(d) => probeWithDelta(s, basePath, d, cents, queries, np, k)
+        case None => probe(s, basePath, cents, queries, np, k)
+      }
+      df.select("query_id", "neighbor_id").collect()
+        .groupBy(_.getLong(0))
+        .map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+    }
+    val approx = top(nprobe)
+    val exact = top(cents.length)
+    val hits = exact.iterator.map { case (q, ex) =>
+      approx.getOrElse(q, Set.empty[Long]).count(ex).toLong }.sum
+    val denom = exact.valuesIterator.map(_.size.toLong).sum
+    val byQ = exact.map { case (q, ex) =>
+      if (ex.isEmpty) 1.0
+      else approx.getOrElse(q, Set.empty[Long]).count(ex).toDouble / ex.size }
+    (hits, denom, if (byQ.isEmpty) 1.0 else byQ.sum / byQ.size)
+  }
+
   /** SAMPLED-RECALL GATE — the serving-quality monitor [[refitGate]]
     * is not (the r11 drift measurement, SURVEY §4.2): MASS drift —
     * the corpus's cluster structure dissolving in place — erodes
@@ -271,26 +317,20 @@ object AnnIndex {
       cents: Array[Array[Double]], queries: Array[(Long, Array[Float])],
       nprobe: Int, k: Int, floorPpm: Long = RecallFloorPpm): DataFrame = {
     import s.implicits._
-    def top(np: Int): Map[Long, Set[Long]] = {
-      val df = deltaPath match {
-        case Some(d) => probeWithDelta(s, basePath, d, cents, queries, np, k)
-        case None => probe(s, basePath, cents, queries, np, k)
-      }
-      df.select("query_id", "neighbor_id").collect()
-        .groupBy(_.getLong(0))
-        .map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
-    }
-    val approx = top(nprobe)
-    val exact = top(cents.length)
-    val hits = exact.iterator.map { case (q, ex) =>
-      approx.getOrElse(q, Set.empty[Long]).count(ex).toLong }.sum
-    val denom = exact.valuesIterator.map(_.size.toLong).sum
-    val ppm =
-      if (denom == 0L) 1000000L
-      else (BigInt(hits) * 1000000 / BigInt(denom)).toLong
+    val (hits, denom, _) = recallStats(s, basePath, deltaPath, cents, queries, nprobe, k)
+    val ppm = recallPpm(hits, denom)
     Seq((queries.length.toLong, denom, hits, ppm, ppm < floorPpm))
       .toDF("n_queries", "n_exact", "n_hit", "recall_ppm", "refit")
   }
+
+  /** Micro recall as integer ppm (the q142 rule — one BigInt divide,
+    * no double ratio a gate compares). Empty denominator (no exact
+    * neighbors at all — an empty index) reads as full recall: there
+    * was nothing to miss. Shared by [[recallGate]] and the streaming
+    * gate ([[graft.streaming.IngestStream]]). */
+  private[graft] def recallPpm(hits: Long, denom: Long): Long =
+    if (denom == 0L) 1000000L
+    else (BigInt(hits) * 1000000 / BigInt(denom)).toLong
 
   /** Bounded TopK ranking of a scored candidate frame. */
   private def rank(s: SparkSession, cand: DataFrame, k: Int): DataFrame = {

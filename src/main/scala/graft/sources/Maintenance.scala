@@ -59,10 +59,18 @@ object Maintenance {
   }
 
   /** Gate trips recorded in a decision log (absent log = no trips —
-    * a sink that never committed a non-empty trigger). */
-  private def trips(s: SparkSession, logPath: String, flag: String): Long =
+    * a sink that never committed a non-empty trigger; a log written
+    * before a flag column existed counts zero for that flag rather
+    * than throwing, so maintenance keeps running over pre-upgrade
+    * logs). */
+  private def trips(s: SparkSession, logPath: String, flags: String*): Long =
     if (!exists(s, logPath)) 0L
-    else s.read.parquet(logPath).filter(col(flag)).count()
+    else {
+      val log = s.read.parquet(logPath)
+      val present = flags.filter(log.columns.contains)
+      if (present.isEmpty) 0L
+      else log.filter(present.map(col).reduce(_ || _)).count()
+    }
 
   /** Distinct `batch=` partition values of a delta root. An
     * existing-but-empty delta (all-dup / all-quarantined triggers)
@@ -101,12 +109,22 @@ object Maintenance {
     * new centroid metadata for the serving tier), delta fold past
     * the batch cap, else no-op. */
   def maintainAnn(s: SparkSession, basePath: String, deltaPath: String,
-      quarantinePath: String, logPath: String,
-      outPath: String): (Verdict, Option[Array[Array[Double]]]) = {
-    val t = trips(s, logPath, "refit")
+      quarantinePath: String, logPath: String, outPath: String,
+      cellSize: Option[Int] = None): (Verdict, Option[Array[Array[Double]]]) = {
+    // EITHER gate trips the rebuild: the MSE geometry gate (new-domain
+    // batches, quarantined) or the sampled serving-recall gate (mass
+    // drift — admitted batches whose arrival eroded what the tier
+    // serves; the r11 measurement showed the MSE gate alone lets
+    // recall rot below 0.5, SURVEY §4.2). The rebuild corpus is the
+    // same either way: base + delta + quarantine.
+    val t = trips(s, logPath, "refit", "recall_refit")
     val b = deltaBatches(s, deltaPath)
     if (t > 0L) {
-      val cents = AnnIndex.writeFrom(s, annCorpus(s, basePath, deltaPath, quarantinePath), outPath)
+      // the rebuild inherits the deployment's cell-size policy
+      // (cellSize) — a refit that silently changed cell granularity
+      // would change probe cost and recall behind the tier's back
+      val cents = AnnIndex.writeFrom(s,
+        annCorpus(s, basePath, deltaPath, quarantinePath), outPath, cellSize)
       (Verdict("ann", "rebuild", t, b), Some(cents))
     } else if (b >= CompactBatches) {
       AnnIndex.compactDelta(s, basePath, deltaPath, outPath)

@@ -39,17 +39,46 @@ import graft.sources.AnnIndex
   */
 object IngestStream {
 
+  /** Query-sample size for the sampled recall measurement — well
+    * inside [[AnnIndex.QueryMax]]; drawn deterministically (lowest
+    * vec_ids) from the trigger's own batch, so the probes measure
+    * the traffic actually arriving, and a replayed trigger measures
+    * the identical sample. */
+  val RecallSample = 64
+
   /** Start the gated ingestion sink: `vectors` is a streaming frame
     * with (vec_id long, embedding array<float>) rows. Every non-empty
     * trigger also appends one row to the DECISION LOG at `logPath`
-    * (batch, n_rows, err-moment micro-sums both sides, refit) —
-    * batch-partitioned dynamic overwrite like the data sinks, so the
-    * operator of the index can audit WHY a batch was parked without
-    * reconstructing the gate; a replayed trigger rewrites its own
-    * log row. */
+    * (batch, n_rows, err-moment micro-sums both sides, refit,
+    * recall_ppm, recall_refit) — batch-partitioned dynamic overwrite
+    * like the data sinks, so the operator of the index can audit WHY
+    * a batch was parked without reconstructing the gate; a replayed
+    * trigger rewrites its own log row.
+    *
+    * TWO gates feed the log, because they catch different drift
+    * classes (the r11 measurement, SURVEY §4.2):
+    *
+    *  - the MSE geometry gate (every trigger, one map pass over the
+    *    batch): catches NEW-DOMAIN drift — a batch quantizing badly
+    *    against the frozen centroids — and routes it to quarantine.
+    *  - the SAMPLED RECALL gate ([[AnnIndex.recallGate]], every
+    *    `recallEvery`-th trigger, `recallEvery = 0` disables):
+    *    catches MASS drift — cluster structure dissolving in place,
+    *    which erodes serving recall below 0.5 while mean quantization
+    *    error stays quiet. It measures what the tier actually serves
+    *    (nprobe probe vs exact probe over base + delta, AFTER this
+    *    trigger's admission landed) for a bounded sample of the
+    *    batch's own vectors. Its verdict does NOT quarantine the
+    *    batch — the vectors themselves are geometry-fine — it lands
+    *    in the log as `recall_refit`, where [[graft.sources
+    *    .Maintenance.maintainAnn]] reads it as a rebuild trip like
+    *    any MSE trip. Priced: 2 probes × ≤ [[RecallSample]] queries
+    *    per sampled trigger, against partition-pruned cells only. */
   def ingestSink(vectors: DataFrame, basePath: String, deltaPath: String,
       quarantinePath: String, logPath: String, cents: Array[Array[Double]],
-      checkpoint: String): StreamingQuery = {
+      checkpoint: String, recallEvery: Int = 8, recallNprobe: Int = 16,
+      recallK: Int = 10,
+      recallFloorPpm: Long = AnnIndex.RecallFloorPpm): StreamingQuery = {
     // resident geometry: constant between compactions, priced once
     lazy val idxStats = AnnIndex.errStatsU(vectors.sparkSession,
       vectors.sparkSession.read.parquet(basePath)
@@ -75,9 +104,22 @@ object IngestStream {
               .parquet(quarantinePath)
           else
             AnnIndex.appendDelta(s, deltaPath, cents, b, id)
+          // sampled serving-recall measurement, AFTER the admission
+          // landed (the probes see exactly what the tier now serves);
+          // unsampled triggers log (-1, false) so the row schema is
+          // constant and Maintenance's trip count stays a filter
+          val (recPpm, recRefit) =
+            if (recallEvery > 0 && id % recallEvery == 0) {
+              val qs = b.orderBy("vec_id").limit(RecallSample).collect()
+                .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+              val row = AnnIndex.recallGate(s, basePath, Some(deltaPath), cents,
+                qs, recallNprobe, recallK, recallFloorPpm).collect()(0)
+              (row.getAs[Long]("recall_ppm"), row.getAs[Boolean]("refit"))
+            } else (-1L, false)
           import s.implicits._
-          Seq((id, nB, eB, nIdx, eIdx, refit))
-            .toDF("batch", "n_rows", "err_u_batch", "n_index", "err_u_index", "refit")
+          Seq((id, nB, eB, nIdx, eIdx, refit, recPpm, recRefit))
+            .toDF("batch", "n_rows", "err_u_batch", "n_index", "err_u_index",
+              "refit", "recall_ppm", "recall_refit")
             .write.mode("overwrite").partitionBy("batch")
             .option("partitionOverwriteMode", "dynamic")
             .parquet(logPath)

@@ -167,6 +167,86 @@ class MaintenanceSpec extends AnyFunSuite {
     }
   }
 
+  test("ann mass drift: sampled recall gate trips while the MSE gate stays quiet; rebuild restores serving recall") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    withTmpDir("maint-mass") { root =>
+      // fitted geometry: the clustered family at full mass,
+      // production-sized cells (125 residents/cell -> 32 cells;
+      // serving point nprobe=2, the same ~6% cell fraction the x100
+      // harness probes)
+      val base = s"$root/base"
+      val cents = sources.AnnIndex.writeFrom(spark,
+        DriftBench.driftChunk(spark, 4000, 0L, 0.3), base, cellSize = Some(125))
+      // the GATE-BLIND drift class (the r11 finding, SURVEY §4.2):
+      // traffic mass moves to NEW modes at modest amplitude (w=0.14,
+      // dispersion 0.18 vs the base family's 0.30/0.25). These
+      // vectors quantize FINE against the frozen cells — measured
+      // batch/resident MSE ratio 1.83x, under the gate's 2x — so the
+      // MSE gate admits them; but the frozen quantizer places them by
+      // their noise component, scattering each new mode across cells,
+      // and the recall the tier serves that traffic erodes to ~0.47.
+      // (Truly UNCLUSTERED mass drift — w=0 — is measured too: it
+      // either trips the MSE gate at ratio 2.07 or, at small nprobe,
+      // is unrestorable by ANY quantizer; the restorable gate-blind
+      // class is structure moving below the MSE threshold.)
+      val mass = DriftBench.driftChunk(spark, 800, 5000000L, 0.14,
+        centSeed = 2000L, noise = 0.18).localCheckpoint(false)
+      val rows = mass.collect().map(r => (r.getLong(0), r.getSeq[Float](1)))
+      val (deltaP, quarP, logP) = (s"$root/delta", s"$root/quar", s"$root/log")
+      val mem = MemoryStream[(Long, Seq[Float])]
+      val q = streaming.IngestStream.ingestSink(
+        mem.toDF().toDF("vec_id", "embedding"), base, deltaP, quarP, logP,
+        cents, s"$root/ckpt", recallEvery = 1, recallNprobe = 2, recallK = 10)
+      mem.addData(rows.toSeq)
+      q.processAllAvailable()
+      q.stop()
+
+      // the MSE gate stayed QUIET (batch admitted to the delta, not
+      // parked) while the sampled recall gate TRIPPED in the log —
+      // exactly the drift class the r11 measurement showed the MSE
+      // gate alone cannot see
+      val log = spark.read.parquet(logP).collect()
+      assert(log.length == 1, s"expected one log row: ${log.toSeq}")
+      val row = log(0)
+      info(s"mass-drift log row: refit=${row.getAs[Boolean]("refit")} " +
+        s"recall_ppm=${row.getAs[Long]("recall_ppm")} " +
+        s"recall_refit=${row.getAs[Boolean]("recall_refit")}")
+      assert(!row.getAs[Boolean]("refit"),
+        s"MSE gate tripped on mass drift — the batch quantizes fine: ${row}")
+      assert(spark.read.parquet(deltaP).count() == 800L,
+        "mass-drift batch was not admitted to the delta")
+      assert(!new java.io.File(quarP).exists() ||
+        spark.read.parquet(quarP).count() == 0L)
+      assert(row.getAs[Boolean]("recall_refit") &&
+        row.getAs[Long]("recall_ppm") < sources.AnnIndex.RecallFloorPpm,
+        s"sampled recall gate did not trip on mass drift: ${row}")
+
+      // maintenance reads the recall trip like any MSE trip and
+      // routes the REBUILD (refit over base + delta under the same
+      // cell-size policy; quarantine is empty — the vectors
+      // themselves were admissible)
+      val out = s"$root/rebuilt"
+      val (v, newCents) = sources.Maintenance.maintainAnn(
+        spark, base, deltaP, quarP, logP, out, cellSize = Some(125))
+      assert(v.action == "rebuild" && v.trips == 1L, s"$v")
+      assert(newCents.isDefined)
+
+      // the refit quantizer gives the drifted modes their own cells:
+      // the SAME sampled queries' serving recall recovers at the
+      // SAME serving nprobe
+      val queries = rows.sortBy(_._1).take(streaming.IngestStream.RecallSample)
+        .map { case (i, v0) => i -> v0.toArray }
+      val pre = DriftBench.recallOf(spark, base, Some(deltaP), cents,
+        queries, nprobe = 2, k = 10)
+      val post = DriftBench.recallOf(spark, out, None, newCents.get,
+        queries, nprobe = 2, k = 10)
+      info(f"mass-drift serving recall: pre=$pre%.3f post=$post%.3f")
+      assert(pre < 0.6, f"pre-rebuild recall $pre%.3f not below the floor the gate saw")
+      assert(post >= 0.9, f"rebuild did not restore serving recall: $pre%.3f -> $post%.3f")
+    }
+  }
+
   test("dup maintenance: admission log's hot-template trip -> compaction equal to a from-scratch rebuild over the union") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
