@@ -142,8 +142,7 @@ object Dedup {
       // raw-parquet count, NOT Tables(): the rebalance repartition
       // would turn a footer-metadata count into a real shuffle job
       val parts = math.max(s.sparkContext.defaultParallelism,
-        math.min(1024L,
-          s.read.parquet(s"$dir/documents.parquet").count() / 10000L).toInt)
+        math.min(1024L, Tables.rawCount(s, dir, "documents") / 10000L).toInt)
       val shP = sh.repartition(parts, col("s"))
       val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
       shP.as("a").join(shP.as("b"),
@@ -253,7 +252,15 @@ object Dedup {
   private def mhPairs(s: SparkSession, dir: String): DataFrame =
     mhPairsCache.getOrElseUpdate(s, dir)(mhPairsUncached(s, dir).localCheckpoint(false))
 
-  private[graft] def mhPairsUncached(s: SparkSession, dir: String): DataFrame = {
+  /** Banded MinHash key rows (doc_id, bkeys array<int>, band, bkey):
+    * 128-perm signature → 32 bands of 4 rows, each band's key an int
+    * hash of its 4-slice. The per-doc `bkeys` array rides along (132
+    * B — linear in docs) so the candidate join can dedup its
+    * multi-band fan-out with the canonical-first-shared-band
+    * predicate instead of a pair-`distinct()` shuffle (whose cost
+    * tracks COLLISIONS — the quantity dup-heavy corpora blow up).
+    * Exposed for DedupSpec's distinct-equivalence proof. */
+  private[graft] def mhBandKeys(s: SparkSession, dir: String): DataFrame = {
     val sh = cappedShingles(s, dir)
     val perms = 128
     val hashed = sh.select(col("doc_id"), xxhash64(col("s")).as("h1"))
@@ -262,13 +269,26 @@ object Dedup {
     val sig = hashed.groupBy("doc_id")
       .agg(aggs.head, aggs.tail: _*)
       .select(col("doc_id"), array((0 until perms).map(p => col(s"h$p")): _*).as("sig"))
-    val bands = sig.select(col("doc_id"), explode(expr(
-      "transform(sequence(0, 31), b -> struct(b AS band, hash(slice(sig, b*4+1, 4)) AS bkey))")).as("bk"))
-      .select(col("doc_id"), col("bk.band"), col("bk.bkey"))
+    sig.select(col("doc_id"),
+        expr("transform(sequence(0, 31), b -> hash(slice(sig, b*4+1, 4)))").as("bkeys"))
+      .select(col("doc_id"), col("bkeys"),
+        posexplode(col("bkeys")).as(Seq("band", "bkey")))
+  }
+
+  private[graft] def mhPairsUncached(s: SparkSession, dir: String): DataFrame = {
+    val sh = cappedShingles(s, dir)
+    val bands = mhBandKeys(s, dir)
+    // a near-dup pair collides in many of the 32 bands; keep the row
+    // only on the FIRST band both signatures share (present in the
+    // joined row, so ≥ the matched band exists) — one codegen'd
+    // ≤32-step loop per matched row, no distinct() shuffle of the
+    // match-multiplied pair stream (r12, the q43 canonical idiom)
     val cands = bands.as("x").join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
         col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2")).distinct()
+      .filter(col("x.band") ===
+        graft.functions.BandOps.firstEqualIdx(col("x.bkeys"), col("y.bkeys")))
+      .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
     val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val common = cands
       .join(sh.select(col("doc_id").as("d1"), col("s")), "d1")
@@ -477,11 +497,17 @@ object Dedup {
   private[graft] def semPairs(s: SparkSession, dir: String): DataFrame =
     semPairsCache.getOrElseUpdate(s, dir)(semPairsUncached(s, dir).localCheckpoint(false))
 
-  private[graft] def semPairsUncached(s: SparkSession, dir: String): DataFrame = {
-    import graft.functions.VectorOps.{dotp, l2norm}
+  /** q44's per-band key rows (vec_id, band, bkey, sig) + the chosen
+    * (bits, bands) geometry. Each row carries the PACKED signature
+    * (bands × bits bits, ~72-200 B — linear in vectors) so the
+    * candidate join can dedup its multi-band fan-out with the
+    * canonical-first-shared-band predicate instead of a
+    * pair-distinct() shuffle whose cost tracks collisions (r12, the
+    * q43 canonical idiom). Exposed for DedupSpec's
+    * distinct-equivalence proof. */
+  private[graft] def ndKeyRows(s: SparkSession, dir: String): (DataFrame, Int, Int) = {
     import s.implicits._
     val e = Tables(s, dir, "embeddings")
-      .withColumn("nrm", l2norm(col("embedding")))
     // one count sizes the geometry (see ndGeometry): at driver SFs it
     // resolves to the fixed base plan; past 2^11 vectors bits/bands
     // scale so candidates stay ~n^1.33, not n²
@@ -492,9 +518,20 @@ object Dedup {
         it.flatMap { case (id, v) =>
           val arr = v.toArray
           val ks = ndBandKeysG(planes, arr, bits, bands)
-          Iterator.tabulate(bands)(band => (id, band, ks(band)))
+          val sig = graft.functions.BandOps.packKeys(ks, bits)
+          Iterator.tabulate(bands)(band => (id, band, ks(band), sig))
         }
-      }.toDF("vec_id", "band", "bkey")
+      }.toDF("vec_id", "band", "bkey", "sig")
+    (keys, bits, bands)
+  }
+
+  private[graft] def semPairsUncached(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.VectorOps.{dotp, l2norm}
+    import s.implicits._
+    val e = Tables(s, dir, "embeddings")
+      .withColumn("nrm", l2norm(col("embedding")))
+    val (keysRaw, bits, bands) = ndKeyRows(s, dir)
+    val keys = keysRaw
       // barrier: both sides of the self-join consume this frame, and
       // exchange reuse deduping the two scans is an optimizer
       // heuristic, not a guarantee (q65 lesson) — without it the
@@ -503,7 +540,9 @@ object Dedup {
     val cands = keys.as("x").join(keys.as("y"),
         col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
         col("x.vec_id") < col("y.vec_id"))
-      .select(col("x.vec_id").as("id1"), col("y.vec_id").as("id2")).distinct()
+      .filter(col("x.band") === graft.functions.BandOps.firstSharedBand(
+        col("x.sig"), col("y.sig"), bits, bands))
+      .select(col("x.vec_id").as("id1"), col("y.vec_id").as("id2"))
     cands
       .join(e.select(col("vec_id").as("id1"), col("embedding").as("e1"), col("nrm").as("n1")), "id1")
       .join(e.select(col("vec_id").as("id2"), col("embedding").as("e2"), col("nrm").as("n2")), "id2")

@@ -224,6 +224,84 @@ class DedupSpec extends AnyFunSuite {
     assert(got.exceptAll(exact).count() == 0, "q43 emitted a pair outside hamming<=8")
   }
 
+  test("BandOps pack/extract round-trips and first-shared-band matches a reference scan") {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    val rnd = new scala.util.Random(42)
+    for (bits <- Seq(6, 11, 17, 31, 44); bands <- Seq(3, 32, 96)) {
+      val mask = (1L << bits) - 1
+      val ks = Array.fill(bands)(rnd.nextLong())
+      val packed = new GenericArrayData(functions.BandOps.packKeys(ks, bits))
+      for (b <- 0 until bands)
+        assert(functions.BandOps.bandKey(packed, bits, b) == (ks(b) & mask),
+          s"pack/extract mismatch at bits=$bits bands=$bands b=$b")
+      // first-shared-band == reference linear scan over masked keys
+      val ks2 = ks.zipWithIndex.map { case (k, i) =>
+        if (rnd.nextBoolean() && i != bands - 1) k else rnd.nextLong() }
+      val packed2 = new GenericArrayData(functions.BandOps.packKeys(ks2, bits))
+      val want = (0 until bands).find(b => (ks(b) & mask) == (ks2(b) & mask)).getOrElse(-1)
+      assert(functions.BandOps.firstSharedBand(packed, packed2, bits, bands) == want)
+    }
+    // int-key variant
+    val xs = Array.fill(32)(rnd.nextInt())
+    val ys = xs.zipWithIndex.map { case (x, i) => if (i % 3 == 2) x else rnd.nextInt() }
+    val wantI = (0 until 32).find(i => xs(i) == ys(i)).getOrElse(-1)
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    assert(functions.BandOps.firstEqualIdx(
+      ArrayData.toArrayData(xs), ArrayData.toArrayData(ys)) == wantI)
+  }
+
+  /** The r12 distinct-retirement proof: the canonical-first-shared-
+    * band predicate emits EXACTLY the distinct() candidate pair set,
+    * each pair exactly once — on the same keyed frame, so the only
+    * difference under test is the dedup mechanism. */
+  private def assertCanonicalEqualsDistinct(keyed0: org.apache.spark.sql.DataFrame,
+      idCol: String, canonical: org.apache.spark.sql.Column): Unit = {
+    val keyed = keyed0.localCheckpoint(false)
+    val joined = keyed.as("x").join(keyed.as("y"),
+      col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
+        col(s"x.$idCol") < col(s"y.$idCol"))
+    val want = joined.select(col(s"x.$idCol").as("a"), col(s"y.$idCol").as("b")).distinct()
+    val got = joined.filter(canonical)
+      .select(col(s"x.$idCol").as("a"), col(s"y.$idCol").as("b"))
+      .localCheckpoint(false)
+    val n = got.count()
+    assert(n == got.distinct().count(), "canonical predicate emitted a pair twice")
+    assert(n == want.count() &&
+      got.exceptAll(want).count() == 0 && want.exceptAll(got).count() == 0,
+      "canonical candidate set differs from distinct()")
+  }
+
+  test("q42 canonical-band dedup equals distinct() on the banding join") {
+    assertCanonicalEqualsDistinct(operators.Dedup.mhBandKeys(spark, sf), "doc_id",
+      col("x.band") === functions.BandOps.firstEqualIdx(col("x.bkeys"), col("y.bkeys")))
+  }
+
+  test("q44 canonical-band dedup equals distinct() on the banding join") {
+    val (keys, bits, bands) = operators.Dedup.ndKeyRows(spark, sf)
+    assertCanonicalEqualsDistinct(keys, "vec_id",
+      col("x.band") === functions.BandOps.firstSharedBand(
+        col("x.sig"), col("y.sig"), bits, bands))
+  }
+
+  test("canonical-band dedup stress parity (q42 x10/x30, q44 x10 — x30 embeddings are q45's domain)") {
+    // q44's x30 corpus is the documented quadratic-output regime the
+    // router diverts to q45 (1.74M true pairs) — running its full
+    // candidate join there is exactly what q154 exists to avoid, so
+    // the embedding-side parity stops at x10.
+    val dirs42 = Seq("/tmp/stress_x10", "/tmp/stress_x30").filter(d => new java.io.File(d).exists())
+    val dirs44 = Seq("/tmp/stress_x10").filter(d => new java.io.File(d).exists())
+    assume(dirs42.nonEmpty || dirs44.nonEmpty, "no stress corpora on this host")
+    for (d <- dirs42)
+      assertCanonicalEqualsDistinct(operators.Dedup.mhBandKeys(spark, d), "doc_id",
+        col("x.band") === functions.BandOps.firstEqualIdx(col("x.bkeys"), col("y.bkeys")))
+    for (d <- dirs44) {
+      val (keys, bits, bands) = operators.Dedup.ndKeyRows(spark, d)
+      assertCanonicalEqualsDistinct(keys, "vec_id",
+        col("x.band") === functions.BandOps.firstSharedBand(
+          col("x.sig"), col("y.sig"), bits, bands))
+    }
+  }
+
   test("q44 embedding near-dups are id-ordered and above threshold") {
     val df = operators.Dedup.q44(spark, sf)
     assert(df.filter(col("id1") >= col("id2")).count() == 0)
