@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Dedup, Sampling, Similarity, TextOps}
+import graft.operators.{Dedup, Multimodal, Sampling, Similarity, TextOps}
 
 /** END-TO-END CORPUS BUILD — the one artifact-producing job a user of
   * this library ships, composing the already-verified operator stages
@@ -52,10 +52,15 @@ object BuildCorpus {
         override def onStageCompleted(
             sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
           val si = sc.stageInfo
-          val dur = (si.completionTime.get - si.submissionTime.get) / 1000.0
-          if (dur > minStage)
-            println(f"[stage] id=${si.stageId} tasks=${si.numTasks} time=$dur%.2fs " +
-              si.name.takeWhile(_ != '\n').take(80))
+          // either Option can be None (stage failed before submission
+          // / resubmitted) — a get would throw inside the listener
+          // and silently drop the profile row (the Dbg.scala guard)
+          for (sub <- si.submissionTime; end <- si.completionTime) {
+            val dur = (end - sub) / 1000.0
+            if (dur > minStage)
+              println(f"[stage] id=${si.stageId} tasks=${si.numTasks} time=$dur%.2fs " +
+                si.name.takeWhile(_ != '\n').take(80))
+          }
         }
       })
     }
@@ -188,13 +193,37 @@ object BuildCorpus {
     decisions += ((5, "decontaminate", nGateTrain, nGateTrain - nDropped,
       s"q69|q86 flagged_in_gate=$nDropped"))
 
+    // 4m. MEDIA stages (r12, only when the intake ships a
+    // media.parquet): docs carrying an IMAGE payload are caption×
+    // image training pairs, and two more gates apply before packing —
+    //  - the q156 cross-modal admission (caption quality ≥ CapQual ∧
+    //    real-header image with both dims ≥ MinDim) over the REAL
+    //    payload decode, not the ASCII stub class;
+    //  - the q171 image-family canonical keep: phash banding pairs →
+    //    connected families → only the min-id member ships (a crawl's
+    //    re-encoded logo family must not ship N times).
+    // Non-image media (wav/stub-audio) passes through un-gated — the
+    // audio family gate is q157's follow-up, not this stage. Scale
+    // shape: two embarrassingly-parallel decode passes (meta, phash)
+    // + q171's edge-sized machinery; verdicts are doc-id row sets.
+    val mediaDrop = mediaStages(s, in, staged, decisions)
+
     // 5. mixture admission + packing over the survivors (q75's core
     // over the ALREADY-CHECKPOINTED gate set minus the drop set — the
     // composed gate legs must not execute a second time). No count
     // action here: |packed| == |shipped| (inner join on staged's
     // unique doc_ids), read off the stats agg below (r9)
-    val packed = Sampling.assembleKept(s, staged,
-      gateTrain.join(drop, Seq("doc_id"), "left_anti")).localCheckpoint(false)
+    // no barrier on keepFinal: every leg (gate, drop, media verdicts)
+    // is already checkpointed, so the two consumers (packing,
+    // mixstats) re-run only cheap anti joins (the q31 measured-loss
+    // lesson). The media-present ledger needs the exact keep count;
+    // media-absent keeps r9's no-count profile (|gate| - |dropped|).
+    val keepFinal = mediaDrop
+      .foldLeft(gateTrain.join(drop, Seq("doc_id"), "left_anti"))(
+        (k, md) => k.join(md, Seq("doc_id"), "left_anti"))
+    val nKeep =
+      if (mediaDrop.isDefined) keepFinal.count() else nGateTrain - nDropped
+    val packed = Sampling.assembleKept(s, staged, keepFinal).localCheckpoint(false)
 
     // 6. shards: the shipped rows, content-hash sharded so the split
     // coordinate and the shard coordinate stay independent (q170's
@@ -226,10 +255,19 @@ object BuildCorpus {
       countDistinct("shard").as("sh"), countDistinct("bin_id").as("b"),
       count(lit(1)).as("n")).collect()(0)
     val nPacked = shTot.getLong(3)
-    decisions += ((6, "mix_pack", nGateTrain - nDropped, nPacked,
+    decisions += ((8, "mix_pack", nKeep, nPacked,
       s"bins=${shTot.getLong(2)}"))
-    decisions += ((7, "shards", nPacked, shTot.getLong(1),
+    decisions += ((9, "shards", nPacked, shTot.getLong(1),
       s"tokens=${shTot.getLong(0)} of_max_shards=${Sampling.NShards}"))
+
+    // shipped media rides with the shipped docs: the corpus dir is
+    // itself multimodal (q155/q157/q171 probes of the SHIPPED dir see
+    // exactly the admitted, family-deduped payloads)
+    if (hasMedia(s, in))
+      s.read.parquet(Tables.rawPath(in, "media"))
+        .join(shipped.select("doc_id"), "doc_id")
+        .select("doc_id", "payload")
+        .write.mode(SaveMode.Overwrite).parquet(s"$out/corpus/media.parquet")
 
     // 8. the ADMISSION ANCHOR for future increments: the staged
     // corpus's persisted near-dup signature index (the DupIndex base
@@ -239,13 +277,12 @@ object BuildCorpus {
     // would only be re-dropped at its own gate anyway)
     graft.sources.DupIndex.writeFrom(s, stDocs.select("doc_id", "text"),
       s"$out/dupindex")
-    decisions += ((8, "dup_index", nStaged, nStaged, "-> dupindex/ (admission base)"))
+    decisions += ((10, "dup_index", nStaged, nStaged, "-> dupindex/ (admission base)"))
 
     // mixture bookkeeping for [[mixtureGate]]: per-language available
-    // (gate-kept-train, pre-mixture) and shipped token sums — the
+    // (the final keep set, pre-mixture) and shipped token sums — the
     // base row the incremental chain's drift gate folds deltas into
-    writeMixStats(s,
-      stDocs.join(gateTrain.join(drop, Seq("doc_id"), "left_anti"), "doc_id"),
+    writeMixStats(s, stDocs.join(keepFinal, "doc_id"),
       shipped, s"$out/mixstats", batch = None)
 
     writeLog(s, decisions.rows, out)
@@ -320,6 +357,61 @@ object BuildCorpus {
       if (drifts.isEmpty) ("", 0L) else drifts.maxBy(d => (d._2, d._1))
     Seq((rows.length.toLong, shipTot, drift, worstLang, drift > MixDriftPpm))
       .toDF("n_langs", "shipped_tokens", "drift_ppm", "worst_lang", "rebuild")
+  }
+
+  private def hasMedia(s: SparkSession, in: String): Boolean = {
+    val hp = new org.apache.hadoop.fs.Path(Tables.rawPath(in, "media"))
+    hp.getFileSystem(s.sparkContext.hadoopConfiguration).exists(hp)
+  }
+
+  /** The media stages (see the 4m call site): cross-modal admission
+    * over the REAL payload decode + image-family canonical keep.
+    * Returns the doc-id drop set when `in` ships a media table (None
+    * otherwise), appending ledger rows 6 (media_gate) and 7
+    * (image_families). */
+  private def mediaStages(s: SparkSession, in: String, staged: String,
+      decisions: Ledger): Option[DataFrame] = {
+    if (!hasMedia(s, in)) return None
+    import s.implicits._
+    val pl = s.read.parquet(Tables.rawPath(in, "media"))
+      .select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
+    // q70's decode plumbing over the payload table — IMAGE rows only;
+    // wav/stub-audio media is not this gate's domain (q157's follow-up)
+    val meta = Multimodal.decodeDs(pl)
+      .filter(col("format").isin("png", "jpeg"))
+      .select("doc_id", "width", "height")
+    val cap = TextOps.q60(s, staged).select(col("doc_id"), col("quality_score"))
+    // left join: media whose doc quarantined at intake has no caption
+    // — an uncaptioned image pair cannot ship, so caption_ok = false
+    val verdict = meta.join(cap, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("quality_score") >= lit(Multimodal.CapQual.toDouble),
+          lit(false)).as("caption_ok"),
+        (least(col("width"), col("height")) >= Multimodal.MinDim).as("media_ok"))
+      .withColumn("kept", col("caption_ok") && col("media_ok"))
+      .localCheckpoint(false) // 3 consumers: ledger agg, families, drop set
+    val va = verdict.agg(count(lit(1)).as("n"),
+      coalesce(sum(when(col("kept"), 1L).otherwise(0L)), lit(0L)).as("k"),
+      coalesce(sum(when(!col("caption_ok"), 1L).otherwise(0L)), lit(0L)).as("cf"),
+      coalesce(sum(when(!col("media_ok"), 1L).otherwise(0L)), lit(0L)).as("mf"))
+      .collect()(0)
+    decisions += ((6, "media_gate", va.getLong(0), va.getLong(1),
+      s"q156 real-decode caption_fail=${va.getLong(2)} media_fail=${va.getLong(3)}"))
+    // family formation over the ADMITTED images (q171's core: phash
+    // banding pairs -> connected families -> min-id canonical)
+    val fams = Multimodal.q171Of(
+      pl.toDF("doc_id", "payload")
+        .join(verdict.filter(col("kept")).select("doc_id"), "doc_id")
+        .as[(Long, Array[Byte])])
+      .localCheckpoint(false) // 2 consumers: ledger agg, drop set
+    val fa = fams.agg(count(lit(1)).as("n"),
+      coalesce(sum(when(col("is_canonical"), 1L).otherwise(0L)), lit(0L)).as("c"),
+      countDistinct("family_id").as("f")).collect()(0)
+    decisions += ((7, "image_families", fa.getLong(0), fa.getLong(1),
+      s"q171 families=${fa.getLong(2)} dropped_members=${fa.getLong(0) - fa.getLong(1)}"))
+    Some(verdict.filter(!col("kept")).select("doc_id")
+      .unionByName(fams.filter(!col("is_canonical")).select("doc_id"))
+      .localCheckpoint(false))
   }
 
   private def writeLog(s: SparkSession,

@@ -141,6 +141,71 @@ class BuildCorpusSpec extends AnyFunSuite {
     }
   }
 
+  test("media-aware build: cross-modal gate + image-family canonical keep are ledgered; planted twins do not ship") {
+    import spark.implicits._
+    withTmpDir("buildcorpus-media") { root =>
+      val in = s"$root/in"; val out = s"$root/out"
+      // GenData media mode: real PNGs at id%3==0 with planted twin /
+      // chain families, stub blobs (jpeg stub class), real WAVs
+      GenData.generate(spark, in, 400, 100, None, 0.3, "salad", Some(300))
+      val log = BuildCorpus.run(spark, in, out).collect()
+        .map(r => r.getString(1) -> ((r.getLong(2), r.getLong(3)))).toMap
+
+      // ---- the gate, recomputed stepwise over the same inputs ----
+      val pl = spark.read.parquet(s"$in/media.parquet")
+        .select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
+      val meta = operators.Multimodal.decodeDs(pl)
+        .filter(col("format").isin("png", "jpeg"))
+        .select("doc_id", "width", "height")
+      val cap = operators.TextOps.q60(spark, s"$out/staged")
+        .select(col("doc_id"), col("quality_score"))
+      val kept = meta.join(cap, Seq("doc_id"), "left")
+        .filter(coalesce(col("quality_score") >=
+            operators.Multimodal.CapQual.toDouble, lit(false)) &&
+          least(col("width"), col("height")) >= operators.Multimodal.MinDim)
+        .select("doc_id").localCheckpoint(false)
+      assert(log("media_gate")._1 == meta.count(), "media_gate n_in drifted")
+      assert(log("media_gate")._2 == kept.count(), "media_gate n_out drifted")
+      assert(log("media_gate")._2 < log("media_gate")._1,
+        "media gate admitted everything: the gate is vacuous here")
+
+      // ---- families over the admitted images; non-canonical members
+      // must not ship (the planted-twin drop) ----
+      val fams = operators.Multimodal.q171Of(
+        pl.toDF("doc_id", "payload").join(kept, "doc_id").as[(Long, Array[Byte])])
+        .localCheckpoint(false)
+      assert(log("image_families") ==
+        ((fams.count(), fams.filter(col("is_canonical")).count())),
+        "image_families counts drifted")
+      val multi = fams.filter(col("family_size") > 1)
+      assert(multi.select("family_id").distinct().count() >= 2,
+        "no multi-member image families: the planted twins are vacuous here")
+      val nonCanon = fams.filter(!col("is_canonical")).select("doc_id")
+      assert(nonCanon.count() > 0, "no non-canonical members planted")
+      val shipped = spark.read.parquet(s"$out/shards").select("doc_id")
+      assert(shipped.join(nonCanon, Seq("doc_id"), "left_semi").count() == 0,
+        "a non-canonical image-family member shipped")
+      // gate-failing media docs do not ship either
+      val gateFail = meta.select("doc_id").join(kept, Seq("doc_id"), "left_anti")
+      assert(shipped.join(gateFail, Seq("doc_id"), "left_semi").count() == 0,
+        "a media-gate-failing doc shipped")
+
+      // ---- shipped media == payloads of shipped docs (the corpus
+      // dir is itself multimodal) ----
+      val shippedMedia = spark.read.parquet(s"$out/corpus/media.parquet")
+      val want = pl.toDF("doc_id", "payload").join(shipped, "doc_id")
+      assert(shippedMedia.count() == want.count() &&
+        shippedMedia.select("doc_id").exceptAll(want.select("doc_id")).count() == 0,
+        "shipped media differs from shipped docs' payloads")
+      // and canonical members of multi-families DID ship when their
+      // text survived: the keep is a dedup, not a family wipe-out
+      val canonShipped = shipped.join(
+        fams.filter(col("is_canonical") && col("family_size") > 1)
+          .select("doc_id"), Seq("doc_id"), "left_semi").count()
+      assert(canonShipped > 0, "every canonical family member was wiped out — keep broken?")
+    }
+  }
+
   test("incremental build: admission against the previous build, eval-slice decon, fresh bins, replay, chaining") {
     import spark.implicits._
     withTmpDir("buildcorpus-inc") { root =>
