@@ -11,6 +11,13 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Durable per-run suite log (r11 flake lesson: a single mid-round
+// SourcesSpec failure's name was lost to an output filter and never
+// reproduced). `-fW` duplicates the full unfiltered report to a file
+// that survives any console piping; one file per sbt invocation,
+// timestamp in the name so reruns never clobber evidence.
+Test / testOptions += Tests.Argument(TestFrameworks.ScalaTest, "-fW",
+  s"target/test-reports/run-${java.time.LocalDateTime.now.toString.replace(':', '-')}.log")
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
