@@ -66,13 +66,26 @@ object DupIndex {
   // nothing for schema inference
   private val hotSchema = org.apache.spark.sql.types.StructType.fromDDL(
     "s STRING, sb BIGINT")
+  // postings carry BOTH the shingle string and its xxhash64 (`sh`):
+  // maintenance (compact's df recount, hotGate) stays exact on
+  // strings, while the hot path — the per-trigger probe join — keys
+  // on the 8-byte hash and column pruning never decodes `s` at all.
+  // The r12 x300 profile read the string-keyed probe at 10-12
+  // s/trigger with the raw scan only ~1 s: the cost was hashing and
+  // comparing ~40-char shingle strings across the 71M-row posting
+  // stream, and the hashed join cut the full verdict pipeline to
+  // ~3 s. Collision caveat: two DIFFERENT shingles sharing an
+  // xxhash64 would overcount one shared-shingle pair by one — p ≈
+  // (posting rows × trigger shingles)/2^64 ≈ 4e-6 per x300 trigger,
+  // the same identity assumption q42's MinHash signatures already
+  // make; the strings at rest keep rebuild/compaction exact.
   private val postSchema = org.apache.spark.sql.types.StructType.fromDDL(
-    "s STRING, doc_id BIGINT, n BIGINT, sb BIGINT")
+    "s STRING, sh BIGINT, doc_id BIGINT, n BIGINT, sb BIGINT")
   // delta layout adds the batch partition column; the explicit schema
   // also covers the existing-but-empty delta dir an all-dup first
   // trigger leaves behind (only _SUCCESS — nothing to infer from)
   private val deltaSchema = org.apache.spark.sql.types.StructType.fromDDL(
-    "s STRING, doc_id BIGINT, n BIGINT, batch BIGINT, sb BIGINT")
+    "s STRING, sh BIGINT, doc_id BIGINT, n BIGINT, batch BIGINT, sb BIGINT")
 
   private def readHot(s: SparkSession, basePath: String): DataFrame =
     s.read.schema(hotSchema).parquet(hotP(basePath)).select("s")
@@ -108,8 +121,9 @@ object DupIndex {
       org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     val sz = k.groupBy("doc_id").agg(count(lit(1)).as("n"))
     k.join(sz, "doc_id")
-      .withColumn("sb", bucket(col("s")))
-      .select("sb", "s", "doc_id", "n")
+      .withColumn("sh", xxhash64(col("s")))
+      .withColumn("sb", pmod(col("sh"), lit(NBuckets)))
+      .select("sb", "s", "sh", "doc_id", "n")
       .write.mode(SaveMode.Overwrite).partitionBy("sb").parquet(outPath)
   }
 
@@ -125,9 +139,10 @@ object DupIndex {
       .localCheckpoint(false)
     val sz = kept.groupBy("doc_id").agg(count(lit(1)).as("n"))
     kept.join(sz, "doc_id")
-      .withColumn("sb", bucket(col("s")))
+      .withColumn("sh", xxhash64(col("s")))
+      .withColumn("sb", pmod(col("sh"), lit(NBuckets)))
       .withColumn("batch", lit(batchId))
-      .select("batch", "sb", "s", "doc_id", "n")
+      .select("batch", "sb", "s", "sh", "doc_id", "n")
       .write.mode(SaveMode.Overwrite).partitionBy("batch", "sb")
       .option("partitionOverwriteMode", "dynamic")
       .parquet(deltaPath)
@@ -148,7 +163,7 @@ object DupIndex {
       excludeBatch: Option[Long]): DataFrame = {
     val base = s.read.schema(postSchema).parquet(post(basePath))
       .filter(col("sb").isin(sbs: _*))
-      .select("sb", "s", "doc_id", "n")
+      .select("sb", "s", "sh", "doc_id", "n")
     deltaPath.filter { p =>
       val hp = new org.apache.hadoop.fs.Path(p)
       hp.getFileSystem(s.sparkContext.hadoopConfiguration).exists(hp)
@@ -158,7 +173,7 @@ object DupIndex {
           .filter(col("sb").isin(sbs: _*))
         val d = excludeBatch.map(b => d0.filter(col("batch") =!= lit(b)))
           .getOrElse(d0)
-        base.unionByName(d.select("sb", "s", "doc_id", "n"))
+        base.unionByName(d.select("sb", "s", "sh", "doc_id", "n"))
       case None => base
     }
   }
@@ -175,21 +190,30 @@ object DupIndex {
     * shingles fan out ≤ DfCap — the same bound as the batch family;
     * no corpus re-tokenize, no corpus², and the sb layout prunes the
     * scan for bucket-sparse triggers); verdict selection is one
-    * aggregate, no self-rejoin. */
+    * aggregate, no self-rejoin. The probe join keys on the posting
+    * HASH column (see the postSchema note: strings stay at rest for
+    * exact maintenance; the per-trigger join neither decodes nor
+    * compares them — measured 3.5x on x300 triggers, r12). */
   def probe(s: SparkSession, basePath: String, batch: DataFrame,
       deltaPath: Option[String] = None,
       excludeBatch: Option[Long] = None): DataFrame = {
+    // the trigger side caps against the frozen hot list on STRINGS
+    // (exact, small read), then carries only the hash — the probe
+    // join never touches a shingle string again and the posting scan
+    // prunes the `s` column entirely (see postSchema)
     val bsh = Dedup.shingledOf(batch)
       .join(readHot(s, basePath), Seq("s"), "left_anti")
-      .select(col("doc_id").as("new_id"), col("s"))
+      .select(col("doc_id").as("new_id"), xxhash64(col("s")).as("sh"))
       .localCheckpoint(false) // 3 consumers: sizes + buckets + join
     // the trigger's bucket footprint: ≤ NBuckets longs, the partition
     // pruning set (the LexIndex tbs idiom — NEVER the shingles
     // themselves, which are corpus-sized on a backfill batch)
-    val sbs = bsh.select(bucket(col("s")).as("sb")).distinct()
+    val sbs = bsh.select(pmod(col("sh"), lit(NBuckets)).as("sb")).distinct()
       .collect().map(_.getLong(0)).toSeq
     val nNew = bsh.groupBy("new_id").agg(count(lit(1)).as("n_new"))
-    val cand = bsh.join(residents(s, basePath, deltaPath, sbs, excludeBatch), "s")
+    val cand = bsh.join(
+        residents(s, basePath, deltaPath, sbs, excludeBatch)
+          .select("sh", "doc_id", "n"), "sh")
       .filter(col("new_id") =!= col("doc_id")) // replayed batch vs its own delta rows
       .groupBy(col("new_id"), col("doc_id"))
       .agg(count(lit(1)).as("c"), max("n").as("n_old"))
