@@ -141,18 +141,36 @@ object Dedup {
       // (d1, d2) partitioning instead of re-exchanging into 32.
       // raw-parquet count, NOT Tables(): the rebalance repartition
       // would turn a footer-metadata count into a real shuffle job
+      val nDocs = Tables.rawCount(s, dir, "documents")
       val parts = math.max(s.sparkContext.defaultParallelism,
-        math.min(1024L, Tables.rawCount(s, dir, "documents") / 10000L).toInt)
+        math.min(1024L, nDocs / 10000L).toInt)
       val shP = sh.repartition(parts, col("s"))
       val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      // r12: the size joins were the x300 build's dominant stage
+      // (181 s of q41's 275 s) — an SMJ on d1 re-exchanges the WHOLE
+      // pair stream out of its corpus-scaled (d1, d2) partitioning
+      // into the session's 32 shuffle partitions, with sorts that
+      // spill. The size frame is doc-count rows × 16 B; broadcast it
+      // (both joins become map-side on the pair agg's own exchange)
+      // up to ~20M docs. Past that a broadcast is executor-memory
+      // hostile — fall back to the SMJ, whose exchange at least
+      // scales with `parts`. Measured q41 x300: 275 -> ~100 s.
+      val szJ =
+        if (nDocs <= 20000000L) broadcast(sz) else sz.repartition(parts, col("doc_id"))
+      // The explicit repartition ships raw candidate rows through
+      // the exchange with NO map-side combine — MEASURED as the
+      // right call anyway (r12 x300 A/B): a (d1,d2) pair repeats
+      // within one shingle-hash partition too rarely for partial agg
+      // to pay, and the sized-shuffle-partitions + partial-agg
+      // variant ran 254 s vs this form's 205 s on the same corpus.
       shP.as("a").join(shP.as("b"),
           col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
         .repartition(parts, col("d1"), col("d2"))
         .groupBy(col("d1"), col("d2"))
         .agg(count(lit(1)).as("c"))
-        .join(sz.withColumnRenamed("doc_id", "d1").withColumnRenamed("n", "n1"), "d1")
-        .join(sz.withColumnRenamed("doc_id", "d2").withColumnRenamed("n", "n2"), "d2")
+        .join(szJ.withColumnRenamed("doc_id", "d1").withColumnRenamed("n", "n1"), "d1")
+        .join(szJ.withColumnRenamed("doc_id", "d2").withColumnRenamed("n", "n2"), "d2")
         .localCheckpoint(false)
     }
 
