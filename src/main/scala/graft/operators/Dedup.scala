@@ -349,14 +349,45 @@ object Dedup {
   def q43(s: SparkSession, dir: String): DataFrame =
     hamming64Pairs(simhashes(s, dir), 8)
 
+  /** [[q43]] with a dedup-domain SCOPE — the named production path
+    * past the banding join's ≥10⁶-docs-per-domain emission floor:
+    * `scope` is any Column over the hash frame's (doc_id, simhash),
+    * e.g. `floor(col("doc_id") / lit(1000000L))` for ingestion-window
+    * sharding. Pairs are emitted within each scope only (the
+    * [[hamming64Pairs]] cross-scope contract) and carry their scope.
+    * Per-SOURCE scoping joins the source attribute onto the hash
+    * frame and calls [[hamming64Pairs]] directly. */
+  def q43Scoped(s: SparkSession, dir: String, scope: Column): DataFrame =
+    hamming64Pairs(simhashes(s, dir).withColumn("scope", scope), 8)
+
   /** The q43 block-combination banding join over ANY 64-bit hash
     * frame (doc_id, simhash) — guaranteed recall of every pair at
     * hamming ≤ `maxHam` ≤ 8 (pigeonhole over the 10-block layout).
     * Shared by q43 (token simhash) and [[Multimodal.q155]]
     * (perceptual image hash): the banding geometry only sees 64 bits
-    * and does not care what they summarize. */
-  private[operators] def hamming64Pairs(hashes: DataFrame, maxHam: Int): DataFrame = {
+    * and does not care what they summarize.
+    *
+    * DEDUP-DOMAIN SCOPING (r13): when the frame carries a third
+    * column `scope`, the band key becomes (scope, cb, bkey) and pairs
+    * are emitted WITHIN each scope only — the production cure for the
+    * fixed-key layout's random-collision emission floor (45·n²/2^13.5
+    * candidate evaluations; r12 measured it pure-n² at ≥10⁶ items and
+    * REFUTED wider keys by A/B — they multiply the shuffled keyed
+    * rows 4-11× while floor emissions are cheap codegen'd filters).
+    * Sharding the dedup domain per source / ingestion window / crawl
+    * snapshot turns the floor into Σᵢ 45·nᵢ²/2^13.5 — linear in scope
+    * count at bounded per-scope size (measured x300: SURVEY §15), and
+    * the scope lands IN the shuffle key, so a hot scope's buckets
+    * still spread. CROSS-SCOPE CONTRACT: a pair spanning two scopes
+    * is deliberately NOT emitted — that is what domain sharding
+    * means; the hamming-recall guarantee holds within each scope.
+    * Deployments owning cross-scope duplication close it on a
+    * different axis (exact md5 / embedding dedup are already global)
+    * or rotate scope boundaries between runs. Output carries each
+    * pair's scope. */
+  private[graft] def hamming64Pairs(hashes: DataFrame, maxHam: Int): DataFrame = {
     require(maxHam <= 8, s"10-block banding only guarantees hamming<=8, got $maxHam")
+    val scoped = hashes.columns.contains("scope")
     // The repartition is a PLANNING barrier, not a data move for its
     // own sake: without it CollapseProject inlines the 64-term
     // simhash expression into every one of the 45 key structs (×2
@@ -375,11 +406,13 @@ object Dedup {
     def block(i: Int): Column =
       shiftright(col("simhash"), BlockOffsets(i)).bitwiseAND(lit((1L << BlockSizes(i)) - 1))
     val combos = for { i <- 0 until 10; j <- i + 1 until 10 } yield (i, j)
-    val keyed = sims.select(col("doc_id"), col("simhash"),
+    val scopeCols = if (scoped) Seq(col("scope")) else Seq.empty
+    val keyed = sims.select(Seq(col("doc_id"), col("simhash")) ++ scopeCols :+
         explode(array(combos.zipWithIndex.map { case ((i, j), c) =>
           struct(lit(c).as("cb"), (block(i) * lit(128L) + block(j)).as("bkey"))
-        }: _*)).as("k"))
-      .select(col("doc_id"), col("simhash"), col("k.cb"), col("k.bkey"))
+        }: _*)).as("k"): _*)
+      .select(Seq(col("doc_id"), col("simhash")) ++ scopeCols ++
+        Seq(col("k.cb"), col("k.bkey")): _*)
     // A near-identical pair matches on MANY combos (up to C(9,2)+ at
     // hamming 0) — deduping that fan-out through distinct() shuffles
     // the whole multiplied pair stream. Both simhashes are present in
@@ -400,12 +433,16 @@ object Dedup {
     // to (observed: ONE task, 10+ min). Shuffling by (cb, bkey)
     // spreads a mega-cluster's 45 combo keys across the shuffle
     // partitions, so the match explosion is what gets parallelized.
+    val scopeEq =
+      if (scoped) Seq(col("x.scope") === col("y.scope")) else Seq.empty
+    val outScope = if (scoped) Seq(col("x.scope").as("scope")) else Seq.empty
     keyed.as("x").hint("shuffle_merge").join(keyed.as("y").hint("shuffle_merge"),
-        col("x.cb") === col("y.cb") && col("x.bkey") === col("y.bkey") &&
-        col("x.doc_id") < col("y.doc_id"))
+        (scopeEq :+ (col("x.cb") === col("y.cb")) :+
+          (col("x.bkey") === col("y.bkey")) :+
+          (col("x.doc_id") < col("y.doc_id"))).reduce(_ && _))
       .filter(col("x.cb") === canonicalCombo(xorCol))
-      .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"),
-        bit_count(xorCol).as("hamming"))
+      .select(Seq(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"),
+        bit_count(xorCol).as("hamming")) ++ outScope: _*)
       .filter(col("hamming") <= maxHam)
       .orderBy("d1", "d2")
   }

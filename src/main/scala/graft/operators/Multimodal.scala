@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.{Q, Tables}
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Decoded metadata for one multimodal payload. */
@@ -378,16 +378,27 @@ object Multimodal {
   def q155(s: SparkSession, dir: String): DataFrame =
     q155Of(payloads(s, dir))
 
+  /** [[q155]] with a dedup-domain SCOPE (per-source / ingestion-window
+    * sharding — the production path past the banding join's ≥10⁶
+    * images-per-domain emission floor, SURVEY §15): `scope` is any
+    * Column over the hash frame's (doc_id, simhash). Pairs are
+    * emitted within each scope only and carry their scope
+    * ([[Dedup.hamming64Pairs]]'s cross-scope contract). */
+  def q155(s: SparkSession, dir: String, scope: Column): DataFrame =
+    q155Of(payloads(s, dir), Some(scope))
+
   /** q155 core over any (id, payload) dataset — shared with the
     * planted-twin spec so it exercises the exact executor path. */
-  private[graft] def q155Of(ds: Dataset[(Long, Array[Byte])]): DataFrame = {
+  private[graft] def q155Of(ds: Dataset[(Long, Array[Byte])],
+      scope: Option[Column] = None): DataFrame = {
     import ds.sparkSession.implicits._
     val hashed = ds.mapPartitions(_.flatMap { case (id, bytes) =>
       val m = decode(id, bytes)
       if (m.format == "png" || m.format == "jpeg") Some((id, phash64(bytes)))
       else None
     }).toDF("doc_id", "simhash")
-    Dedup.hamming64Pairs(hashed, PhashHam)
+    Dedup.hamming64Pairs(scope.fold(hashed)(c => hashed.withColumn("scope", c)),
+      PhashHam)
   }
 
   /** Real-WAV PCM sample extraction: the same bounded chunk walk as
@@ -472,9 +483,15 @@ object Multimodal {
   def q157(s: SparkSession, dir: String): DataFrame =
     q157Of(payloads(s, dir))
 
+  /** [[q157]] with a dedup-domain SCOPE — the q155 scoping story on
+    * the audio axis (same contract, same SURVEY §15 measurements). */
+  def q157(s: SparkSession, dir: String, scope: Column): DataFrame =
+    q157Of(payloads(s, dir), Some(scope))
+
   /** q157 core over any (id, payload) dataset — shared with the
     * planted-twin spec so it exercises the exact executor path. */
-  private[graft] def q157Of(ds: Dataset[(Long, Array[Byte])]): DataFrame = {
+  private[graft] def q157Of(ds: Dataset[(Long, Array[Byte])],
+      scope: Option[Column] = None): DataFrame = {
     import ds.sparkSession.implicits._
     val hashed = ds.mapPartitions(_.flatMap { case (id, bytes) =>
       val m = decode(id, bytes)
@@ -488,7 +505,8 @@ object Multimodal {
         Some((id, ehash64(amps)))
       } else None
     }).toDF("doc_id", "simhash")
-    Dedup.hamming64Pairs(hashed, EhashHam)
+    Dedup.hamming64Pairs(scope.fold(hashed)(c => hashed.withColumn("scope", c)),
+      EhashHam)
   }
 
   /** MODALITY BUDGET REPORT — the bytes-accounting view a multimodal
@@ -591,14 +609,25 @@ object Multimodal {
   def q171(s: SparkSession, dir: String): DataFrame =
     q171Of(payloads(s, dir))
 
+  /** [[q171]] with a dedup-domain SCOPE: pairing (and therefore
+    * family formation) happens within each scope only — a family
+    * spanning two ingestion windows keeps one canonical PER WINDOW
+    * (the [[Dedup.hamming64Pairs]] cross-scope contract; callers
+    * needing global families close scopes on another axis). */
+  def q171(s: SparkSession, dir: String, scope: Column): DataFrame =
+    q171Of(payloads(s, dir), Some(scope))
+
   /** q171 core over any (id, payload) dataset — spec entry point. */
-  private[graft] def q171Of(ds: Dataset[(Long, Array[Byte])]): DataFrame = {
+  private[graft] def q171Of(ds: Dataset[(Long, Array[Byte])],
+      scope: Option[Column] = None): DataFrame = {
     import ds.sparkSession.implicits._
-    val imgs = ds.mapPartitions(_.flatMap { case (id, bytes) =>
+    val imgs0 = ds.mapPartitions(_.flatMap { case (id, bytes) =>
       val m = decode(id, bytes)
       if (m.format == "png" || m.format == "jpeg") Some((id, phash64(bytes)))
       else None
-    }).toDF("doc_id", "simhash").localCheckpoint(false)
+    }).toDF("doc_id", "simhash")
+    val imgs = scope.fold(imgs0)(c => imgs0.withColumn("scope", c))
+      .localCheckpoint(false)
     val pairs = Dedup.hamming64Pairs(imgs, PhashHam)
       .select("d1", "d2").localCheckpoint(false)
     val labels = Dedup.propagateLabels(pairs, ds.sparkSession)

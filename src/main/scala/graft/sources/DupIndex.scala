@@ -87,6 +87,43 @@ object DupIndex {
   private val deltaSchema = org.apache.spark.sql.types.StructType.fromDDL(
     "s STRING, sh BIGINT, doc_id BIGINT, n BIGINT, batch BIGINT, sb BIGINT")
 
+  // PRE-UPGRADE layouts (written before postings carried `sh`): an
+  // explicit-schema read of those files returns sh = NULL, the
+  // hash-keyed probe join matches ZERO residents, and every near-dup
+  // is silently ADMITTED until a compaction rewrites the root — the
+  // worst failure mode an admission index can have. Detect the layout
+  // once per root (one footer read, memoized) and DERIVE
+  // sh = xxhash64(s) on read for old roots: correct (it is exactly
+  // what writePostings stores), at pre-r12 probe cost; current
+  // layouts keep the pruned hash-only fast path. The memo key is the
+  // root path — an in-place upgrade keeps the derive path (still
+  // correct, just unpruned until the session ends); roots are
+  // immutable between compactions by the LSM discipline, and
+  // DOWNGRADES (sh column removed in place) are outside the contract.
+  private val shPresent =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]
+  private def hasShCol(s: SparkSession, root: String): Boolean =
+    shPresent.computeIfAbsent(root, _ =>
+      try s.read.parquet(root).schema.fieldNames.contains("sh")
+      catch { // existing-but-empty root: only _SUCCESS, nothing to
+        // infer from — the explicit-schema read below handles it
+        case e: org.apache.spark.sql.AnalysisException
+            if e.getMessage.contains("UNABLE_TO_INFER_SCHEMA") => true }
+    ).booleanValue
+
+  private def dropSh(t: org.apache.spark.sql.types.StructType) =
+    org.apache.spark.sql.types.StructType(t.filterNot(_.name == "sh"))
+
+  /** Posting/delta scan with the layout branch: post-r12 roots read
+    * the stored hash (column-pruned fast path); pre-upgrade roots
+    * derive it from the shingle string. */
+  private def readPost(s: SparkSession, root: String, delta: Boolean): DataFrame = {
+    val schema = if (delta) deltaSchema else postSchema
+    if (hasShCol(s, root)) s.read.schema(schema).parquet(root)
+    else s.read.schema(dropSh(schema)).parquet(root)
+      .withColumn("sh", xxhash64(col("s")))
+  }
+
   private def readHot(s: SparkSession, basePath: String): DataFrame =
     s.read.schema(hotSchema).parquet(hotP(basePath)).select("s")
 
@@ -161,7 +198,7 @@ object DupIndex {
   private def residents(s: SparkSession, basePath: String,
       deltaPath: Option[String], sbs: Seq[Long],
       excludeBatch: Option[Long]): DataFrame = {
-    val base = s.read.schema(postSchema).parquet(post(basePath))
+    val base = readPost(s, post(basePath), delta = false)
       .filter(col("sb").isin(sbs: _*))
       .select("sb", "s", "sh", "doc_id", "n")
     deltaPath.filter { p =>
@@ -169,7 +206,7 @@ object DupIndex {
       hp.getFileSystem(s.sparkContext.hadoopConfiguration).exists(hp)
     } match {
       case Some(p) =>
-        val d0 = s.read.schema(deltaSchema).parquet(p)
+        val d0 = readPost(s, p, delta = true)
           .filter(col("sb").isin(sbs: _*))
         val d = excludeBatch.map(b => d0.filter(col("batch") =!= lit(b)))
           .getOrElse(d0)

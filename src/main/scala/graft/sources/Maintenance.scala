@@ -62,11 +62,15 @@ object Maintenance {
     * a sink that never committed a non-empty trigger; a log written
     * before a flag column existed counts zero for that flag rather
     * than throwing, so maintenance keeps running over pre-upgrade
-    * logs). */
+    * logs). mergeSchema: a log dir MIXING pre- and post-upgrade batch
+    * partitions can infer the OLD schema from one footer and silently
+    * hide new-flag columns (dropping their trips from the count) —
+    * the log is tiny (one row per trigger), so the merged-footer read
+    * costs nothing. */
   private def trips(s: SparkSession, logPath: String, flags: String*): Long =
     if (!exists(s, logPath)) 0L
     else {
-      val log = s.read.parquet(logPath)
+      val log = s.read.option("mergeSchema", "true").parquet(logPath)
       val present = flags.filter(log.columns.contains)
       if (present.isEmpty) 0L
       else log.filter(present.map(col).reduce(_ || _)).count()

@@ -224,6 +224,34 @@ class DedupSpec extends AnyFunSuite {
     assert(got.exceptAll(exact).count() == 0, "q43 emitted a pair outside hamming<=8")
   }
 
+  test("q43Scoped equals per-scope unscoped runs and excludes cross-scope pairs") {
+    // the r13 dedup-domain sharding contract: with a scope column the
+    // band key becomes (scope, cb, bkey) — pairs are emitted WITHIN a
+    // scope only (identical to running the unscoped join per scope)
+    // and pairs spanning scopes are deliberately absent
+    val sims = operators.Dedup.simhashes(spark, sf).localCheckpoint(false)
+    val scoped = operators.Dedup.q43Scoped(spark, sf, pmod(col("doc_id"), lit(3L)))
+      .select("d1", "d2", "hamming", "scope")
+    val want = (0L until 3L).map { g =>
+      operators.Dedup.hamming64Pairs(
+          sims.filter(pmod(col("doc_id"), lit(3L)) === g), 8)
+        .withColumn("scope", lit(g))
+        .select("d1", "d2", "hamming", "scope")
+    }.reduce(_ unionByName _)
+    assert(scoped.exceptAll(want).count() == 0 && want.exceptAll(scoped).count() == 0,
+      "scoped banding differs from per-scope unscoped runs")
+    val rows = scoped.collect()
+    assert(rows.nonEmpty, "vacuous: no intra-scope pairs at this sf")
+    assert(rows.forall(r =>
+        r.getLong(0) % 3 == r.getLong(3) && r.getLong(1) % 3 == r.getLong(3)),
+      "a pair left its scope or carries the wrong scope label")
+    // non-vacuous contract: the corpus HAS cross-scope hamming pairs,
+    // and scoping excluded exactly those
+    val unscoped = operators.Dedup.q43(spark, sf).count()
+    assert(unscoped > rows.length,
+      "no cross-scope hamming pairs in the corpus — the exclusion went untested")
+  }
+
   test("BandOps pack/extract round-trips and first-shared-band matches a reference scan") {
     import org.apache.spark.sql.catalyst.util.GenericArrayData
     val rnd = new scala.util.Random(42)

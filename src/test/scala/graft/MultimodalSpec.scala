@@ -265,6 +265,59 @@ class MultimodalSpec extends AnyFunSuite {
     assert(sizes.max >= 3, s"no chained family formed: sizes ${sizes.toSeq.sorted.reverse.take(5)}")
   }
 
+  test("scoped q155/q171: per-scope equality and the cross-scope contract") {
+    import spark.implicits._
+    import operators.Multimodal.{phash64, PhashHam}
+    def body(seed: Long): Array[Byte] = {
+      val r = new scala.util.Random(seed)
+      Array.fill(2048)(r.nextInt(256).toByte)
+    }
+    def flipped(b: Array[Byte], seed: Long): Array[Byte] = {
+      val c = b.clone(); val r = new scala.util.Random(seed)
+      (0 until 3).foreach(_ => c(33 + r.nextInt(c.length - 33)) = r.nextInt(256).toByte)
+      c
+    }
+    // bases land in scope 0, their twins in scope 1 (doc_id div 1000)
+    // — every planted twin pair is CROSS-scope, the exclusion class
+    val bases = (0L until 20L).map(i => i -> (pngBytes(320, 200) ++ body(900 + i)))
+    val twins = (0L until 10L).map(i => (1000L + i) -> flipped(bases(i.toInt)._2, 17 * i + 2))
+    val all = (bases ++ twins).toSeq
+    val ds = spark.createDataset(all).repartition(8)
+    val scope = expr("doc_id div 1000")
+    val got = operators.Multimodal.q155Of(ds, Some(scope))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).toSet
+    // exact reference: exhaustive hamming pairs WITHIN each scope
+    val hashes = all.map { case (id, b) => (id, phash64(b), id / 1000L) }
+    val want = (for {
+      (i1, h1, s1) <- hashes; (i2, h2, s2) <- hashes
+      if i1 < i2 && s1 == s2 && java.lang.Long.bitCount(h1 ^ h2) <= PhashHam
+    } yield (i1, i2, s1)).toSet
+    assert(got == want, s"extra=${got -- want} missing=${want -- got}")
+    // the contract is non-vacuous: unscoped finds the twin pairs,
+    // scoped must exclude exactly those (they span scopes)
+    val twinPairs = (0L until 10L).map(i => (i, 1000L + i)).toSet
+    val unscoped = operators.Multimodal.q155Of(ds)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(twinPairs.subsetOf(unscoped), "planted twins drifted past the cutoff")
+    assert(got.forall { case (a, b, _) => !twinPairs.contains((a, b)) },
+      "a cross-scope pair leaked through the scoped join")
+    // q171 scoped: families form within scopes — a twin family keeps
+    // one canonical PER SCOPE; labels equal a per-scope union-find
+    val gotFam = operators.Multimodal.q171Of(ds, Some(scope)).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(3))).toSet
+    val wantFam = hashes.groupBy(_._3).toSeq.flatMap { case (_, hs) =>
+      val prs = for {
+        (i1, h1, _) <- hs; (i2, h2, _) <- hs
+        if i1 < i2 && java.lang.Long.bitCount(h1 ^ h2) <= PhashHam
+      } yield (i1, i2)
+      val lab = unionFind(hs.map(_._1), prs)
+      val minOf = lab.toSeq.groupBy(_._2).map { case (f, xs) => f -> xs.map(_._1).min }
+      hs.map { case (id, _, _) => (id, lab(id), id == minOf(lab(id))) }
+    }.toSet
+    assert(gotFam == wantFam,
+      s"extra=${(gotFam -- wantFam).take(3)} missing=${(wantFam -- gotFam).take(3)}")
+  }
+
   // --- audio: real PCM synthesis for the q157 family ---
 
   private def le32b(v: Int) =

@@ -549,6 +549,42 @@ class SourcesSpec extends AnyFunSuite {
     }
   }
 
+  test("dup index probe heals pre-upgrade roots (no stored sh column) on read") {
+    import spark.implicits._
+    // a base+delta built BEFORE postings carried the xxhash64 column:
+    // an explicit-schema read would surface sh = NULL, the hash-keyed
+    // probe join would match zero residents, and every near-dup would
+    // be silently ADMITTED — the worst admission failure. readPost's
+    // layout branch must derive the hash on read instead.
+    val docs = Tables(spark, sf, "documents").select("doc_id", "text")
+    val isNew = pmod(col("doc_id"), lit(10)) === 7
+    val base = docs.filter(!isNew)
+    val batchDocs = docs.filter(isNew).as[(Long, String)].collect().toSeq
+    val (d1, probeB) = batchDocs.splitAt(batchDocs.size / 2)
+    val dir = tmp("shv2"); val delta = tmp("shv2d")
+    val old = tmp("shv1"); val oldDelta = tmp("shv1d")
+    sources.DupIndex.writeFrom(spark, base, dir)
+    sources.DupIndex.appendDelta(spark, dir, delta, d1.toDF("doc_id", "text"), 1L)
+    // pre-upgrade layout: identical postings/delta minus the stored
+    // hash column (what a pre-r12 build left on disk); hot copies as-is
+    spark.read.parquet(s"$dir/post").drop("sh")
+      .write.mode("overwrite").partitionBy("sb").parquet(s"$old/post")
+    spark.read.parquet(delta).drop("sh")
+      .write.mode("overwrite").partitionBy("batch", "sb").parquet(oldDelta)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(conf)
+    org.apache.hadoop.fs.FileUtil.copy(fs, new org.apache.hadoop.fs.Path(s"$dir/hot"),
+      fs, new org.apache.hadoop.fs.Path(s"$old/hot"), false, conf)
+    val want = sources.DupIndex.probe(spark, dir,
+      probeB.toDF("doc_id", "text"), Some(delta)).collect()
+    val got = sources.DupIndex.probe(spark, old,
+      probeB.toDF("doc_id", "text"), Some(oldDelta)).collect()
+    assert(want.exists(_.getString(1) == "dup_of_corpus"),
+      "vacuous: no dup verdicts in the layout comparison")
+    assert(got.map(_.toString).sorted.sameElements(want.map(_.toString).sorted),
+      "pre-upgrade root probed differently from the current layout")
+  }
+
   test("dup index hot gate trips on an accumulated template and compaction equals a rebuild") {
     import spark.implicits._
     // base: 600 docs sharing a template shingle (df 600 <= cap, so
