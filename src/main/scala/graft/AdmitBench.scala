@@ -44,8 +44,14 @@ object AdmitBench {
       .schema("doc_id BIGINT, text STRING")
       .option("maxFilesPerTrigger", 1)
       .parquet(spool)
+    // SPARK_GRAFT_ADMIT_EVERY: gate-cadence override (0 disables the
+    // admit-sensitivity gate) so A/Bs can isolate gate cost from
+    // probe/write cost
+    val admitEvery = sys.env.get("SPARK_GRAFT_ADMIT_EVERY").map(_.toInt)
+      .getOrElse(streaming.AdmitStream.AdmitEvery)
     val q = streaming.AdmitStream.admitSink(stream, basePath,
-      s"$root/delta", s"$root/verdicts", s"$root/log", s"$root/ckpt")
+      s"$root/delta", s"$root/verdicts", s"$root/log", s"$root/ckpt",
+      admitEvery = admitEvery)
     val t1 = System.nanoTime()
     q.processAllAvailable()
     val secs = (System.nanoTime() - t1) / 1e9

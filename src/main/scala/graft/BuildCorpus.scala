@@ -206,7 +206,7 @@ object BuildCorpus {
     // audio family gate is q157's follow-up, not this stage. Scale
     // shape: two embarrassingly-parallel decode passes (meta, phash)
     // + q171's edge-sized machinery; verdicts are doc-id row sets.
-    val mediaDrop = mediaStages(s, in, staged, decisions)
+    val mediaDrop = mediaStages(s, in, staged, out, decisions)
 
     // 5. mixture admission + packing over the survivors (q75's core
     // over the ALREADY-CHECKPOINTED gate set minus the drop set — the
@@ -368,9 +368,12 @@ object BuildCorpus {
     * over the REAL payload decode + image-family canonical keep.
     * Returns the doc-id drop set when `in` ships a media table (None
     * otherwise), appending ledger rows 6 (media_gate) and 7
-    * (image_families). */
+    * (image_families). Persists the ADMITTED images' phashes at
+    * `out`/phashes (all gate-kept family members, canonical or not —
+    * 8 B per image) so [[incremental]] probes family admission
+    * without re-decoding the base corpus. */
   private def mediaStages(s: SparkSession, in: String, staged: String,
-      decisions: Ledger): Option[DataFrame] = {
+      out: String, decisions: Ledger): Option[DataFrame] = {
     if (!hasMedia(s, in)) return None
     import s.implicits._
     val pl = s.read.parquet(Tables.rawPath(in, "media"))
@@ -398,11 +401,16 @@ object BuildCorpus {
     decisions += ((6, "media_gate", va.getLong(0), va.getLong(1),
       s"q156 real-decode caption_fail=${va.getLong(2)} media_fail=${va.getLong(3)}"))
     // family formation over the ADMITTED images (q171's core: phash
-    // banding pairs -> connected families -> min-id canonical)
-    val fams = Multimodal.q171Of(
+    // banding pairs -> connected families -> min-id canonical). ONE
+    // decode+hash pass feeds the family step AND the persisted phash
+    // artifact the incremental build's family admission probes.
+    val hashed = Multimodal.imageHashes(
       pl.toDF("doc_id", "payload")
         .join(verdict.filter(col("kept")).select("doc_id"), "doc_id")
         .as[(Long, Array[Byte])])
+      .localCheckpoint(false) // 2 consumers: families, phash write
+    hashed.write.mode(SaveMode.Overwrite).parquet(s"$out/phashes")
+    val fams = Multimodal.q171OfHashes(hashed.withColumnRenamed("phash", "simhash"))
       .localCheckpoint(false) // 2 consumers: ledger agg, drop set
     val fa = fams.agg(count(lit(1)).as("n"),
       coalesce(sum(when(col("is_canonical"), 1L).otherwise(0L)), lit(0L)).as("c"),
@@ -410,6 +418,111 @@ object BuildCorpus {
     decisions += ((7, "image_families", fa.getLong(0), fa.getLong(1),
       s"q171 families=${fa.getLong(2)} dropped_members=${fa.getLong(0) - fa.getLong(1)}"))
     Some(verdict.filter(!col("kept")).select("doc_id")
+      .unionByName(fams.filter(!col("is_canonical")).select("doc_id"))
+      .localCheckpoint(false))
+  }
+
+  /** Resident admitted-image hashes for [[mediaStagesIncremental]]'s
+    * family-admission probe: the base build's persisted phashes plus
+    * prior increments' phashdelta batches (own batch excluded —
+    * replay purity). A pre-r13 media-aware base persisted no phashes:
+    * fall back to re-hashing its SHIPPED media payloads (canonical
+    * members only — a weaker resident set than the admitted one, but
+    * correct; also an O(base-media) decode, exactly the cost the
+    * persisted artifact exists to avoid). No media at prev at all →
+    * empty resident set (the base was text-only). */
+  private def readPhashes(s: SparkSession, prev: String, excludeBatch: Long): DataFrame = {
+    import s.implicits._
+    val ddl = "doc_id BIGINT, phash BIGINT"
+    val fs = new org.apache.hadoop.fs.Path(prev)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    def at(p: String) = new org.apache.hadoop.fs.Path(p)
+    val base =
+      if (fs.exists(at(s"$prev/phashes")))
+        s.read.schema(org.apache.spark.sql.types.StructType.fromDDL(ddl))
+          .parquet(s"$prev/phashes")
+      else if (fs.exists(at(s"$prev/corpus/media.parquet")))
+        Multimodal.imageHashes(s.read.parquet(s"$prev/corpus/media.parquet")
+          .select(col("doc_id"), col("payload")).as[(Long, Array[Byte])])
+      else s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType.fromDDL(ddl))
+    base.unionByName(
+      readBatched(s, s"$prev/phashdelta", s"$ddl, batch BIGINT", excludeBatch)
+        .select("doc_id", "phash"))
+  }
+
+  /** The INCREMENT's media stages (r13 — the full build gained its
+    * stages 6/7 in r12; without this, an increment shipping media
+    * bypassed the cross-modal gate and family dedup entirely):
+    *
+    *  6. media_gate — q156's caption×image admission over the REAL
+    *     payload decode, captions scored on the increment's staged
+    *     corpus (identical semantics to the full build's stage 6);
+    *  7. image_families — family admission in TWO steps: (a) gate-kept
+    *     images within hamming ≤ PhashHam of a RESIDENT admitted image
+    *     (base + prior increments, via [[readPhashes]]) drop — their
+    *     family's canonical already shipped (the DupIndex admission
+    *     discipline on the phash axis, [[operators.Dedup.hammingProbe]]);
+    *     (b) intra-increment families form among the survivors and
+    *     only canonicals ship. Survivors' hashes (ALL admitted family
+    *     members, the base-build convention) land under
+    *     `prev`/phashdelta/batch=<incId> by dynamic overwrite — the
+    *     probe reads exclude this batch, so a crash replay is a pure
+    *     function of pre-trigger state and the NEXT increment dedups
+    *     against this one.
+    *
+    * Returns the increment's media drop set (None without a media
+    * table). */
+  private def mediaStagesIncremental(s: SparkSession, in: String,
+      staged: String, prev: String, incId: Long,
+      decisions: Ledger): Option[DataFrame] = {
+    if (!hasMedia(s, in)) return None
+    import s.implicits._
+    val pl = s.read.parquet(Tables.rawPath(in, "media"))
+      .select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
+    val meta = Multimodal.decodeDs(pl)
+      .filter(col("format").isin("png", "jpeg"))
+      .select("doc_id", "width", "height")
+    val cap = TextOps.q60(s, staged).select(col("doc_id"), col("quality_score"))
+    val verdict = meta.join(cap, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("quality_score") >= lit(Multimodal.CapQual.toDouble),
+          lit(false)).as("caption_ok"),
+        (least(col("width"), col("height")) >= Multimodal.MinDim).as("media_ok"))
+      .withColumn("kept", col("caption_ok") && col("media_ok"))
+      .localCheckpoint(false) // 3 consumers: ledger agg, hashes, drop set
+    val va = verdict.agg(count(lit(1)).as("n"),
+      coalesce(sum(when(col("kept"), 1L).otherwise(0L)), lit(0L)).as("k"),
+      coalesce(sum(when(!col("caption_ok"), 1L).otherwise(0L)), lit(0L)).as("cf"),
+      coalesce(sum(when(!col("media_ok"), 1L).otherwise(0L)), lit(0L)).as("mf"))
+      .collect()(0)
+    decisions += ((6, "media_gate", va.getLong(0), va.getLong(1),
+      s"q156 real-decode caption_fail=${va.getLong(2)} media_fail=${va.getLong(3)}"))
+    val hashed = Multimodal.imageHashes(
+      pl.toDF("doc_id", "payload")
+        .join(verdict.filter(col("kept")).select("doc_id"), "doc_id")
+        .as[(Long, Array[Byte])])
+      .localCheckpoint(false) // 3 consumers: probe, survivors, count
+    val corpusDup = operators.Dedup.hammingProbe(
+        hashed.withColumnRenamed("phash", "simhash"),
+        readPhashes(s, prev, incId).withColumnRenamed("phash", "simhash"),
+        Multimodal.PhashHam)
+      .localCheckpoint(false) // 2 consumers: survivor anti join, drop set
+    val survivors = hashed.join(corpusDup, Seq("doc_id"), "left_anti")
+      .localCheckpoint(false) // 2 consumers: families, delta write
+    survivors.withColumn("batch", lit(incId))
+      .write.mode(SaveMode.Overwrite).partitionBy("batch")
+      .option("partitionOverwriteMode", "dynamic").parquet(s"$prev/phashdelta")
+    val fams = Multimodal.q171OfHashes(survivors.withColumnRenamed("phash", "simhash"))
+      .localCheckpoint(false) // 2 consumers: ledger agg, drop set
+    val fa = fams.agg(count(lit(1)).as("n"),
+      coalesce(sum(when(col("is_canonical"), 1L).otherwise(0L)), lit(0L)).as("c"),
+      countDistinct("family_id").as("f")).collect()(0)
+    decisions += ((7, "image_families", va.getLong(1), fa.getLong(1),
+      s"q171 resident_dups=${va.getLong(1) - fa.getLong(0)} families=${fa.getLong(2)} " +
+        s"dropped_members=${fa.getLong(0) - fa.getLong(1)}"))
+    Some(verdict.filter(!col("kept")).select("doc_id")
+      .unionByName(corpusDup)
       .unionByName(fams.filter(!col("is_canonical")).select("doc_id"))
       .localCheckpoint(false))
   }
@@ -534,15 +647,23 @@ object BuildCorpus {
     val flagged = grams(delta.filter(isTrain).select("doc_id", "text"))
       .join(evGrams, Seq("s"), "left_semi")
       .select("doc_id").distinct().localCheckpoint(false)
-    val keep = gateTrain
+    val keep0 = gateTrain
       .join(novelIds, Seq("doc_id"), "left_semi")
       .join(exactDup, Seq("doc_id"), "left_anti")
       .join(flagged, Seq("doc_id"), "left_anti")
       .localCheckpoint(false)
-    decisions += ((5, "decontaminate", gateTrain.count(), keep.count(),
+    decisions += ((5, "decontaminate", gateTrain.count(), keep0.count(),
       s"eval-slice grams flagged=${flagged.count()}"))
 
-    // 6. pack into fresh bins after the highest bin the base build OR
+    // 5m. media stages (r13, ledger ids 6/7 when the increment ships
+    // media — mirroring the full build's gap pattern): cross-modal
+    // gate + family admission against base/prior increments + intra-
+    // increment families; see [[mediaStagesIncremental]]
+    val mediaDrop = mediaStagesIncremental(s, in, staged, prev, incId, decisions)
+    val keep = mediaDrop
+      .foldLeft(keep0)((k, md) => k.join(md, Seq("doc_id"), "left_anti"))
+
+    // 8. pack into fresh bins after the highest bin the base build OR
     // any PRIOR increment consumed: the base contributes max(bin_id)+1
     // over prev/shards, each prior increment its persisted next_bin
     // marker (own batch excluded, so a replay packs from the same base)
@@ -553,7 +674,7 @@ object BuildCorpus {
     val binBase = math.max(shardNext, markerNext)
     val packed = Sampling.packKept(s, staged, keep, binBase).localCheckpoint(false)
 
-    // 7. the increment's shipped artifact
+    // 9. the increment's shipped artifact
     val shipped = delta.join(packed, "doc_id")
       .withColumn("shard", expr(Sampling.ShardExpr))
       .select("shard", "doc_id", "text", "lang", "source",
@@ -578,12 +699,20 @@ object BuildCorpus {
     Seq((shTot.getLong(4) + 1L, incId)).toDF("next_bin", "batch")
       .write.mode(SaveMode.Overwrite).partitionBy("batch")
       .option("partitionOverwriteMode", "dynamic").parquet(s"$prev/nextbin")
-    decisions += ((6, "pack", keep.count(), shTot.getLong(3),
+    // shipped media rides with the shipped docs (the full build's
+    // corpus-dir convention): the increment's own corpus dir is
+    // itself multimodal
+    if (hasMedia(s, in))
+      s.read.parquet(Tables.rawPath(in, "media"))
+        .join(shipped.select("doc_id"), "doc_id")
+        .select("doc_id", "payload")
+        .write.mode(SaveMode.Overwrite).parquet(s"$out/corpus/media.parquet")
+    decisions += ((8, "pack", keep.count(), shTot.getLong(3),
       s"bins=${shTot.getLong(2)} bin_base=$binBase"))
-    decisions += ((7, "shards", shTot.getLong(3), shTot.getLong(1),
+    decisions += ((9, "shards", shTot.getLong(3), shTot.getLong(1),
       s"tokens=${shTot.getLong(0)} of_max_shards=${Sampling.NShards}"))
 
-    // 8. mixture bookkeeping + the drift gate: this increment's
+    // 10. mixture bookkeeping + the drift gate: this increment's
     // per-language (avail, shipped) row lands under prev/mixdelta
     // (dynamic overwrite — replay rewrites exactly its own batch),
     // then the gate folds base + ALL increments and reports whether
@@ -596,11 +725,11 @@ object BuildCorpus {
     }
     if (haveBase) {
       val mg = mixtureGate(s, prev).collect()(0)
-      decisions += ((8, "mixture_drift", mg.getAs[Long]("n_langs"),
+      decisions += ((10, "mixture_drift", mg.getAs[Long]("n_langs"),
         mg.getAs[Long]("shipped_tokens"),
         s"drift_ppm=${mg.getAs[Long]("drift_ppm")} worst=${mg.getAs[String]("worst_lang")} " +
           s"rebuild=${mg.getAs[Boolean]("rebuild")}"))
-    } else decisions += ((8, "mixture_drift", 0L, 0L,
+    } else decisions += ((10, "mixture_drift", 0L, 0L,
       "no mixstats at prev (pre-r9 base) — gate unavailable until rebuild"))
 
     writeLog(s, decisions.rows, out)

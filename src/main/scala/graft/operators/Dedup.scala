@@ -67,7 +67,7 @@ object Dedup {
     * re-materialized their own copy of the same index. */
   private val shingleCache = new graft.Memo.DirMemo[DataFrame]
 
-  private[operators] def cappedShingles(s: SparkSession, dir: String): DataFrame =
+  private[graft] def cappedShingles(s: SparkSession, dir: String): DataFrame =
     shingleCache.getOrElseUpdate(s, dir) {
       val sh = shingled(s, dir)
       val hot = sh.groupBy("s").agg(count(lit(1)).as("df"))
@@ -125,9 +125,18 @@ object Dedup {
     * capped shingle), so one localCheckpoint serves them all. */
   private val pairsCache = new graft.Memo.DirMemo[DataFrame]
 
+  /** Broadcast ceiling for the pair-size joins, in DOCUMENTS: the
+    * size frame is doc-count rows × ~16 B, so 20M docs ≈ 320 MB of
+    * build-side hash relation per executor — the comfortable edge of
+    * a 4-8 GiB executor's broadcast budget once the relation's hash
+    * table overhead (~2×) is priced in. Above it [[pairCountsCore]]
+    * falls back to a `parts`-scaled SMJ. No test corpus reaches 20M
+    * docs, so the fallback is spec-driven directly (DedupSpec forces
+    * `broadcastSizes = false` and proves row equality). */
+  private[operators] val SzBroadcastMaxDocs = 20000000L
+
   private def pairCounts(s: SparkSession, dir: String): DataFrame =
     pairsCache.getOrElseUpdate(s, dir) {
-      val sh = cappedShingles(s, dir)
       // r11: the x300 composed build OOM'd this stage at the
       // session's 32 shuffle partitions (64 GiB heap): the self-join
       // sort and the pair partial-agg each hold candidate-volume/32
@@ -136,43 +145,55 @@ object Dedup {
       // with the corpus instead of the session default — a parquet
       // row count is metadata-only, and driver-SF corpora resolve to
       // the session default (identical behavior where the oracle
-      // watches). Both join legs share ONE repartition-by-shingle
-      // exchange, and the pair agg keys on the join output's
-      // (d1, d2) partitioning instead of re-exchanging into 32.
+      // watches).
       // raw-parquet count, NOT Tables(): the rebalance repartition
       // would turn a footer-metadata count into a real shuffle job
       val nDocs = Tables.rawCount(s, dir, "documents")
       val parts = math.max(s.sparkContext.defaultParallelism,
         math.min(1024L, nDocs / 10000L).toInt)
-      val shP = sh.repartition(parts, col("s"))
-      val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-      // r12: the size joins were the x300 build's dominant stage
-      // (181 s of q41's 275 s) — an SMJ on d1 re-exchanges the WHOLE
-      // pair stream out of its corpus-scaled (d1, d2) partitioning
-      // into the session's 32 shuffle partitions, with sorts that
-      // spill. The size frame is doc-count rows × 16 B; broadcast it
-      // (both joins become map-side on the pair agg's own exchange)
-      // up to ~20M docs. Past that a broadcast is executor-memory
-      // hostile — fall back to the SMJ, whose exchange at least
-      // scales with `parts`. Measured q41 x300: 275 -> ~100 s.
-      val szJ =
-        if (nDocs <= 20000000L) broadcast(sz) else sz.repartition(parts, col("doc_id"))
-      // The explicit repartition ships raw candidate rows through
-      // the exchange with NO map-side combine — MEASURED as the
-      // right call anyway (r12 x300 A/B): a (d1,d2) pair repeats
-      // within one shingle-hash partition too rarely for partial agg
-      // to pay, and the sized-shuffle-partitions + partial-agg
-      // variant ran 254 s vs this form's 205 s on the same corpus.
-      shP.as("a").join(shP.as("b"),
-          col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
-        .repartition(parts, col("d1"), col("d2"))
-        .groupBy(col("d1"), col("d2"))
-        .agg(count(lit(1)).as("c"))
-        .join(szJ.withColumnRenamed("doc_id", "d1").withColumnRenamed("n", "n1"), "d1")
-        .join(szJ.withColumnRenamed("doc_id", "d2").withColumnRenamed("n", "n2"), "d2")
+      pairCountsCore(cappedShingles(s, dir), parts,
+          broadcastSizes = nDocs <= SzBroadcastMaxDocs)
         .localCheckpoint(false)
     }
+
+  /** The uncached pair-count core over any capped shingle frame.
+    * [[pairCounts]] supplies the corpus-scaled exchange width and the
+    * size-join strategy; DedupSpec drives `broadcastSizes = false`
+    * directly because the >[[SzBroadcastMaxDocs]] branch exists only
+    * for 100 TB corpora and is unreachable at any test SF. */
+  private[graft] def pairCountsCore(sh: DataFrame, parts: Int,
+      broadcastSizes: Boolean): DataFrame = {
+    // Both join legs share ONE repartition-by-shingle exchange, and
+    // the pair agg keys on the join output's (d1, d2) partitioning
+    // instead of re-exchanging into the session default.
+    val shP = sh.repartition(parts, col("s"))
+    val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    // r12: the size joins were the x300 build's dominant stage
+    // (181 s of q41's 275 s) — an SMJ on d1 re-exchanges the WHOLE
+    // pair stream out of its corpus-scaled (d1, d2) partitioning
+    // into the session's 32 shuffle partitions, with sorts that
+    // spill. The size frame is doc-count rows × 16 B; broadcast it
+    // (both joins become map-side on the pair agg's own exchange)
+    // up to SzBroadcastMaxDocs. Past that a broadcast is
+    // executor-memory hostile — fall back to the SMJ, whose exchange
+    // at least scales with `parts`. Measured q41 x300: 275 -> ~100 s.
+    val szJ =
+      if (broadcastSizes) broadcast(sz) else sz.repartition(parts, col("doc_id"))
+    // The explicit repartition ships raw candidate rows through
+    // the exchange with NO map-side combine — MEASURED as the
+    // right call anyway (r12 x300 A/B): a (d1,d2) pair repeats
+    // within one shingle-hash partition too rarely for partial agg
+    // to pay, and the sized-shuffle-partitions + partial-agg
+    // variant ran 254 s vs this form's 205 s on the same corpus.
+    shP.as("a").join(shP.as("b"),
+        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .repartition(parts, col("d1"), col("d2"))
+      .groupBy(col("d1"), col("d2"))
+      .agg(count(lit(1)).as("c"))
+      .join(szJ.withColumnRenamed("doc_id", "d1").withColumnRenamed("n", "n1"), "d1")
+      .join(szJ.withColumnRenamed("doc_id", "d2").withColumnRenamed("n", "n2"), "d2")
+  }
 
   /** Pair Jaccard over the capped shingle inverted index. */
   private def jaccardPairs(s: SparkSession, dir: String): DataFrame =
@@ -360,6 +381,61 @@ object Dedup {
   def q43Scoped(s: SparkSession, dir: String, scope: Column): DataFrame =
     hamming64Pairs(simhashes(s, dir).withColumn("scope", scope), 8)
 
+  /** The 45-combo band keying shared by [[hamming64Pairs]] (self-join)
+    * and [[hammingProbe]] (one-sided admission): each hash row
+    * explodes into C(10,2)=45 (cb, bkey) block-pair keys.
+    *
+    * The repartition is a PLANNING barrier, not a data move for its
+    * own sake: without it CollapseProject inlines the 64-term
+    * simhash expression into every one of the 45 key structs (×2
+    * block refs ≈ 5.8k CASE terms) and optimizer+AQE replans take
+    * minutes. Behind the barrier simhash is a plain attribute; the
+    * shuffle itself is linear in docs × 16 bytes. EXPLICIT count
+    * (r11): a column-only repartition is AQE-coalescible, and the
+    * hash frame is tiny in BYTES — AQE folded it to ONE partition,
+    * so the 45× combo explode and the banding exchange's shuffle
+    * write ran single-task (~5 s of the media-x30 profile at 100k
+    * hashes, growing with the corpus). An explicit count pins the
+    * barrier at defaultParallelism and the explode parallelizes. */
+  private def comboKeyed(hashes: DataFrame, scoped: Boolean): DataFrame = {
+    val sims = hashes.repartition(
+      hashes.sparkSession.sparkContext.defaultParallelism, col("doc_id"))
+    import graft.functions.SimHashOps.{BlockOffsets, BlockSizes}
+    def block(i: Int): Column =
+      shiftright(col("simhash"), BlockOffsets(i)).bitwiseAND(lit((1L << BlockSizes(i)) - 1))
+    val combos = for { i <- 0 until 10; j <- i + 1 until 10 } yield (i, j)
+    val scopeCols = if (scoped) Seq(col("scope")) else Seq.empty
+    sims.select(Seq(col("doc_id"), col("simhash")) ++ scopeCols :+
+        explode(array(combos.zipWithIndex.map { case ((i, j), c) =>
+          struct(lit(c).as("cb"), (block(i) * lit(128L) + block(j)).as("bkey"))
+        }: _*)).as("k"): _*)
+      .select(Seq(col("doc_id"), col("simhash")) ++ scopeCols ++
+        Seq(col("k.cb"), col("k.bkey")): _*)
+  }
+
+  /** ONE-SIDED hamming admission probe: each row of `newHashes`
+    * (doc_id, simhash) that has at least one `resident` partner
+    * within `maxHam` — the [[graft.sources.DupIndex.probe]] shape on
+    * the 64-bit-hash axis, used by the incremental build's
+    * image-family admission (a new image within hamming ≤ 8 of an
+    * already-admitted one belongs to a family whose canonical already
+    * shipped). A left-SEMI join over the shared 45-combo keys plus
+    * the hamming bound: nothing match-multiplies past the semi-join
+    * short-circuit, recall is the same pigeonhole guarantee, and no
+    * canonical-combo dedup is needed because only EXISTENCE is asked.
+    * Output: the matching new doc_ids (≤ |newHashes| rows). */
+  private[graft] def hammingProbe(newHashes: DataFrame, resident: DataFrame,
+      maxHam: Int): DataFrame = {
+    require(maxHam <= 8, s"10-block banding only guarantees hamming<=8, got $maxHam")
+    val nk = comboKeyed(newHashes, scoped = false)
+    val rk = comboKeyed(resident, scoped = false)
+    nk.as("x").join(rk.as("y"),
+        col("x.cb") === col("y.cb") && col("x.bkey") === col("y.bkey") &&
+          bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))) <= maxHam,
+        "left_semi")
+      .select("doc_id").distinct()
+  }
+
   /** The q43 block-combination banding join over ANY 64-bit hash
     * frame (doc_id, simhash) — guaranteed recall of every pair at
     * hamming ≤ `maxHam` ≤ 8 (pigeonhole over the 10-block layout).
@@ -388,31 +464,8 @@ object Dedup {
   private[graft] def hamming64Pairs(hashes: DataFrame, maxHam: Int): DataFrame = {
     require(maxHam <= 8, s"10-block banding only guarantees hamming<=8, got $maxHam")
     val scoped = hashes.columns.contains("scope")
-    // The repartition is a PLANNING barrier, not a data move for its
-    // own sake: without it CollapseProject inlines the 64-term
-    // simhash expression into every one of the 45 key structs (×2
-    // block refs ≈ 5.8k CASE terms) and optimizer+AQE replans take
-    // minutes. Behind the barrier simhash is a plain attribute; the
-    // shuffle itself is linear in docs × 16 bytes. EXPLICIT count
-    // (r11): a column-only repartition is AQE-coalescible, and the
-    // hash frame is tiny in BYTES — AQE folded it to ONE partition,
-    // so the 45× combo explode and the banding exchange's shuffle
-    // write ran single-task (~5 s of the media-x30 profile at 100k
-    // hashes, growing with the corpus). An explicit count pins the
-    // barrier at defaultParallelism and the explode parallelizes.
-    val sims = hashes.repartition(
-      hashes.sparkSession.sparkContext.defaultParallelism, col("doc_id"))
-    import graft.functions.SimHashOps.{BlockOffsets, BlockSizes, canonicalCombo}
-    def block(i: Int): Column =
-      shiftright(col("simhash"), BlockOffsets(i)).bitwiseAND(lit((1L << BlockSizes(i)) - 1))
-    val combos = for { i <- 0 until 10; j <- i + 1 until 10 } yield (i, j)
-    val scopeCols = if (scoped) Seq(col("scope")) else Seq.empty
-    val keyed = sims.select(Seq(col("doc_id"), col("simhash")) ++ scopeCols :+
-        explode(array(combos.zipWithIndex.map { case ((i, j), c) =>
-          struct(lit(c).as("cb"), (block(i) * lit(128L) + block(j)).as("bkey"))
-        }: _*)).as("k"): _*)
-      .select(Seq(col("doc_id"), col("simhash")) ++ scopeCols ++
-        Seq(col("k.cb"), col("k.bkey")): _*)
+    import graft.functions.SimHashOps.canonicalCombo
+    val keyed = comboKeyed(hashes, scoped)
     // A near-identical pair matches on MANY combos (up to C(9,2)+ at
     // hamming 0) — deduping that fan-out through distinct() shuffles
     // the whole multiplied pair stream. Both simhashes are present in

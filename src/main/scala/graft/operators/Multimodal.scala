@@ -387,16 +387,25 @@ object Multimodal {
   def q155(s: SparkSession, dir: String, scope: Column): DataFrame =
     q155Of(payloads(s, dir), Some(scope))
 
+  /** Image phash frame (doc_id, phash) over any payload dataset: ONE
+    * decode+hash pass keeping 8 B per image — the shared front of
+    * q155/q171 and the axis the incremental build PERSISTS
+    * ([[graft.BuildCorpus]] phashes/phashdelta) so increments probe
+    * admitted-image families without re-decoding the base corpus. */
+  private[graft] def imageHashes(ds: Dataset[(Long, Array[Byte])]): DataFrame = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions(_.flatMap { case (id, bytes) =>
+      val m = decode(id, bytes)
+      if (m.format == "png" || m.format == "jpeg") Some((id, phash64(bytes)))
+      else None
+    }).toDF("doc_id", "phash")
+  }
+
   /** q155 core over any (id, payload) dataset — shared with the
     * planted-twin spec so it exercises the exact executor path. */
   private[graft] def q155Of(ds: Dataset[(Long, Array[Byte])],
       scope: Option[Column] = None): DataFrame = {
-    import ds.sparkSession.implicits._
-    val hashed = ds.mapPartitions(_.flatMap { case (id, bytes) =>
-      val m = decode(id, bytes)
-      if (m.format == "png" || m.format == "jpeg") Some((id, phash64(bytes)))
-      else None
-    }).toDF("doc_id", "simhash")
+    val hashed = imageHashes(ds).withColumnRenamed("phash", "simhash")
     Dedup.hamming64Pairs(scope.fold(hashed)(c => hashed.withColumn("scope", c)),
       PhashHam)
   }
@@ -620,17 +629,18 @@ object Multimodal {
   /** q171 core over any (id, payload) dataset — spec entry point. */
   private[graft] def q171Of(ds: Dataset[(Long, Array[Byte])],
       scope: Option[Column] = None): DataFrame = {
-    import ds.sparkSession.implicits._
-    val imgs0 = ds.mapPartitions(_.flatMap { case (id, bytes) =>
-      val m = decode(id, bytes)
-      if (m.format == "png" || m.format == "jpeg") Some((id, phash64(bytes)))
-      else None
-    }).toDF("doc_id", "simhash")
-    val imgs = scope.fold(imgs0)(c => imgs0.withColumn("scope", c))
-      .localCheckpoint(false)
+    val imgs0 = imageHashes(ds).withColumnRenamed("phash", "simhash")
+    q171OfHashes(scope.fold(imgs0)(c => imgs0.withColumn("scope", c)))
+  }
+
+  /** q171's family machinery over an ALREADY-HASHED image frame
+    * (doc_id, simhash[, scope]) — the build jobs hash once and feed
+    * both the family step and the persisted phash artifact. */
+  private[graft] def q171OfHashes(imgs0: DataFrame): DataFrame = {
+    val imgs = imgs0.localCheckpoint(false)
     val pairs = Dedup.hamming64Pairs(imgs, PhashHam)
       .select("d1", "d2").localCheckpoint(false)
-    val labels = Dedup.propagateLabels(pairs, ds.sparkSession)
+    val labels = Dedup.propagateLabels(pairs, imgs0.sparkSession)
     val sizes = labels.groupBy("cluster_id")
       .agg(count(lit(1)).as("family_size"), min("doc_id").as("keep_id"))
       .withColumnRenamed("cluster_id", "family_id")

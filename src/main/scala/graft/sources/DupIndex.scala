@@ -168,21 +168,35 @@ object DupIndex {
     * FROZEN hot list under `deltaPath/batch=<id>/sb=<b>/` via
     * dynamic overwrite (a replayed trigger rewrites exactly its own
     * batch partition). `n` is the batch-doc's frozen-cap set size —
-    * exact by hot monotonicity, see the object doc. */
+    * exact by hot monotonicity, see the object doc.
+    *
+    * Returns the batch's BUCKET FOOTPRINT (distinct `sb`, sorted) —
+    * computed from the kept frame the write itself consumed, so the
+    * streaming face scopes its hot gate without re-listing and
+    * re-scanning the just-written partition ([[deltaBuckets]] stays
+    * for callers that only have the at-rest delta). The write
+    * repartitions by `sb` (r13): the join output otherwise lands as
+    * one file per (task × touched bucket) ≈ shuffle-width × NBuckets
+    * small files PER TRIGGER, and every later probe/gate pays that
+    * listing; hashed on the 64 bucket values each directory gets
+    * exactly one file. */
   def appendDelta(s: SparkSession, basePath: String, deltaPath: String,
-      batch: DataFrame, batchId: Long): Unit = {
+      batch: DataFrame, batchId: Long): Seq[Long] = {
     val kept = Dedup.shingledOf(batch)
       .join(readHot(s, basePath), Seq("s"), "left_anti")
-      .localCheckpoint(false)
+      .localCheckpoint(false) // 3 consumers: sizes, rows, footprint
     val sz = kept.groupBy("doc_id").agg(count(lit(1)).as("n"))
     kept.join(sz, "doc_id")
       .withColumn("sh", xxhash64(col("s")))
       .withColumn("sb", pmod(col("sh"), lit(NBuckets)))
       .withColumn("batch", lit(batchId))
       .select("batch", "sb", "s", "sh", "doc_id", "n")
+      .repartition(NBuckets.toInt, col("sb"))
       .write.mode(SaveMode.Overwrite).partitionBy("batch", "sb")
       .option("partitionOverwriteMode", "dynamic")
       .parquet(deltaPath)
+    kept.select(pmod(xxhash64(col("s")), lit(NBuckets)).as("sb"))
+      .distinct().collect().map(_.getLong(0)).toSeq.sorted
   }
 
   /** Resident postings of base (+ delta when present — resolved via
@@ -233,14 +247,27 @@ object DupIndex {
     * compares them — measured 3.5x on x300 triggers, r12). */
   def probe(s: SparkSession, basePath: String, batch: DataFrame,
       deltaPath: Option[String] = None,
-      excludeBatch: Option[Long] = None): DataFrame = {
+      excludeBatch: Option[Long] = None,
+      dropKeys: Option[DataFrame] = None): DataFrame = {
     // the trigger side caps against the frozen hot list on STRINGS
     // (exact, small read), then carries only the hash — the probe
     // join never touches a shingle string again and the posting scan
     // prunes the `s` column entirely (see postSchema)
-    val bsh = Dedup.shingledOf(batch)
+    val bsh0 = Dedup.shingledOf(batch)
       .join(readHot(s, basePath), Seq("s"), "left_anti")
       .select(col("doc_id").as("new_id"), xxhash64(col("s")).as("sh"))
+    // `dropKeys` (a one-column `sh` frame, [[newlyHotKeys]]): the
+    // admit-sensitivity COUNTERFACTUAL — the verdict as if the
+    // accumulated newly-hot template keys had been capped out. The
+    // anti-join removes them from the trigger's sets (numerator c and
+    // denominator n_new both shrink); resident set sizes stay at-rest
+    // (n_old ≥ the rebuilt n_old'), so the counterfactual Jaccard is
+    // a LOWER bound of the post-compaction one: a dup verdict here is
+    // certainly still dup after compaction, and a dup→novel flip
+    // marks a template-SENSITIVE admission — the drift statistic
+    // [[graft.streaming.AdmitStream]] samples, conservative in the
+    // direction that triggers maintenance.
+    val bsh = dropKeys.fold(bsh0)(k => bsh0.join(k, Seq("sh"), "left_anti"))
       .localCheckpoint(false) // 3 consumers: sizes + buckets + join
     // the trigger's bucket footprint: ≤ NBuckets longs, the partition
     // pruning set (the LexIndex tbs idiom — NEVER the shingles
@@ -304,20 +331,40 @@ object DupIndex {
     * re-detection, only the logged verdicts. `n_delta_rows` prices
     * the aggregation itself, so operators can tie compaction cadence
     * to measured gate cost. */
-  def hotGate(s: SparkSession, deltaPath: String,
-      baseDfPre: Option[DataFrame] = None,
-      sbs: Option[Seq[Long]] = None): DataFrame = {
+  /** Per-delta-shingle UNION document frequency (sb, s, df_delta, df)
+    * — the shared core of [[hotGate]] (aggregated verdict) and
+    * [[newlyHotKeys]] (the key set itself). */
+  private def unionDf(s: SparkSession, deltaPath: String,
+      baseDfPre: Option[DataFrame], sbs: Option[Seq[Long]]): DataFrame = {
     val scan0 = s.read.schema(deltaSchema).parquet(deltaPath)
     val scan = sbs.fold(scan0)(bs => scan0.filter(col("sb").isin(bs: _*)))
     val ddf = scan
       .groupBy("sb", "s").agg(count(lit(1)).as("df_delta"))
-    val withDf = baseDfPre match {
+    baseDfPre match {
       case Some(bdf) =>
         ddf.join(bdf, Seq("sb", "s"), "left")
           .withColumn("df", col("df_delta") + coalesce(col("df_base"), lit(0L)))
       case None => ddf.withColumn("df", col("df_delta"))
     }
-    withDf
+  }
+
+  /** The accumulated NEWLY-HOT shingle keys (union df > cap) as a
+    * one-column `sh` hash frame — the template class [[hotGate]]
+    * counts, shaped for [[probe]]'s `dropKeys` anti-join (the
+    * admit-sensitivity gate, [[graft.streaming.AdmitStream]]).
+    * Bounded: ≤ the delta's distinct shingles, in practice the few
+    * templates that crossed the cap since the last compaction. */
+  def newlyHotKeys(s: SparkSession, deltaPath: String,
+      baseDfPre: Option[DataFrame] = None,
+      sbs: Option[Seq[Long]] = None): DataFrame =
+    unionDf(s, deltaPath, baseDfPre, sbs)
+      .filter(col("df") > Dedup.DfCap)
+      .select(xxhash64(col("s")).as("sh"))
+
+  def hotGate(s: SparkSession, deltaPath: String,
+      baseDfPre: Option[DataFrame] = None,
+      sbs: Option[Seq[Long]] = None): DataFrame = {
+    unionDf(s, deltaPath, baseDfPre, sbs)
       .agg(count(lit(1)).as("n_delta_shingles"),
         // the gate's own measured cost driver: delta posting rows
         // aggregated this sweep (scoped sweeps report their slice)

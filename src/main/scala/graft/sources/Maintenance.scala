@@ -138,10 +138,14 @@ object Maintenance {
 
   /** Near-dup index maintenance: [[DupIndex.compact]] serves both the
     * tripped-gate reconcile (re-applying the cap over the union is
-    * the rebuild, proved row-identical) and the batch-cap fold. */
+    * the rebuild, proved row-identical) and the batch-cap fold.
+    * EITHER flag trips it: the hot-template MASS gate (`rebuild`) or
+    * the sampled admit-sensitivity gate (`admit_refit` — accumulated
+    * templates already flipping admission verdicts; by construction
+    * it only fires alongside the mass gate, grading its severity). */
   def maintainDup(s: SparkSession, basePath: String, deltaPath: String,
       logPath: String, outPath: String): Verdict = {
-    val t = trips(s, logPath, "rebuild")
+    val t = trips(s, logPath, "rebuild", "admit_refit")
     val b = deltaBatches(s, deltaPath)
     if (t > 0L || b >= CompactBatches) {
       DupIndex.compact(s, basePath, deltaPath, outPath)

@@ -54,11 +54,24 @@ import graft.sources.DupIndex
   */
 object AdmitStream {
 
+  /** Admit-sensitivity gate cadence: every `AdmitEvery`-th trigger
+    * re-probes a bounded sample counterfactually (see [[admitSink]]).
+    * The gated trigger pays one extra small-probe + one delta df
+    * aggregate — amortized like IngestStream's recallEvery. */
+  val AdmitEvery = 4
+
+  /** Sample bound for the gate's counterfactual probe: the trigger's
+    * lowest `AdmitSample` doc_ids (deterministic — the IngestStream
+    * RecallSample idiom). */
+  val AdmitSample = 64
+
   /** Start the admission sink: `docs` is a streaming frame with
     * (doc_id long, text string) rows; `basePath` a built
-    * [[DupIndex]]. */
+    * [[DupIndex]]. `admitEvery` overrides the gate cadence (specs
+    * gate every trigger). */
   def admitSink(docs: DataFrame, basePath: String, deltaPath: String,
-      verdictPath: String, logPath: String, checkpoint: String): StreamingQuery = {
+      verdictPath: String, logPath: String, checkpoint: String,
+      admitEvery: Int = AdmitEvery): StreamingQuery = {
     // the hot gate's base comparand: static between compactions,
     // priced ONCE at sink start (the IngestStream idxStats
     // discipline) — per-trigger cost must not include re-aggregating
@@ -79,7 +92,7 @@ object AdmitStream {
             .parquet(verdictPath)
           val novel = b.join(
             verdicts.filter(col("verdict") === "novel").select("doc_id"), "doc_id")
-          DupIndex.appendDelta(s, basePath, deltaPath, novel, id)
+          val deltaSbs = DupIndex.appendDelta(s, basePath, deltaPath, novel, id)
           val adm = verdicts.agg(
             count(lit(1)).as("n_docs"),
             sum(when(col("verdict") === "novel", 1L).otherwise(0L)).as("n_novel"))
@@ -90,12 +103,51 @@ object AdmitStream {
           // occurrence lives in that trigger's buckets — see
           // DupIndex.hotGate). An all-dup trigger wrote no delta
           // rows: empty footprint, clean gate row by construction.
-          val sbs = DupIndex.deltaBuckets(s, deltaPath, id)
+          // The footprint comes back from appendDelta's own kept
+          // frame (r13) — no per-trigger re-list + re-scan of the
+          // partition the trigger just wrote.
+          val sbs = deltaSbs
+          // ADMIT-SENSITIVITY GATE (r13 — the recallGate analog on the
+          // admission axis): every admitEvery-th trigger, re-probe a
+          // bounded sample of the trigger's own docs with the
+          // accumulated newly-hot template keys REMOVED
+          // (DupIndex.probe dropKeys — the post-compaction
+          // counterfactual, a Jaccard LOWER bound) and count verdicts
+          // that FLIP. hotGate measures template MASS; admit_flips
+          // measures whether that mass is ALREADY flipping admissions
+          // — the severity grading (flips require newly-hot keys, so
+          // admit_refit can only fire alongside the mass gate; it
+          // tells maintenance the drift stopped being benign). The
+          // key sweep is UNSCOPED (full accumulated delta): a hot
+          // template in a bucket outside this trigger's delta
+          // footprint can still flip this trigger's verdicts —
+          // bounded by compaction cadence, paid 1-in-admitEvery.
+          // Runs AFTER appendDelta in both first run and replay, so
+          // the counterfactual is replay-pure.
+          val gated = admitEvery > 0 && id % admitEvery == 0
+          val (admSampled, admFlips) =
+            if (!gated) (0L, 0L)
+            else {
+              val sample = b.orderBy("doc_id").limit(AdmitSample)
+                .localCheckpoint(false) // 2 consumers: probe + ids
+              val hot = DupIndex.newlyHotKeys(s, deltaPath, Some(baseDfPre))
+                .localCheckpoint(false) // bounded: newly-hot templates
+              val alt = DupIndex.probe(s, basePath, sample, Some(deltaPath),
+                excludeBatch = Some(id), dropKeys = Some(hot))
+              val flips = verdicts.select(col("doc_id"), col("verdict").as("v0"))
+                .join(alt.select(col("doc_id"), col("verdict").as("v1")), "doc_id")
+                .filter(col("v0") =!= col("v1"))
+              (sample.count(), flips.count())
+            }
           adm.join(DupIndex.hotGate(s, deltaPath, Some(baseDfPre), Some(sbs)),
               lit(true), "left")
             .withColumn("batch", lit(id))
+            .withColumn("admit_sampled", lit(admSampled))
+            .withColumn("admit_flips", lit(admFlips))
+            .withColumn("admit_refit", lit(admFlips > 0L))
             .select("batch", "n_docs", "n_novel", "n_delta_shingles",
-              "n_delta_rows", "n_newly_hot", "max_df", "cand_mass", "rebuild")
+              "n_delta_rows", "n_newly_hot", "max_df", "cand_mass", "rebuild",
+              "admit_sampled", "admit_flips", "admit_refit")
             .write.mode("overwrite").partitionBy("batch")
             .option("partitionOverwriteMode", "dynamic")
             .parquet(logPath)

@@ -452,4 +452,128 @@ class BuildCorpusSpec extends AnyFunSuite {
         "chained compaction's hot list differs from a fresh full build")
     }
   }
+
+  test("media-aware incremental: family admission vs base + prior increments, replay pure") {
+    import spark.implicits._
+    import operators.Multimodal.{phash64, PhashHam}
+    withTmpDir("buildcorpus-incmedia") { root =>
+      // real-PNG synthesis (the MultimodalSpec recipe): header + body
+      def pngBytes(w: Int, h: Int): Array[Byte] = {
+        val sig = Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+        val ihdr = Array[Byte](0, 0, 0, 13, 'I', 'H', 'D', 'R',
+          (w >> 24).toByte, (w >> 16).toByte, (w >> 8).toByte, w.toByte,
+          (h >> 24).toByte, (h >> 16).toByte, (h >> 8).toByte, h.toByte,
+          8, 6, 0, 0, 0)
+        sig ++ ihdr
+      }
+      def png(seed: Long, w: Int = 640, h: Int = 480): Array[Byte] = {
+        val r = new scala.util.Random(seed)
+        pngBytes(w, h) ++ Array.fill(2048)(r.nextInt(256).toByte)
+      }
+      // a hamming-close twin: search flip seeds until the 3-byte flip
+      // provably lands within the cutoff (the assertion would go
+      // vacuous if the distortion blew past it)
+      def twinOf(b: Array[Byte]): Array[Byte] =
+        (0 until 50).iterator.map { t =>
+          val c = b.clone(); val r = new scala.util.Random(31 * t + 7)
+          (0 until 3).foreach(_ => c(33 + r.nextInt(c.length - 33)) = r.nextInt(256).toByte)
+          c
+        }.find(c => java.lang.Long.bitCount(phash64(c) ^ phash64(b)) <= PhashHam)
+          .getOrElse(fail("no hamming-close 3-flip twin in 50 seeds"))
+      // train-bucket caption of 60 stopword-free tokens: quality =
+      // min(1, 60/100) = 0.6 >= CapQual, and the q68 gate keeps it
+      def bucketOf(t: String): Long = Seq(t).toDF("text")
+        .select(expr(operators.Sampling.BucketExpr)).collect()(0).getLong(0)
+      def caption(tag: String): String = (0 to 20).iterator
+        .map(k => (0 until 60).map(j => s"${tag}k${k}w$j").mkString(" "))
+        .find(t => bucketOf(t) < operators.Sampling.TrainLt)
+        .getOrElse(fail(s"no train-bucket caption for $tag in 21 tries"))
+
+      // base: a GenData media corpus, fully built -> persisted phashes
+      val baseIn = s"$root/base"; val prev = s"$root/prev"
+      GenData.generate(spark, baseIn, 400, 100, None, 0.3, "salad", Some(300))
+      BuildCorpus.run(spark, baseIn, prev)
+      val basePh = spark.read.parquet(s"$prev/phashes").localCheckpoint(false)
+      assert(basePh.count() > 0, "base build persisted no admitted-image hashes")
+
+      // the planted cross-increment twin source: a base ADMITTED image
+      val srcRow = spark.read.parquet(s"$baseIn/media.parquet")
+        .join(basePh.select("doc_id"), "doc_id")
+        .orderBy("doc_id").limit(1)
+        .select("doc_id", "payload").as[(Long, Array[Byte])].collect()(0)
+
+      // increment 1: A twin-of-base, B fresh, C fresh + D twin-of-C
+      // (intra-increment family), E gate-failing dims, T text-only
+      val Seq(a, bId, cId, dId, e, t) =
+        Seq(700001L, 700002L, 700003L, 700004L, 700005L, 700006L)
+      val freshB = png(4001L)
+      val freshC = png(4002L)
+      val media1 = Seq(
+        a -> twinOf(srcRow._2), bId -> freshB, cId -> freshC,
+        dId -> twinOf(freshC), e -> png(4003L, 64, 64))
+      val in1 = s"$root/in1"; val out1 = s"$root/out1"
+      Seq(a, bId, cId, dId, e, t).map(id => (id, caption(s"m$id"), "en", "srcM"))
+        .toDF("doc_id", "text", "lang", "source")
+        .withColumn("n_chars", length(col("text")).cast("long"))
+        .write.parquet(s"$in1/documents.parquet")
+      media1.toDF("doc_id", "payload").write.parquet(s"$in1/media.parquet")
+      val log1 = BuildCorpus.incremental(spark, in1, prev, out1, incId = 1L)
+        .collect().map(r => r.getString(1) -> ((r.getLong(2), r.getLong(3), r.getString(4)))).toMap
+
+      // gate: A-D admitted (twins carry valid headers + good captions),
+      // E fails on dims; families: A drops as a RESIDENT dup, D as the
+      // intra-increment non-canonical, B and C (canonicals) survive
+      assert(log1("media_gate")._1 == 5L && log1("media_gate")._2 == 4L,
+        s"media_gate row: ${log1("media_gate")}")
+      assert(log1("image_families")._3.contains("resident_dups=1"),
+        s"cross-increment twin not caught: ${log1("image_families")}")
+      val ids1 = spark.read.parquet(s"$out1/shards").select("doc_id")
+        .as[Long].collect().toSet
+      assert(ids1(bId) && ids1(cId) && ids1(t),
+        s"fresh/canonical/text-only docs missing from the shipment: $ids1")
+      assert(!ids1(a), "the cross-increment image twin shipped")
+      assert(!ids1(dId), "an intra-increment non-canonical family member shipped")
+      assert(!ids1(e), "a gate-failing image doc shipped")
+      // survivors' hashes (B, C, D — admitted family members, the
+      // base-build convention) landed for the NEXT increment
+      val deltaPh = spark.read.parquet(s"$prev/phashdelta")
+        .select("doc_id").as[Long].collect().toSet
+      assert(deltaPh == Set(bId, cId, dId), s"phashdelta: $deltaPh")
+      // the increment's corpus dir is itself multimodal: exactly the
+      // shipped docs' payloads
+      val shipMedia = spark.read.parquet(s"$out1/corpus/media.parquet")
+        .select("doc_id").as[Long].collect().toSet
+      assert(shipMedia == Set(bId, cId), s"shipped media: $shipMedia")
+
+      // crash replay of increment 1 is pure: same shipment, same
+      // phashdelta (probe excluded its own batch)
+      def snap(p: String) = spark.read.parquet(p).collect().map(_.toString).sorted
+      val phPre = snap(s"$prev/phashdelta")
+      val out1b = s"$root/out1b"
+      BuildCorpus.incremental(spark, in1, prev, out1b, incId = 1L)
+      assert(snap(s"$out1b/shards").sameElements(snap(s"$out1/shards")),
+        "replayed media increment changed the shipped shards")
+      assert(snap(s"$prev/phashdelta").sameElements(phPre),
+        "replayed media increment mutated the phash delta")
+
+      // increment 2 chains: F twin of INCREMENT 1's admitted B drops
+      // (via phashdelta), fresh G ships
+      val Seq(f, g2) = Seq(710001L, 710002L)
+      val in2 = s"$root/in2"; val out2 = s"$root/out2"
+      Seq(f, g2).map(id => (id, caption(s"m$id"), "en", "srcM"))
+        .toDF("doc_id", "text", "lang", "source")
+        .withColumn("n_chars", length(col("text")).cast("long"))
+        .write.parquet(s"$in2/documents.parquet")
+      Seq(f -> twinOf(freshB), g2 -> png(4004L))
+        .toDF("doc_id", "payload").write.parquet(s"$in2/media.parquet")
+      val log2 = BuildCorpus.incremental(spark, in2, prev, out2, incId = 2L)
+        .collect().map(r => r.getString(1) -> r.getString(4)).toMap
+      assert(log2("image_families").contains("resident_dups=1"),
+        s"chained twin not caught: ${log2("image_families")}")
+      val ids2 = spark.read.parquet(s"$out2/shards").select("doc_id")
+        .as[Long].collect().toSet
+      assert(!ids2(f), "a twin of a prior increment's admitted image shipped")
+      assert(ids2(g2), "the fresh image doc did not ship: assertions vacuous")
+    }
+  }
 }

@@ -224,6 +224,29 @@ class DedupSpec extends AnyFunSuite {
     assert(got.exceptAll(exact).count() == 0, "q43 emitted a pair outside hamming<=8")
   }
 
+  test("q41 size-join SMJ fallback (the >20M-doc branch) equals the broadcast path") {
+    // the broadcastSizes = false branch exists ONLY for corpora past
+    // SzBroadcastMaxDocs (executor-memory sizing) and is unreachable
+    // at any test SF — drive the core directly through both branches
+    val sh = operators.Dedup.cappedShingles(spark, sf).localCheckpoint(false)
+    val parts = spark.sparkContext.defaultParallelism
+    val bc = operators.Dedup.pairCountsCore(sh, parts, broadcastSizes = true)
+      .select("d1", "d2", "c", "n1", "n2")
+    val smj = operators.Dedup.pairCountsCore(sh, parts, broadcastSizes = false)
+      .select("d1", "d2", "c", "n1", "n2")
+    // the flag genuinely changes the plan: the size-join broadcast
+    // hint appears only on the broadcast path (AQE may still choose a
+    // runtime broadcast at this tiny SF — the logical strategy is
+    // what the branch controls)
+    def hinted(df: org.apache.spark.sql.DataFrame) =
+      df.queryExecution.optimizedPlan.toString.contains("strategy=broadcast")
+    assert(hinted(bc), "broadcast path lost its size-join hint")
+    assert(!hinted(smj), "SMJ fallback still carries a broadcast hint")
+    assert(bc.count() > 0, "vacuous: no shared-shingle pairs at this sf")
+    assert(bc.exceptAll(smj).count() == 0 && smj.exceptAll(bc).count() == 0,
+      "SMJ fallback emitted different pair rows than the broadcast path")
+  }
+
   test("q43Scoped equals per-scope unscoped runs and excludes cross-scope pairs") {
     // the r13 dedup-domain sharding contract: with a scope column the
     // band key becomes (scope, cb, bkey) — pairs are emitted WITHIN a

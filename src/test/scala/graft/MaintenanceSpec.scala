@@ -294,6 +294,66 @@ class MaintenanceSpec extends AnyFunSuite {
     }
   }
 
+  test("dup admit-sensitivity gate: accumulated template flips sampled admissions; maintenance trips on the flag alone") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    withTmpDir("maint-admit") { root =>
+      // base: 990 template-HEAVY docs (10-token template + 1 unique
+      // token -> 9 shingles, 8 of them pure-template). Template df
+      // 990 <= cap, so the postings exist and the hot list is empty.
+      val tpl = (0 until 10).map(i => s"tp$i").mkString(" ")
+      def heavy(id: Long) = (id, s"$tpl u${id}q")
+      // carrier: template + 8 unique tokens -> 16 shingles, 8 shared
+      // with any heavy resident: J = 8/(9+16-8) = 0.47 < 0.6 -> NOVEL
+      // (admitted), and each admission appends 8 template postings
+      def carrier(id: Long) =
+        (id, s"$tpl " + (0 until 8).map(j => s"u${id}x$j").mkString(" "))
+      val base = s"$root/base"; val delta = s"$root/delta"
+      val verd = s"$root/verd"; val dlog = s"$root/log"
+      sources.DupIndex.writeFrom(spark,
+        (0L until 990L).map(heavy).toDF("doc_id", "text"), base)
+      val mem = MemoryStream[(Long, String)]
+      val q = streaming.AdmitStream.admitSink(
+        mem.toDF().toDF("doc_id", "text"), base, delta, verd, dlog,
+        s"$root/ckpt", admitEvery = 1)
+      // trigger 0: 15 carriers -> union template df 990+15 > cap: the
+      // MASS gate trips, but no sampled verdict DEPENDS on the
+      // template yet (carriers are novel with or without it)
+      mem.addData((5000L until 5015L).map(carrier))
+      q.processAllAvailable()
+      // trigger 1: 10 template-heavy probes — dup_of_corpus THROUGH
+      // the template (J = 8/(9+9-8) = 0.8 vs heavy residents), novel
+      // without it (their one non-template shingle is unique): every
+      // sampled verdict flips
+      mem.addData((8000L until 8010L).map(heavy))
+      q.processAllAvailable()
+      q.stop()
+      val rows = spark.read.parquet(dlog).collect()
+        .map(r => r.getAs[Long]("batch") -> r).toMap
+      assert(rows(0L).getAs[Boolean]("rebuild"),
+        s"mass gate did not trip on the carrier batch: ${rows(0L)}")
+      assert(rows(0L).getAs[Long]("admit_flips") == 0L &&
+        !rows(0L).getAs[Boolean]("admit_refit"),
+        s"benign template mass flipped carrier admissions: ${rows(0L)}")
+      assert(rows(1L).getAs[Long]("admit_sampled") == 10L &&
+        rows(1L).getAs[Long]("admit_flips") == 10L &&
+        rows(1L).getAs[Boolean]("admit_refit"),
+        s"template-dependent verdicts did not flip under the counterfactual: ${rows(1L)}")
+
+      // maintenance trips on the admit flag ALONE (a log whose mass
+      // flag never fired — the wiring, not the physics): one synthetic
+      // row, rebuild=false / admit_refit=true -> the dup reconcile runs
+      import spark.implicits._
+      val dlog2 = s"$root/log2"
+      Seq((0L, false, true)).toDF("batch", "rebuild", "admit_refit")
+        .write.parquet(dlog2)
+      val v2 = sources.Maintenance.maintainDup(spark, base, delta, dlog2,
+        s"$root/out2")
+      assert(v2.action == "rebuild" && v2.trips == 1L,
+        s"admit_refit alone did not trip dup maintenance: $v2")
+    }
+  }
+
   test("lex maintenance: parked drift batch -> rebuild over the grown corpus equal to from-scratch; probes serve the new vocabulary") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
