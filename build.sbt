@@ -16,8 +16,17 @@ run / fork := true
 // reproduced). `-fW` duplicates the full unfiltered report to a file
 // that survives any console piping; one file per sbt invocation,
 // timestamp in the name so reruns never clobber evidence.
-Test / testOptions += Tests.Argument(TestFrameworks.ScalaTest, "-fW",
-  s"target/test-reports/run-${java.time.LocalDateTime.now.toString.replace(':', '-')}.log")
+// (testOptions is a TaskKey, so this whole block re-evaluates per
+// `test` execution — verified: two `show Test/testOptions` in one sbt
+// session print distinct filenames. ScalaTest's file reporter does
+// NOT create parent directories: mkdirs first or a fresh checkout's
+// first `test` dies in createTestRunners before running anything.)
+Test / testOptions += {
+  val dir = file("target/test-reports")
+  sbt.IO.createDirectory(dir)
+  Tests.Argument(TestFrameworks.ScalaTest, "-fW",
+    (dir / s"run-${java.time.LocalDateTime.now.toString.replace(':', '-')}.log").getPath)
+}
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
