@@ -63,10 +63,16 @@ object AdmitBench {
     val adm = spark.read.parquet(s"$root/log")
       .agg(sum("n_docs").as("d"), sum("n_novel").as("n"),
         max("rebuild").as("r")).collect()(0)
+    // per-trigger wall seconds, in trigger order: the gated-vs-ungated
+    // contrast WITHIN one run is host-noise-controlled (this host
+    // swings whole runs ±2-3x), where run-vs-run totals are not
+    val trigSecs = progs.filter(_.numInputRows > 0)
+      .map(p => f"${p.durationMs.get("triggerExecution").toDouble / 1000.0}%.1f")
+      .mkString("[", ",", "]")
     println(
       f"""{"pipeline":"admit","base_docs":$baseDocs,"build_secs":$buildSecs%.1f,""" +
         f""""rows":$rows,"secs":$secs%.1f,"rows_per_sec":${rows / math.max(secs, 1e-9)}%.0f,""" +
-        s""""batches":$batches,"n_novel":${adm.getLong(1)},""" +
+        s""""batches":$batches,"trigger_secs":$trigSecs,"n_novel":${adm.getLong(1)},""" +
         s""""n_dup":${adm.getLong(0) - adm.getLong(1)},"rebuild_tripped":${adm.getBoolean(2)}}""")
     spark.stop()
   }

@@ -4,12 +4,20 @@ import org.apache.spark.sql.functions._
 
 /** A/B harness for the r13 dedup-domain SCOPING path (SURVEY §15):
   * times [[graft.operators.Multimodal.q155]] unscoped vs scoped into
-  * `scopes` id-sharded domains (`pmod(doc_id, scopes)` — the
+  * `scopes` CONTIGUOUS doc_id ranges (`floor(doc_id / width)` — the
   * ingestion-window sharding shape) over a media corpus, best-of-N
   * with an untimed warmup pass, and prints ONE JSON line. The scoped
   * pair count is strictly ≤ the unscoped one (cross-scope pairs are
   * the contract's exclusion class) — both counts print so the
   * trade is explicit.
+  *
+  * Range windows, NOT pmod: near-dup families are temporally local
+  * (a re-crawl/re-encode lands near its original — GenData twins sit
+  * 3 ids apart), so contiguous windows keep them co-scoped and only
+  * window-boundary pairs are excluded. Measured on mm_x300: pmod 10
+  * sharding kept 13 of 75,892 pairs (every twin pair straddles
+  * shards) vs range windows' ~99.9% — interleaved-id sharding is the
+  * one scope shape a deployment must NOT pick.
   *
   * usage: runMain graft.ScopeBench <mediaDir> [scopes] [runs]
   */
@@ -33,9 +41,13 @@ object ScopeBench {
       (bestSecs, rows)
     }
 
+    // window width from the corpus's own id span (untimed; ids are
+    // dense from 0 in the GenData family, contiguous ranges either way)
+    val maxId = Tables(spark, dir, "media").agg(max("doc_id")).head.getLong(0)
+    val width = math.max(1L, maxId / scopes + 1L)
     val (su, nu) = best(operators.Multimodal.q155(spark, dir))
     val (ss, ns) = best(operators.Multimodal.q155(spark, dir,
-      pmod(col("doc_id"), lit(scopes.toLong))))
+      floor(col("doc_id") / lit(width)).cast("long")))
     println(
       f"""{"bench":"scope","dir":"$dir","scopes":$scopes,"runs":$runs,""" +
         f""""unscoped_secs":$su%.1f,"scoped_secs":$ss%.1f,""" +

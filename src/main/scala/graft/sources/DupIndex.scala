@@ -127,6 +127,19 @@ object DupIndex {
   private def readHot(s: SparkSession, basePath: String): DataFrame =
     s.read.schema(hotSchema).parquet(hotP(basePath)).select("s")
 
+  /** The batch's df-capped shingle frame (doc_id, s): tokenize +
+    * shingle, anti-joined with the base's FROZEN hot list. [[probe]]
+    * and [[appendDelta]] each start here; a caller driving both over
+    * the same batch (the streaming admission face) computes it ONCE,
+    * localCheckpoints it, and passes it as their `preCapped` — the
+    * tokenize is the trigger's largest CPU term and was paid 2-3x
+    * per trigger before r13. Contract: `preCapped` must be exactly
+    * this frame for the same (batch, basePath) pair. */
+  def cappedShingles(s: SparkSession, basePath: String,
+      batch: DataFrame): DataFrame =
+    Dedup.shingledOf(batch)
+      .join(readHot(s, basePath), Seq("s"), "left_anti")
+
   /** Tokenize + shingle + df-cap + write the bucket-partitioned
     * postings and the frozen hot list. `n` is recounted AFTER the
     * cap (a doc's capped set size == its posting count — the
@@ -181,22 +194,32 @@ object DupIndex {
     * listing; hashed on the 64 bucket values each directory gets
     * exactly one file. */
   def appendDelta(s: SparkSession, basePath: String, deltaPath: String,
-      batch: DataFrame, batchId: Long): Seq[Long] = {
-    val kept = Dedup.shingledOf(batch)
-      .join(readHot(s, basePath), Seq("s"), "left_anti")
-      .localCheckpoint(false) // 3 consumers: sizes, rows, footprint
+      batch: DataFrame, batchId: Long,
+      preCapped: Option[DataFrame] = None): Seq[Long] = {
+    val kept = preCapped.map(
+        // the streaming face already holds the TRIGGER's capped
+        // shingles — restrict to this append's (novel) doc ids
+        // instead of re-tokenizing them (see [[cappedShingles]])
+        _.join(batch.select("doc_id"), Seq("doc_id"), "left_semi"))
+      .getOrElse(cappedShingles(s, basePath, batch))
+      .localCheckpoint(false) // 2 consumers: sizes, rows
     val sz = kept.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    // footprint rides the write itself as an Observation (the q180
+    // ledger rule: every separate action is ~0.5 s of job
+    // scheduling per trigger) — collect_set over ≤ NBuckets values,
+    // driver-bounded by construction
+    val obs = new org.apache.spark.sql.Observation()
     kept.join(sz, "doc_id")
       .withColumn("sh", xxhash64(col("s")))
       .withColumn("sb", pmod(col("sh"), lit(NBuckets)))
       .withColumn("batch", lit(batchId))
       .select("batch", "sb", "s", "sh", "doc_id", "n")
       .repartition(NBuckets.toInt, col("sb"))
+      .observe(obs, collect_set(col("sb")).as("sbs"))
       .write.mode(SaveMode.Overwrite).partitionBy("batch", "sb")
       .option("partitionOverwriteMode", "dynamic")
       .parquet(deltaPath)
-    kept.select(pmod(xxhash64(col("s")), lit(NBuckets)).as("sb"))
-      .distinct().collect().map(_.getLong(0)).toSeq.sorted
+    obs.get("sbs").asInstanceOf[scala.collection.Seq[Long]].toSeq.sorted
   }
 
   /** Resident postings of base (+ delta when present — resolved via
@@ -248,13 +271,17 @@ object DupIndex {
   def probe(s: SparkSession, basePath: String, batch: DataFrame,
       deltaPath: Option[String] = None,
       excludeBatch: Option[Long] = None,
-      dropKeys: Option[DataFrame] = None): DataFrame = {
+      dropKeys: Option[DataFrame] = None,
+      preCapped: Option[DataFrame] = None): DataFrame = {
     // the trigger side caps against the frozen hot list on STRINGS
     // (exact, small read), then carries only the hash — the probe
     // join never touches a shingle string again and the posting scan
-    // prunes the `s` column entirely (see postSchema)
-    val bsh0 = Dedup.shingledOf(batch)
-      .join(readHot(s, basePath), Seq("s"), "left_anti")
+    // prunes the `s` column entirely (see postSchema).
+    // `preCapped`: the caller already computed [[cappedShingles]] for
+    // this batch against this base (the streaming face checkpoints
+    // ONE copy per trigger and feeds probe + appendDelta + the gate's
+    // sample re-probe — r13: the trigger was tokenized 2-3x before)
+    val bsh0 = preCapped.getOrElse(cappedShingles(s, basePath, batch))
       .select(col("doc_id").as("new_id"), xxhash64(col("s")).as("sh"))
     // `dropKeys` (a one-column `sh` frame, [[newlyHotKeys]]): the
     // admit-sensitivity COUNTERFACTUAL — the verdict as if the

@@ -83,19 +83,34 @@ object AdmitStream {
         val s = batch.sparkSession
         val b = batch.select("doc_id", "text").localCheckpoint()
         if (b.count() > 0) {
+          // ONE tokenize per trigger: probe, appendDelta and the
+          // gate's sample re-probe all consume this frame (r13 —
+          // each used to re-shingle the trigger from scratch)
+          val capped = DupIndex.cappedShingles(s, basePath, b)
+            .localCheckpoint(false)
           val verdicts = DupIndex.probe(s, basePath, b, Some(deltaPath),
-              excludeBatch = Some(id))
+              excludeBatch = Some(id), preCapped = Some(capped))
             .localCheckpoint(false) // 3 consumers: sink + novel + log
+          // the admission tally rides the verdict write (q180 ledger
+          // rule — it was a separate count job over the checkpoint)
+          val admObs = new org.apache.spark.sql.Observation()
           verdicts.withColumn("batch", lit(id))
+            .observe(admObs, count(lit(1)).as("n_docs"),
+              sum(when(col("verdict") === "novel", 1L).otherwise(0L))
+                .as("n_novel"))
             .write.mode("overwrite").partitionBy("batch")
             .option("partitionOverwriteMode", "dynamic")
             .parquet(verdictPath)
           val novel = b.join(
             verdicts.filter(col("verdict") === "novel").select("doc_id"), "doc_id")
-          val deltaSbs = DupIndex.appendDelta(s, basePath, deltaPath, novel, id)
-          val adm = verdicts.agg(
-            count(lit(1)).as("n_docs"),
-            sum(when(col("verdict") === "novel", 1L).otherwise(0L)).as("n_novel"))
+          val deltaSbs = DupIndex.appendDelta(s, basePath, deltaPath, novel, id,
+            preCapped = Some(capped))
+          // observed on the completed verdict write above (get blocks
+          // until the action finishes; non-empty batch → never null)
+          val admRow = admObs.get
+          val adm = s.range(1).select(
+            lit(admRow("n_docs").asInstanceOf[Long]).as("n_docs"),
+            lit(admRow("n_novel").asInstanceOf[Long]).as("n_novel"))
           // gate scoped to the trigger's own delta-partition bucket
           // footprint: per-trigger cost tracks the trigger's slice,
           // not the whole accumulated delta, and every cap crossing
@@ -133,7 +148,9 @@ object AdmitStream {
               val hot = DupIndex.newlyHotKeys(s, deltaPath, Some(baseDfPre))
                 .localCheckpoint(false) // bounded: newly-hot templates
               val alt = DupIndex.probe(s, basePath, sample, Some(deltaPath),
-                excludeBatch = Some(id), dropKeys = Some(hot))
+                excludeBatch = Some(id), dropKeys = Some(hot),
+                preCapped = Some(capped.join(sample.select("doc_id"),
+                  Seq("doc_id"), "left_semi")))
               val flips = verdicts.select(col("doc_id"), col("verdict").as("v0"))
                 .join(alt.select(col("doc_id"), col("verdict").as("v1")), "doc_id")
                 .filter(col("v0") =!= col("v1"))
