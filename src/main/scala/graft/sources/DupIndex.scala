@@ -60,12 +60,17 @@ object DupIndex {
 
   private def post(path: String) = s"$path/post"
   private def hotP(path: String) = s"$path/hot"
+  private def dfP(path: String) = s"$path/df"
 
   // explicit read schemas: a healthy natural corpus can have ZERO
   // over-cap shingles, and a zero-row partitioned write leaves
   // nothing for schema inference
   private val hotSchema = org.apache.spark.sql.types.StructType.fromDDL(
     "s STRING, sb BIGINT")
+  // per-shingle base document frequency — the hot-gate comparand,
+  // persisted at build/compact time (see [[baseDf]])
+  private val dfSchema = org.apache.spark.sql.types.StructType.fromDDL(
+    "s STRING, df_base BIGINT, sb BIGINT")
   // postings carry BOTH the shingle string and its xxhash64 (`sh`):
   // maintenance (compact's df recount, hotGate) stays exact on
   // strings, while the hot path — the per-trigger probe join — keys
@@ -159,22 +164,31 @@ object DupIndex {
     val hot = sh.groupBy("s").agg(count(lit(1)).as("df"))
       .filter(col("df") > Dedup.DfCap).select("s")
       .localCheckpoint(false) // tiny; 2 consumers: anti join + write
-    writePostings(sh.join(hot, Seq("s"), "left_anti"), post(path))
+    writePostings(sh.join(hot, Seq("s"), "left_anti"), path)
     hot.withColumn("sb", bucket(col("s")))
       .write.mode(SaveMode.Overwrite).partitionBy("sb").parquet(hotP(path))
   }
 
   /** Attach per-doc capped sizes + bucket column and write `kept`
-    * (doc_id, s) as sb-partitioned postings. */
-  private def writePostings(kept: DataFrame, outPath: String): Unit = {
-    val k = kept.localCheckpoint(false, // 2 consumers: sizes + rows
+    * (doc_id, s) as sb-partitioned postings under `root/post`, plus
+    * the per-shingle base-df ARTIFACT under `root/df` — the hot-gate
+    * comparand is static between compactions, so it is index STATE,
+    * not a per-sink recomputation (the LexIndex `_summary`
+    * discipline; at x300 the lazy-plan version cost every sink start
+    * a ~20-30 s base-postings aggregation on first gate use). */
+  private def writePostings(kept: DataFrame, root: String): Unit = {
+    val k = kept.localCheckpoint(false, // 3 consumers: sizes, rows, df
       org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     val sz = k.groupBy("doc_id").agg(count(lit(1)).as("n"))
     k.join(sz, "doc_id")
       .withColumn("sh", xxhash64(col("s")))
       .withColumn("sb", pmod(col("sh"), lit(NBuckets)))
       .select("sb", "s", "sh", "doc_id", "n")
-      .write.mode(SaveMode.Overwrite).partitionBy("sb").parquet(outPath)
+      .write.mode(SaveMode.Overwrite).partitionBy("sb").parquet(post(root))
+    k.groupBy("s").agg(count(lit(1)).as("df_base"))
+      .withColumn("sb", bucket(col("s")))
+      .select("sb", "s", "df_base")
+      .write.mode(SaveMode.Overwrite).partitionBy("sb").parquet(dfP(root))
   }
 
   /** DELTA APPEND — a crawl increment lands capped against the
@@ -409,12 +423,6 @@ object DupIndex {
       .withColumn("rebuild", col("n_newly_hot") > 0L)
   }
 
-  /** Per-shingle BASE document frequency (sb, s, df_base) — the
-    * [[hotGate]] comparand. Static between compactions: a serving
-    * tier computes it once per index root (checkpointed), never per
-    * trigger. By the frozen-hot discipline every posting shingle is
-    * ≤ cap here, so the frame is bounded by the base's distinct
-    * non-hot shingles. */
   /** Distinct shingle buckets of ONE delta batch partition — the
     * trigger-scoped [[hotGate]] footprint. Prunes to `batch=<id>`
     * (partition filter), so the cost is one listing + a ≤NBuckets
@@ -424,10 +432,34 @@ object DupIndex {
       .filter(col("batch") === lit(batchId))
       .select("sb").distinct().collect().map(_.getLong(0)).toSeq
 
-  def baseDf(s: SparkSession, basePath: String): DataFrame =
-    s.read.schema(postSchema).parquet(post(basePath))
+  // artifact-presence memo, the shPresent pattern: one FS probe per
+  // root; roots are immutable between compactions (LSM discipline)
+  private val dfArtPresent =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]
+
+  /** Per-shingle BASE document frequency (sb, s, df_base) — the
+    * [[hotGate]] comparand. Static between compactions: post-r13
+    * roots persist it as the `df/` artifact at build/compact time
+    * and this is a cheap pruned scan; PRE-UPGRADE roots (no `df/`)
+    * fall back to aggregating the postings, checkpointed so a
+    * long-lived sink pays the aggregation once per session (the old
+    * behavior — measured ~20-30 s on the first gate use at x300). */
+  def baseDf(s: SparkSession, basePath: String): DataFrame = {
+    val art = dfP(basePath)
+    val present = dfArtPresent.computeIfAbsent(basePath, _ => {
+      val hp = new org.apache.hadoop.fs.Path(art)
+      hp.getFileSystem(s.sparkContext.hadoopConfiguration).exists(hp)
+    }).booleanValue
+    // both branches checkpoint: the frame is joined per trigger, and
+    // re-scanning the 9M-row artifact each time measured 1-2 s/trigger
+    // slower than the materialized read — the artifact's win is the
+    // FIRST use (a pruned scan vs the 20-30 s postings aggregation)
+    if (present) s.read.schema(dfSchema).parquet(art)
+      .select("sb", "s", "df_base").localCheckpoint(false)
+    else s.read.schema(postSchema).parquet(post(basePath))
       .groupBy("sb", "s").agg(count(lit(1)).as("df_base"))
       .localCheckpoint(false)
+  }
 
   /** COMPACTION — fold the delta into a fresh base at `outPath`,
     * re-applying the df cap over the UNION: recount df, drop the
@@ -444,7 +476,7 @@ object DupIndex {
       .select("s", "doc_id").localCheckpoint(false) // 3 consumers below
     val newlyHot = all.groupBy("s").agg(count(lit(1)).as("df"))
       .filter(col("df") > Dedup.DfCap).select("s")
-    writePostings(all.join(newlyHot, Seq("s"), "left_anti"), post(outPath))
+    writePostings(all.join(newlyHot, Seq("s"), "left_anti"), outPath)
     readHot(s, basePath)
       .unionByName(newlyHot)
       .withColumn("sb", bucket(col("s")))

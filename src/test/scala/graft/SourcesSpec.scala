@@ -654,6 +654,43 @@ class SourcesSpec extends AnyFunSuite {
       "compacted hot list differs from rebuild")
     // the template went hot: it appears in the compacted hot list
     assert(spark.read.parquet(s"$cdir/hot").filter(col("s") === "tpl aa bb").count() == 1)
+    // r13: the persisted base-df artifact follows the same law —
+    // compaction's df/ is row-identical to the rebuild's
+    def dfRows(d: String) = spark.read.parquet(s"$d/df")
+      .select("sb", "s", "df_base")
+    assert(dfRows(cdir).exceptAll(dfRows(rdir)).isEmpty &&
+      dfRows(rdir).exceptAll(dfRows(cdir)).isEmpty,
+      "compacted df artifact differs from rebuild")
+  }
+
+  test("base-df artifact equals the postings aggregation and a pre-upgrade root falls back") {
+    import spark.implicits._
+    // distinct dirs throughout: baseDf memoizes artifact presence per
+    // root, so the legacy path needs its own root, not a mutated copy
+    val docs = (0L until 40L).map(i =>
+      (i, s"alpha bravo charlie d${i % 7} e${i % 3} f$i common tail one two"))
+    val dir = tmp("dfart")
+    sources.DupIndex.writeFrom(spark, docs.toDF("doc_id", "text"), dir)
+    assert(new java.io.File(s"$dir/df").isDirectory, "writeFrom shipped no df/ artifact")
+    val art = sources.DupIndex.baseDf(spark, dir)
+      .select("sb", "s", "df_base")
+    val agg = spark.read.parquet(s"$dir/post")
+      .groupBy("sb", "s").agg(count(lit(1)).as("df_base"))
+      .select("sb", "s", "df_base")
+    assert(art.exceptAll(agg).isEmpty && agg.exceptAll(art).isEmpty,
+      "df artifact differs from the postings aggregation")
+    // pre-upgrade root: same corpus written fresh, artifact REMOVED
+    // before first read — baseDf must fall back to aggregating and
+    // produce identical rows (the readPost healing discipline)
+    val old = tmp("dfart_old")
+    sources.DupIndex.writeFrom(spark, docs.toDF("doc_id", "text"), old)
+    def rmr(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles.foreach(rmr); f.delete() }
+    rmr(new java.io.File(s"$old/df"))
+    val legacy = sources.DupIndex.baseDf(spark, old)
+      .select("sb", "s", "df_base")
+    assert(legacy.exceptAll(agg).isEmpty && agg.exceptAll(legacy).isEmpty,
+      "pre-upgrade fallback differs from the artifact path")
   }
 
   test("max-score essential split: certified θ seeds and the ascending-σ prefix rule") {
