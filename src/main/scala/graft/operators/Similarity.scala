@@ -415,9 +415,12 @@ object Similarity {
     * against broadcast centroids (no n×k shuffle), k×dim partial
     * sums per partition to the driver per iteration (the MLlib
     * collect shape — bounded by k·dim·#partitions, not data size).
-    * Deterministic: init from the k lowest vec_ids, centroids
-    * rounded to 1e-9 each iteration so FP accumulation order cannot
-    * make runs diverge. Returns the cell assignment
+    * Above [[FitSampleFloor]] vectors the Lloyd iterations run on a
+    * deterministic hash-thinned sample (the assignment pass stays
+    * full-corpus). Deterministic: init from the k lowest fit-frame
+    * vec_ids, centroids rounded to 1e-9 each iteration so FP
+    * accumulation order cannot make runs diverge. Returns the cell
+    * assignment
     * (vec_id, cid, cid2, ed, nrm) — cid2 is the runner-up cell, used
     * by SemDeDup's overlapping candidate generation — and the final
     * centroids. */
@@ -487,8 +490,28 @@ object Similarity {
       case None                           => math.ceil(math.sqrt(n.toDouble)).toLong
     }).toInt
 
+  /** Lloyd-iteration sample bound: the fit sees at most
+    * max(floor, k·perCell) vectors — the centroid ESTIMATE needs
+    * O(samples-per-cell) support per cell, not the whole corpus —
+    * while the final assignment pass still scans every vector (each
+    * one needs a cell). Turns the √n-mode fit from O(iters·n·k·dim)
+    * = n^1.5 into one full pass + iters·m·k·dim: at 600k vectors
+    * (stress x300) the route fit was the composed build's
+    * worst-scaling stage (4.4× wall at 3× data, SURVEY §15); at 10⁹
+    * vectors in fixed-B mode (k = n/4096) the sample is k·64 ≈ 16M —
+    * 64 observations per centroid, fit cost ~2% of a full pass.
+    * Sampling is a deterministic xxhash64(vec_id) ppm thin — stable
+    * across runs, partitionings, and sessions, preserving the fit's
+    * determinism contract. Every corpus ≤ the floor (all driver SFs,
+    * stress ≤ x30) samples NOTHING and stays bit-identical to the
+    * pre-r13 fit. */
+  private[graft] val FitSampleFloor   = 131072L
+  private[graft] val FitSamplePerCell = 64L
+
   private[graft] def ivfCellsOf(s: SparkSession, e0: DataFrame,
-      cellSize: Option[Int] = None): (DataFrame, Array[Array[Double]]) = {
+      cellSize: Option[Int] = None,
+      fitFloor: Long = FitSampleFloor,
+      fitPerCell: Long = FitSamplePerCell): (DataFrame, Array[Array[Double]]) = {
     import s.implicits._
     val iters = 3
     val e = withNorm(e0).select(col("vec_id"), col("ed"), col("nrm"))
@@ -507,9 +530,26 @@ object Similarity {
     // init below always yields exactly k centroids
     val k = math.max(1L, math.min(math.max(16, kTarget).toLong, n)).toInt
 
-    var cents: Array[Array[Double]] = e.orderBy("vec_id").limit(k)
+    // bounded fit sample (see [[FitSampleFloor]]): Lloyd iterates —
+    // and seeds — over fitTyped; the final assignment pass below
+    // still scans the FULL corpus. When the cap doesn't engage
+    // (mTarget ≥ n) fitE IS e and the fit is bit-identical to the
+    // unsampled form.
+    val mTarget = math.max(fitFloor, k.toLong * fitPerCell)
+    val fitE = if (mTarget >= n) e else {
+      val ppm = math.max(1L, mTarget * 1000000L / n)
+      e.filter(pmod(xxhash64(col("vec_id")), lit(1000000L)) < lit(ppm))
+    }
+    val fitTyped = fitE.as[(Long, Seq[Float], Double)]
+
+    var cents: Array[Array[Double]] = fitE.orderBy("vec_id").limit(k)
       .select(col("vec_id"), col("ed")).as[(Long, Seq[Float])]
       .collect().map(_._2.toArray.map(_.toDouble))
+    // the ppm thin is binomial, so the sample can (astronomically
+    // rarely, or on a spec's tiny forced-floor corpus) hold fewer
+    // than k vectors — kEff keeps the centroid array and the
+    // tabulate below consistent with what the seed collect returned
+    val kEff = cents.length
     val dim = cents.head.length
 
     for (_ <- 1 to iters) {
@@ -527,7 +567,7 @@ object Similarity {
       // run-order-dependent, breaking the fit's determinism
       // contract). One correctly-rounded doubleValue per component
       // at the end, then the same 1e-9 centroid grid as always.
-      val merged = typed.rdd.mapPartitions { it =>
+      val merged = fitTyped.rdd.mapPartitions { it =>
         val cs = bc.value
         val cn2 = norms2(cs)
         val sums = new scala.collection.mutable.HashMap[Int, Array[Double]]
@@ -558,7 +598,7 @@ object Similarity {
         }
         a
       }, depth = 2)
-      cents = Array.tabulate(k) { c =>
+      cents = Array.tabulate(kEff) { c =>
         merged.get(c) match {
           case Some((sm, ct)) =>
             Array.tabulate(dim)(i => math.rint(sm(i).doubleValue / ct * 1e9) / 1e9)
@@ -647,10 +687,13 @@ object Similarity {
   }
 
   /** q54 core over any embeddings-shaped frame; `cellSize` selects
-    * the coarse-quantizer mode (see [[ivfCellsOf]]). */
+    * the coarse-quantizer mode and `fitFloor`/`fitPerCell` the fit
+    * sample bound (see [[ivfCellsOf]]; spec injection points). */
   private[graft] def knnGraphOf(s: SparkSession, e0: DataFrame,
-      cellSize: Option[Int]): DataFrame = {
-    val (cells0, cents) = ivfCellsOf(s, e0, cellSize)
+      cellSize: Option[Int],
+      fitFloor: Long = FitSampleFloor,
+      fitPerCell: Long = FitSamplePerCell): DataFrame = {
+    val (cells0, cents) = ivfCellsOf(s, e0, cellSize, fitFloor, fitPerCell)
     knnGraphCells(s,
       cells0.select("vec_id", "cid", "cid2", "ed", "nrm").localCheckpoint(false), cents)
   }

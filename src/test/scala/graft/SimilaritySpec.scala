@@ -113,6 +113,39 @@ class SimilaritySpec extends AnyFunSuite {
       s"fixed-B recall $fixed more than 0.05 below default-mode $defaultGraphRecall")
   }
 
+  test("sample-capped Lloyd fit: recall parity, full coverage, deterministic re-fit") {
+    import operators.Similarity.{ivfCellsOf, knnGraphOf}
+    val e = Tables(spark, sf, "embeddings")
+    // force the cap at sf0.001 (n=500): floor 64, 4 samples/cell →
+    // mTarget = max(64, 23·4) = 92 ≪ 500 — the fit sees ~18% of the
+    // corpus. At the shipped defaults (floor 2^17) nothing ≤ x30
+    // samples at all, so this forced path is the only way the branch
+    // executes in tests.
+    val (cellsS, centsS) = ivfCellsOf(spark, e, None, fitFloor = 64L, fitPerCell = 4L)
+    val n = e.count()
+    // full coverage: the ASSIGNMENT pass is never sampled
+    val asg = cellsS.select("vec_id", "cid").collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(asg.size == n, "sampled fit dropped vectors from the assignment")
+    assert(centsS.nonEmpty && centsS.length <= 23, "sampled fit grew the centroid count")
+    // determinism: the hash thin is a pure function of vec_id — an
+    // independent re-fit must be bit-identical (the treeReduce merge
+    // contract holds on the sample too)
+    val (cells2, cents2) = ivfCellsOf(spark, e, None, fitFloor = 64L, fitPerCell = 4L)
+    assert(centsS.zip(cents2).forall { case (a, b) => a.sameElements(b) },
+      "sampled re-fit centroids differ")
+    assert(cells2.select("vec_id", "cid").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap == asg,
+      "sampled re-fit assignments differ")
+    // recall parity: centroids estimated from 18% of the corpus must
+    // not cost the kNN graph its recall (same envelope as fixed-B)
+    val sampled = graphRecall(
+      knnGraphOf(spark, e, None, fitFloor = 64L, fitPerCell = 4L),
+      "q54 sample-capped fit graph")
+    assert(sampled >= 0.75, s"sample-capped recall $sampled below 0.75")
+    assert(sampled >= defaultGraphRecall - 0.05,
+      s"sample-capped recall $sampled more than 0.05 below default-mode $defaultGraphRecall")
+  }
+
   test("IVF default mode dispatches to fixed-B above the documented threshold") {
     import operators.Similarity.{kTargetFor, IvfFixedBThreshold, IvfDefaultCellB}
     // below the threshold: k = ceil(sqrt(n)) — the shipped corpora's
