@@ -19,13 +19,15 @@ import org.apache.spark.sql.functions._
   * shards) vs range windows' ~99.9% — interleaved-id sharding is the
   * one scope shape a deployment must NOT pick.
   *
-  * usage: runMain graft.ScopeBench <mediaDir> [scopes] [runs]
+  * usage: runMain graft.ScopeBench <mediaDir> [scopes] [runs] [family]
+  *   family: phash (default, q155) | wav (q157)
   */
 object ScopeBench {
   def main(args: Array[String]): Unit = {
     val dir = args(0)
     val scopes = args.lift(1).map(_.toInt).getOrElse(4)
     val runs = args.lift(2).map(_.toInt).getOrElse(2)
+    val family = args.lift(3).getOrElse("phash")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       Runtime.getRuntime.availableProcessors.toString).toInt
     val spark = GraftSession.local(cpus)
@@ -45,11 +47,17 @@ object ScopeBench {
     // dense from 0 in the GenData family, contiguous ranges either way)
     val maxId = Tables(spark, dir, "media").agg(max("doc_id")).head.getLong(0)
     val width = math.max(1L, maxId / scopes + 1L)
-    val (su, nu) = best(operators.Multimodal.q155(spark, dir))
-    val (ss, ns) = best(operators.Multimodal.q155(spark, dir,
-      floor(col("doc_id") / lit(width)).cast("long")))
+    val scopeCol = floor(col("doc_id") / lit(width)).cast("long")
+    val (unscoped, scoped) = family match {
+      case "wav" => (operators.Multimodal.q157(spark, dir),
+        operators.Multimodal.q157(spark, dir, scopeCol))
+      case _ => (operators.Multimodal.q155(spark, dir),
+        operators.Multimodal.q155(spark, dir, scopeCol))
+    }
+    val (su, nu) = best(unscoped)
+    val (ss, ns) = best(scoped)
     println(
-      f"""{"bench":"scope","dir":"$dir","scopes":$scopes,"runs":$runs,""" +
+      f"""{"bench":"scope","dir":"$dir","family":"$family","scopes":$scopes,"runs":$runs,""" +
         f""""unscoped_secs":$su%.1f,"scoped_secs":$ss%.1f,""" +
         s""""unscoped_pairs":$nu,"scoped_pairs":$ns}""")
     spark.stop()

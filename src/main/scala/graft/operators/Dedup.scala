@@ -1365,10 +1365,13 @@ object Dedup {
   def q45(s: SparkSession, dir: String): DataFrame =
     semanticDedupCells(Similarity.ivfCells(s, dir)._1, CosThr.toDouble) // shared cached fit
 
-  private[graft] def semanticDedup(s: SparkSession, emb: DataFrame, thr: Double): DataFrame =
+  private[graft] def semanticDedup(s: SparkSession, emb: DataFrame, thr: Double,
+      fitFloor: Long = Similarity.FitSampleFloor,
+      fitPerCell: Long = Similarity.FitSamplePerCell): DataFrame =
     // three consumers in the core — materialize the cell assignment
     // once so the Lloyd-fit scan isn't re-run per subtree
-    semanticDedupCells(Similarity.ivfCellsOf(s, emb)._1.localCheckpoint(false), thr)
+    semanticDedupCells(Similarity.ivfCellsOf(s, emb, None, fitFloor, fitPerCell)
+      ._1.localCheckpoint(false), thr)
 
   /** q45 core over an already-materialized cell assignment. */
   private def semanticDedupCells(cells: DataFrame, thr: Double): DataFrame = {

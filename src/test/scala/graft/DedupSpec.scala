@@ -474,6 +474,18 @@ class DedupSpec extends AnyFunSuite {
     val kept = out.filter(_.getBoolean(3)).map(_.getLong(0)).toSet
     (0 until 200).foreach(i => assert(kept.contains(i.toLong), s"base $i wrongly dropped"))
     (200 until 240).foreach(i => assert(!kept.contains(i.toLong), s"planted dup $i missed"))
+    // r13 sample-capped fit: centroids estimated from ~27% of the
+    // corpus (floor 64, 4/cell at n=240) must not cost SemDeDup its
+    // operating-point recall — a near-identical dup argmins to its
+    // source's cell whatever the centroids, so the planted-dup law
+    // is fit-sample-invariant even though cell MEMBERSHIP is not
+    val capped = operators.Dedup.semanticDedup(spark, df, 0.9,
+      fitFloor = 64L, fitPerCell = 4L).collect()
+    val keptC = capped.filter(_.getBoolean(3)).map(_.getLong(0)).toSet
+    (0 until 200).foreach(i => assert(keptC.contains(i.toLong),
+      s"sample-capped fit wrongly dropped base $i"))
+    (200 until 240).foreach(i => assert(!keptC.contains(i.toLong),
+      s"sample-capped fit missed planted dup $i"))
   }
 
   test("q110 estimates known-overlap Jaccard within the 128-perm envelope, invariant to partitioning") {
