@@ -613,16 +613,23 @@ object BuildCorpus {
       .write.mode(SaveMode.Overwrite).partitionBy("batch")
       .option("partitionOverwriteMode", "dynamic").parquet(s"$prev/md5delta")
 
-    // 3. near-dup admission vs the persisted index (+ prior increments)
+    // 3. near-dup admission vs the persisted index (+ prior increments).
+    // ONE tokenize for probe + appendDelta (the AdmitStream r13
+    // preCapped discipline — each used to re-shingle the increment)
+    val capped = DupIndex.cappedShingles(s, s"$prev/dupindex",
+        delta.select("doc_id", "text"))
+      .localCheckpoint(false)
     val verdicts = DupIndex.probe(s, s"$prev/dupindex", delta.select("doc_id", "text"),
-        Some(s"$prev/dupdelta"), excludeBatch = Some(incId))
+        Some(s"$prev/dupdelta"), excludeBatch = Some(incId),
+        preCapped = Some(capped))
       .localCheckpoint(false) // 3 consumers: sink + novel + count
     verdicts.withColumn("batch", lit(incId))
       .write.mode(SaveMode.Overwrite).partitionBy("batch")
       .option("partitionOverwriteMode", "dynamic").parquet(s"$out/verdicts")
     val novelIds = verdicts.filter(col("verdict") === "novel").select("doc_id")
     DupIndex.appendDelta(s, s"$prev/dupindex", s"$prev/dupdelta",
-      delta.join(novelIds, Seq("doc_id"), "left_semi").select("doc_id", "text"), incId)
+      delta.join(novelIds, Seq("doc_id"), "left_semi").select("doc_id", "text"), incId,
+      preCapped = Some(capped))
     decisions += ((3, "neardup_admission", nStaged, novelIds.count(),
       s"DupIndex.probe batch=$incId"))
 

@@ -548,7 +548,13 @@ object Similarity {
     // the ppm thin is binomial, so the sample can (astronomically
     // rarely, or on a spec's tiny forced-floor corpus) hold fewer
     // than k vectors — kEff keeps the centroid array and the
-    // tabulate below consistent with what the seed collect returned
+    // tabulate below consistent with what the seed collect returned.
+    // An EMPTY sample falls back to unsampled seeds (n > 0 here, so
+    // the corpus has rows even when the thin caught none)
+    if (cents.isEmpty)
+      cents = e.orderBy("vec_id").limit(k)
+        .select(col("vec_id"), col("ed")).as[(Long, Seq[Float])]
+        .collect().map(_._2.toArray.map(_.toDouble))
     val kEff = cents.length
     val dim = cents.head.length
 

@@ -97,20 +97,27 @@ object DupIndex {
   // hash-keyed probe join matches ZERO residents, and every near-dup
   // is silently ADMITTED until a compaction rewrites the root — the
   // worst failure mode an admission index can have. Detect the layout
-  // once per root (one footer read, memoized) and DERIVE
-  // sh = xxhash64(s) on read for old roots: correct (it is exactly
+  // (one footer read per sniffed dir, memoized) and DERIVE
+  // sh = xxhash64(s) on read for old layouts: correct (it is exactly
   // what writePostings stores), at pre-r12 probe cost; current
-  // layouts keep the pruned hash-only fast path. The memo key is the
-  // root path — an in-place upgrade keeps the derive path (still
-  // correct, just unpruned until the session ends); roots are
-  // immutable between compactions by the LSM discipline, and
-  // DOWNGRADES (sh column removed in place) are outside the contract.
+  // layouts keep the pruned hash-only fast path. BASE roots are one
+  // layout end to end (written atomically, immutable between
+  // compactions) — one sniff of the root. DELTA roots are NOT: a
+  // pre-upgrade sink that keeps appending post-upgrade batches mixes
+  // layouts under one root, and a single-footer sniff landing on a
+  // new file would silently read sh = NULL for every old batch — so
+  // delta reads sniff PER batch directory (each batch is written
+  // whole by one code version) and union the two reads. Memo
+  // staleness is safe by direction: a replay rewriting an old batch
+  // with new code leaves a stale "derive" verdict, and the derive
+  // path is correct on either layout; DOWNGRADES (sh column removed
+  // in place) are outside the contract.
   private val shPresent =
     new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]
-  private def hasShCol(s: SparkSession, root: String): Boolean =
-    shPresent.computeIfAbsent(root, _ =>
-      try s.read.parquet(root).schema.fieldNames.contains("sh")
-      catch { // existing-but-empty root: only _SUCCESS, nothing to
+  private def hasShFile(s: SparkSession, dir: String): Boolean =
+    shPresent.computeIfAbsent(dir, _ =>
+      try s.read.parquet(dir).schema.fieldNames.contains("sh")
+      catch { // existing-but-empty dir: only _SUCCESS, nothing to
         // infer from — the explicit-schema read below handles it
         case e: org.apache.spark.sql.AnalysisException
             if e.getMessage.contains("UNABLE_TO_INFER_SCHEMA") => true }
@@ -119,14 +126,36 @@ object DupIndex {
   private def dropSh(t: org.apache.spark.sql.types.StructType) =
     org.apache.spark.sql.types.StructType(t.filterNot(_.name == "sh"))
 
-  /** Posting/delta scan with the layout branch: post-r12 roots read
-    * the stored hash (column-pruned fast path); pre-upgrade roots
+  /** Posting/delta scan with the layout branch: post-r12 layouts read
+    * the stored hash (column-pruned fast path); pre-upgrade layouts
     * derive it from the shingle string. */
   private def readPost(s: SparkSession, root: String, delta: Boolean): DataFrame = {
     val schema = if (delta) deltaSchema else postSchema
-    if (hasShCol(s, root)) s.read.schema(schema).parquet(root)
-    else s.read.schema(dropSh(schema)).parquet(root)
+    def fast(paths: Seq[String]) = s.read.option("basePath", root)
+      .schema(schema).parquet(paths: _*)
+    def derive(paths: Seq[String]) = s.read.option("basePath", root)
+      .schema(dropSh(schema)).parquet(paths: _*)
       .withColumn("sh", xxhash64(col("s")))
+      .select(schema.fieldNames.map(col).toSeq: _*) // union column order
+    if (!delta) {
+      if (hasShFile(s, root)) s.read.schema(schema).parquet(root)
+      else derive(Seq(root))
+    } else {
+      // per-batch layout split (the listing is one driver FS call —
+      // the same cost Spark's own partition discovery pays per read)
+      val hp = new org.apache.hadoop.fs.Path(root)
+      val fs = hp.getFileSystem(s.sparkContext.hadoopConfiguration)
+      val batchDirs =
+        if (!fs.exists(hp)) Array.empty[org.apache.hadoop.fs.Path]
+        else fs.listStatus(hp).filter(st =>
+          st.isDirectory && st.getPath.getName.startsWith("batch="))
+          .map(_.getPath)
+      val (newB, oldB) = batchDirs.partition(p => hasShFile(s, p.toString))
+      if (oldB.isEmpty) s.read.schema(schema).parquet(root) // incl. empty root
+      else if (newB.isEmpty) derive(Seq(root))
+      else fast(newB.map(_.toString).toSeq)
+        .unionByName(derive(oldB.map(_.toString).toSeq))
+    }
   }
 
   private def readHot(s: SparkSession, basePath: String): DataFrame =
@@ -377,6 +406,9 @@ object DupIndex {
     * [[newlyHotKeys]] (the key set itself). */
   private def unionDf(s: SparkSession, deltaPath: String,
       baseDfPre: Option[DataFrame], sbs: Option[Seq[Long]]): DataFrame = {
+    // raw explicit-schema scan is layout-safe HERE ONLY because no
+    // consumer selects the stored `sh` (newlyHotKeys recomputes it
+    // from `s`); anything needing `sh` must go through readPost
     val scan0 = s.read.schema(deltaSchema).parquet(deltaPath)
     val scan = sbs.fold(scan0)(bs => scan0.filter(col("sb").isin(bs: _*)))
     val ddf = scan
@@ -428,6 +460,7 @@ object DupIndex {
     * (partition filter), so the cost is one listing + a ≤NBuckets
     * distinct over the trigger's own rows. */
   def deltaBuckets(s: SparkSession, deltaPath: String, batchId: Long): Seq[Long] =
+    // raw scan layout-safe: only partition columns read (never `sh`)
     s.read.schema(deltaSchema).parquet(deltaPath)
       .filter(col("batch") === lit(batchId))
       .select("sb").distinct().collect().map(_.getLong(0)).toSeq

@@ -560,7 +560,8 @@ class SourcesSpec extends AnyFunSuite {
     val isNew = pmod(col("doc_id"), lit(10)) === 7
     val base = docs.filter(!isNew)
     val batchDocs = docs.filter(isNew).as[(Long, String)].collect().toSeq
-    val (d1, probeB) = batchDocs.splitAt(batchDocs.size / 2)
+    val (d12, probeB) = batchDocs.splitAt(batchDocs.size / 2)
+    val (d1, d2) = d12.splitAt(d12.size / 2)
     val dir = tmp("shv2"); val delta = tmp("shv2d")
     val old = tmp("shv1"); val oldDelta = tmp("shv1d")
     sources.DupIndex.writeFrom(spark, base, dir)
@@ -575,6 +576,13 @@ class SourcesSpec extends AnyFunSuite {
     val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(conf)
     org.apache.hadoop.fs.FileUtil.copy(fs, new org.apache.hadoop.fs.Path(s"$dir/hot"),
       fs, new org.apache.hadoop.fs.Path(s"$old/hot"), false, conf)
+    // the UPGRADE PATH: the pre-upgrade sink keeps running post-upgrade
+    // code and appends batch 2 to the SAME delta root — batch=1 has no
+    // stored sh, batch=2 does. A single-footer sniff landing on the new
+    // batch would read sh = NULL for all of batch 1 and silently admit
+    // its near-dups; readPost's per-batch split must heal it.
+    sources.DupIndex.appendDelta(spark, old, oldDelta, d2.toDF("doc_id", "text"), 2L)
+    sources.DupIndex.appendDelta(spark, dir, delta, d2.toDF("doc_id", "text"), 2L)
     val want = sources.DupIndex.probe(spark, dir,
       probeB.toDF("doc_id", "text"), Some(delta)).collect()
     val got = sources.DupIndex.probe(spark, old,
@@ -582,7 +590,20 @@ class SourcesSpec extends AnyFunSuite {
     assert(want.exists(_.getString(1) == "dup_of_corpus"),
       "vacuous: no dup verdicts in the layout comparison")
     assert(got.map(_.toString).sorted.sameElements(want.map(_.toString).sorted),
-      "pre-upgrade root probed differently from the current layout")
+      "pre-upgrade/mixed-layout root probed differently from the current layout")
+    // sharp mixed-batch probe: RE-IDENTIFIED copies of batch 1's docs
+    // (same text, shifted ids — probe's replay guard drops same-id
+    // matches) are exact dups of batch-1 residents only; if the mixed
+    // read surfaces sh = NULL for the old batch, these flip to "novel"
+    val copies = d1.map { case (id, t) => (id + 10000000L, t) }
+    val selfWant = sources.DupIndex.probe(spark, dir,
+      copies.toDF("doc_id", "text"), Some(delta)).collect()
+    val selfGot = sources.DupIndex.probe(spark, old,
+      copies.toDF("doc_id", "text"), Some(oldDelta)).collect()
+    assert(selfWant.count(_.getString(1) == "dup_of_corpus") >= d1.size / 2,
+      "vacuous: re-identified batch-1 copies found too few dups")
+    assert(selfGot.map(_.toString).sorted.sameElements(selfWant.map(_.toString).sorted),
+      "old-batch residents probed differently through the mixed-layout delta")
   }
 
   test("dup index hot gate trips on an accumulated template and compaction equals a rebuild") {
