@@ -20,7 +20,12 @@ import org.apache.spark.sql.functions._
   * one scope shape a deployment must NOT pick.
   *
   * usage: runMain graft.ScopeBench <mediaDir> [scopes] [runs] [family]
-  *   family: phash (default, q155) | wav (q157)
+  *   family: phash (default, q155) | wav (q157). q171 is deliberately
+  *   NOT offered: its output is a corpus-row verdict frame whose
+  *   count is constant by construction (one row per image, scoped or
+  *   not), so the pair-count column would say nothing about the
+  *   scoping trade — and its banding join IS q155's
+  *   (hamming64Pairs), which the phash rows already measure.
   */
 object ScopeBench {
   def main(args: Array[String]): Unit = {
