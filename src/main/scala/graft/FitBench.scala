@@ -19,6 +19,7 @@ object FitBench {
   def main(args: Array[String]): Unit = {
     val dir = args(0)
     val runs = args.lift(1).map(_.toInt).getOrElse(1)
+    require(runs >= 1, s"runs must be >= 1, got $runs")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       Runtime.getRuntime.availableProcessors.toString).toInt
     val spark = GraftSession.local(cpus)

@@ -56,8 +56,11 @@ object ScopeBench {
     val (unscoped, scoped) = family match {
       case "wav" => (operators.Multimodal.q157(spark, dir),
         operators.Multimodal.q157(spark, dir, scopeCol))
-      case _ => (operators.Multimodal.q155(spark, dir),
+      case "phash" => (operators.Multimodal.q155(spark, dir),
         operators.Multimodal.q155(spark, dir, scopeCol))
+      // a typo'd family must not silently time phash under the wrong
+      // label — the JSON line is what measurement ledgers ingest
+      case other => sys.error(s"unknown family '$other' (phash|wav)")
     }
     val (su, nu) = best(unscoped)
     val (ss, ns) = best(scoped)

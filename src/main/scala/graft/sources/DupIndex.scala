@@ -114,14 +114,34 @@ object DupIndex {
   // in place) are outside the contract.
   private val shPresent =
     new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]
+  // one recursive listing + ONE raw parquet footer per sniffed dir
+  // (memoized) — NOT a DataFrameReader init per dir, which costs
+  // ~50-100 ms of datasource resolution each: a restarted sink's
+  // first delta read sniffs every accumulated batch dir, and at a
+  // compaction-overdue ~300 batches the heavyweight version added
+  // multiple seconds to the first trigger
   private def hasShFile(s: SparkSession, dir: String): Boolean =
-    shPresent.computeIfAbsent(dir, _ =>
-      try s.read.parquet(dir).schema.fieldNames.contains("sh")
-      catch { // existing-but-empty dir: only _SUCCESS, nothing to
-        // infer from — the explicit-schema read below handles it
-        case e: org.apache.spark.sql.AnalysisException
-            if e.getMessage.contains("UNABLE_TO_INFER_SCHEMA") => true }
-    ).booleanValue
+    shPresent.computeIfAbsent(dir, _ => {
+      val conf = s.sparkContext.hadoopConfiguration
+      val hp = new org.apache.hadoop.fs.Path(dir)
+      val fs = hp.getFileSystem(conf)
+      def firstParquet(p: org.apache.hadoop.fs.Path): Option[org.apache.hadoop.fs.Path] = {
+        val (dirs, files) = fs.listStatus(p).partition(_.isDirectory)
+        files.find(_.getPath.getName.endsWith(".parquet")).map(_.getPath)
+          .orElse(dirs.sortBy(_.getPath.getName).iterator
+            .flatMap(d => firstParquet(d.getPath)).nextOption())
+      }
+      firstParquet(hp) match {
+        // existing-but-empty dir: only _SUCCESS, nothing to sniff —
+        // the explicit-schema read below handles it
+        case None => true
+        case Some(f) =>
+          val rd = org.apache.parquet.hadoop.ParquetFileReader.open(
+            org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(f, conf))
+          try rd.getFileMetaData.getSchema.containsField("sh")
+          finally rd.close()
+      }
+    }).booleanValue
 
   private def dropSh(t: org.apache.spark.sql.types.StructType) =
     org.apache.spark.sql.types.StructType(t.filterNot(_.name == "sh"))
@@ -136,13 +156,17 @@ object DupIndex {
     def derive(paths: Seq[String]) = s.read.option("basePath", root)
       .schema(dropSh(schema)).parquet(paths: _*)
       .withColumn("sh", xxhash64(col("s")))
-      .select(schema.fieldNames.map(col).toSeq: _*) // union column order
+      // cosmetic: align column order with the fast leg (the union is
+      // unionByName and every consumer selects by name — this only
+      // keeps printSchema/debug output identical across branches)
+      .select(schema.fieldNames.map(col).toSeq: _*)
     if (!delta) {
       if (hasShFile(s, root)) s.read.schema(schema).parquet(root)
       else derive(Seq(root))
     } else {
-      // per-batch layout split (the listing is one driver FS call —
-      // the same cost Spark's own partition discovery pays per read)
+      // per-batch layout split: one driver listing for the batch
+      // dirs + one memoized raw-footer sniff per batch dir (see
+      // [[hasShFile]] for why that must stay lightweight)
       val hp = new org.apache.hadoop.fs.Path(root)
       val fs = hp.getFileSystem(s.sparkContext.hadoopConfiguration)
       val batchDirs =
