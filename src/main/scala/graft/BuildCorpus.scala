@@ -105,29 +105,75 @@ object BuildCorpus {
   private def intakeAndStage(s: SparkSession, in: String, out: String,
       decisions: Ledger)
       : (Long, Long) = {
-    val intake = TextOps.q108(s, in).collect()(0)
-    val nDocs = intake.getAs[Long]("n_docs")
-    decisions += ((0, "intake", nDocs, intake.getAs[Long]("n_clean"),
-      s"dup_id=${intake.getAs[Long]("n_dup_id")} ctrl=${intake.getAs[Long]("n_ctrl_chars")}"))
-    val keyed = Tables(s, in, "documents")
+    // r13 optimization (guide §1.2/§8): the intake audit used to be a
+    // SEPARATE full-corpus action (q108: every flag regex + a
+    // corpus-wide count(DISTINCT doc_id)), and the dup-id check then
+    // paid a SECOND full-text shuffle (count(1) OVER (PARTITION BY
+    // doc_id) — the whole normalized corpus crossed an id-keyed
+    // exchange to count ids). Both facts are cheaper than a corpus
+    // pass: the row-local audit flags (TextOps.intakeFlags — the
+    // exact q108 expressions) now RIDE the normalize pass as an
+    // Observation, and the only corpus-level fact, the duplicate-id
+    // set, comes from a column-pruned scan of doc_id alone. The
+    // heavy text bytes now move ONCE (scan → normalize → staged
+    // write); the ledger rows carry byte-identical values
+    // (BuildCorpusSpec's dirty-intake case pins them). Ledger wall
+    // attribution shift: the intake row now lands after the first
+    // keyed action, so its seconds include the quarantine write.
+    val raw = Tables(s, in, "documents")
+    // the duplicated-id LIST comes off a scan that reads ONLY the id
+    // column, and is intake-anomaly-sized (empty on a healthy
+    // intake, never more than the distinct dup ids) — broadcast it
+    // instead of shuffling the corpus text by id; it evaluates
+    // lazily inside the keyed checkpoint's materialization, not as
+    // its own driver action
+    val dupList = broadcast(
+      raw.groupBy("doc_id").agg(count(lit(1)).as("id_n"))
+        .filter(col("doc_id").isNotNull && col("id_n") > 1)
+        .select(col("doc_id"), lit(true).as("is_dup")))
+    // the q108 row-local flags ride the normalize pass as BOOLEAN
+    // COLUMNS (an Observation cannot: its metrics node materializes
+    // inside the checkpoint's RDD job, outside any tracked SQL
+    // action, and never reports). The flag expressions read the RAW
+    // text/n_chars input attributes in the same projection that
+    // replaces text with its normalized form; the audit counts are
+    // then one tiny aggregate over the MATERIALIZED checkpoint — no
+    // second corpus scan, no regex re-run.
+    import TextOps.intakeFlags
+    val keyed = raw
       .select(col("doc_id"), col("lang"), col("source"),
         TextOps.normalizeCol(col("text")).as("text"),
-        (TextOps.normalizeCol(col("text")) =!= col("text")).as("changed"))
+        (TextOps.normalizeCol(col("text")) =!= col("text")).as("changed"),
+        // only the two flags the ledger records; the full q108 report
+        // stays available as the declared operator
+        intakeFlags.ctrl.as("f_ctrl"),
+        intakeFlags.clean.as("f_clean"))
       .withColumn("n_chars", length(col("text")).cast("long"))
-      // one id-keyed shuffle prices the dup check — the intake audit
-      // already paid an exact count(DISTINCT doc_id) for the same fact
-      .withColumn("id_n", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))))
+      .join(dupList, Seq("doc_id"), "left")
       .withColumn("quarantine_reason",
         when(col("doc_id").isNull, "null_id")
-          .when(col("id_n") > 1, "dup_id")
+          .when(col("is_dup"), "dup_id")
           .when(col("text").isNull, "null_text")
           .when(col("text") === "", "empty_after_normalize")
           .when(col("lang").isNull, "null_lang"))
-      .localCheckpoint(false) // 3 consumers: quarantine, staged, count
+      .localCheckpoint(false) // 4 consumers: quarantine, audit agg, staged, count
     keyed.filter(col("quarantine_reason").isNotNull)
       .select("doc_id", "text", "lang", "source", "quarantine_reason")
       .write.mode(SaveMode.Overwrite).parquet(s"$out/quarantine")
+    // audit counts off the in-memory checkpoint (q108's sums of the
+    // same row predicates — byte-identical ledger values)
+    val audit = keyed.agg(
+      count(lit(1)).as("n_docs"),
+      intakeFlags.cnt(col("f_ctrl")).as("n_ctrl_chars"),
+      intakeFlags.cnt(col("f_clean")).as("n_clean"),
+      // n_dup_id == count(doc_id) - count(DISTINCT doc_id) ==
+      // (rows carrying a duplicated id) - (distinct duplicated ids)
+      // — the distinct runs over the anomaly-sized dup set only
+      (intakeFlags.cnt(col("is_dup")) -
+        countDistinct(when(col("is_dup"), col("doc_id")))).as("n_dup_id")).collect()(0)
+    val nDocs = audit.getAs[Long]("n_docs")
+    decisions += ((0, "intake", nDocs, audit.getAs[Long]("n_clean"),
+      s"dup_id=${audit.getAs[Long]("n_dup_id")} ctrl=${audit.getAs[Long]("n_ctrl_chars")}"))
     // staged count + changed count OBSERVED on the write itself (over
     // STAGED rows only: a quarantined row that also normalized
     // differently must not double-book the ledger) — two extra count

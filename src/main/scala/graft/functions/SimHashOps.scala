@@ -47,6 +47,43 @@ object SimHashOps {
 
   def canonicalCombo(xor: Column): Column =
     GraftBridge.column(CanonicalCombo(GraftBridge.expression(xor)))
+
+  /** SimHash(64) of a token array, fused per row (r13 optimization):
+    * h = xxhash64(token) per element, per-bit +1/−1 majority vote,
+    * bit set when the vote is ≥ 0. Bit-identical to the retired
+    * explode + 64-column groupBy form (same XxHash64Function seed-42
+    * hash, same integer vote, including the h=42 null-element case
+    * the old xxhash64(NULL) row produced) — but a pure map-side
+    * projection: the corpus-token-sized (doc_id, h) shuffle and the
+    * 64-agg hash aggregate are gone from q43's plan. Called from
+    * generated code — allocation is one 64-int vote array per row. */
+  def simhash64(arr: org.apache.spark.sql.catalyst.util.ArrayData): Long = {
+    import org.apache.spark.sql.catalyst.expressions.XxHash64Function
+    val n = arr.numElements()
+    val votes = new Array[Int](64)
+    var i = 0
+    while (i < n) {
+      val h =
+        if (arr.isNullAt(i)) 42L
+        else XxHash64Function.hash(arr.getUTF8String(i), StringType, 42L)
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+        b += 1
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) {
+      if (votes(b) >= 0) out |= 1L << b
+      b += 1
+    }
+    out
+  }
+
+  def simhash64(tokens: Column): Column =
+    GraftBridge.column(SimHash64(GraftBridge.expression(tokens)))
 }
 
 /** Codegen'd wrapper over [[SimHashOps.canonicalCombo]]. */
@@ -64,6 +101,27 @@ case class CanonicalCombo(child: Expression) extends UnaryExpression {
 
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, x => s"graft.functions.SimHashOps.canonicalCombo($x)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Codegen'd wrapper over [[SimHashOps.simhash64]]. */
+case class SimHash64(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"simhash64 expects array<string> tokens, got $other")
+  }
+
+  override def nullSafeEval(arr: Any): Any =
+    SimHashOps.simhash64(arr.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, x => s"graft.functions.SimHashOps.simhash64($x)")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)

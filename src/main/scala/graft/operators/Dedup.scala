@@ -342,19 +342,23 @@ object Dedup {
   }
 
   /** SimHash(64) per document (unigram token hashing, majority vote
-    * per bit). Exposed for DedupSpec's exhaustive-recall check. */
-  def simhashes(s: SparkSession, dir: String): DataFrame = {
-    val toks = Tables(s, dir, "documents")
-      .select(col("doc_id"), explode(expr(s"array_distinct($tokensExpr)")).as("tok"))
-      .withColumn("h", xxhash64(col("tok")))
-    val bitAggs = (0 until 64).map(b =>
-      sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$b"))
-    toks.groupBy("doc_id")
-      .agg(bitAggs.head, bitAggs.tail: _*)
-      .select(col("doc_id"),
-        (0 until 64).map(b => when(col(s"b$b") >= 0, lit(1L << b)).otherwise(0L))
-          .reduce(_ + _).as("simhash"))
-  }
+    * per bit). Exposed for DedupSpec's exhaustive-recall check.
+    *
+    * r13 optimization (guide §2.4 — remove the shuffle outright):
+    * simhash is a pure per-row function of the distinct-token array,
+    * so the old explode → (doc_id, h) shuffle → 64-column hash
+    * aggregate is ONE fused codegen'd expression per document
+    * (functions.SimHashOps.simhash64) and the whole pass is map-only
+    * — at 100 TB the retired exchange was corpus-TOKEN-sized. The
+    * `size > 0` guard preserves the explode form's behavior of
+    * dropping zero-token docs (explode of an empty array emitted no
+    * row, so they never reached the groupBy); bit-identity of the
+    * hash/vote is spec'd (DedupSpec fused-vs-reference). */
+  def simhashes(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "documents")
+      .select(col("doc_id"), expr(s"array_distinct($tokensExpr)").as("tks"))
+      .where(size(col("tks")) > 0)
+      .select(col("doc_id"), graft.functions.SimHashOps.simhash64(col("tks")).as("simhash"))
 
   /** SimHash near-dup pairs, hamming ≤ 8 — GUARANTEED recall via
     * block-combination banding (Manku/Jain/Das Sarma, WWW'07 §3): the
@@ -461,7 +465,26 @@ object Dedup {
     * different axis (exact md5 / embedding dedup are already global)
     * or rotate scope boundaries between runs. Output carries each
     * pair's scope. */
-  private[graft] def hamming64Pairs(hashes: DataFrame, maxHam: Int): DataFrame = {
+  private[graft] def hamming64Pairs(hashes: DataFrame, maxHam: Int): DataFrame =
+    hamming64PairsCore(hashes, maxHam)
+      // r13: checkpoint BEFORE the presentation sort — the trailing
+      // orderBy's range-partitioner sample was executing the whole
+      // banding join twice per action (measured: two ~equal 32-task
+      // join stages per run at sf0.1). The pair frame is near-dup-
+      // sized (tiny) while the subtree is the expensive core — the
+      // q79/q84 tiny-checkpoint rule; consumers that iterate over the
+      // pairs (q171's label propagation) also stop re-executing the
+      // join per consumer. The checkpoint hides the join from
+      // downstream plans — PlanGuard asserts the join shape on
+      // [[hamming64PairsCore]] directly (the q42/q44 uncached-core
+      // pattern).
+      .localCheckpoint(false)
+      .orderBy("d1", "d2")
+
+  /** The uncheckpointed banding-join core — exposed (private[graft])
+    * so PlanGuardSpec can assert the join shape the public wrapper's
+    * checkpoint hides. */
+  private[graft] def hamming64PairsCore(hashes: DataFrame, maxHam: Int): DataFrame = {
     require(maxHam <= 8, s"10-block banding only guarantees hamming<=8, got $maxHam")
     val scoped = hashes.columns.contains("scope")
     import graft.functions.SimHashOps.canonicalCombo
@@ -489,7 +512,24 @@ object Dedup {
     val scopeEq =
       if (scoped) Seq(col("x.scope") === col("y.scope")) else Seq.empty
     val outScope = if (scoped) Seq(col("x.scope").as("scope")) else Seq.empty
-    keyed.as("x").hint("shuffle_merge").join(keyed.as("y").hint("shuffle_merge"),
+    // r13: pin the JOIN's parallelism too (the r11 barrier-pin lesson,
+    // one exchange further down). The banding shuffle is small in
+    // BYTES (45 keyed rows × ~30 B per item) but the join stage it
+    // feeds is the match-multiplied compute core — AQE's byte-driven
+    // coalescing folded it to totalBytes/1MB partitions (measured: 6
+    // tasks on 32 cores at sf0.1, 2×~0.9 s with the trailing orderBy's
+    // range-sample executing the join subtree twice). An explicit-count
+    // repartition on the band key IS the join's required partitioning
+    // (same keys, same count on both sides — no extra exchange vs the
+    // join's own shuffle) and AQE leaves explicit counts alone, so the
+    // match explosion parallelizes across cores. Cores, not bytes, are
+    // the resource this stage needs — defaultParallelism, not a local
+    // constant. The SMJ itself stays (shuffle_merge rationale above).
+    val parts = hashes.sparkSession.sparkContext.defaultParallelism
+    val keyCols = (if (scoped) Seq(col("scope")) else Seq.empty) ++
+      Seq(col("cb"), col("bkey"))
+    val pinned = keyed.repartition(parts, keyCols: _*)
+    pinned.as("x").hint("shuffle_merge").join(pinned.as("y").hint("shuffle_merge"),
         (scopeEq :+ (col("x.cb") === col("y.cb")) :+
           (col("x.bkey") === col("y.bkey")) :+
           (col("x.doc_id") < col("y.doc_id"))).reduce(_ && _))
@@ -497,7 +537,6 @@ object Dedup {
       .select(Seq(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"),
         bit_count(xorCol).as("hamming")) ++ outScope: _*)
       .filter(col("hamming") <= maxHam)
-      .orderBy("d1", "d2")
   }
 
   /** q44 cosine threshold — ONE constant shared with the oracle SQL

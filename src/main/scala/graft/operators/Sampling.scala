@@ -1076,17 +1076,39 @@ object Sampling {
     val docs = Tables(s, dir, "documents")
       .withColumn("tk", expr(Dedup.tokensExpr))
     val dg = docs.select(col("doc_id"), explode(expr(gramExpr)).as("g"))
-    val firsts = dg.groupBy("g").agg(min("doc_id").as("first_doc"))
-    val per = dg.join(firsts, "g")
-      .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_grams"),
-        sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L)).as("n_novel"))
+    // r13 optimization (guide §2.3/§2.4): the old form joined the
+    // per-gram first-occurrence frame BACK onto the corpus-gram
+    // stream (a gram-sized equi-join whose match stream then
+    // re-shuffled by doc_id) just to count, per doc, the grams it
+    // owns first. But each gram credits exactly ONE doc — its
+    // min(doc_id) — so that count is a direct aggregate of the
+    // firsts frame itself: groupBy(first_doc).count(); and the
+    // per-doc gram count needs no explode at all — it is the SIZE of
+    // the per-row distinct-gram array (gramExpr array_distincts), a
+    // map-only projection. One explode pass + one map-only pass +
+    // a DOC-sized join replace two explode passes and the gram-sized
+    // join; every count is the same integer. Zero-gram docs now
+    // carry n_grams = 0 explicitly (the explode form dropped them);
+    // their novelty stays NULL (0-gram ratio divides by zero → NULL
+    // in both engines) and the outer coalesce emits the same 0s.
+    val nGrams = docs.select(col("doc_id"),
+      expr(s"CAST(size($gramExpr) AS BIGINT)").as("n_grams"))
+    val nNovel = dg.groupBy("g").agg(min("doc_id").as("first_doc"))
+      .groupBy(col("first_doc").as("doc_id")).agg(count(lit(1)).as("nv"))
+    val per = nGrams.join(nNovel, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_grams"),
+        coalesce(col("nv"), lit(0L)).as("n_novel"))
     docs.select("doc_id")
       .join(per, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("n_grams"), lit(0L)).as("n_grams"),
         coalesce(col("n_novel"), lit(0L)).as("n_novel"),
-        ops.r6(col("n_novel") * lit(1.0) / col("n_grams")).as("novelty"))
+        // n_grams = 0 rows exist now (the map-only count keeps docs
+        // the old explode dropped): guard the ratio so they stay
+        // NULL like the old null-propagated form — an unguarded
+        // 0.0/0 double divide is NaN in Spark, NULL in DuckDB
+        ops.r6(when(col("n_grams") > 0,
+          col("n_novel") * lit(1.0) / col("n_grams"))).as("novelty"))
       .orderBy("doc_id")
   }
 

@@ -210,6 +210,29 @@ class DedupSpec extends AnyFunSuite {
     assert(df.count() > 0, "expected simhash candidates on near-dup corpus")
   }
 
+  test("fused simhash64 expression is bit-identical to the explode+groupBy reference") {
+    // the r13 map-only rewrite must reproduce the retired form
+    // EXACTLY: same xxhash64 per token, same per-bit +1/-1 majority,
+    // same zero-token-doc drop (explode emitted no row for them)
+    val ref = {
+      val toks = Tables(spark, sf, "documents")
+        .select(col("doc_id"),
+          explode(expr(s"array_distinct(${operators.Dedup.tokensExpr})")).as("tok"))
+        .withColumn("h", xxhash64(col("tok")))
+      val bitAggs = (0 until 64).map(b =>
+        sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$b"))
+      toks.groupBy("doc_id")
+        .agg(bitAggs.head, bitAggs.tail: _*)
+        .select(col("doc_id"),
+          (0 until 64).map(b => when(col(s"b$b") >= 0, lit(1L << b)).otherwise(0L))
+            .reduce(_ + _).as("simhash"))
+    }
+    val fused = operators.Dedup.simhashes(spark, sf).select("doc_id", "simhash")
+    assert(fused.exceptAll(ref.select("doc_id", "simhash")).count() == 0 &&
+      ref.select("doc_id", "simhash").exceptAll(fused).count() == 0,
+      "fused simhash64 diverged from the explode+groupBy reference")
+  }
+
   test("q43 block-combination banding recalls ALL hamming<=8 pairs (exhaustive)") {
     val sims = operators.Dedup.simhashes(spark, sf)
     val a = sims.select(col("doc_id").as("d1"), col("simhash").as("h1"))

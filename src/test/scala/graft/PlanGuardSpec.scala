@@ -27,7 +27,14 @@ class PlanGuardSpec extends AnyFunSuite {
       "q42 uncached core" ->
         operators.Dedup.mhPairsUncached(spark, sf).queryExecution.executedPlan.toString,
       "q44 uncached core" ->
-        operators.Dedup.semPairsUncached(spark, sf).queryExecution.executedPlan.toString)
+        operators.Dedup.semPairsUncached(spark, sf).queryExecution.executedPlan.toString,
+      // r13: hamming64Pairs checkpoints its pair frame before the
+      // presentation sort, which hides the banding join from
+      // q43/q155/q157/q171's own plans — guard the shared core
+      // directly (the same uncached-core pattern as q42/q44)
+      "hamming64Pairs core" ->
+        operators.Dedup.hamming64PairsCore(operators.Dedup.simhashes(spark, sf), 8)
+          .queryExecution.executedPlan.toString)
     for ((q, p) <- plans) {
       assert(!p.contains("CartesianProduct"), s"$q plans a cartesian product")
       assert(!p.contains("BroadcastNestedLoopJoin"), s"$q plans a nested-loop join")
