@@ -296,19 +296,40 @@ object Events {
 
   /** Ordered view→click→purchase funnel. */
   def q24(s: SparkSession, dir: String): DataFrame = {
-    val ev = Tables(s, dir, "events")
-    val v = ev.filter(col("event_type") === "view")
-      .groupBy("user_id").agg(min("ts").as("v_ts"))
-    val c = ev.filter(col("event_type") === "click").join(v, "user_id")
-      .filter(col("ts") >= col("v_ts"))
-      .groupBy("user_id").agg(min("ts").as("c_ts"))
-    val p = ev.filter(col("event_type") === "purchase").join(c, "user_id")
-      .filter(col("ts") >= col("c_ts"))
-      .groupBy("user_id").agg(min("ts").as("p_ts"))
-    v.select(lit("1_view").as("stage"), col("user_id"))
-      .union(c.select(lit("2_click"), col("user_id")))
-      .union(p.select(lit("3_purchase"), col("user_id")))
-      .groupBy("stage").agg(count(lit(1)).as("users"))
+    // r13 optimization (guide §2.4, the q148 chained-window shape):
+    // the old form scanned events once per stage and equi-joined the
+    // stages (3 scans + 2 joins + a union) — but each stage anchor
+    // is a per-USER fact, so ONE user-keyed shuffle computes the
+    // whole chain as whole-partition window minima (v_ts = first
+    // view; c_ts = first click at-or-after it; p_ts = first purchase
+    // at-or-after that), then one agg + the q126 explode-structs
+    // report. Whole-partition frames (no orderBy) — no equal-ts
+    // frame-boundary hazard. The isNotNull guard on c_ts replicates
+    // the old join's null-key semantics exactly: a NULL-user group
+    // counts in stage 1 (the old groupBy kept it) but can never join
+    // into stages 2-3. Oracle SQL unchanged — the equality proof.
+    val byUser = Window.partitionBy("user_id")
+    val anchored = Tables(s, dir, "events")
+      .select("user_id", "ts", "event_type")
+      .withColumn("v_ts",
+        min(when(col("event_type") === "view", col("ts"))).over(byUser))
+      .withColumn("c_ts",
+        min(when(col("event_type") === "click" && col("user_id").isNotNull &&
+          col("v_ts").isNotNull && col("ts") >= col("v_ts"), col("ts"))).over(byUser))
+      .withColumn("p_ts",
+        min(when(col("event_type") === "purchase" &&
+          col("c_ts").isNotNull && col("ts") >= col("c_ts"), col("ts"))).over(byUser))
+    anchored.groupBy("user_id")
+      .agg(max("v_ts").as("v"), max("c_ts").as("c"), max("p_ts").as("p"))
+      .agg(
+        sum(when(col("v").isNotNull, 1L).otherwise(0L)).as("nv"),
+        sum(when(col("c").isNotNull, 1L).otherwise(0L)).as("nc"),
+        sum(when(col("p").isNotNull, 1L).otherwise(0L)).as("np"))
+      .select(explode(array(
+        struct(lit("1_view").as("stage"), col("nv").as("users")),
+        struct(lit("2_click").as("stage"), col("nc").as("users")),
+        struct(lit("3_purchase").as("stage"), col("np").as("users")))).as("r"))
+      .select(col("r.stage"), col("r.users"))
       .orderBy("stage")
   }
 

@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.{Q, Tables}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Training-set assembly (SURVEY §2.F2): deterministic splits and
@@ -39,13 +39,18 @@ object Sampling {
     * straddle train and test — the classic eval-leakage bug — and
     * the split survives re-ingestion with renumbered ids. Pure
     * per-row projection: at 100 TB this is a map-only pass. */
+  /** q66's split verdict over any documents frame — the ONE
+    * Spark-side definition (q66 and q68's single-scan gate; the
+    * oracle twin is the CASE in q66Sql/gateCtes). */
+  private[graft] def splitCol: Column =
+    when(expr(BucketExpr) < TrainLt, "train")
+      .when(expr(BucketExpr) < ValLt, "val")
+      .otherwise("test")
+
   def q66(s: SparkSession, dir: String): DataFrame =
     Tables(s, dir, "documents")
       .withColumn("bucket", expr(BucketExpr))
-      .withColumn("split",
-        when(col("bucket") < TrainLt, "train")
-          .when(col("bucket") < ValLt, "val")
-          .otherwise("test"))
+      .withColumn("split", splitCol)
       .select(col("doc_id"), col("bucket"), col("split"))
       .orderBy("doc_id")
 
@@ -109,21 +114,36 @@ object Sampling {
     * iterative checkpoint. */
   def q68(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // r13 optimization (guide §2.4): the gate used to build five
+    // separate per-doc frames (exact-dup hash window, q60 quality,
+    // scrub's is_clean, q66's split, plus a bare id frame) and
+    // equi-join them — five full-text corpus scans and five doc-keyed
+    // joins for verdicts that are all ROW-LOCAL except the exact-dup
+    // canonical and the near-dup labels. Now ONE pass computes every
+    // row-local column (via the operators' shared cores:
+    // TextOps.qualityScoreCol, the EmailRe/PhoneRe constants the
+    // oracle's clean CTE also spells, splitCol), the exact-dup
+    // canonical is one SLIM window shuffle (text/tk pruned below the
+    // exchange), and the only join left is the cached q65 labels.
+    // Same expressions, same rows — the unchanged q68Sql oracle is
+    // the proof.
     val docs = Tables(s, dir, "documents")
-    val exKeep = docs
-      .withColumn("group_hash", md5(col("text").cast("binary")))
-      .withColumn("ex_canon", min("doc_id").over(Window.partitionBy("group_hash")))
-      .select(col("doc_id"), (col("doc_id") === col("ex_canon")).as("ex_keep"))
+    val row = docs
+      .withColumn("tk", expr(Dedup.tokensExpr))
+      .select(
+        col("doc_id"),
+        TextOps.qualityScoreCol.as("quality_score"),
+        (size(regexp_extract_all(col("text"), lit(TextOps.EmailRe), lit(0))) +
+          size(regexp_extract_all(col("text"), lit(TextOps.PhoneRe), lit(0))) === 0)
+          .as("is_clean"),
+        splitCol.as("split"),
+        md5(col("text").cast("binary")).as("group_hash"))
+    val ex = row.withColumn("ex_canon",
+      min("doc_id").over(Window.partitionBy("group_hash")))
     val ndKeep = Dedup.q65(s, dir)
       .select(col("doc_id"), (col("doc_id") === col("cluster_id")).as("nd_keep"))
-    val qual = TextOps.q60(s, dir).select("doc_id", "quality_score")
-    val clean = TextOps.scrub(docs.select("doc_id", "text"))
-      .select("doc_id", "is_clean")
-    val split = q66(s, dir).select("doc_id", "split")
-    docs.select("doc_id")
-      .join(exKeep, "doc_id").join(ndKeep, "doc_id").join(qual, "doc_id")
-      .join(clean, "doc_id").join(split, "doc_id")
-      .filter(col("ex_keep") && col("nd_keep") && col("is_clean") &&
+    ex.join(ndKeep, "doc_id")
+      .filter(col("doc_id") === col("ex_canon") && col("nd_keep") && col("is_clean") &&
         col("quality_score") >= QualityThr.toDouble)
       .select("doc_id", "split", "quality_score")
       .orderBy("doc_id")
@@ -947,10 +967,18 @@ object Sampling {
     * with q41/q65, so SamplingSpec can assert this output equals the
     * cross-split restriction of q41's pair set exactly. */
   def q86(s: SparkSession, dir: String): DataFrame = {
+    // r13: barrier the split-side frame — its consumers (the shingle
+    // join, re-executed by the tr and ev branches, plus the final
+    // train filter) each re-ran the full-text md5 bucket pass; post-
+    // projection it is doc-id + boolean, dimension-sized. And sz is
+    // computed off the memoized shingle frame directly: joining side
+    // first restricted nothing (side covers every doc) and executed
+    // the join once more per consumer.
     val side = Tables(s, dir, "documents")
       .select(col("doc_id"), (expr(BucketExpr) < TrainLt).as("is_train"))
+      .localCheckpoint(false)
     val sh = Dedup.cappedShingles(s, dir).join(side, "doc_id")
-    val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val sz = Dedup.cappedShingles(s, dir).groupBy("doc_id").agg(count(lit(1)).as("n"))
     val tr = sh.filter(col("is_train")).select(col("doc_id").as("d"), col("s"))
     val ev = sh.filter(!col("is_train")).select(col("doc_id").as("e"), col("s"))
     val pr = tr.join(ev, "s").groupBy("d", "e").agg(count(lit(1)).as("c"))

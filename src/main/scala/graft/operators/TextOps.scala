@@ -32,6 +32,15 @@ object TextOps {
     ops.R4(s"least(1.0, len(tk)/100.0) * (1.0 - ${duckScore(stopEn)}*1.0 / len(tk))")
 
   /** Per-document quality score from length/stopword signals. */
+  /** q60's rounded quality score over a frame carrying `tk` — the
+    * ONE Spark-side definition (q60 itself and q68's single-scan
+    * gate both project it; `QualityScoreSql` is the oracle twin). */
+  private[graft] def qualityScoreCol: Column = {
+    val n = expr("size(tk)")
+    val stop = expr(scoreExpr(stopEn))
+    ops.r4(least(lit(1.0), n / 100.0) * (lit(1.0) - stop * 1.0 / n))
+  }
+
   def q60(s: SparkSession, dir: String): DataFrame =
     Tables(s, dir, "documents")
       .withColumn("tk", expr(tk))
@@ -42,8 +51,7 @@ object TextOps {
         col("doc_id"), col("n_tokens"),
         ops.r4(col("sum_len") * 1.0 / col("n_tokens")).as("avg_token_len"),
         ops.r4(col("n_stop") * 1.0 / col("n_tokens")).as("stopword_ratio"),
-        ops.r4(least(lit(1.0), col("n_tokens") / 100.0) *
-          (lit(1.0) - col("n_stop") * 1.0 / col("n_tokens"))).as("quality_score"))
+        qualityScoreCol.as("quality_score"))
       .orderBy("doc_id")
 
   private val q60Sql =
@@ -583,11 +591,20 @@ object TextOps {
          THEN transform(sequence(1, size(tkc)-1),
               i -> struct(element_at(tkc,i) AS t1, element_at(tkc,i+1) AS t2))
          ELSE array() END"""
+    // r13: barrier both count frames — bc has 2 consumers (total +
+    // the filtered join) and uni has 3 (total + both word joins),
+    // which re-executed the bigram tokenize pass twice and the
+    // unigram pass three times (5 corpus scans in the before plan).
+    // Post-agg both are (bigram-)vocab-sized — the tiny-checkpoint
+    // rule, serialized blocks.
+    val ser = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER
     val bc = docs.select(explode(expr(bigramExpr)).as("p"))
       .select(col("p.t1").as("t1"), col("p.t2").as("t2"))
       .groupBy("t1", "t2").agg(count(lit(1)).as("pair_count"))
+      .localCheckpoint(false, ser)
     val uni = docs.select(explode(expr(tk)).as("t"))
       .groupBy("t").agg(count(lit(1)).as("cu"))
+      .localCheckpoint(false, ser)
     val tot = bc.agg(sum("pair_count").as("nbi"))
       .crossJoin(uni.agg(sum("cu").as("nuni")))
     bc.filter(col("pair_count") >= MergeMinCount)
@@ -645,8 +662,16 @@ object TextOps {
     * (the TopKAgg rule targets FEW-group windows). */
   def q90(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables(s, dir, "documents")
+    // r13: barrier the tf frame — its two consumers (the df aggregate
+    // and the score join) re-executed the whole tokenize+explode+agg
+    // subtree (measured: two ~equal 32-task stages per warm run;
+    // runtime stage reuse does NOT fire here, the two consumers plan
+    // distinct exchanges). Serialized blocks, the gramsCache
+    // rationale: corpus-TERM-sized, 2 consumers vs 2 full tokenizes;
+    // a production deployment persists tf DupIndex-style instead.
     val tf = docs.select(col("doc_id"), explode(expr(tk)).as("term"))
       .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      .localCheckpoint(false, org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val n = docs.agg(count(lit(1)).as("n_docs"))
     val w = org.apache.spark.sql.expressions.Window
@@ -1158,6 +1183,12 @@ object TextOps {
     val t = Tables(s, dir, "documents").withColumn("tk", expr(tk))
     // explode the expression directly (q77 codegen lesson) — not the
     // withColumn-computed array column
+    // r13: A/B'd a barrier here (uni has two consumers, the w1/w2
+    // joins) and REVERTED it — measured +0.2 s over 4 interleaved
+    // rounds (old 1.22-1.44 s, checkpointed 1.19-1.67): the saved
+    // unigram pass is cheaper than the checkpoint's scheduling job
+    // at this size (the q31 measure-don't-assume lesson; q87/q90 won
+    // the same trade because their re-executed subtrees are heavier)
     val uni = Tables(s, dir, "documents").select(explode(expr(tk)).as("w"))
       .groupBy("w").agg(count(lit(1)).as("c"))
     val tot = t.agg(
