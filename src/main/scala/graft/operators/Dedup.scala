@@ -358,7 +358,16 @@ object Dedup {
     Tables(s, dir, "documents")
       .select(col("doc_id"), expr(s"array_distinct($tokensExpr)").as("tks"))
       .where(size(col("tks")) > 0)
-      .select(col("doc_id"), graft.functions.SimHashOps.simhash64(col("tks")).as("simhash"))
+      // coalesce(…, 0L) makes the column NON-NULLABLE so the banding
+      // join's constraint-propagated isnotnull(simhash) folds to true
+      // instead of re-evaluating the full fused hash in a Filter next
+      // to the Project (Catalyst does no CSE across Filter/Project —
+      // the r13 verdict's double-evaluation finding; at 100 TB that
+      // doubled the map-side hash cost). The fallback arm is dead:
+      // the size(tks) > 0 guard already keeps simhash64's input
+      // non-null, so the value is bit-identical (DedupSpec).
+      .select(col("doc_id"),
+        coalesce(graft.functions.SimHashOps.simhash64(col("tks")), lit(0L)).as("simhash"))
 
   /** SimHash near-dup pairs, hamming ≤ 8 — GUARANTEED recall via
     * block-combination banding (Manku/Jain/Das Sarma, WWW'07 §3): the

@@ -304,27 +304,50 @@ object Events {
     // view; c_ts = first click at-or-after it; p_ts = first purchase
     // at-or-after that), then one agg + the q126 explode-structs
     // report. Whole-partition frames (no orderBy) — no equal-ts
-    // frame-boundary hazard. The isNotNull guard on c_ts replicates
-    // the old join's null-key semantics exactly: a NULL-user group
-    // counts in stage 1 (the old groupBy kept it) but can never join
-    // into stages 2-3. Oracle SQL unchanged — the equality proof.
+    // frame-boundary hazard. Oracle SQL unchanged — the equality
+    // proof.
+    //
+    // r14 de-skew (guide §2.5, the r13 verdict's q24 hazard): the
+    // NULL-user rows (~5% of stress events) all land in ONE window
+    // partition AQE cannot split — a straggler/OOM at 100 TB. They
+    // can only ever contribute to stage 1 (the old q24Sql's `c`/`p`
+    // CTEs join on user_id, which never matches NULL), and their
+    // stage-1 contribution is exactly "does a NULL-user view row
+    // exist" (the old GROUP BY kept one NULL group when it had ≥1
+    // view row) — so they are filtered out BEFORE the window and
+    // counted by a tiny aggregate side branch instead. Stage 1 for
+    // identified users counts "has any view row" (max-flag), not
+    // v_ts IS NOT NULL — identical while ts is non-nullable (it is,
+    // in every shipped corpus) and still matching the oracle's
+    // count(*) FROM v if ts ever becomes nullable; stages 2-3 keep
+    // anchoring on v_ts (the oracle's `e.ts >= v.v_ts` never matches
+    // a NULL v_ts, same as the when() guard here).
     val byUser = Window.partitionBy("user_id")
-    val anchored = Tables(s, dir, "events")
-      .select("user_id", "ts", "event_type")
+    val ev = Tables(s, dir, "events").select("user_id", "ts", "event_type")
+    val anchored = ev.filter(col("user_id").isNotNull)
       .withColumn("v_ts",
         min(when(col("event_type") === "view", col("ts"))).over(byUser))
       .withColumn("c_ts",
-        min(when(col("event_type") === "click" && col("user_id").isNotNull &&
+        min(when(col("event_type") === "click" &&
           col("v_ts").isNotNull && col("ts") >= col("v_ts"), col("ts"))).over(byUser))
       .withColumn("p_ts",
         min(when(col("event_type") === "purchase" &&
           col("c_ts").isNotNull && col("ts") >= col("c_ts"), col("ts"))).over(byUser))
-    anchored.groupBy("user_id")
-      .agg(max("v_ts").as("v"), max("c_ts").as("c"), max("p_ts").as("p"))
+    val counts = anchored.groupBy("user_id")
+      .agg(max(when(col("event_type") === "view", 1L)).as("hv"),
+        max("c_ts").as("c"), max("p_ts").as("p"))
       .agg(
-        sum(when(col("v").isNotNull, 1L).otherwise(0L)).as("nv"),
+        sum(when(col("hv").isNotNull, 1L).otherwise(0L)).as("nv0"),
         sum(when(col("c").isNotNull, 1L).otherwise(0L)).as("nc"),
         sum(when(col("p").isNotNull, 1L).otherwise(0L)).as("np"))
+    // the NULL-user stage-1 branch: one global aggregate over an
+    // event_type-pushed scan — 0 or 1 users, never a window partition
+    val nullBranch = ev
+      .filter(col("user_id").isNull && col("event_type") === "view")
+      .agg(max(lit(1L)).as("nv_null"))
+    counts.join(nullBranch, lit(true), "left")
+      .select((col("nv0") + coalesce(col("nv_null"), lit(0L))).as("nv"),
+        col("nc"), col("np"))
       .select(explode(array(
         struct(lit("1_view").as("stage"), col("nv").as("users")),
         struct(lit("2_click").as("stage"), col("nc").as("users")),
@@ -675,11 +698,22 @@ object Events {
       col("user_id") === col("t_user") &&
         col("tus") < col("pus") && col("tus") >= col("pus") - lit(AttrLookbackUs),
       "left")
-    val byP = Window.partitionBy("pid")
+    // r14 (guide §2.4 — share one exchange AND one sort): the three
+    // window columns used three distinct window specs — an unordered
+    // count plus row_numbers over (tus ASC) and (tus DESC) — which
+    // planned THREE Sort passes over the match-multiplied joined
+    // stream (the query's widest frame). All three facts come off ONE
+    // ordered spec: n as an unbounded-frame count, rnf as the ASC
+    // row_number, and "is last touch" as rnf = n (a partition is
+    // either one unmatched NULL row or n>0 all-matched rows, so the
+    // DESC row_number's rnl=1 row is exactly the rnf=n row; the n=0
+    // CASE arm short-circuits the unmatched singleton the same way it
+    // always did). Oracle SQL unchanged — the equality proof.
+    val byPOrd = Window.partitionBy("pid").orderBy(col("tus").asc, col("tid").asc)
     val w = j
-      .withColumn("n", count(col("tid")).over(byP))
-      .withColumn("rnf", row_number().over(byP.orderBy(col("tus").asc, col("tid").asc)))
-      .withColumn("rnl", row_number().over(byP.orderBy(col("tus").desc, col("tid").desc)))
+      .withColumn("n", count(col("tid")).over(
+        byPOrd.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .withColumn("rnf", row_number().over(byPOrd))
     w.groupBy(coalesce(col("touch_type"), lit("direct")).as("touch_type"))
       .agg(
         count(lit(1)).as("n_pairs"),
@@ -687,7 +721,7 @@ object Events {
           / lit(1000000.0) / lit(100.0)).as("linear_revenue"),
         ops.r2(sum(expr("CASE WHEN n = 0 OR rnf = 1 THEN pcents ELSE 0 END"))
           / lit(100.0)).as("first_touch_revenue"),
-        ops.r2(sum(expr("CASE WHEN n = 0 OR rnl = 1 THEN pcents ELSE 0 END"))
+        ops.r2(sum(expr("CASE WHEN n = 0 OR rnf = n THEN pcents ELSE 0 END"))
           / lit(100.0)).as("last_touch_revenue"))
       .orderBy("touch_type")
   }

@@ -45,22 +45,29 @@ object MlOps {
   /** RFM segmentation: recency/frequency/monetary quartile scores. */
   def q30(s: SparkSession, dir: String): DataFrame = {
     val cust = rfm(s, dir)
-    // Rank slim (key, metric) projections and join the scores back:
-    // nesting globalNtile calls would replicate the whole upstream
-    // subtree ~2x per level (40+ joins in the physical plan); this
-    // keeps each ranking tree shallow. The rfm cache's checkpoint is
-    // what bounds the three consumers to one orders aggregation —
-    // don't drop it as redundant (there is no exchange left for AQE
-    // to reuse; the checkpoint IS the barrier).
-    def score(metric: String, asc: Boolean, out: String): DataFrame = {
-      val m = if (asc) col(metric).asc else col(metric).desc
-      ops.globalNtile(cust.select(col("o_custkey"), col(metric)), 4, out, m, col("o_custkey"))
-        .select(col("o_custkey"), col(out))
-    }
-    val scored = cust
-      .join(score("recency_days", asc = false, "r_score"), "o_custkey")
-      .join(score("frequency", asc = true, "f_score"), "o_custkey")
-      .join(score("monetary", asc = true, "m_score"), "o_custkey")
+    // r14 (guide §2.4 — one exchange instead of three; the r13
+    // verdict's candidate): three globalNtile calls paid three
+    // seeded-range exchanges + three eager checkpoints + three score
+    // joins. MELT the metrics into (o_custkey, _m, _v) rows — 3n of
+    // them — and tile per metric group over ONE ranged frame
+    // (ops.groupedGlobalNtile), then pivot the scores back with one
+    // groupBy. Sort parity: each _v is the metric cast to double
+    // (recency NEGATED — `-x ASC` ≡ `x DESC` on non-null ints; count
+    // and datediff are exact in double, monetary already is one),
+    // ties broken by o_custkey exactly as before. The rfm cache's
+    // checkpoint still bounds the orders aggregation to one run.
+    val melted = cust.select(col("o_custkey"), explode(array(
+        struct(lit("r").as("_m"), (-col("recency_days")).cast("double").as("_v")),
+        struct(lit("f").as("_m"), col("frequency").cast("double").as("_v")),
+        struct(lit("m").as("_m"), col("monetary").cast("double").as("_v")))).as("e"))
+      .select(col("o_custkey"), col("e._m").as("_m"), col("e._v").as("_v"))
+    val tiled = ops.groupedGlobalNtile(melted, "_m", 4, "_sc",
+      col("_v"), col("o_custkey"))
+    val scores = tiled.groupBy("o_custkey").agg(
+      max(when(col("_m") === "r", col("_sc"))).as("r_score"),
+      max(when(col("_m") === "f", col("_sc"))).as("f_score"),
+      max(when(col("_m") === "m", col("_sc"))).as("m_score"))
+    val scored = cust.join(scores, "o_custkey")
     scored.withColumn("segment",
       when(col("r_score") >= 3 && col("f_score") >= 3 && col("m_score") >= 3, "champion")
         .when(col("r_score") >= 3 && col("f_score") >= 2, "loyal")

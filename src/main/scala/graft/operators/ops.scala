@@ -214,11 +214,48 @@ object ops {
       row_number().over(Window.partitionBy("_pid").orderBy(sort: _*)))
     local.join(broadcast(offs), "_pid")
       .withColumn("_rn", col("_lrn") + col("_off"))
-      .withColumn(out, expr(
-        s"""CASE WHEN _rn <= (_n % $k) * (_n div $k + 1)
-                 THEN CAST((_rn - 1) div (_n div $k + 1) + 1 AS INT)
-                 ELSE CAST((_n % $k) + (_rn - (_n % $k) * (_n div $k + 1) - 1) div (_n div $k) + 1 AS INT)
-            END"""))
+      .withColumn(out, expr(ntileCase(k)))
+      .drop("_pid", "_lrn", "_off", "_n", "_rn")
+  }
+
+  /** Exact SQL ntile(k) semantics over a global rank `_rn` of `_n`
+    * rows (first `_n % k` buckets one row larger) — the ONE formula
+    * shared by [[globalNtile]] and [[groupedGlobalNtile]]. */
+  private def ntileCase(k: Int): String =
+    s"""CASE WHEN _rn <= (_n % $k) * (_n div $k + 1)
+             THEN CAST((_rn - 1) div (_n div $k + 1) + 1 AS INT)
+             ELSE CAST((_n % $k) + (_rn - (_n % $k) * (_n div $k + 1) - 1) div (_n div $k) + 1 AS INT)
+        END"""
+
+  /** Per-GROUP exact ntile(k) over ONE range partitioning — the
+    * [[groupedGlobalRank]] machinery with the per-group total riding
+    * the same tiny offsets frame (the groupedGlobalCumsum totOut
+    * pattern). N independent [[globalNtile]] calls over the same
+    * table pay N seeded-range exchanges + N checkpoints + N offset
+    * broadcasts; melting the metrics into (key, grp, value) rows and
+    * tiling per group pays ONE of each over the 3n-row frame (q30's
+    * r/f/m quartiles — the r13 verdict's candidate). Same contract as
+    * groupedGlobalRank: `grp` must be bounded-cardinality, `sort` a
+    * strict total order within the group. */
+  def groupedGlobalNtile(df: DataFrame, grp: String, k: Int, out: String,
+      sort: Column*): DataFrame = {
+    val nPart = df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    val ranged = df.repartitionByRange(nPart, (col(grp) +: sort): _*)
+      .withColumn("_pid", spark_partition_id())
+      .localCheckpoint(false)
+    val counts = ranged.groupBy(col("_pid"), col(grp)).agg(count(lit(1)).as("_cnt"))
+    val offs = counts
+      .withColumn("_off", coalesce(sum("_cnt").over(
+        Window.partitionBy(grp).orderBy("_pid")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("_n", sum("_cnt").over(Window.partitionBy(grp)))
+      .select(col("_pid"), col(grp), col("_off"), col("_n"))
+    ranged
+      .withColumn("_lrn", row_number().over(
+        Window.partitionBy(col("_pid"), col(grp)).orderBy(sort: _*)))
+      .join(broadcast(offs), Seq("_pid", grp))
+      .withColumn("_rn", col("_lrn").cast("long") + col("_off"))
+      .withColumn(out, expr(ntileCase(k)))
       .drop("_pid", "_lrn", "_off", "_n", "_rn")
   }
 }
