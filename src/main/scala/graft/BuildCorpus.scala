@@ -87,6 +87,15 @@ object BuildCorpus {
       buf += ((row._1, row._2, row._3, row._4, row._5, (now - t0) / 1e9))
       t0 = now
     }
+    /** Append with EXPLICIT wall seconds — for a stage measured on
+      * its own thread or computed out of append order (the r14
+      * overlap), where the auto-stamp would attribute another
+      * stage's span. Resets the auto-stamp clock so the next auto
+      * row covers only its own span. */
+    def timed(row: (Int, String, Long, Long, String), secs: Double): Unit = {
+      buf += ((row._1, row._2, row._3, row._4, row._5, secs))
+      t0 = System.nanoTime()
+    }
     def rows: Seq[(Int, String, Long, Long, String, Double)] = buf.toSeq
   }
 
@@ -102,6 +111,43 @@ object BuildCorpus {
     * ([[TextOps.normalizeCol]]) — never a doc_id join, which a
     * duplicated intake id would fan out and a null id would drop
     * from. Returns (n_intake_docs, n_staged_docs). */
+  /** Broadcast ceiling for the duplicated-id list, in DISTINCT dup
+    * ids (the q41 SzBroadcastMaxDocs sizing rationale: ~16 B/row ≈
+    * 320 MB at the ceiling — with the ~2× hash-relation overhead,
+    * the edge of a 4-8 GiB executor's broadcast budget). */
+  private[graft] val DupBcastMaxIds = 20L * 1000 * 1000
+
+  /** The duplicated-id join side for the intake quarantine: the list
+    * comes off a scan that reads ONLY the id column and is
+    * intake-anomaly-sized on HEALTHY intake (empty, never more than
+    * the distinct dup ids) — broadcast it instead of shuffling the
+    * corpus text by id. r14 (guide §3.1, the r13 verdict's unbounded-
+    * broadcast hazard): dirty intake is exactly what this quarantine
+    * path absorbs, and an adversarial intake where most ids repeat
+    * would broadcast O(docs) rows — so the broadcast is GATED.
+    * Cheap gate first: if the intake's RAW parquet row count (a
+    * footer-metadata-only job, no repartition/text bytes — `raw`
+    * itself carries the Tables rebalance) already fits the ceiling,
+    * even an all-dup intake broadcasts safely and the dup list stays
+    * LAZY (evaluated inside the keyed checkpoint's materialization,
+    * as before). Past it, pay one id-only pass to count the ACTUAL
+    * dup ids (checkpointed — the count and the join consume one
+    * materialization) and fall back to a plain shuffled join only
+    * when they genuinely exceed the ceiling. `maxBcast` is a
+    * parameter so the spec drives the fallback branch directly. */
+  private[graft] def dupIdSide(s: SparkSession, in: String, raw: DataFrame,
+      maxBcast: Long = DupBcastMaxIds): DataFrame = {
+    val dup = raw.groupBy("doc_id").agg(count(lit(1)).as("id_n"))
+      .filter(col("doc_id").isNotNull && col("id_n") > 1)
+      .select(col("doc_id"), lit(true).as("is_dup"))
+    if (s.read.parquet(Tables.rawPath(in, "documents")).count() <= maxBcast)
+      broadcast(dup)
+    else {
+      val d = dup.localCheckpoint(false)
+      if (d.count() <= maxBcast) broadcast(d) else d
+    }
+  }
+
   private def intakeAndStage(s: SparkSession, in: String, out: String,
       decisions: Ledger)
       : (Long, Long) = {
@@ -121,16 +167,7 @@ object BuildCorpus {
     // attribution shift: the intake row now lands after the first
     // keyed action, so its seconds include the quarantine write.
     val raw = Tables(s, in, "documents")
-    // the duplicated-id LIST comes off a scan that reads ONLY the id
-    // column, and is intake-anomaly-sized (empty on a healthy
-    // intake, never more than the distinct dup ids) — broadcast it
-    // instead of shuffling the corpus text by id; it evaluates
-    // lazily inside the keyed checkpoint's materialization, not as
-    // its own driver action
-    val dupList = broadcast(
-      raw.groupBy("doc_id").agg(count(lit(1)).as("id_n"))
-        .filter(col("doc_id").isNotNull && col("id_n") > 1)
-        .select(col("doc_id"), lit(true).as("is_dup")))
+    val dupList = dupIdSide(s, in, raw)
     // the q108 row-local flags ride the normalize pass as BOOLEAN
     // COLUMNS (an Observation cannot: its metrics node materializes
     // inside the checkpoint's RDD job, outside any tracked SQL
@@ -200,44 +237,105 @@ object BuildCorpus {
     Tables(s, in, "embeddings")
       .write.mode(SaveMode.Overwrite).parquet(s"$staged/embeddings.parquet")
 
-    // 2. embedding-side audit, logged: the q154 router's verdict
-    // (banding vs cells, measured skew) and q168's eval-proximity
-    // flags — the dense-side story of what the text gates below do.
-    // ONE agg (counts + verdict columns) — this frame's only consumer,
-    // so no barrier and no per-count scheduling jobs (r9)
-    val routeRow = Dedup.q154(s, staged).agg(count(lit(1)).as("n"),
-      coalesce(sum(when(col("kept"), 1L).otherwise(0L)), lit(0L)).as("k"),
-      first("route").as("r"), first("med_skew_x1000").as("sk")).collect()(0)
-    decisions += ((2, "embedding_route", routeRow.getLong(0), routeRow.getLong(1),
-      s"route=${routeRow.getString(2)} med_skew_x1000=${routeRow.getLong(3)}"))
-    // ONE aggregate for both counts: two count() actions would run
-    // the eval-proximity join twice (r8 review finding)
-    val sd = Similarity.q168(s, staged).agg(
-      count(lit(1)).as("n"),
-      sum(when(!col("contaminated"), 1L).otherwise(0L)).as("ok")).collect()(0)
-    decisions += ((3, "semantic_decon", sd.getLong(0), sd.getLong(1),
-      "q168 vs eval vectors"))
+    // 8-overlapped. The ADMISSION ANCHOR for future increments: the
+    // staged corpus's persisted near-dup signature index (the
+    // DupIndex base [[incremental]] probes) — indexed over STAGED,
+    // not shipped: novelty is judged against everything the corpus
+    // has SEEN (a near-dup of a quality-dropped doc is still a
+    // duplicate, and would only be re-dropped at its own gate
+    // anyway). r14 (guide §2.6, the r13 verdict's #4): the index
+    // depends ONLY on staged/documents (already on disk here) and
+    // NOTHING below reads dupindex/, so it builds CONCURRENTLY on
+    // its own thread while the gate/decon/pack/shard stages run —
+    // Spark actions are thread-safe and the scheduler interleaves
+    // the two job streams over the same cores. The ledger row still
+    // lands LAST (rows stay ordered, counts unchanged; its
+    // wall-seconds column now reads the residual wait, with the
+    // index's own wall recorded in the detail — the overlap IS the
+    // optimization). The thread re-reads staged/documents from disk:
+    // no frame is shared across threads, and any failure propagates
+    // after the join.
+    val idxErr = new java.util.concurrent.atomic.AtomicReference[Throwable]
+    val idxWall = new java.util.concurrent.atomic.AtomicLong
+    val idxThread = new Thread(() => {
+      try {
+        val t0 = System.nanoTime
+        graft.sources.DupIndex.writeFrom(s,
+          Tables(s, staged, "documents").select("doc_id", "text"),
+          s"$out/dupindex")
+        idxWall.set(System.nanoTime - t0)
+      } catch { case t: Throwable => idxErr.set(t) }
+    }, "graft-dupindex")
+    idxThread.setDaemon(true)
+    idxThread.start()
+
+    // 2+3-overlapped. The embedding-side audit, logged: the q154
+    // router's verdict (banding vs cells, measured skew) and q168's
+    // eval-proximity flags — the dense-side story of what the text
+    // gates below do. ONE agg each (counts + verdict columns). r14
+    // (guide §2.6): these rows are PURE AUDIT — nothing downstream
+    // consumes them — and they touch only staged EMBEDDINGS while
+    // the gate/decon chain touches only staged DOCUMENTS, so both
+    // aggregates run on a side thread concurrent with the text
+    // chain. Their ledger rows land in id order once the thread
+    // joins, carrying their own measured walls (Ledger.timed — the
+    // auto-stamp would attribute overlap time to the wrong stage).
+    val embErr = new java.util.concurrent.atomic.AtomicReference[Throwable]
+    val embRes = new java.util.concurrent.atomic.AtomicReference[
+      (org.apache.spark.sql.Row, Double, org.apache.spark.sql.Row, Double)]
+    val embThread = new Thread(() => {
+      try {
+        val tr0 = System.nanoTime
+        val routeRow = Dedup.q154(s, staged).agg(count(lit(1)).as("n"),
+          coalesce(sum(when(col("kept"), 1L).otherwise(0L)), lit(0L)).as("k"),
+          first("route").as("r"), first("med_skew_x1000").as("sk")).collect()(0)
+        val tRoute = (System.nanoTime - tr0) / 1e9
+        // ONE aggregate for both counts: two count() actions would
+        // run the eval-proximity join twice (r8 review finding)
+        val ts0 = System.nanoTime
+        val sd = Similarity.q168(s, staged).agg(
+          count(lit(1)).as("n"),
+          sum(when(!col("contaminated"), 1L).otherwise(0L)).as("ok")).collect()(0)
+        embRes.set((routeRow, tRoute, sd, (System.nanoTime - ts0) / 1e9))
+      } catch { case t: Throwable => embErr.set(t) }
+    }, "graft-embaudit")
+    embThread.setDaemon(true)
+    embThread.start()
 
     // 3. the gate: exact-dup canonical ∧ near-dup canonical ∧ clean ∧
     // quality, with the content-keyed split — both ledger counts in
-    // ONE agg over the checkpointed frame (r9)
+    // ONE agg over the checkpointed frame (r9); own wall captured
+    // here, appended in id order after the embedding thread joins
+    val tg0 = System.nanoTime
     val gate = Sampling.q68(s, staged).localCheckpoint(false)
     val gateTrain = gate.filter(col("split") === "train").select("doc_id")
     val gateAgg = gate.agg(count(lit(1)).as("all"),
       coalesce(sum(when(col("split") === "train", 1L).otherwise(0L)), lit(0L))
         .as("tr")).collect()(0)
     val nGateTrain = gateAgg.getLong(1)
-    decisions += ((4, "gate_keep", nStaged, nGateTrain,
-      s"q68 kept_all_splits=${gateAgg.getLong(0)}"))
+    val tGate = (System.nanoTime - tg0) / 1e9
 
     // 4. decontamination: exact 8-gram (q69) ∪ fuzzy shingle-jaccard
     // (q86) flags over the staged corpus; flagged train docs drop
+    val td0 = System.nanoTime
     val drop = Sampling.q69(s, staged).filter(col("contaminated")).select("doc_id")
       .unionByName(Sampling.q86(s, staged).filter(col("contaminated")).select("doc_id"))
       .distinct().localCheckpoint(false)
     val nDropped = gateTrain.join(drop, Seq("doc_id"), "left_semi").count()
-    decisions += ((5, "decontaminate", nGateTrain, nGateTrain - nDropped,
-      s"q69|q86 flagged_in_gate=$nDropped"))
+    val tDecon = (System.nanoTime - td0) / 1e9
+
+    embThread.join()
+    Option(embErr.get).foreach(t => throw t)
+    val (routeRow, tRoute, sd, tSd) = embRes.get
+    decisions.timed((2, "embedding_route", routeRow.getLong(0), routeRow.getLong(1),
+      s"route=${routeRow.getString(2)} med_skew_x1000=${routeRow.getLong(3)} (overlapped)"),
+      tRoute)
+    decisions.timed((3, "semantic_decon", sd.getLong(0), sd.getLong(1),
+      "q168 vs eval vectors (overlapped)"), tSd)
+    decisions.timed((4, "gate_keep", nStaged, nGateTrain,
+      s"q68 kept_all_splits=${gateAgg.getLong(0)}"), tGate)
+    decisions.timed((5, "decontaminate", nGateTrain, nGateTrain - nDropped,
+      s"q69|q86 flagged_in_gate=$nDropped"), tDecon)
 
     // 4m. MEDIA stages (r12, only when the intake ships a
     // media.parquet): docs carrying an IMAGE payload are caption×
@@ -315,15 +413,13 @@ object BuildCorpus {
         .select("doc_id", "payload")
         .write.mode(SaveMode.Overwrite).parquet(s"$out/corpus/media.parquet")
 
-    // 8. the ADMISSION ANCHOR for future increments: the staged
-    // corpus's persisted near-dup signature index (the DupIndex base
-    // [[incremental]] probes) — indexed over STAGED, not shipped:
-    // novelty is judged against everything the corpus has SEEN (a
-    // near-dup of a quality-dropped doc is still a duplicate, and
-    // would only be re-dropped at its own gate anyway)
-    graft.sources.DupIndex.writeFrom(s, stDocs.select("doc_id", "text"),
-      s"$out/dupindex")
-    decisions += ((10, "dup_index", nStaged, nStaged, "-> dupindex/ (admission base)"))
+    // 8. the dup-index admission base, running concurrently since
+    // the staging step — wait for it here so the ledger rows stay
+    // ordered and the artifact is complete before run() returns
+    idxThread.join()
+    Option(idxErr.get).foreach(t => throw t)
+    decisions += ((10, "dup_index", nStaged, nStaged,
+      f"-> dupindex/ (admission base; overlapped, own_wall=${idxWall.get / 1e9}%.1fs)"))
 
     // mixture bookkeeping for [[mixtureGate]]: per-language available
     // (the final keep set, pre-mixture) and shipped token sums — the

@@ -141,6 +141,40 @@ class BuildCorpusSpec extends AnyFunSuite {
     }
   }
 
+  test("dup-id broadcast gate: past the ceiling the join side drops the broadcast hint; verdicts identical either way (r14)") {
+    import spark.implicits._
+    withTmpDir("buildcorpus-dupgate") { root =>
+      val in = s"$root/in"
+      // an adversarial intake: 30 rows over 10 tripled ids + 5 unique
+      val rows = (0L until 30L).map(i => (i % 10, s"body $i", "en", "s")) ++
+        (100L until 105L).map(i => (i, s"uniq $i", "en", "s"))
+      rows.toDF("doc_id", "text", "lang", "source")
+        .withColumn("n_chars", length(col("text")).cast("long"))
+        .write.parquet(s"$in/documents.parquet")
+      val raw = Tables(spark, in, "documents")
+      def joined(side: org.apache.spark.sql.DataFrame) =
+        raw.join(side, Seq("doc_id"), "left")
+          .select(col("doc_id"), coalesce(col("is_dup"), lit(false)).as("is_dup"))
+      // all three gate branches: shallow (raw count fits), deep-pass
+      // (raw count over, actual dup ids fit), deep-fallback (dup ids
+      // over the ceiling — the adversarial branch, unreachable at any
+      // healthy scale, driven here directly via maxBcast)
+      val shallow = joined(BuildCorpus.dupIdSide(spark, in, raw))
+      val deepBc = joined(BuildCorpus.dupIdSide(spark, in, raw, maxBcast = 20L))
+      val fallback = joined(BuildCorpus.dupIdSide(spark, in, raw, maxBcast = 3L))
+      assert(shallow.queryExecution.analyzed.toString.contains("broadcast"),
+        "healthy intake lost its broadcast hint")
+      assert(deepBc.queryExecution.analyzed.toString.contains("broadcast"),
+        "small dup set past the raw-count gate lost its broadcast hint")
+      assert(!fallback.queryExecution.analyzed.toString.contains("broadcast"),
+        "adversarial dup set still carries a broadcast hint")
+      this.eq(shallow, fallback, "dup verdicts across join strategies")
+      this.eq(shallow, deepBc, "dup verdicts across gate branches")
+      assert(shallow.filter(col("is_dup")).select("doc_id").distinct().count() == 10L,
+        "planted dup ids not all flagged")
+    }
+  }
+
   test("media-aware build: cross-modal gate + image-family canonical keep are ledgered; planted twins do not ship") {
     import spark.implicits._
     withTmpDir("buildcorpus-media") { root =>
