@@ -340,11 +340,17 @@ object Events {
         sum(when(col("hv").isNotNull, 1L).otherwise(0L)).as("nv0"),
         sum(when(col("c").isNotNull, 1L).otherwise(0L)).as("nc"),
         sum(when(col("p").isNotNull, 1L).otherwise(0L)).as("np"))
-    // the NULL-user stage-1 branch: one global aggregate over an
-    // event_type-pushed scan — 0 or 1 users, never a window partition
+    // the NULL-user stage-1 branch: an EXISTENCE probe, never a
+    // window partition. limit(1) short-circuits the scan at the
+    // first NULL-user view row (the x30 A/B read 0.6 s for a full
+    // two-column decode without it); a healthy corpus (no NULL
+    // users) skips every row group outright via the pushed IsNull
+    // filter against parquet null-count stats. count over the
+    // limited frame is the 0/1 stage-1 contribution — deterministic
+    // regardless of WHICH row the limit keeps.
     val nullBranch = ev
       .filter(col("user_id").isNull && col("event_type") === "view")
-      .agg(max(lit(1L)).as("nv_null"))
+      .limit(1).agg(count(lit(1L)).as("nv_null"))
     counts.join(nullBranch, lit(true), "left")
       .select((col("nv0") + coalesce(col("nv_null"), lit(0L))).as("nv"),
         col("nc"), col("np"))
