@@ -31,6 +31,23 @@ class OpsSpec extends AnyFunSuite {
     assert(actual.exceptAll(expected).count() == 0)
   }
 
+  test("groupedGlobalNtile matches the per-group window ntile exactly (r14)") {
+    // uneven group sizes + a k that does not divide any of them —
+    // exercises the remainder arms of the shared ntile CASE
+    val spend = Tables(spark, sf, "orders")
+      .select(col("o_orderpriority").as("g"), col("o_custkey"),
+        col("o_totalprice"), col("o_orderkey"))
+    val expected = spend.withColumn("b",
+      ntile(7).over(org.apache.spark.sql.expressions.Window
+        .partitionBy("g")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))))
+    val actual = ops.groupedGlobalNtile(spend, "g", 7, "b",
+      col("o_totalprice").desc, col("o_orderkey"))
+    assert(actual.count() == expected.count())
+    assert(actual.exceptAll(expected).count() == 0)
+    assert(expected.exceptAll(actual).count() == 0)
+  }
+
   test("groupedGlobalRank matches the per-group window row_number exactly") {
     val spend = Tables(spark, sf, "orders")
       .select(col("o_orderpriority").as("g"), col("o_custkey"), col("o_totalprice"),
